@@ -1,0 +1,186 @@
+"""Dataset: a named collection of versioned Signals.
+
+Reference semantics: ``types.py:1203-1428``.  Dataset-level transforms
+(``DatasetTransformFunctionProtocol``, types.py:1180-1200) take whole
+Signals and return new Signals; the Dataset versions their names and
+merges lineage exactly like Signal.process does for series.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Optional, Protocol
+
+from meteaudata_spark import naming
+from meteaudata_spark.metadata import ProcessingStep, dedup_steps
+from meteaudata_spark.signal import Signal
+
+
+class DatasetTransformFunctionProtocol(Protocol):
+    def __call__(
+        self,
+        input_signals: list[Signal],
+        input_series_names: list[str],
+        *args: Any,
+        **kwargs: Any,
+    ) -> list[Signal]: ...
+
+
+class Dataset:
+    def __init__(
+        self,
+        name: str = "dataset",
+        description: str = "",
+        owner: str = "",
+        purpose: str = "",
+        project: str = "",
+        signals: Optional[dict[str, Signal]] = None,
+        created_on: Optional[datetime.datetime] = None,
+        last_updated: Optional[datetime.datetime] = None,
+    ) -> None:
+        self.name = name
+        self.description = description
+        self.owner = owner
+        self.purpose = purpose
+        self.project = project
+        self.created_on = created_on or datetime.datetime.now()
+        self.last_updated = last_updated or datetime.datetime.now()
+        self.signals: dict[str, Signal] = {}
+        for key, sig in (signals or {}).items():
+            # signals keyed by their own (versioned) names
+            # (reference: Dataset.__init__, types.py:1213-1231)
+            versioned = naming.ensure_versioned(sig.name)
+            sig.name = versioned
+            self.signals[versioned] = sig
+
+    # ------------------------------------------------------------------
+    # naming (reference: types.py:1233-1267)
+    # ------------------------------------------------------------------
+    def max_name_number(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for full in self.signals:
+            base, num = naming.parse_version(full)
+            if num is not None:
+                out[base] = max(out.get(base, 0), num)
+        return out
+
+    def update_numbered_name(self, name: str) -> str:
+        base, _ = naming.parse_version(name)
+        nxt = self.max_name_number().get(base, 0) + 1
+        return naming.with_version(base, nxt)
+
+    def add(self, signal: Signal) -> None:
+        new_name = self.update_numbered_name(signal.name)
+        signal.rename(new_name)
+        self.signals[new_name] = signal
+        self._touch()
+
+    @property
+    def all_signals(self) -> list[str]:
+        return list(self.signals.keys())
+
+    def all_series_names(self) -> list[str]:
+        names: list[str] = []
+        for sig in self.signals.values():
+            names.extend(sig.all_time_series)
+        return names
+
+    # ------------------------------------------------------------------
+    # processing (reference: types.py:1366-1428)
+    # ------------------------------------------------------------------
+    def process(
+        self,
+        input_time_series_names: list[str],
+        transform_function: DatasetTransformFunctionProtocol,
+        *args: Any,
+        **kwargs: Any,
+    ) -> "Dataset":
+        available = set(self.all_series_names())
+        missing = [n for n in input_time_series_names if n not in available]
+        if missing:
+            raise ValueError(
+                f"Series {missing} not found in Dataset. "
+                f"Available: {sorted(available)}"
+            )
+        input_signals: list[Signal] = []
+        for full in input_time_series_names:
+            signal_part, _ = naming.split_full_name(full)
+            sig = self.signals.get(signal_part)
+            if sig is None:
+                raise ValueError(
+                    f"Signal {signal_part!r} not found for series {full!r}"
+                )
+            input_signals.append(_copy_signal(sig))
+
+        outputs = transform_function(
+            input_signals, input_time_series_names, *args, **kwargs
+        )
+        for out_sig in outputs:
+            out_sig.name = self.update_numbered_name(out_sig.name)
+            # merge lineage: every output series inherits all input series'
+            # steps, then its own, deduped (reference: types.py:1408-1428)
+            for ts in out_sig.time_series.values():
+                inherited: list[ProcessingStep] = []
+                for full in input_time_series_names:
+                    signal_part, _ = naming.split_full_name(full)
+                    src = self.signals[signal_part].time_series[full]
+                    inherited.extend(
+                        s.model_copy(deep=True) for s in src.processing_steps
+                    )
+                ts.processing_steps = dedup_steps(
+                    inherited + ts.processing_steps
+                )
+            # key series under the versioned signal name
+            out_sig.rename(out_sig.name)
+            self.signals[out_sig.name] = out_sig
+        self._touch()
+        return self
+
+    def _touch(self) -> None:
+        self.last_updated = datetime.datetime.now()
+
+    # ------------------------------------------------------------------
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Dataset):
+            return NotImplemented
+        return (
+            self.name == other.name
+            and self.description == other.description
+            and self.owner == other.owner
+            and self.purpose == other.purpose
+            and self.project == other.project
+            and set(self.signals) == set(other.signals)
+            and all(self.signals[k] == other.signals[k] for k in self.signals)
+        )
+
+    def __repr__(self) -> str:
+        return f"Dataset(name={self.name!r}, signals={self.all_signals})"
+
+    def metadata_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "description": self.description,
+            "owner": self.owner,
+            "purpose": self.purpose,
+            "project": self.project,
+            "created_on": self.created_on.isoformat(),
+            "last_updated": self.last_updated.isoformat(),
+            "signals": {
+                name: sig.metadata_dict() for name, sig in self.signals.items()
+            },
+        }
+
+
+def _copy_signal(sig: Signal) -> Signal:
+    from meteaudata_spark.signal import _shallow_copy
+
+    return Signal(
+        name=sig.name,
+        units=sig.units,
+        provenance=sig.provenance.model_copy(deep=True),
+        time_series={
+            name: _shallow_copy(ts) for name, ts in sig.time_series.items()
+        },
+        created_on=sig.created_on,
+        last_updated=sig.last_updated,
+    )

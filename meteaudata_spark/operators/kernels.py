@@ -1,0 +1,300 @@
+"""Pure DataFrame→DataFrame time-series kernels.
+
+Each kernel is a declarative Catalyst plan builder parameterized by
+
+    ts_col         — the time/index column
+    val_col        — the value column
+    partition_cols — optional grouping columns (e.g. series_name,
+                     event_type): with them every window/aggregation
+                     parallelizes across groups; without them the
+                     kernel operates on one global series (single
+                     window partition — inherent to the semantics).
+
+The meteaudata-protocol operators (resample, interpolate, …) wrap
+these kernels for the two-column TimeSeries plane; the [EXT] analytics
+reuse the same kernels over long multi-series tables, where the
+partition columns are what makes the plan scale: a 100 TB events
+table with 1M distinct series keys spreads across all executors, and
+no kernel below ever collects to the driver.
+
+Everything here is built-in `pyspark.sql.functions` only — no Python
+UDFs in any hot path, so the whole plan stays inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from meteaudata_spark.functions.freq import to_seconds, to_spark_interval
+
+
+def _win(partition_cols: Sequence[str], order_col: str):
+    w = Window.orderBy(order_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    return w
+
+
+# ----------------------------------------------------------------------
+# resample: tumbling-window mean with an empty-bucket spine
+# ----------------------------------------------------------------------
+def resample_mean(
+    df: DataFrame,
+    freq: str,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+    origin: str = "start_day",
+) -> DataFrame:
+    """Tumbling-window mean matching ``pandas.Series.resample(freq).mean()``.
+
+    Semantics (reference resample.py:47):
+      * buckets are ``[origin + k·freq, origin + (k+1)·freq)`` where the
+        default origin is midnight of the day of the FIRST point
+        (pandas ``origin='start_day'``) — NOT epoch-aligned, so we
+        compute the origin inside the plan from ``min(ts)``;
+      * output rows are labeled with the bucket left edge;
+      * every bucket between the first and last observed bucket is
+        emitted — empty buckets become null rows (the spine join);
+      * ``avg`` skips nulls, matching pandas ``mean(skipna=True)``.
+
+    Scale notes: the per-bucket aggregation is a single hash
+    aggregation with map-side partial combine; the spine is generated
+    per partition group from its own bounds (``sequence`` + ``explode``)
+    and joined back — spine size is O(time-range / freq), independent
+    of row count.
+    """
+    step_sec = to_seconds(freq)
+    interval = to_spark_interval(freq)
+    pcols = list(partition_cols)
+
+    # origin per group: midnight of the first timestamp
+    grp = df.groupBy(*pcols) if pcols else df.groupBy()
+    bounds = grp.agg(
+        F.date_trunc("day", F.min(ts_col)).alias("__origin"),
+        F.min(ts_col).alias("__mn"),
+        F.max(ts_col).alias("__mx"),
+    )
+
+    if pcols:
+        joined = df.join(F.broadcast(bounds), on=pcols, how="inner")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+
+    # bucket left edge: origin + floor((ts-origin)/step)*step, computed in
+    # epoch seconds (microsecond-exact via double cast)
+    off = F.col(ts_col).cast("double") - F.col("__origin").cast("double")
+    bucket_expr = F.timestamp_seconds(
+        F.col("__origin").cast("double") + F.floor(off / F.lit(step_sec)) * F.lit(step_sec)
+    )
+    # avg must skip NaN like pandas: NaN→null before aggregating
+    clean_val = F.when(F.isnan(F.col(val_col)), F.lit(None)).otherwise(
+        F.col(val_col)
+    ) if dict(df.dtypes)[val_col] in ("double", "float") else F.col(val_col)
+
+    agg = (
+        joined.withColumn("__bucket", bucket_expr)
+        .groupBy(*pcols, "__bucket")
+        .agg(F.avg(clean_val).alias(val_col))
+    )
+
+    # spine: every bucket between first and last observed bucket
+    first_bucket = F.timestamp_seconds(
+        F.col("__origin").cast("double")
+        + F.floor(
+            (F.col("__mn").cast("double") - F.col("__origin").cast("double"))
+            / F.lit(step_sec)
+        )
+        * F.lit(step_sec)
+    )
+    last_bucket = F.timestamp_seconds(
+        F.col("__origin").cast("double")
+        + F.floor(
+            (F.col("__mx").cast("double") - F.col("__origin").cast("double"))
+            / F.lit(step_sec)
+        )
+        * F.lit(step_sec)
+    )
+    spine = bounds.select(
+        *pcols,
+        F.explode(
+            F.sequence(first_bucket, last_bucket, F.expr(f"INTERVAL {interval}"))
+        ).alias("__bucket"),
+    )
+
+    out = spine.join(agg, on=pcols + ["__bucket"], how="left")
+    return out.select(
+        *pcols, F.col("__bucket").alias(ts_col), F.col(val_col)
+    )
+
+
+# ----------------------------------------------------------------------
+# linear interpolation (pandas method="linear": POSITION-weighted)
+# ----------------------------------------------------------------------
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fill nulls like ``pandas.Series.interpolate(method="linear")``.
+
+    pandas' "linear" method treats values as equally spaced — the
+    weight is the ROW POSITION, not the timestamp (SURVEY §7.3).  With
+    the default ``limit_direction="forward"``: interior nulls are
+    linearly interpolated, leading nulls stay null, trailing nulls are
+    filled with the last valid value.
+
+    Pure window-function composition (no UDF): two cumulative passes
+    (last non-null looking back, first non-null looking forward) plus
+    the position ratio.  With ``partition_cols`` every group is an
+    independent window partition and the whole thing parallelizes.
+    """
+    pcols = list(partition_cols)
+    w_all = _win(pcols, ts_col)
+    w_back = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w_all.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    v = F.col(val_col)
+    is_valid = v.isNotNull() & ~F.isnan(v) if dict(df.dtypes)[val_col] in ("double", "float") else v.isNotNull()
+    valid_val = F.when(is_valid, v)
+
+    pos = F.row_number().over(w_all)
+    out = (
+        df.withColumn("__pos", pos)
+        .withColumn("__vv", valid_val)
+        .withColumn("__vpos", F.when(is_valid, pos))
+        .withColumn("__prev", F.last("__vv", ignorenulls=True).over(w_back))
+        .withColumn("__prev_pos", F.last("__vpos", ignorenulls=True).over(w_back))
+        .withColumn("__next", F.first("__vv", ignorenulls=True).over(w_fwd))
+        .withColumn("__next_pos", F.first("__vpos", ignorenulls=True).over(w_fwd))
+    )
+    filled = (
+        F.when(is_valid, v)
+        .when(F.col("__prev").isNull(), F.lit(None))  # leading nulls stay
+        .when(F.col("__next").isNull(), F.col("__prev"))  # trailing → ffill
+        .otherwise(
+            F.col("__prev")
+            + (F.col("__next") - F.col("__prev"))
+            * (F.col("__pos") - F.col("__prev_pos"))
+            / (F.col("__next_pos") - F.col("__prev_pos"))
+        )
+    )
+    return out.withColumn(val_col, filled).select(*pcols, ts_col, val_col)
+
+
+# ----------------------------------------------------------------------
+# masked range replacement
+# ----------------------------------------------------------------------
+def replace_ranges(
+    df: DataFrame,
+    index_pairs: Sequence[Sequence],
+    replace_with=None,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+) -> DataFrame:
+    """Set ``value`` wherever ``ts`` falls in any [start, end] pair
+    (inclusive both ends, matching pandas label slicing —
+    reference replace.py:51-57)."""
+    cond = None
+    for pair in index_pairs:
+        if len(pair) != 2:
+            raise ValueError(
+                f"Each pair of indices must contain 2 values (start, end); "
+                f"received {pair}."
+            )
+        start, end = pair
+        c = F.col(ts_col).between(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"))
+        cond = c if cond is None else (cond | c)
+    fill = F.lit(None).cast("double") if replace_with is None or (
+        isinstance(replace_with, float) and replace_with != replace_with
+    ) else F.lit(replace_with)
+    return df.withColumn(
+        val_col, F.when(cond, fill).otherwise(F.col(val_col))
+    )
+
+
+# ----------------------------------------------------------------------
+# sort / dedup (ProcessingType.SORTING, REMOVE_DUPLICATES — declared by
+# the reference enum but never shipped; we ship them, SURVEY §2.6)
+# ----------------------------------------------------------------------
+def sort_by_index(
+    df: DataFrame, ts_col: str = "timestamp", partition_cols: Sequence[str] = ()
+) -> DataFrame:
+    return df.orderBy(*list(partition_cols), ts_col)
+
+
+def drop_duplicate_timestamps(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+    keep: str = "first",
+) -> DataFrame:
+    """Keep one row per (partition, timestamp).
+
+    ``keep="first"`` matches pandas ``~index.duplicated(keep='first')``
+    given a stable prior ordering; implemented as a window row_number
+    filter (one shuffle on the group key; map-side safe under AQE).
+    """
+    pcols = list(partition_cols)
+    w = Window.partitionBy(*pcols, ts_col).orderBy(
+        F.monotonically_increasing_id() if keep == "first" else F.monotonically_increasing_id().desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# previous-point prediction view
+# ----------------------------------------------------------------------
+def shift_index(
+    df: DataFrame,
+    freq: str,
+    steps: int = 1,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Shift the index forward by ``steps × freq`` — the honest
+    "prediction" view of the reference's predict_previous_point
+    (prediction.py:45 copies data; the shift happens at plot time,
+    types.py:435-448)."""
+    interval = to_spark_interval(freq)
+    shifted = F.col(ts_col)
+    for _ in range(steps):
+        shifted = shifted + F.expr(f"INTERVAL {interval}")
+    return df.withColumn(ts_col, shifted)
+
+
+# ----------------------------------------------------------------------
+# multi-series alignment + row-wise aggregation (long layout)
+# ----------------------------------------------------------------------
+def aligned_agg(
+    df_long: DataFrame,
+    agg: str = "avg",
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    series_col: str = "series_name",
+) -> DataFrame:
+    """Row-wise aggregate across series aligned on the index.
+
+    The reference's ``pd.concat(axis=1).mean(axis=1)`` (average.py:61)
+    is, in long layout, just a groupBy on the timestamp: outer
+    alignment is implicit (absent points simply contribute no row) and
+    null-skipping matches pandas ``skipna=True``.  One shuffle on the
+    timestamp; partial aggregation map-side.
+    """
+    fn = {"avg": F.avg, "mean": F.avg, "sum": F.sum, "min": F.min,
+          "max": F.max, "count": F.count}[agg]
+    clean = F.when(F.isnan(F.col(val_col)), F.lit(None)).otherwise(F.col(val_col)) \
+        if dict(df_long.dtypes)[val_col] in ("double", "float") else F.col(val_col)
+    return (
+        df_long.groupBy(ts_col)
+        .agg(fn(clean).alias(val_col))
+    )

@@ -1,0 +1,214 @@
+"""TimeSeries: one univariate series on the Spark data plane.
+
+Reference semantics: ``meteaudata`` ``types.py:261-473`` (a pandas
+Series + processing steps + index metadata).  Here the data plane is a
+**lazy Spark DataFrame** with the canonical two-column schema
+
+    (timestamp <orderable>, value <typed>)
+
+so every downstream operator scales out; the metadata plane
+(processing steps, index metadata, dtype string) stays on the driver.
+
+Laziness is the one semantic shift from the reference: transforms
+build a Catalyst plan; equality checks, saves, and exports force
+execution (SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meteaudata_spark.metadata import (
+    IndexMetadata,
+    ProcessingStep,
+    dedup_steps,
+)
+from meteaudata_spark.functions.indexmeta import (
+    extract_index_metadata,
+    index_to_column,
+    reconstruct_index,
+)
+
+INDEX_COL = "timestamp"
+VALUE_COL = "value"
+
+
+class TimeSeries:
+    """A named, versioned univariate series backed by a Spark DataFrame.
+
+    ``df`` always has exactly the columns ``(timestamp, value)``.  Row
+    order is never assumed — every consumer that needs order states it
+    explicitly (Spark has no implicit row order; SURVEY §2.6).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        processing_steps: Optional[list[ProcessingStep]] = None,
+        index_metadata: Optional[IndexMetadata] = None,
+        values_dtype: str = "float64",
+        name: str = "",
+        created_on: Optional[datetime.datetime] = None,
+    ) -> None:
+        cols = df.columns
+        if cols != [INDEX_COL, VALUE_COL]:
+            if len(cols) == 2:
+                df = df.toDF(INDEX_COL, VALUE_COL)
+            else:
+                raise ValueError(
+                    f"TimeSeries DataFrame must have exactly two columns "
+                    f"({INDEX_COL}, {VALUE_COL}); got {cols}"
+                )
+        self.df = df
+        self.processing_steps: list[ProcessingStep] = list(processing_steps or [])
+        self.index_metadata = index_metadata or IndexMetadata()
+        self.values_dtype = values_dtype
+        self.name = name
+        self.created_on = created_on or datetime.datetime.now()
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pandas(
+        cls,
+        spark: SparkSession,
+        series: pd.Series,
+        processing_steps: Optional[list[ProcessingStep]] = None,
+        name: Optional[str] = None,
+    ) -> "TimeSeries":
+        """Ingest a pandas Series: index → explicit column + metadata."""
+        index_metadata = extract_index_metadata(series.index)
+        dtype = str(series.dtype)
+        if dtype == "object":
+            dtype = "str"  # reference placeholder convention (types.py:262,265)
+        values = series.values
+        if dtype == "str":
+            values = series.astype(str).values if len(series) else values
+        pdf = pd.DataFrame(
+            {INDEX_COL: index_to_column(series.index).values, VALUE_COL: values}
+        )
+        if len(pdf) == 0:
+            # Arrow can't infer types from empty frames; give explicit ones
+            pdf[INDEX_COL] = pdf[INDEX_COL].astype("int64")
+            pdf[VALUE_COL] = pdf[VALUE_COL].astype("str")
+        df = spark.createDataFrame(pdf)
+        return cls(
+            df=df,
+            processing_steps=processing_steps,
+            index_metadata=index_metadata,
+            values_dtype=dtype,
+            name=name if name is not None else str(series.name or ""),
+        )
+
+    # ------------------------------------------------------------------
+    # export / materialization (the only places that run a job)
+    # ------------------------------------------------------------------
+    def to_pandas(self) -> pd.Series:
+        """Collect (ordered by index) and rebuild the pandas Series."""
+        pdf = self.df.orderBy(INDEX_COL).toPandas()
+        index = reconstruct_index(pdf[INDEX_COL], self.index_metadata)
+        values = pdf[VALUE_COL].values
+        dtype = self.values_dtype if self.values_dtype != "str" else "object"
+        ser = pd.Series(values, index=index, name=self.name or None)
+        try:
+            ser = ser.astype(dtype)
+        except (TypeError, ValueError):
+            pass
+        return ser
+
+    def count(self) -> int:
+        return self.df.count()
+
+    # ------------------------------------------------------------------
+    # lineage helpers
+    # ------------------------------------------------------------------
+    def remove_duplicated_steps(self) -> "TimeSeries":
+        self.processing_steps = dedup_steps(self.processing_steps)
+        return self
+
+    # ------------------------------------------------------------------
+    # equality oracle (reference: types.py:302-318)
+    # ------------------------------------------------------------------
+    def __eq__(self, other: object) -> bool:  # pragma: no cover - thin
+        if not isinstance(other, TimeSeries):
+            return NotImplemented
+        if self.values_dtype != other.values_dtype:
+            return False
+        if self.index_metadata != other.index_metadata:
+            return False
+        if self.processing_steps != other.processing_steps:
+            return False
+        return series_data_equal(self, other)
+
+    def __repr__(self) -> str:
+        return (
+            f"TimeSeries(name={self.name!r}, dtype={self.values_dtype}, "
+            f"steps={len(self.processing_steps)})"
+        )
+
+    # ------------------------------------------------------------------
+    # metadata serde
+    # ------------------------------------------------------------------
+    def metadata_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "values_dtype": self.values_dtype,
+            "created_on": self.created_on.isoformat(),
+            "index_metadata": self.index_metadata.model_dump(),
+            "processing_steps": [
+                _step_dump(step) for step in self.processing_steps
+            ],
+        }
+
+    @classmethod
+    def from_metadata_dict(cls, df: DataFrame, meta: dict) -> "TimeSeries":
+        steps = [ProcessingStep.model_validate(s) for s in meta.get("processing_steps", [])]
+        return cls(
+            df=df,
+            processing_steps=steps,
+            index_metadata=IndexMetadata.model_validate(meta["index_metadata"]),
+            values_dtype=meta["values_dtype"],
+            name=meta["name"],
+            created_on=datetime.datetime.fromisoformat(meta["created_on"]),
+        )
+
+
+def _step_dump(step: ProcessingStep) -> dict:
+    return step.model_dump(mode="json")
+
+
+def series_data_equal(
+    a: TimeSeries, b: TimeSeries, rtol: float = 1e-9, atol: float = 1e-12
+) -> bool:
+    """Data-plane equality: sorted collect + allclose(equal_nan=True).
+
+    This is the correctness-oracle hook (SURVEY §2.11/E1): NaN⇄null are
+    normalized at the comparison boundary, numeric values compared with
+    tolerance, everything else exactly.
+    """
+    pa = a.df.orderBy(INDEX_COL).toPandas()
+    pb = b.df.orderBy(INDEX_COL).toPandas()
+    if len(pa) != len(pb):
+        return False
+    if not pa[INDEX_COL].equals(pb[INDEX_COL]):
+        if not np.array_equal(pa[INDEX_COL].values, pb[INDEX_COL].values):
+            return False
+    va, vb = pa[VALUE_COL], pb[VALUE_COL]
+    if va.dtype.kind in "fiu" and vb.dtype.kind in "fiu":
+        return bool(
+            np.allclose(
+                va.astype("float64").values,
+                vb.astype("float64").values,
+                rtol=rtol,
+                atol=atol,
+                equal_nan=True,
+            )
+        )
+    return bool((va.fillna("<null>") == vb.fillna("<null>")).all())
