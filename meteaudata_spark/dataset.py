@@ -140,6 +140,26 @@ class Dataset:
         self.last_updated = datetime.datetime.now()
 
     # ------------------------------------------------------------------
+    # persistence (reference: Dataset.save/load, types.py:1293-1364)
+    # ------------------------------------------------------------------
+    def save(self, path: str, zip: bool = False, data_format: str = "parquet") -> str:
+        from meteaudata_spark.sources import store
+
+        if zip:
+            return store.save_dataset_zip(
+                self, f"{path.rstrip('/')}/{self.name}.zip", data_format=data_format
+            )
+        return store.save_dataset(self, path, data_format=data_format)
+
+    @classmethod
+    def load(cls, spark, ds_dir_or_zip: str) -> "Dataset":
+        from meteaudata_spark.sources import store
+
+        if ds_dir_or_zip.endswith(".zip"):
+            return store.load_dataset_zip(spark, ds_dir_or_zip)
+        return store.load_dataset(spark, ds_dir_or_zip)
+
+    # ------------------------------------------------------------------
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, Dataset):
             return NotImplemented

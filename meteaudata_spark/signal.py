@@ -290,6 +290,32 @@ class Signal:
         self.last_updated = datetime.datetime.now()
 
     # ------------------------------------------------------------------
+    # persistence (reference: Signal.save / load_from_directory,
+    # types.py:792-874) — thin wrappers over sources.store
+    # ------------------------------------------------------------------
+    def save(self, path: str, zip: bool = False, data_format: str = "parquet") -> str:
+        from meteaudata_spark.sources import store
+
+        if zip:
+            return store.save_signal_zip(
+                self, f"{path.rstrip('/')}/{self.name.replace('#', '%23')}.zip",
+                data_format=data_format,
+            )
+        return store.save_signal(self, path, data_format=data_format)
+
+    @classmethod
+    def load_from_directory(cls, spark: SparkSession, sig_dir: str) -> "Signal":
+        from meteaudata_spark.sources import store
+
+        return store.load_signal(spark, sig_dir)
+
+    @classmethod
+    def load_from_zip(cls, spark: SparkSession, zip_path: str) -> "Signal":
+        from meteaudata_spark.sources import store
+
+        return store.load_signal_zip(spark, zip_path)
+
+    # ------------------------------------------------------------------
     # equality (reference: types.py:1157-1177)
     # ------------------------------------------------------------------
     def __eq__(self, other: object) -> bool:

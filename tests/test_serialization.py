@@ -1,0 +1,96 @@
+"""Persistence round-trips: parquet+manifest, zip, CSV, JSON
+(reference tests/test_serialization.py + save/load round-trip at
+test_metEAUdata.py:183-201)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from meteaudata_spark.dataset import Dataset
+from meteaudata_spark.operators.univariate import linear_interpolation, resample
+from meteaudata_spark.signal import Signal
+from meteaudata_spark.sources import store
+
+
+@pytest.fixture()
+def processed_signal(spark, sample_series, provenance):
+    sig = Signal(
+        input_data=sample_series, name="CODs", units="mg/l",
+        provenance=provenance, spark=spark,
+    )
+    sig.process(["CODs#1_RAW#1"], resample, "5min")
+    sig.process(["CODs#1_RESAMPLED#1"], linear_interpolation)
+    return sig
+
+
+def test_signal_parquet_roundtrip(spark, processed_signal, tmp_path):
+    sig_dir = store.save_signal(processed_signal, str(tmp_path))
+    loaded = store.load_signal(spark, sig_dir)
+    assert loaded == processed_signal
+
+
+def test_signal_zip_roundtrip(spark, processed_signal, tmp_path):
+    zp = str(tmp_path / "sig.zip")
+    store.save_signal_zip(processed_signal, zp)
+    loaded = store.load_signal_zip(spark, zp)
+    assert loaded == processed_signal
+
+
+def test_signal_csv_roundtrip(spark, processed_signal, tmp_path):
+    sig_dir = store.save_signal(processed_signal, str(tmp_path), data_format="csv")
+    loaded = store.load_signal(spark, sig_dir)
+    assert loaded == processed_signal
+
+
+def test_dataset_roundtrip(spark, processed_signal, tmp_path):
+    ds = Dataset(
+        name="ds1", description="d", owner="o", purpose="p", project="pr",
+        signals={processed_signal.name: processed_signal},
+    )
+    ds_dir = store.save_dataset(ds, str(tmp_path))
+    loaded = store.load_dataset(spark, ds_dir)
+    assert loaded == ds
+
+
+def test_dataset_zip_roundtrip(spark, processed_signal, tmp_path):
+    ds = Dataset(
+        name="ds1", description="d", owner="o", purpose="p", project="pr",
+        signals={processed_signal.name: processed_signal},
+    )
+    zp = str(tmp_path / "ds.zip")
+    store.save_dataset_zip(ds, zp)
+    loaded = store.load_dataset_zip(spark, zp)
+    assert loaded == ds
+
+
+def test_timeseries_json_roundtrip(spark, processed_signal):
+    ts = processed_signal.time_series["CODs#1_LIN-INT#1"]
+    blob = store.timeseries_to_json(ts)
+    back = store.timeseries_from_json(spark, blob)
+    assert back == ts
+
+
+def test_signal_json_roundtrip(spark, processed_signal):
+    blob = store.signal_to_json(processed_signal)
+    back = store.signal_from_json(spark, blob)
+    assert back == processed_signal
+
+
+def test_dataset_json_roundtrip(spark, processed_signal):
+    ds = Dataset(
+        name="ds1", description="d", owner="o", purpose="p", project="pr",
+        signals={processed_signal.name: processed_signal},
+    )
+    blob = store.dataset_to_json(ds)
+    back = store.dataset_from_json(spark, blob)
+    assert back == ds
+
+
+def test_nan_survives_roundtrip(spark, provenance, tmp_path):
+    idx = pd.date_range("2020-01-01", freq="5min", periods=5)
+    ser = pd.Series([1.0, np.nan, 3.0, np.nan, 5.0], index=idx, name="RAW")
+    sig = Signal(input_data=ser, name="N", units="x", provenance=provenance, spark=spark)
+    sig_dir = store.save_signal(sig, str(tmp_path))
+    loaded = store.load_signal(spark, sig_dir)
+    got = loaded.time_series["N#1_RAW#1"].to_pandas()
+    assert np.allclose(got.values, ser.values, equal_nan=True)
