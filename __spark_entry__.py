@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2
+(+ [EXT]); ``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+correctness gate.  Column names/aliases match between the Spark and
+SQL sides (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -13,26 +13,73 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from meteaudata_spark.ext import dedup, relational, simsearch, textstats
+from meteaudata_spark.ext import timeseries_queries as tsq
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core operator chain (resample →
+    interpolate → cross-series align/average) applied to the events
+    table at sf0.001, partitioned by series key."""
+    return tsq.ts_aligned_average(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- reference-parity time-series operators at scale (SURVEY §2.4/2.5/2.2/2.3) ---
+        "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
+        "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
+        "ts_replace_ranges": tsq.ts_replace_ranges,        # P2 masked update
+        "ts_daily_stats": tsq.ts_daily_stats,              # A1 generalization
+        "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
+        "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
+        "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
+        "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
+        # --- relational star-schema analytics (§2.12) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_supplier_volume": relational.q5_supplier_volume,
+        "top_customers_by_revenue": relational.top_customers_by_revenue,
+        "brand_revenue_share": relational.brand_revenue_share,
+        # --- dedup ladder (§2.12 EXT) ---
+        "doc_exact_dedup": dedup.doc_exact_dedup,
+        "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
+        "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,  # no SQL oracle (LSH)
+        "doc_simhash": dedup.doc_simhash,                      # no SQL oracle (bit ops)
+        # --- text analysis (§2.12 EXT) ---
+        "doc_text_stats": textstats.doc_text_stats,
+        "doc_lang_id": textstats.doc_lang_id,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "doc_quality_score": textstats.doc_quality_score,
+        # --- similarity search (§2.12 EXT) ---
+        "emb_cosine_topk": simsearch.emb_cosine_topk,
+        "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
+        "emb_lsh_near_pairs": simsearch.emb_lsh_near_pairs,    # no SQL oracle (LSH)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ts_resample_5min": tsq.TS_RESAMPLE_SQL,
+        "ts_interpolate": tsq.TS_INTERPOLATE_SQL,
+        "ts_replace_ranges": tsq.TS_REPLACE_SQL,
+        "ts_daily_stats": tsq.TS_DAILY_SQL,
+        "ts_aligned_average": tsq.TS_ALIGNED_AVG_SQL,
+        "ts_sessionize": tsq.TS_SESSIONIZE_SQL,
+        "ts_asof_last_order": tsq.TS_ASOF_SQL,
+        "events_json_stats": tsq.EVENTS_JSON_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SQL,
+        "q5_supplier_volume": relational.Q5_SQL,
+        "top_customers_by_revenue": relational.TOP_CUSTOMERS_SQL,
+        "brand_revenue_share": relational.BRAND_SHARE_SQL,
+        "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
+        "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
+        "doc_text_stats": textstats.DOC_TEXT_STATS_SQL,
+        "doc_lang_id": textstats.DOC_LANG_ID_SQL,
+        "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+        "doc_quality_score": textstats.DOC_QUALITY_SQL,
+        "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
+        "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
+        "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,
+    }

@@ -1,0 +1,279 @@
+"""Similarity search over the ``embeddings`` table ([EXT]).
+
+Two tiers:
+  * brute-force cosine top-k — exact; the query side is broadcast so
+    the big side streams through one codegen stage with zero shuffle
+    before the top-k aggregation.  Right answer for "few queries ×
+    huge corpus".
+  * random-hyperplane LSH — bucket join for "huge × huge": corpus is
+    hashed once to sign-pattern buckets; only same-bucket pairs are
+    scored.  Approximate recall, linear cost.
+
+Dot products run as SQL higher-order functions (aggregate/zip_with)
+over double-cast elements — sequential fold, so results are
+bit-identical to the DuckDB oracle's list_aggregate fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _norm_expr(col: str) -> str:
+    return f"sqrt({_DOT.format(a=col, b=col)})"
+
+
+def emb_cosine_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector
+    (vec_id < n_queries). Broadcast the queries; rank with rounded
+    similarity + vec_id tiebreak for cross-engine determinism."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="qe", b="embedding"))
+        / (F.expr(_norm_expr("qe")) * F.expr(_norm_expr("embedding"))),
+        6,
+    )
+    ranked = pairs.select(
+        "query_id", "vec_id", cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+EMB_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_aggregate(list_transform(generate_series(1, LEN(q.qe)),
+             i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+         6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def emb_avg_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an array column: average L2 norm per label."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.expr(_norm_expr("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_AVG_NORM_SQL = """
+SELECT label,
+       ROUND(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS avg_norm,
+       COUNT(*) AS n
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+def _plane_weights(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1),
+    derived from md5(seed-table-plane-dim) — reproducible across
+    engines/runs with no RNG state."""
+    import hashlib
+
+    out = []
+    for t in range(n_tables):
+        planes = []
+        for p in range(n_planes):
+            w = []
+            for i in range(dim):
+                h = int.from_bytes(
+                    hashlib.md5(f"{seed}-{t}-{p}-{i}".encode()).digest()[:8],
+                    "big",
+                )
+                w.append((h % 2000) / 1000.0 - 1.0)
+            planes.append(w)
+        out.append(planes)
+    return out
+
+
+_LSH_TABLES = 8
+_LSH_PLANES = 4
+_LSH_DIM = 64
+_LSH_W = _plane_weights(_LSH_TABLES, _LSH_PLANES, _LSH_DIM)
+
+
+def _dot_literal_spark(weights: list[float]) -> str:
+    arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in weights)
+    return (
+        f"aggregate(zip_with(array({arr}), embedding, "
+        "(a, b) -> a * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_expr_spark(table: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_literal_spark(_LSH_W[table][p])} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+    return terms
+
+
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH: ``_LSH_TABLES`` independent
+    sign-pattern buckets of ``_LSH_PLANES`` hyperplanes each.
+    Output: (vec_id, table, bucket) — one row per table.  The scale
+    path for all-pairs similarity: the same-(table, bucket) join
+    replaces the quadratic cross join; more tables buy recall at
+    linear cost."""
+    emb = _emb(spark, sf_dir)
+    tables = [
+        F.struct(
+            F.lit(t).alias("table"),
+            F.expr(_bucket_expr_spark(t)).alias("bucket"),
+        )
+        for t in range(_LSH_TABLES)
+    ]
+    return emb.select(
+        "vec_id", "label", F.explode(F.array(*tables)).alias("tb")
+    ).select(
+        "vec_id", "label", F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def emb_lsh_near_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Approximate near-pair mining: candidates collide in ≥1 LSH
+    table; exact cosine ≥ threshold verifies (no false positives,
+    approximate recall only).  The plane weights are fixed literals,
+    so the whole computation — including which candidate pairs the
+    LSH stage surfaces — is reproducible in the DuckDB oracle."""
+    emb = _emb(spark, sf_dir)
+    buckets = emb_lsh_buckets(spark, sf_dir)
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), "table", "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), "table", "bucket"
+    )
+    candidates = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        F.expr(_DOT.format(a="ea", b="eb"))
+        / (F.expr(_norm_expr("ea")) * F.expr(_norm_expr("eb"))),
+        6,
+    )
+    return (
+        candidates.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _dot_literal_duck(weights: list[float], col: str) -> str:
+    arr = ", ".join(repr(w) for w in weights)
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {len(weights)}), "
+        f"i -> ([{arr}][i]) * CAST({col}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def _bucket_expr_duck(table: int, col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_dot_literal_duck(_LSH_W[table][p], col)} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+
+
+def _lsh_near_pairs_sql(threshold: float = 0.35) -> str:
+    bucket_cols = ",\n         ".join(
+        f"({_bucket_expr_duck(t, 'embedding')}) AS b{t}" for t in range(_LSH_TABLES)
+    )
+    any_collision = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_LSH_TABLES))
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {bucket_cols}
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM bucketed a JOIN bucketed b
+    ON a.vec_id < b.vec_id AND ({any_collision})
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         ROUND(
+           list_aggregate(list_transform(generate_series(1, {_LSH_DIM}),
+             i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+         6) AS cosine
+  FROM cand
+)
+SELECT vec_a, vec_b, cosine
+FROM scored
+WHERE cosine >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
+EMB_LSH_NEAR_PAIRS_SQL = _lsh_near_pairs_sql()

