@@ -147,42 +147,44 @@ _LSH_DIM = 64
 _LSH_W = _plane_weights(_LSH_TABLES, _LSH_PLANES, _LSH_DIM)
 
 
-def _dot_literal_spark(weights: list[float]) -> str:
-    arr = ", ".join(f"CAST({w} AS DOUBLE)" for w in weights)
-    return (
-        f"aggregate(zip_with(array({arr}), embedding, "
-        "(a, b) -> a * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
-def _bucket_expr_spark(table: int) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN {_dot_literal_spark(_LSH_W[table][p])} > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(_LSH_PLANES)
-    )
-    return terms
-
-
 def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH: ``_LSH_TABLES`` independent
     sign-pattern buckets of ``_LSH_PLANES`` hyperplanes each.
-    Output: (vec_id, table, bucket) — one row per table.  The scale
-    path for all-pairs similarity: the same-(table, bucket) join
-    replaces the quadratic cross join; more tables buy recall at
-    linear cost."""
+    Output: (vec_id, table, bucket) — one row per table.
+
+    Plan shape (the 100 TB path): posexplode each vector to
+    (vec_id, dim, x), broadcast-join the 2048-row weight table, and
+    hash-aggregate the per-(vec, table, plane) dot products — two
+    narrow shuffles, no quadratic work, no giant codegen expression.
+    Same-(table, bucket) joins then replace the all-pairs cross join;
+    more tables buy recall at linear cost."""
     emb = _emb(spark, sf_dir)
-    tables = [
-        F.struct(
-            F.lit(t).alias("table"),
-            F.expr(_bucket_expr_spark(t)).alias("bucket"),
+    weights = spark.createDataFrame(
+        [
+            (t, p, i, _LSH_W[t][p][i])
+            for t in range(_LSH_TABLES)
+            for p in range(_LSH_PLANES)
+            for i in range(_LSH_DIM)
+        ],
+        "table INT, plane INT, dim INT, w DOUBLE",
+    )
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    dots = (
+        exploded.join(F.broadcast(weights), "dim")
+        .groupBy("vec_id", "label", "table", "plane")
+        .agg(F.sum(F.col("w") * F.col("x").cast("double")).alias("dot"))
+    )
+    return (
+        dots.groupBy("vec_id", "label", "table")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0, F.expr("shiftleft(1, plane)")
+                ).otherwise(F.lit(0))
+            ).alias("bucket")
         )
-        for t in range(_LSH_TABLES)
-    ]
-    return emb.select(
-        "vec_id", "label", F.explode(F.array(*tables)).alias("tb")
-    ).select(
-        "vec_id", "label", F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
     )
 
 

@@ -204,6 +204,41 @@ def predict_previous_point(
     return outputs
 
 
+def transform_values(
+    input_series: list[TimeSeries],
+    expression: str,
+    suffix: str = "TRANS",
+    *args: Any,
+    **kwargs: Any,
+) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
+    """Scalar map over values — the reference's documented custom-UDF
+    pattern (README.md:262-272, ``series.apply(lambda x: x*2)``) as a
+    declarative column expression, e.g. ``transform_values(ts,
+    "value * 2")``.  Stays JVM-side (no Python per row); arbitrary
+    Python belongs in operators/pandas_compat instead."""
+    from pyspark.sql import functions as F
+
+    step = _make_step(
+        ProcessingType.TRANSFORMATION,
+        f"Applies the scalar expression {expression!r} to each value",
+        "transform_values",
+        suffix,
+        [ts.name for ts in input_series],
+        Parameters(expression=expression, suffix=suffix),
+        func=transform_values,
+    )
+    outputs = []
+    for ts in input_series:
+        out = TimeSeries(
+            df=ts.df.withColumn("value", F.expr(expression)),
+            index_metadata=ts.index_metadata.model_copy(deep=True),
+            values_dtype=ts.values_dtype,
+            name=_out_name(ts, step.suffix),
+        )
+        outputs.append((out, [step]))
+    return outputs
+
+
 def sort_index(
     input_series: list[TimeSeries], ascending: bool = True, *args: Any, **kwargs: Any
 ) -> list[tuple[TimeSeries, list[ProcessingStep]]]:

@@ -1,0 +1,171 @@
+"""Visualization (SURVEY §2.10 L3): series / signal / dataset plots and
+dependency-graph rendering.
+
+Engine rule: plots NEVER collect raw data — every figure goes through
+``downsample_for_plot`` (time-bucket mean capped at ``max_points``),
+so a 100 TB series plots with the same driver memory as a 100-row one.
+
+plotly is optional in this environment: when missing, the plot
+functions return the figure *specification* dict (same data, same
+layout) instead of a rendered figure — callers can feed it to plotly
+elsewhere.  The prediction x-shift semantics of the reference
+(types.py:435-448: x = index + freq × Σ step_distance of PREDICTION
+steps) are honored.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meteaudata_spark.functions.freq import normalize_pandas_freq, to_seconds
+from meteaudata_spark.signal import Signal
+from meteaudata_spark.timeseries import INDEX_COL, VALUE_COL, TimeSeries
+
+try:  # pragma: no cover - environment-dependent
+    import plotly.graph_objects as go
+
+    _HAS_PLOTLY = True
+except ImportError:  # pragma: no cover
+    go = None
+    _HAS_PLOTLY = False
+
+
+def downsample_for_plot(
+    df: DataFrame, max_points: int = 2000
+) -> DataFrame:
+    """Bucket-mean downsampling sized from the series' own bounds —
+    one aggregation, no driver-side data movement until the final
+    (≤ max_points) collect."""
+    bounds = df.agg(
+        F.min(INDEX_COL).alias("mn"), F.max(INDEX_COL).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = df.crossJoin(F.broadcast(bounds))
+    span = F.col("mx").cast("double") - F.col("mn").cast("double")
+    step = F.greatest(span / F.lit(max_points), F.lit(1e-9))
+    bucket = F.floor(
+        (F.col(INDEX_COL).cast("double") - F.col("mn").cast("double")) / step
+    )
+    return (
+        joined.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .agg(
+            F.timestamp_seconds(F.avg(F.col(INDEX_COL).cast("double"))).alias(INDEX_COL),
+            F.avg(VALUE_COL).alias(VALUE_COL),
+        )
+        .drop("__bucket")
+    )
+
+
+def _prediction_shift_seconds(ts: TimeSeries) -> float:
+    from meteaudata_spark.metadata import ProcessingType
+
+    total_steps = sum(
+        s.step_distance
+        for s in ts.processing_steps
+        if s.type == ProcessingType.PREDICTION
+    )
+    if not total_steps or not ts.index_metadata.frequency:
+        return 0.0
+    freq = normalize_pandas_freq(ts.index_metadata.frequency)
+    try:
+        return to_seconds(freq) * total_steps
+    except Exception:
+        return 0.0
+
+
+def series_trace(ts: TimeSeries, max_points: int = 2000) -> dict[str, Any]:
+    """Collect a downsampled trace spec for one TimeSeries, applying
+    the reference's prediction x-shift."""
+    pdf = downsample_for_plot(ts.df, max_points).orderBy(INDEX_COL).toPandas()
+    shift = _prediction_shift_seconds(ts)
+    x = pdf[INDEX_COL]
+    if shift:
+        import pandas as pd
+
+        x = x + pd.Timedelta(seconds=shift)
+    last_type = (
+        ts.processing_steps[-1].type.value if ts.processing_steps else "raw"
+    )
+    return {
+        "name": ts.name,
+        "x": list(x),
+        "y": list(pdf[VALUE_COL]),
+        "mode": "lines+markers" if last_type == "prediction" else "lines",
+        "meta": {"processing_type": last_type, "x_shift_seconds": shift},
+    }
+
+
+def plot_signal(
+    signal: Signal,
+    names: Optional[list[str]] = None,
+    max_points: int = 2000,
+    title: Optional[str] = None,
+):
+    """Overlay plot of a signal's series (reference types.py:900-926).
+    Returns a plotly Figure when plotly is available, else the spec
+    dict."""
+    names = names or signal.all_time_series
+    traces = [series_trace(signal.time_series[n], max_points) for n in names]
+    layout = {
+        "title": title or f"Signal {signal.name} [{signal.units}]",
+        "xaxis": {"title": signal.time_series[names[0]].index_metadata.name or "time"},
+        "yaxis": {"title": signal.units},
+    }
+    if not _HAS_PLOTLY:
+        return {"data": traces, "layout": layout}
+    fig = go.Figure()
+    for t in traces:
+        fig.add_trace(
+            go.Scatter(x=t["x"], y=t["y"], name=t["name"], mode=t["mode"])
+        )
+    fig.update_layout(**layout)
+    return fig
+
+
+def plot_dependency_graph(signal: Signal, series_name: str):
+    """Render the lineage DAG of a series (reference types.py:951-1054).
+    Text/dict form when plotly is missing."""
+    edges = signal.build_dependency_graph(series_name)
+    nodes = sorted(
+        {e["origin"] for e in edges} | {e["destination"] for e in edges}
+    )
+    spec = {"nodes": nodes, "edges": edges}
+    if not _HAS_PLOTLY:
+        return spec
+    # simple layered layout: depth = #steps back from the target
+    depth: dict[str, int] = {series_name: 0}
+    changed = True
+    while changed:
+        changed = False
+        for e in edges:
+            d = depth.get(e["destination"])
+            if d is not None and depth.get(e["origin"], None) != d + 1:
+                depth[e["origin"]] = d + 1
+                changed = True
+    xs = {n: -depth.get(n, 0) for n in nodes}
+    ys = {n: i for i, n in enumerate(nodes)}
+    fig = go.Figure()
+    for e in edges:
+        fig.add_trace(
+            go.Scatter(
+                x=[xs[e["origin"]], xs[e["destination"]]],
+                y=[ys[e["origin"]], ys[e["destination"]]],
+                mode="lines",
+                line={"color": "#888"},
+                showlegend=False,
+            )
+        )
+    fig.add_trace(
+        go.Scatter(
+            x=[xs[n] for n in nodes],
+            y=[ys[n] for n in nodes],
+            text=nodes,
+            mode="markers+text",
+            textposition="top center",
+        )
+    )
+    return fig

@@ -1,0 +1,106 @@
+"""EXT operator sanity tests at sf0.001 (the full oracle gate runs via
+tools/check_correctness.py at sf0.01; these are fast structural
+checks)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_all_queries_declared_with_oracles(entry):
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # only genuinely non-SQL ops may omit oracles
+    assert set(qs) - set(oracles) == {"doc_minhash_lsh_pairs", "doc_simhash"}
+
+
+def test_entry_smoke(spark, entry):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == ["bucket_ts", "avg_across_series"]
+
+
+def test_asof_join_semantics(spark):
+    import pandas as pd
+
+    from meteaudata_spark.ext.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                "t": pd.to_datetime(
+                    ["2020-01-01 10:00", "2020-01-01 11:00", "2020-01-01 09:00",
+                     "2020-01-01 10:00"]
+                ),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "rt": pd.to_datetime(
+                    ["2020-01-01 09:30", "2020-01-01 10:00", "2020-01-01 12:00"]
+                ),
+                "rv": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    out = (
+        asof_join_backward(left, right, "t", "rt", by=["k"], value_cols=["rv"])
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    # a@09:00 → no match; a@10:00 → exact-time match 2.0 (inclusive);
+    # a@11:00 → 2.0; b@10:00 → no match (right is later)
+    assert out["rv"].tolist()[0] != out["rv"].tolist()[0]  # NaN
+    assert out["rv"].tolist()[1] == 2.0
+    assert out["rv"].tolist()[2] == 2.0
+    import math
+
+    assert math.isnan(out["rv"].tolist()[3])
+
+
+def test_minhash_recall_vs_exact(spark, entry):
+    """MinHash-LSH candidates must recover a healthy share of the true
+    Jaccard pairs (here: all of them, empirically)."""
+    from meteaudata_spark.ext import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.doc_ngram_jaccard_pairs(spark, SF).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.doc_minhash_lsh_pairs(spark, SF).collect()
+    }
+    assert exact, "exact pass found no pairs — fixture changed?"
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_simhash_close_for_similar_docs(spark):
+    from meteaudata_spark.ext import dedup
+
+    sigs = dedup.doc_simhash(spark, SF).collect()
+    assert len({r.simhash for r in sigs}) > 1  # not degenerate
+
+
+def test_lsh_buckets_shape(spark):
+    from meteaudata_spark.ext import simsearch
+
+    b = simsearch.emb_lsh_buckets(spark, SF)
+    pdf = b.toPandas()
+    n_vecs = pdf["vec_id"].nunique()
+    assert len(pdf) == n_vecs * simsearch._LSH_TABLES
+    assert pdf["bucket"].between(0, 2 ** simsearch._LSH_PLANES - 1).all()

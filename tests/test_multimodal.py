@@ -1,0 +1,47 @@
+"""Multimodal binary-column plumbing (decode is stubbed; the Spark
+plumbing — schemas, Arrow batching, 1→N frame explode — is real)."""
+
+import pytest
+
+from meteaudata_spark.ext import multimodal
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return multimodal.make_fake_assets(spark, n=30).cache()
+
+
+def test_feature_extraction(spark, assets):
+    feats = multimodal.extract_features(assets).toPandas()
+    assert len(feats) == 30
+    assert set(feats.columns) == {
+        "asset_id", "modality", "n_bytes", "payload_sha", "mean_byte"
+    }
+    assert feats["payload_sha"].nunique() == 30  # deterministic, distinct
+
+
+def test_feature_extraction_is_deterministic(spark, assets):
+    a = multimodal.extract_features(assets).toPandas().sort_values("asset_id")
+    b = multimodal.extract_features(assets).toPandas().sort_values("asset_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_resize_rewrites_meta_and_payload(spark, assets):
+    out = multimodal.resize_images(assets, 16, 16).toPandas()
+    assert (out["meta"].apply(lambda m: m["width"]) == 16).all()
+    # fake codec: payload truncated/padded to 16*16 plus magic
+    assert all(
+        len(p) == 16 * 16 + len(multimodal.FAKE_MAGIC) for p in out["payload"]
+    )
+
+
+def test_video_frame_sampling(spark, assets):
+    frames = multimodal.sample_video_frames(assets, every_n=2).toPandas()
+    n_videos = assets.filter("modality = 'video'").count()
+    assert len(frames) >= n_videos  # at least frame 0 per video
+    assert (frames["frame_no"] % 2 == 0).all()
+
+
+def test_real_codec_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_payload(b"\x89PNG\r\n...")
