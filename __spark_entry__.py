@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_daily_stats": tsq.ts_daily_stats,              # A1 generalization
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
         "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
+        "ts_rolling_mean": tsq.ts_rolling_mean,            # SMOOTHING at scale
+        "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
         "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
         # --- relational star-schema analytics (§2.12) ---
@@ -41,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_supplier_volume": relational.q5_supplier_volume,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "brand_revenue_share": relational.brand_revenue_share,
+        "revenue_rollup": relational.revenue_rollup,       # grouping sets
         # --- dedup ladder (§2.12 EXT) ---
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
@@ -51,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": textstats.doc_lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,
         "doc_quality_score": textstats.doc_quality_score,
+        "doc_top_tokens_per_lang": textstats.doc_top_tokens_per_lang,
         # --- similarity search (§2.12 EXT) ---
         "emb_cosine_topk": simsearch.emb_cosine_topk,
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
@@ -66,6 +70,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_daily_stats": tsq.TS_DAILY_SQL,
         "ts_aligned_average": tsq.TS_ALIGNED_AVG_SQL,
         "ts_sessionize": tsq.TS_SESSIONIZE_SQL,
+        "ts_rolling_mean": tsq.TS_ROLLING_SQL,
+        "ts_detect_gaps": tsq.TS_DETECT_GAPS_SQL,
         "ts_asof_last_order": tsq.TS_ASOF_SQL,
         "events_json_stats": tsq.EVENTS_JSON_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
@@ -73,12 +79,14 @@ def oracle_sql() -> dict[str, str]:
         "q5_supplier_volume": relational.Q5_SQL,
         "top_customers_by_revenue": relational.TOP_CUSTOMERS_SQL,
         "brand_revenue_share": relational.BRAND_SHARE_SQL,
+        "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_text_stats": textstats.DOC_TEXT_STATS_SQL,
         "doc_lang_id": textstats.DOC_LANG_ID_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "doc_quality_score": textstats.DOC_QUALITY_SQL,
+        "doc_top_tokens_per_lang": textstats.DOC_TOP_TOKENS_SQL,
         "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,

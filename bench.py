@@ -31,6 +31,9 @@ def main() -> None:
 
     spark = get_spark("meteaudata-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup so the first measured query isn't charged for
+    # session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

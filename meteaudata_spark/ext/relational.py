@@ -206,6 +206,41 @@ LIMIT 20
 """
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate: revenue by ROLLUP(returnflag,
+    linestatus) with subtotal and grand-total rows (grouping-set
+    coverage; one shuffle, grouping sets expanded map-side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
 def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per part brand with share-of-total (window over agg)."""
     from pyspark.sql import Window

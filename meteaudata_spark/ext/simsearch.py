@@ -39,14 +39,17 @@ def emb_cosine_topk(
     """Exact top-k cosine neighbors for each query vector
     (vec_id < n_queries). Broadcast the queries; rank with rounded
     similarity + vec_id tiebreak for cross-engine determinism."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = F.round(
-        F.expr(_DOT.format(a="qe", b="embedding"))
-        / (F.expr(_norm_expr("qe")) * F.expr(_norm_expr("embedding"))),
+        F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")),
         6,
     )
     ranked = pairs.select(
@@ -212,11 +215,20 @@ def emb_lsh_near_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms are per-vector — compute them once on the (broadcast) sides
+    # instead of three folds per candidate pair
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_expr("embedding")).alias("nb"),
+    )
     cos = F.round(
-        F.expr(_DOT.format(a="ea", b="eb"))
-        / (F.expr(_norm_expr("ea")) * F.expr(_norm_expr("eb"))),
+        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
         6,
     )
     return (

@@ -133,6 +133,57 @@ ORDER BY doc_id
 """
 
 
+def doc_top_tokens_per_lang(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Top-k tokens per language by document frequency (explode +
+    two-level aggregate; the shuffle key (lang, token) is high-
+    cardinality and skew-free)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "lang", "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("doc_freq").desc(), F.col("token")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select("lang", "token", "doc_freq", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+DOC_TOP_TOKENS_SQL = """
+WITH tok AS (
+  SELECT DISTINCT lang, doc_id, UNNEST(string_split(text, ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS doc_freq
+  FROM tok GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_freq DESC, token) AS rank
+  FROM counts
+)
+SELECT lang, token, doc_freq, rank
+FROM ranked WHERE rank <= 10
+ORDER BY lang, rank
+"""
+
+
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score in [0,1]: length factor, lexical
     diversity, and mean-token-length band — the usual cheap pre-filter

@@ -320,6 +320,59 @@ ORDER BY e.event_id
 """
 
 
+def ts_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row moving average per event type (the SMOOTHING
+    operator at scale)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.col("ts").alias("timestamp"), "value"
+    )
+    out = kernels.rolling_mean(
+        ev, 5, partition_cols=["event_type"]
+    )
+    return out.select(
+        "event_id", "event_type", _r6(F.col("value")).alias("smooth_value")
+    ).orderBy("event_id")
+
+
+TS_ROLLING_SQL = """
+SELECT event_id, event_type,
+       ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000000.0) / 1000000.0
+       AS smooth_value
+FROM events
+ORDER BY event_id
+"""
+
+
+def ts_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-dropout detection: spacings above 30 minutes per event
+    type (FAULT_DETECTION at scale)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").alias("timestamp")
+    )
+    out = kernels.detect_gaps(ev, 1800.0, partition_cols=["event_type"])
+    return out.select(
+        "event_type", "gap_start", "gap_end",
+        _r6(F.col("gap_seconds")).alias("gap_seconds"),
+    ).orderBy("event_type", "gap_start")
+
+
+TS_DETECT_GAPS_SQL = """
+WITH d AS (
+  SELECT event_type,
+         LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) AS gap_start,
+         ts AS gap_end,
+         epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY event_type ORDER BY ts)) AS delta
+  FROM events
+)
+SELECT event_type, gap_start, gap_end,
+       ROUND(delta * 1000000.0) / 1000000.0 AS gap_seconds
+FROM d
+WHERE delta > 1800.0
+ORDER BY event_type, gap_start
+"""
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction from the ``props`` string column
     (multimodal/semi-structured plumbing: get_json_object stays

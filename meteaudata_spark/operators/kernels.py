@@ -263,6 +263,59 @@ def drop_duplicate_timestamps(
 
 
 # ----------------------------------------------------------------------
+# rolling-window smoothing (ProcessingType.SMOOTHING — declared by the
+# reference enum, never shipped; we ship it)
+# ----------------------------------------------------------------------
+def rolling_mean(
+    df: DataFrame,
+    window_rows: int,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing moving average over ``window_rows`` rows (current row
+    inclusive), null-skipping — matches
+    ``pandas.rolling(window_rows, min_periods=1).mean()``."""
+    w = _win(list(partition_cols), ts_col).rowsBetween(
+        -(window_rows - 1), Window.currentRow
+    )
+    clean = (
+        F.when(F.isnan(F.col(val_col)), F.lit(None)).otherwise(F.col(val_col))
+        if dict(df.dtypes)[val_col] in ("double", "float")
+        else F.col(val_col)
+    )
+    return df.withColumn(val_col, F.avg(clean).over(w))
+
+
+# ----------------------------------------------------------------------
+# gap detection (ProcessingType.FAULT_DETECTION application)
+# ----------------------------------------------------------------------
+def detect_gaps(
+    df: DataFrame,
+    max_gap_seconds: float,
+    ts_col: str = "timestamp",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rows (partition..., gap_start, gap_end, gap_seconds) for every
+    consecutive-point spacing above ``max_gap_seconds`` — the sensor-
+    dropout detector.  One sort per key group via lag()."""
+    pcols = list(partition_cols)
+    w = _win(pcols, ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    delta = F.col(ts_col).cast("double") - prev.cast("double")
+    return (
+        df.select(*pcols, F.col(ts_col), prev.alias("__prev"), delta.alias("__delta"))
+        .filter(F.col("__delta") > max_gap_seconds)
+        .select(
+            *pcols,
+            F.col("__prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            F.col("__delta").alias("gap_seconds"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # previous-point prediction view
 # ----------------------------------------------------------------------
 def shift_index(

@@ -204,6 +204,80 @@ def predict_previous_point(
     return outputs
 
 
+def moving_average(
+    input_series: list[TimeSeries], window: int = 5, *args: Any, **kwargs: Any
+) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
+    """Trailing moving-average smoothing — ships the reference's
+    declared-but-unimplemented ProcessingType.SMOOTHING
+    (types.py:186)."""
+    step = _make_step(
+        ProcessingType.SMOOTHING,
+        f"Trailing moving average over {window} points",
+        "moving_average",
+        "SMOOTH",
+        [ts.name for ts in input_series],
+        Parameters(window=window),
+        func=moving_average,
+    )
+    outputs = []
+    for ts in input_series:
+        _require_time_index(ts)
+        out = TimeSeries(
+            df=kernels.rolling_mean(ts.df, window),
+            index_metadata=ts.index_metadata.model_copy(deep=True),
+            values_dtype="float64",
+            name=_out_name(ts, step.suffix),
+        )
+        outputs.append((out, [step]))
+    return outputs
+
+
+def detect_gaps(
+    input_series: list[TimeSeries],
+    max_gap: str = "15min",
+    *args: Any,
+    **kwargs: Any,
+) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
+    """Gap/dropout detection (ProcessingType.FAULT_DETECTION,
+    types.py:191): output series marks each point with 1.0 when the
+    spacing from the previous point exceeds ``max_gap``, else 0.0 —
+    a fault-indicator series that flows through the normal lineage."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.functions.freq import to_seconds
+
+    gap_sec = to_seconds(max_gap)
+    step = _make_step(
+        ProcessingType.FAULT_DETECTION,
+        f"Flags points arriving more than {max_gap} after their predecessor",
+        "detect_gaps",
+        "GAP-FLAG",
+        [ts.name for ts in input_series],
+        Parameters(max_gap=max_gap),
+        func=detect_gaps,
+    )
+    outputs = []
+    for ts in input_series:
+        _require_time_index(ts)
+        w = W.orderBy("timestamp")
+        delta = F.col("timestamp").cast("double") - F.lag(
+            F.col("timestamp")
+        ).over(w).cast("double")
+        flagged = ts.df.select(
+            "timestamp",
+            F.when(delta > gap_sec, 1.0).otherwise(0.0).alias("value"),
+        )
+        out = TimeSeries(
+            df=flagged,
+            index_metadata=ts.index_metadata.model_copy(deep=True),
+            values_dtype="float64",
+            name=_out_name(ts, step.suffix),
+        )
+        outputs.append((out, [step]))
+    return outputs
+
+
 def transform_values(
     input_series: list[TimeSeries],
     expression: str,

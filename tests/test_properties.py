@@ -1,0 +1,103 @@
+"""Property-based differential tests (hypothesis): the Spark kernels
+must match pandas on arbitrary value patterns, not just fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from meteaudata_spark.operators import kernels
+
+_SPARK = None
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    global _SPARK
+    _SPARK = spark
+
+
+values_strategy = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.just(float("nan")),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _to_spark(ser: pd.Series):
+    return _SPARK.createDataFrame(
+        pd.DataFrame({"timestamp": ser.index, "value": ser.values})
+    )
+
+
+@given(values=values_strategy)
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interpolation_property(values):
+    ser = pd.Series(
+        values,
+        index=pd.date_range("2020-01-01", freq="1min", periods=len(values)),
+    )
+    got = (
+        kernels.interpolate_linear(_to_spark(ser))
+        .orderBy("timestamp")
+        .toPandas()["value"]
+        .values
+    )
+    ref = ser.interpolate(method="linear").values
+    assert np.allclose(got, ref, equal_nan=True, rtol=1e-9, atol=1e-9)
+
+
+@given(
+    values=values_strategy,
+    freq_min=st.sampled_from([2, 5, 7, 13]),
+)
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resample_property(values, freq_min):
+    ser = pd.Series(
+        values,
+        index=pd.date_range(
+            "2021-06-15 07:11:00", freq="3min", periods=len(values)
+        ),
+    )
+    got = (
+        kernels.resample_mean(_to_spark(ser), f"{freq_min}min")
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    ref = ser.resample(f"{freq_min}min").mean()
+    assert len(got) == len(ref)
+    assert (pd.DatetimeIndex(got["timestamp"]) == ref.index).all()
+    assert np.allclose(got["value"].values, ref.values, equal_nan=True, rtol=1e-9)
+
+
+@given(values=values_strategy, window=st.integers(min_value=1, max_value=8))
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rolling_mean_property(values, window):
+    ser = pd.Series(
+        values,
+        index=pd.date_range("2020-01-01", freq="1min", periods=len(values)),
+    )
+    got = (
+        kernels.rolling_mean(_to_spark(ser), window)
+        .orderBy("timestamp")
+        .toPandas()["value"]
+        .values
+    )
+    ref = ser.rolling(window, min_periods=1).mean().values
+    assert np.allclose(got, ref, equal_nan=True, rtol=1e-9)

@@ -1,0 +1,86 @@
+"""Smoothing + gap-detection operators (the reference enum's declared-
+but-unshipped ProcessingTypes) vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+
+from meteaudata_spark.operators import kernels
+from meteaudata_spark.operators.univariate import detect_gaps, moving_average
+from meteaudata_spark.signal import Signal
+
+
+def _to_spark(spark, ser):
+    return spark.createDataFrame(
+        pd.DataFrame({"timestamp": ser.index, "value": ser.values})
+    )
+
+
+def test_rolling_mean_matches_pandas(spark):
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal(100)
+    vals[[3, 4, 10, 50]] = np.nan
+    ser = pd.Series(
+        vals, index=pd.date_range("2020-01-01", freq="1min", periods=100)
+    )
+    got = (
+        kernels.rolling_mean(_to_spark(spark, ser), 5)
+        .orderBy("timestamp")
+        .toPandas()["value"]
+        .values
+    )
+    ref = ser.rolling(5, min_periods=1).mean().values
+    assert np.allclose(got, ref, equal_nan=True)
+
+
+def test_moving_average_operator(spark, sample_series, provenance):
+    sig = Signal(
+        input_data=sample_series, name="M", units="x",
+        provenance=provenance, spark=spark,
+    )
+    sig.process(["M#1_RAW#1"], moving_average, window=3)
+    assert "M#1_SMOOTH#1" in sig.all_time_series
+    got = sig.time_series["M#1_SMOOTH#1"].to_pandas()
+    ref = sample_series.rolling(3, min_periods=1).mean()
+    assert np.allclose(got.values, ref.values)
+    assert sig.time_series["M#1_SMOOTH#1"].processing_steps[-1].type.value == "smoothing"
+
+
+def test_detect_gaps_operator(spark, provenance):
+    idx = pd.DatetimeIndex(
+        [
+            "2020-01-01 00:00", "2020-01-01 00:05", "2020-01-01 01:00",
+            "2020-01-01 01:05", "2020-01-01 03:00",
+        ]
+    )
+    ser = pd.Series(np.arange(5.0), index=idx, name="RAW")
+    sig = Signal(
+        input_data=ser, name="G", units="x", provenance=provenance, spark=spark
+    )
+    sig.process(["G#1_RAW#1"], detect_gaps, max_gap="15min")
+    flags = sig.time_series["G#1_GAP-FLAG#1"].to_pandas()
+    assert flags.values.tolist() == [0.0, 0.0, 1.0, 0.0, 1.0]
+    assert (
+        sig.time_series["G#1_GAP-FLAG#1"].processing_steps[-1].type.value
+        == "fault_detection"
+    )
+
+
+def test_detect_gaps_kernel_partitioned(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "timestamp": pd.to_datetime(
+                ["2020-01-01 00:00", "2020-01-01 00:05", "2020-01-01 02:00",
+                 "2020-01-01 00:00", "2020-01-01 05:00"]
+            ),
+        }
+    )
+    out = (
+        kernels.detect_gaps(
+            spark.createDataFrame(pdf), 1800.0, partition_cols=["k"]
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    assert len(out) == 2
+    assert out["gap_seconds"].tolist() == [6900.0, 18000.0]
