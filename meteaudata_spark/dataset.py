@@ -140,6 +140,134 @@ class Dataset:
         self.last_updated = datetime.datetime.now()
 
     # ------------------------------------------------------------------
+    # one-job batch processing over many series (scale path)
+    # ------------------------------------------------------------------
+    def to_long_dataframe(self, names: Optional[list[str]] = None):
+        """Union of all (or named) series tagged by full series name:
+        ``(series_name, timestamp, value)`` — the layout where one
+        partitioned kernel processes every series in a single job."""
+        from pyspark.sql import functions as F
+
+        names = names or self.all_series_names()
+        long_df = None
+        for full in names:
+            signal_part, _ = naming.split_full_name(full)
+            ts = self.signals[signal_part].time_series[full]
+            part = ts.df.select(
+                F.lit(full).alias("series_name"),
+                F.col("timestamp"),
+                F.col("value"),
+            )
+            long_df = part if long_df is None else long_df.unionByName(part)
+        if long_df is None:
+            raise ValueError("Dataset has no series")
+        return long_df
+
+    def process_long(
+        self,
+        kernel,
+        suffix: str,
+        processing_type,
+        description: str,
+        parameters=None,
+        names: Optional[list[str]] = None,
+        function_name: Optional[str] = None,
+    ) -> "Dataset":
+        """Apply a partitioned kernel to every (or named) series in ONE
+        Spark job plan.
+
+        ``Signal.process`` builds one plan per series — correct, but N
+        series mean N jobs.  Here all series go through a single long
+        DataFrame with ``partition_cols=["series_name"]``: one shuffle
+        covers the whole dataset, and each output series is a pruned
+        filter view over the shared plan (Catalyst pushes the
+        series_name predicate down to the union branches).
+
+        ``kernel(df_long, partition_cols=["series_name"]) -> df_long``
+        must preserve the (series_name, timestamp, value) schema.
+        Lineage is recorded per output series exactly like
+        ``Signal.process``.
+        """
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        from meteaudata_spark.metadata import FunctionInfo, ProcessingStep
+        from meteaudata_spark.timeseries import TimeSeries
+
+        names = names or self.all_series_names()
+        long_df = self.to_long_dataframe(names)
+        out_long = kernel(long_df, partition_cols=["series_name"])
+
+        for full in names:
+            signal_part, _ = naming.split_full_name(full)
+            sig = self.signals[signal_part]
+            src = sig.time_series[full]
+            step = ProcessingStep(
+                type=processing_type,
+                description=description,
+                run_datetime=_dt.datetime.now(),
+                requires_calibration=False,
+                function_info=FunctionInfo(
+                    name=function_name or getattr(kernel, "__name__", "kernel"),
+                    version="0.1",
+                    author="meteaudata-spark",
+                ),
+                parameters=parameters,
+                suffix=suffix,
+                input_series_names=[full],
+            )
+            out_df = out_long.filter(
+                F.col("series_name") == full
+            ).select("timestamp", "value")
+            out_ts = TimeSeries(
+                df=out_df,
+                index_metadata=src.index_metadata.model_copy(deep=True),
+                values_dtype="float64",
+                name=f"{signal_part}_{suffix}",
+            )
+            out_ts.processing_steps = dedup_steps(
+                [s.model_copy(deep=True) for s in src.processing_steps] + [step]
+            )
+            out_ts.name = sig.update_numbered_ts_name(out_ts.name)
+            sig.time_series[out_ts.name] = out_ts
+        self._touch()
+        return self
+
+    def resample_all(self, frequency: str, names: Optional[list[str]] = None) -> "Dataset":
+        """Resample every series in one job (A1 across the dataset)."""
+        from functools import partial
+
+        from meteaudata_spark.metadata import Parameters, ProcessingType
+        from meteaudata_spark.operators import kernels
+
+        return self.process_long(
+            partial(kernels.resample_mean, freq=frequency),
+            suffix="RESAMPLED",
+            processing_type=ProcessingType.RESAMPLING,
+            description="A simple processing function that resamples a series to a given frequency",
+            parameters=Parameters(frequency=frequency),
+            names=names,
+            function_name="resample",
+        )
+
+    def interpolate_all(self, names: Optional[list[str]] = None) -> "Dataset":
+        """Linear-interpolate every series in one job (W1 across the
+        dataset)."""
+        from meteaudata_spark.metadata import Parameters, ProcessingType
+        from meteaudata_spark.operators import kernels
+
+        return self.process_long(
+            kernels.interpolate_linear,
+            suffix="LIN-INT",
+            processing_type=ProcessingType.GAP_FILLING,
+            description="A simple processing function that linearly interpolates a series",
+            parameters=Parameters(),
+            names=names,
+            function_name="linear interpolation",
+        )
+
+    # ------------------------------------------------------------------
     # persistence (reference: Dataset.save/load, types.py:1293-1364)
     # ------------------------------------------------------------------
     def save(self, path: str, zip: bool = False, data_format: str = "parquet") -> str:

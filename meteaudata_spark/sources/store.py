@@ -54,12 +54,25 @@ def _enc(name: str) -> str:
 # ----------------------------------------------------------------------
 # Signal
 # ----------------------------------------------------------------------
-def save_signal(signal: Signal, path: str, data_format: str = "parquet") -> str:
-    """Write ``{path}/{signal.name}/`` with manifest + per-series data."""
+def save_signal(
+    signal: Signal,
+    path: str,
+    data_format: str = "parquet",
+    partition_by_time: Optional[str] = None,
+) -> str:
+    """Write ``{path}/{signal.name}/`` with manifest + per-series data.
+
+    ``partition_by_time``: optional pandas-style frequency unit
+    (``"D"``/``"M"``/``"Y"``) — Hive-partitions each series' Parquet by
+    that time bucket so time-range reads prune whole directories.  The
+    right choice for huge series; pointless for small ones (one file
+    per partition).
+    """
     sig_dir = os.path.join(path, _enc(signal.name))
     os.makedirs(sig_dir, exist_ok=True)
     manifest = signal.metadata_dict()
     manifest["data_format"] = data_format
+    manifest["partition_by_time"] = partition_by_time
     manifest["series_dirs"] = {
         name: _enc(name) for name in signal.all_time_series
     }
@@ -67,10 +80,25 @@ def save_signal(signal: Signal, path: str, data_format: str = "parquet") -> str:
         yaml.safe_dump(manifest, fh, sort_keys=False)
     data_dir = os.path.join(sig_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
+    fmt = {"D": "yyyy-MM-dd", "M": "yyyy-MM", "Y": "yyyy"}.get(
+        (partition_by_time or "").upper()
+    )
     for name, ts in signal.time_series.items():
         target = os.path.join(data_dir, _enc(name))
         if data_format == "parquet":
-            ts.df.write.mode("overwrite").parquet(target)
+            if fmt is not None:
+                from pyspark.sql import functions as F
+
+                (
+                    ts.df.withColumn(
+                        "__tpart", F.date_format(INDEX_COL, fmt)
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("__tpart")
+                    .parquet(target)
+                )
+            else:
+                ts.df.write.mode("overwrite").parquet(target)
         elif data_format == "csv":
             _series_to_csv(ts, os.path.join(data_dir, f"{name}.csv"))
         else:
@@ -90,12 +118,15 @@ def _signal_from_manifest(spark: SparkSession, sig_dir: str, manifest: dict) -> 
     from meteaudata_spark.metadata import DataProvenance
 
     data_format = manifest.get("data_format", "parquet")
+    partitioned = manifest.get("partition_by_time") is not None
     series: dict[str, TimeSeries] = {}
     for name, ts_meta in manifest["time_series"].items():
         if data_format == "parquet":
             df = spark.read.parquet(
                 os.path.join(sig_dir, "data", manifest["series_dirs"][name])
             )
+            if partitioned and "__tpart" in df.columns:
+                df = df.drop("__tpart")
             ts = TimeSeries.from_metadata_dict(df, ts_meta)
         else:
             csv_path = os.path.join(sig_dir, "data", f"{name}.csv")

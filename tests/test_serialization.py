@@ -94,3 +94,17 @@ def test_nan_survives_roundtrip(spark, provenance, tmp_path):
     loaded = store.load_signal(spark, sig_dir)
     got = loaded.time_series["N#1_RAW#1"].to_pandas()
     assert np.allclose(got.values, ser.values, equal_nan=True)
+
+
+def test_time_partitioned_roundtrip(spark, processed_signal, tmp_path):
+    sig_dir = store.save_signal(
+        processed_signal, str(tmp_path), partition_by_time="D"
+    )
+    import os
+
+    series_dir = os.path.join(
+        sig_dir, "data", sorted(os.listdir(os.path.join(sig_dir, "data")))[0]
+    )
+    assert any(p.startswith("__tpart=") for p in os.listdir(series_dir))
+    loaded = store.load_signal(spark, sig_dir)
+    assert loaded == processed_signal
