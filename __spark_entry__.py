@@ -55,10 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "doc_quality_score": textstats.doc_quality_score,
         "doc_top_tokens_per_lang": textstats.doc_top_tokens_per_lang,
+        "doc_bpe_token_count": textstats.doc_bpe_token_count,
         # --- similarity search (§2.12 EXT) ---
         "emb_cosine_topk": simsearch.emb_cosine_topk,
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
-        "emb_lsh_near_pairs": simsearch.emb_lsh_near_pairs,    # no SQL oracle (LSH)
+        "emb_lsh_near_pairs": simsearch.emb_lsh_near_pairs,
+        "emb_ivf_topk": simsearch.emb_ivf_topk,                # no SQL oracle (ANN)
     }
 
 
@@ -87,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "doc_quality_score": textstats.DOC_QUALITY_SQL,
         "doc_top_tokens_per_lang": textstats.DOC_TOP_TOKENS_SQL,
+        "doc_bpe_token_count": textstats.DOC_BPE_TOKENS_SQL,
         "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,

@@ -240,6 +240,97 @@ def emb_lsh_near_pairs(
     )
 
 
+def emb_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, then search only the ``n_probe``
+    closest lists per query.
+
+    Centroids are deterministic (the vectors with vec_id in
+    [100, 100+n_centroids) — a fixed sample, standing in for a k-means
+    codebook).  At scale this is the classic ANN trade: assignment is
+    one broadcast join over the corpus (linear, done once and
+    cacheable); each query then scans corpus/n_centroids·n_probe
+    instead of everything.  Exact cosine within the probed lists —
+    approximation only comes from unprobed lists."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_centroids)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sim_to_cent = F.expr(_DOT.format(a="embedding", b="ce")) / (
+        F.col("nrm") * F.col("cn")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", sim_to_cent)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "label", "embedding", "nrm", "centroid_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__sim",
+            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "qe", "qn", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _dot_literal_duck(weights: list[float], col: str) -> str:
     arr = ", ".join(repr(w) for w in weights)
     return (

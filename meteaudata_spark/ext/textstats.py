@@ -133,6 +133,49 @@ ORDER BY doc_id
 """
 
 
+_BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: pre-tokenize with the GPT-2-style split
+    (letter runs | single digits | punctuation runs), then estimate
+    subword count as ceil(letters/4) per word — the standard cheap
+    proxy for byte-pair token counts when no vocab is loaded.  All
+    regex stays JVM-side (regexp_extract_all)."""
+    d = _docs(spark, sf_dir)
+    # pattern passed as a lit() Column: routing it through F.expr would
+    # subject '\s' to SQL-string escape processing and silently corrupt
+    # the character class
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH_PATTERN), 0)
+    subwords = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(
+            p.rlike("^[a-zA-Z]+$"), F.ceil(F.length(p) / F.lit(4.0))
+        ).otherwise(F.lit(1)).cast("bigint"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        subwords.alias("est_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+DOC_BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_pieces,
+       LIST_SUM(LIST_TRANSFORM(
+         regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'),
+         p -> CASE WHEN regexp_matches(p, '^[a-zA-Z]+$')
+                   THEN CAST(CEIL(LENGTH(p) / 4.0) AS BIGINT)
+                   ELSE CAST(1 AS BIGINT) END
+       )) AS est_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def doc_top_tokens_per_lang(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:

@@ -21,7 +21,9 @@ def test_all_queries_declared_with_oracles(entry):
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(oracles) <= set(qs)
     # only genuinely non-SQL ops may omit oracles
-    assert set(qs) - set(oracles) == {"doc_minhash_lsh_pairs", "doc_simhash"}
+    assert set(qs) - set(oracles) == {
+        "doc_minhash_lsh_pairs", "doc_simhash", "emb_ivf_topk"
+    }
 
 
 def test_entry_smoke(spark, entry):
@@ -94,6 +96,24 @@ def test_simhash_close_for_similar_docs(spark):
 
     sigs = dedup.doc_simhash(spark, SF).collect()
     assert len({r.simhash for r in sigs}) > 1  # not degenerate
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with 4 of 16 lists probed must still recover most of the
+    exact top-5 (approximation = unprobed lists only)."""
+    from meteaudata_spark.ext import simsearch
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in simsearch.emb_cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in simsearch.emb_ivf_topk(spark, SF).collect()
+    }
+    assert exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
 
 
 def test_lsh_buckets_shape(spark):
