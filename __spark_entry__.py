@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
         "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
+        "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -44,6 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "brand_revenue_share": relational.brand_revenue_share,
         "revenue_rollup": relational.revenue_rollup,       # grouping sets
+        "q6_revenue_delta": relational.q6_revenue_delta,   # pure pushdown+sum
+        "customers_without_orders": relational.customers_without_orders,  # anti join
+        "suppliers_with_returns": relational.suppliers_with_returns,      # semi join
+        "top_orders_per_customer": relational.top_orders_per_customer,    # ranking window
+        "active_building_customers": relational.active_building_customers,  # INTERSECT
         # --- dedup ladder (§2.12 EXT) ---
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
@@ -76,12 +82,18 @@ def oracle_sql() -> dict[str, str]:
         "ts_detect_gaps": tsq.TS_DETECT_GAPS_SQL,
         "ts_asof_last_order": tsq.TS_ASOF_SQL,
         "events_json_stats": tsq.EVENTS_JSON_SQL,
+        "ts_daily_pivot": tsq.TS_DAILY_PIVOT_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,
         "top_customers_by_revenue": relational.TOP_CUSTOMERS_SQL,
         "brand_revenue_share": relational.BRAND_SHARE_SQL,
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
+        "q6_revenue_delta": relational.Q6_SQL,
+        "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "suppliers_with_returns": relational.SUPPLIERS_WITH_RETURNS_SQL,
+        "top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "active_building_customers": relational.ACTIVE_BUILDING_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_text_stats": textstats.DOC_TEXT_STATS_SQL,

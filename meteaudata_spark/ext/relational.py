@@ -241,6 +241,143 @@ ORDER BY returnflag, linestatus
 """
 
 
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter+sum — the pushdown showcase (every
+    predicate reaches the Parquet scan; no join, no shuffle beyond the
+    final partial-agg merge)."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders on/after 2000-01-01
+    (left_anti with a filtered, broadcast right side)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(
+            F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+ORDER BY c_custkey
+"""
+
+
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: suppliers having at least one returned lineitem."""
+    supp = _t(spark, sf_dir, "supplier")
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_suppkey")
+    return (
+        supp.join(returned, supp.s_suppkey == returned.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SUPPLIERS_WITH_RETURNS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+ORDER BY s_suppkey
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: each customer's 3 largest orders by total price
+    (one shuffle on the partition key; ties broken by order key)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked = orders.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_custkey, rank
+"""
+
+
+def active_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: INTERSECT of the BUILDING segment and customers
+    with 1996 orders (duplicate-eliminating set semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    active = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(active).orderBy("c_custkey")
+
+
+ACTIVE_BUILDING_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+ORDER BY c_custkey
+"""
+
+
 def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per part brand with share-of-total (window over agg)."""
     from pyspark.sql import Window

@@ -373,6 +373,35 @@ ORDER BY event_type, gap_start
 """
 
 
+def ts_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide view: one row per day, one avg-value column per event type
+    (the long→wide pivot; expressed as conditional aggregation so the
+    oracle is dialect-portable and the plan is a single hash agg)."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", "ts").alias("day")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        _r6(
+            F.avg(F.when(F.col("event_type") == t, F.col("value")))
+        ).alias(f"avg_{t}")
+        for t in types
+    ]
+    return ev.groupBy(day).agg(*aggs).orderBy("day")
+
+
+TS_DAILY_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       ROUND(AVG(CASE WHEN event_type = 'click'    THEN value END) * 1000000.0) / 1000000.0 AS avg_click,
+       ROUND(AVG(CASE WHEN event_type = 'error'    THEN value END) * 1000000.0) / 1000000.0 AS avg_error,
+       ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END) * 1000000.0) / 1000000.0 AS avg_purchase,
+       ROUND(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 1000000.0) / 1000000.0 AS avg_signup,
+       ROUND(AVG(CASE WHEN event_type = 'view'     THEN value END) * 1000000.0) / 1000000.0 AS avg_view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction from the ``props`` string column
     (multimodal/semi-structured plumbing: get_json_object stays

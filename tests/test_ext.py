@@ -124,3 +124,26 @@ def test_lsh_buckets_shape(spark):
     n_vecs = pdf["vec_id"].nunique()
     assert len(pdf) == n_vecs * simsearch._LSH_TABLES
     assert pdf["bucket"].between(0, 2 ** simsearch._LSH_PLANES - 1).all()
+
+
+def test_wide_view_alignment(spark, provenance):
+    """Signal.to_wide_dataframe: full-outer alignment on timestamp
+    (the reference's _to_dataframe analog, J1)."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators.univariate import resample
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=30)
+    ser = pd.Series(np.arange(30.0), index=idx, name="RAW")
+    sig = Signal(
+        input_data=ser, name="WV", units="x", provenance=provenance, spark=spark
+    )
+    sig.process(["WV#1_RAW#1"], resample, "5min")
+    wide = sig.to_wide_dataframe().toPandas()
+    assert set(wide.columns) == {"timestamp", "WV#1_RAW#1", "WV#1_RESAMPLED#1"}
+    # outer join: all timestamps from both series present
+    n_raw = 30
+    n_res = sig.time_series["WV#1_RESAMPLED#1"].count()
+    assert len(wide) >= max(n_raw, n_res)
