@@ -215,29 +215,51 @@ def emb_lsh_near_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    # norms are per-vector — compute them once on the (broadcast) sides
-    # instead of three folds per candidate pair
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.expr(_norm_expr("embedding")).alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.expr(_norm_expr("embedding")).alias("nb"),
-    )
-    cos = F.round(
-        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
-        6,
-    )
-    return (
-        candidates.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("vec_a", "vec_b")
-    )
+    # Verify with Arrow-batched numpy: the candidate stream is narrow
+    # (two ids per row) and the whole corpus matrix broadcasts once per
+    # executor — a dense row-wise dot is BLAS work, ~20× the JVM
+    # expression fold that allocates an array per pair.  Output rounds
+    # to 1e-6, which absorbs the (≈1e-14) summation-order difference
+    # from the DuckDB oracle's sequential fold.
+    import numpy as np
+    import pandas as pd
+
+    id_arr, mat = _corpus_matrix(emb)
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(id_arr)
+    b_mat = sc.broadcast(mat)
+
+    def score(batches):
+        ids = b_ids.value
+        m = b_mat.value
+        norms = np.sqrt((m * m).sum(axis=1))
+        lookup = {int(v): i for i, v in enumerate(ids)}
+        for pdf in batches:
+            ia = pdf["vec_a"].map(lookup).to_numpy()
+            ib = pdf["vec_b"].map(lookup).to_numpy()
+            dots = np.einsum("ij,ij->i", m[ia], m[ib])
+            cos = np.round(dots / (norms[ia] * norms[ib]) * 1e6) / 1e6
+            out = pd.DataFrame(
+                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": cos}
+            )
+            yield out[out["cosine"] >= threshold]
+
+    return candidates.mapInPandas(
+        score, "vec_a bigint, vec_b bigint, cosine double"
+    ).orderBy("vec_a", "vec_b")
+
+
+def _corpus_matrix(emb: DataFrame):
+    """Collect (vec_id array, float64 matrix) for broadcast — the
+    corpus must fit executor memory; for larger corpora shard the
+    matrix by vec_id range and join candidates to their shard."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
 
 
 def emb_ivf_topk(
