@@ -40,7 +40,7 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("kept_doc_id", "text_hash", "n_copies")
-        .orderBy("kept_doc_id")
+        
     )
 
 
@@ -100,7 +100,7 @@ def doc_ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        
     )
     return jac
 
@@ -218,7 +218,7 @@ def doc_minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        
     )
 
 
@@ -246,6 +246,4 @@ def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     for b in range(bits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.cast("bigint").alias("simhash")).orderBy(
-        "doc_id"
-    )
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))

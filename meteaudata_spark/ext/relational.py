@@ -47,7 +47,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_dec("l_discount", 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -152,7 +151,6 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
@@ -226,7 +224,6 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             "n_rows",
         )
-        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -280,7 +277,6 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_anti"
         )
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -303,7 +299,6 @@ def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(returned, supp.s_suppkey == returned.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
     )
 
 
@@ -333,7 +328,6 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-        .orderBy("o_custkey", "rank")
     )
 
 
@@ -365,7 +359,7 @@ def active_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return building.intersect(active).orderBy("c_custkey")
+    return building.intersect(active)
 
 
 ACTIVE_BUILDING_SQL = """
@@ -407,7 +401,6 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_dec").cast("double").alias("revenue"),
             "share",
         )
-        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
     )
 
 

@@ -106,7 +106,7 @@ def emb_avg_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("label")
+        
     )
 
 
@@ -246,7 +246,7 @@ def emb_lsh_near_pairs(
 
     return candidates.mapInPandas(
         score, "vec_a bigint, vec_b bigint, cosine double"
-    ).orderBy("vec_a", "vec_b")
+    )
 
 
 def _corpus_matrix(emb: DataFrame):

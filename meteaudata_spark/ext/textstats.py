@@ -33,7 +33,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
         ).alias("avg_token_len"),
         F.round(n_distinct.cast("double") / n_tokens, 6).alias("type_token_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_TEXT_STATS_SQL = """
@@ -86,7 +86,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         "lang",
-    ).orderBy("doc_id")
+    )
 
 
 def _sql_count(needle: str) -> str:
@@ -122,7 +122,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return d.select(
         "doc_id", F.md5(normalized).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 DOC_FINGERPRINT_SQL = r"""
@@ -159,7 +159,7 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(pieces).alias("n_pieces"),
         subwords.alias("est_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_BPE_TOKENS_SQL = r"""
@@ -203,7 +203,7 @@ def doc_top_tokens_per_lang(
     return (
         ranked.filter(F.col("rank") <= k)
         .select("lang", "token", "doc_freq", "rank")
-        .orderBy("lang", "rank")
+        
     )
 
 
@@ -241,7 +241,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         length_factor * 0.4 + diversity * 0.4 + len_band * 0.2, 6
     )
-    return d.select("doc_id", score.alias("quality_score")).orderBy("doc_id")
+    return d.select("doc_id", score.alias("quality_score"))
 
 
 DOC_QUALITY_SQL = """

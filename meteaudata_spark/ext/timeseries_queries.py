@@ -42,7 +42,7 @@ def ts_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("timestamp").alias("bucket_ts"),
         _r6(F.col("value")).alias("avg_value"),
-    ).orderBy("event_type", "bucket_ts")
+    )
 
 
 TS_RESAMPLE_SQL = """
@@ -86,7 +86,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("timestamp").alias("bucket_ts"),
         _r6(F.col("value")).alias("value_filled"),
-    ).orderBy("event_type", "bucket_ts")
+    )
 
 
 TS_INTERPOLATE_SQL = """
@@ -151,7 +151,7 @@ def ts_replace_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return masked.select(
         "event_id", F.col("value").alias("value_masked")
-    ).orderBy("event_id")
+    )
 
 
 TS_REPLACE_SQL = """
@@ -174,7 +174,7 @@ def ts_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("event_type", "day")
+        
     )
 
 
@@ -203,7 +203,7 @@ def ts_aligned_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.groupBy("timestamp")
         .agg(_r6(F.avg("value")).alias("avg_across_series"))
         .select(F.col("timestamp").alias("bucket_ts"), "avg_across_series")
-        .orderBy("bucket_ts")
+        
     )
 
 
@@ -266,7 +266,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("__session_no") + 1).alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        
     )
 
 
@@ -308,7 +308,7 @@ def ts_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id", "user_id", F.col("o_orderdate").alias("last_order_date")
-    ).orderBy("event_id")
+    )
 
 
 TS_ASOF_SQL = """
@@ -331,7 +331,7 @@ def ts_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "event_type", _r6(F.col("value")).alias("smooth_value")
-    ).orderBy("event_id")
+    )
 
 
 TS_ROLLING_SQL = """
@@ -354,7 +354,7 @@ def ts_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "gap_start", "gap_end",
         _r6(F.col("gap_seconds")).alias("gap_seconds"),
-    ).orderBy("event_type", "gap_start")
+    )
 
 
 TS_DETECT_GAPS_SQL = """
@@ -386,7 +386,7 @@ def ts_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"avg_{t}")
         for t in types
     ]
-    return ev.groupBy(day).agg(*aggs).orderBy("day")
+    return ev.groupBy(day).agg(*aggs)
 
 
 TS_DAILY_PIVOT_SQL = """
@@ -417,7 +417,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type")
+        
     )
 
 
