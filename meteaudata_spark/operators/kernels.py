@@ -72,13 +72,16 @@ def resample_mean(
     interval = to_spark_interval(freq)
     pcols = list(partition_cols)
 
-    # origin per group: midnight of the first timestamp
+    # origin per group: midnight of the first timestamp.  The bounds
+    # table feeds BOTH the bucket join and the spine — persist it so
+    # Catalyst doesn't re-scan the fact table once per branch (it's one
+    # tiny row per group).
     grp = df.groupBy(*pcols) if pcols else df.groupBy()
     bounds = grp.agg(
         F.date_trunc("day", F.min(ts_col)).alias("__origin"),
         F.min(ts_col).alias("__mn"),
         F.max(ts_col).alias("__mx"),
-    )
+    ).persist()
 
     if pcols:
         joined = df.join(F.broadcast(bounds), on=pcols, how="inner")

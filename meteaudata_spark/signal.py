@@ -67,6 +67,12 @@ class Signal:
                 self.time_series[ts_name] = ts
         elif input_data is not None:
             self._ingest(input_data)
+        elif spark is not None:
+            # reference parity (types.py:554-560): a Signal created with
+            # no data gets an empty placeholder series {name}_RAW#1
+            import pandas as pd
+
+            self._ingest(pd.Series(name="RAW", dtype=object))
 
     # ------------------------------------------------------------------
     # input dispatch (reference: types.py:547-606)
@@ -257,6 +263,22 @@ class Signal:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def plot(self, names: Optional[list[str]] = None, max_points: int = 2000,
+             title: Optional[str] = None):
+        """Overlay plot of this signal's series (reference Signal.plot,
+        types.py:900-926).  Downsamples server-side; returns a plotly
+        Figure, or the spec dict when plotly is unavailable."""
+        from meteaudata_spark import viz
+
+        return viz.plot_signal(self, names=names, max_points=max_points, title=title)
+
+    def plot_dependency_graph(self, series_name: str):
+        """Render the lineage DAG of one series (reference
+        types.py:951-1054)."""
+        from meteaudata_spark import viz
+
+        return viz.plot_dependency_graph(self, series_name)
 
     def build_dependency_graph(self, series_name: str) -> list[dict]:
         """Edge list from a series back through its lineage

@@ -95,10 +95,12 @@ class TimeSeries:
             {INDEX_COL: index_to_column(series.index).values, VALUE_COL: values}
         )
         if len(pdf) == 0:
-            # Arrow can't infer types from empty frames; give explicit ones
-            pdf[INDEX_COL] = pdf[INDEX_COL].astype("int64")
-            pdf[VALUE_COL] = pdf[VALUE_COL].astype("str")
-        df = spark.createDataFrame(pdf)
+            # schema can't be inferred from an empty frame; declare it
+            df = spark.createDataFrame(
+                [], f"{INDEX_COL} bigint, {VALUE_COL} string"
+            )
+        else:
+            df = spark.createDataFrame(pdf)
         return cls(
             df=df,
             processing_steps=processing_steps,
