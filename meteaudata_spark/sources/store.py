@@ -51,6 +51,31 @@ def _enc(name: str) -> str:
     return urllib.parse.quote(name, safe="")
 
 
+def _read_series_dir(spark: SparkSession, target: str):
+    """Read a series' Parquet dir regardless of layout.
+
+    Three layouts exist: flat files (plain save), ``__tpart=``/
+    ``__batch=`` Hive partitions (time-partitioned save / streaming
+    sink), and — after a streaming sink appended to a batch-saved
+    series — a MIX of root files and partition dirs.  Partition
+    inference rejects the mixed case, so detect it and fall back to a
+    recursive file listing (partition columns are derived values; the
+    canonical (timestamp, value) columns live in every file)."""
+    has_root_files = any(
+        f.endswith(".parquet") for f in os.listdir(target)
+    ) if os.path.isdir(target) else False
+    has_part_dirs = any(
+        "=" in f and os.path.isdir(os.path.join(target, f))
+        for f in os.listdir(target)
+    ) if os.path.isdir(target) else False
+    if has_root_files and has_part_dirs:
+        df = spark.read.option("recursiveFileLookup", "true").parquet(target)
+    else:
+        df = spark.read.parquet(target)
+    internal = [c for c in df.columns if c.startswith("__")]
+    return df.drop(*internal) if internal else df
+
+
 # ----------------------------------------------------------------------
 # Signal
 # ----------------------------------------------------------------------
@@ -122,11 +147,9 @@ def _signal_from_manifest(spark: SparkSession, sig_dir: str, manifest: dict) -> 
     series: dict[str, TimeSeries] = {}
     for name, ts_meta in manifest["time_series"].items():
         if data_format == "parquet":
-            df = spark.read.parquet(
-                os.path.join(sig_dir, "data", manifest["series_dirs"][name])
+            df = _read_series_dir(
+                spark, os.path.join(sig_dir, "data", manifest["series_dirs"][name])
             )
-            if partitioned and "__tpart" in df.columns:
-                df = df.drop("__tpart")
             ts = TimeSeries.from_metadata_dict(df, ts_meta)
         else:
             csv_path = os.path.join(sig_dir, "data", f"{name}.csv")

@@ -126,6 +126,44 @@ def plot_signal(
     return fig
 
 
+def plot_dataset(
+    dataset,
+    signal_names: Optional[list[str]] = None,
+    max_points: int = 2000,
+):
+    """One subplot per signal (reference Dataset plot,
+    types.py:1431-1473).  Returns a plotly Figure with stacked
+    subplots, or the spec dict {signal: {data, layout}} without
+    plotly."""
+    signal_names = signal_names or dataset.all_signals
+    specs = {}
+    for name in signal_names:
+        sig = dataset.signals[name]
+        traces = [
+            series_trace(sig.time_series[n], max_points)
+            for n in sig.all_time_series
+        ]
+        specs[name] = {
+            "data": traces,
+            "layout": {"title": f"{name} [{sig.units}]"},
+        }
+    if not _HAS_PLOTLY:
+        return specs
+    from plotly.subplots import make_subplots
+
+    fig = make_subplots(
+        rows=len(signal_names), cols=1,
+        subplot_titles=[f"{n} [{dataset.signals[n].units}]" for n in signal_names],
+    )
+    for row, name in enumerate(signal_names, start=1):
+        for t in specs[name]["data"]:
+            fig.add_trace(
+                go.Scatter(x=t["x"], y=t["y"], name=t["name"], mode=t["mode"]),
+                row=row, col=1,
+            )
+    return fig
+
+
 def plot_dependency_graph(signal: Signal, series_name: str):
     """Render the lineage DAG of a series (reference types.py:951-1054).
     Text/dict form when plotly is missing."""

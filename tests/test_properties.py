@@ -83,6 +83,63 @@ def test_resample_property(values, freq_min):
     assert np.allclose(got["value"].values, ref.values, equal_nan=True, rtol=1e-9)
 
 
+@given(
+    values=values_strategy,
+    start=st.integers(min_value=0, max_value=30),
+    length=st.integers(min_value=0, max_value=30),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_replace_ranges_property(values, start, length):
+    ser = pd.Series(
+        values,
+        index=pd.date_range("2020-01-01", freq="1min", periods=len(values)),
+    )
+    t0 = ser.index[0] + pd.Timedelta(minutes=start)
+    t1 = t0 + pd.Timedelta(minutes=length)
+    got = (
+        kernels.replace_ranges(
+            _to_spark(ser), [[str(t0), str(t1)]], replace_with=float("nan")
+        )
+        .orderBy("timestamp")
+        .toPandas()["value"]
+        .values
+    )
+    ref = ser.copy()
+    ref.loc[t0:t1] = np.nan
+    assert np.allclose(got, ref.values, equal_nan=True)
+
+
+@given(
+    series_count=st.integers(min_value=2, max_value=4),
+    values=st.lists(values_strategy, min_size=2, max_size=4),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_aligned_avg_property(series_count, values):
+    values = values[:series_count]
+    frames, sers = [], []
+    for i, vals in enumerate(values):
+        idx = pd.date_range("2020-01-01", freq="1min", periods=len(vals))
+        frames.append(
+            pd.DataFrame({"series_name": f"s{i}", "timestamp": idx, "value": vals})
+        )
+        sers.append(pd.Series(vals, index=idx))
+    long_df = _SPARK.createDataFrame(pd.concat(frames))
+    got = (
+        kernels.aligned_agg(long_df, "avg")
+        .orderBy("timestamp")
+        .toPandas()["value"]
+        .values
+    )
+    ref = pd.concat(sers, axis=1).mean(axis=1).values
+    assert np.allclose(got, ref, equal_nan=True, rtol=1e-9)
+
+
 @given(values=values_strategy, window=st.integers(min_value=1, max_value=8))
 @settings(
     max_examples=10, deadline=None,
