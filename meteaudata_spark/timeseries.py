@@ -128,6 +128,50 @@ class TimeSeries:
     def count(self) -> int:
         return self.df.count()
 
+    def describe(self) -> dict:
+        """Data-quality summary in ONE aggregation job: row count,
+        null/NaN ratio, duplicate-timestamp count, min/max/mean of
+        values and the observed median spacing (frequency check).
+
+        Driver receives a single small row — never the data."""
+        from pyspark.sql import Window
+
+        is_num = dict(self.df.dtypes)[VALUE_COL] in ("double", "float")
+        v = F.col(VALUE_COL)
+        missing = (
+            F.when(v.isNull() | F.isnan(v), 1).otherwise(0)
+            if is_num
+            else F.when(v.isNull(), 1).otherwise(0)
+        )
+        delta = F.col(INDEX_COL).cast("double") - F.lag(
+            F.col(INDEX_COL).cast("double")
+        ).over(Window.orderBy(INDEX_COL))
+        stats = (
+            self.df.withColumn("__delta", delta)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(missing).alias("n_missing"),
+                (F.count(F.lit(1)) - F.countDistinct(INDEX_COL)).alias(
+                    "n_duplicate_index"
+                ),
+                F.min(INDEX_COL).alias("index_min"),
+                F.max(INDEX_COL).alias("index_max"),
+                (F.min(v) if is_num else F.lit(None)).alias("value_min"),
+                (F.max(v) if is_num else F.lit(None)).alias("value_max"),
+                (F.avg(v) if is_num else F.lit(None)).alias("value_mean"),
+                F.expr("percentile_approx(__delta, 0.5)").alias(
+                    "median_spacing_seconds"
+                ),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        n = stats["n_rows"] or 1
+        stats["missing_ratio"] = (stats["n_missing"] or 0) / n
+        stats["name"] = self.name
+        stats["declared_frequency"] = self.index_metadata.frequency
+        return stats
+
     # ------------------------------------------------------------------
     # lineage helpers
     # ------------------------------------------------------------------
