@@ -1,0 +1,93 @@
+"""Scale smoke: run the core kernels on 10M+ synthetic rows generated
+executor-side (spark.range — no driver materialization) and print
+timings.  Evidence that the partition strategies hold at 100× the
+bench scale factor; results recorded in SCALE.md.
+
+Usage: python tools/scale_smoke.py [n_rows] [n_keys]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from meteaudata_spark.operators import kernels  # noqa: E402
+from meteaudata_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # long multi-series table: n_keys series, 1-second spacing, ~5% nulls
+    base = (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") % n_keys).cast("string").alias("series_name"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") / n_keys).cast("long")
+            ).alias("timestamp"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(20)) == 0, F.lit(None))
+            .otherwise(F.sin(F.col("id") / 1000.0))
+            .alias("value"),
+        )
+        .repartition(64, "series_name")
+        .persist()
+    )
+    print(f"rows: {base.count():,} keys: {n_keys}", flush=True)
+
+    results = {}
+
+    t0 = time.perf_counter()
+    kernels.resample_mean(
+        base, "1min", partition_cols=["series_name"]
+    ).write.mode("overwrite").format("noop").save()
+    results["resample_1min_partitioned"] = round(time.perf_counter() - t0, 2)
+    print("resample:", results["resample_1min_partitioned"], "s", flush=True)
+
+    t0 = time.perf_counter()
+    kernels.interpolate_linear(
+        base, partition_cols=["series_name"]
+    ).write.mode("overwrite").format("noop").save()
+    results["interpolate_partitioned"] = round(time.perf_counter() - t0, 2)
+    print("interpolate:", results["interpolate_partitioned"], "s", flush=True)
+
+    # one giant unpartitioned series: the distributed-interpolation path
+    single = base.filter(F.col("series_name") == "0").select(
+        "timestamp", "value"
+    )
+    t0 = time.perf_counter()
+    kernels.interpolate_linear_distributed(
+        single, chunk_seconds=3600.0
+    ).write.mode("overwrite").format("noop").save()
+    results["interpolate_distributed_single_series"] = round(
+        time.perf_counter() - t0, 2
+    )
+    print(
+        "distributed interp (1 series,",
+        f"{n_rows // n_keys:,} rows):",
+        results["interpolate_distributed_single_series"], "s", flush=True,
+    )
+
+    t0 = time.perf_counter()
+    kernels.rolling_mean(
+        base, 10, partition_cols=["series_name"]
+    ).write.mode("overwrite").format("noop").save()
+    results["rolling_mean_partitioned"] = round(time.perf_counter() - t0, 2)
+    print("rolling mean:", results["rolling_mean_partitioned"], "s", flush=True)
+
+    import json
+
+    print(json.dumps({"n_rows": n_rows, "n_keys": n_keys, "timings_sec": results}))
+
+
+if __name__ == "__main__":
+    main()
