@@ -116,7 +116,9 @@ class Dataset:
             input_signals, input_time_series_names, *args, **kwargs
         )
         for out_sig in outputs:
-            out_sig.name = self.update_numbered_name(out_sig.name)
+            # rename() (not direct assignment) so every contained series
+            # gets its prefix rewritten when the version bumps
+            out_sig.rename(self.update_numbered_name(out_sig.name))
             # merge lineage: every output series inherits all input series'
             # steps, then its own, deduped (reference: types.py:1408-1428)
             for ts in out_sig.time_series.values():
@@ -130,8 +132,6 @@ class Dataset:
                 ts.processing_steps = dedup_steps(
                     inherited + ts.processing_steps
                 )
-            # key series under the versioned signal name
-            out_sig.rename(out_sig.name)
             self.signals[out_sig.name] = out_sig
         self._touch()
         return self

@@ -144,6 +144,23 @@ def test_average_values_and_step_arithmetic(sample_dataset):
     assert len(avg_ts.processing_steps) == expected
 
 
+def test_rerun_dataset_process_renames_series(sample_dataset):
+    # regression: the second AVERAGE run must produce AVERAGE#2 whose
+    # SERIES are also prefixed AVERAGE#2_* (rename, not just the name)
+    ds, _ = sample_dataset
+    for name in ["A#1", "B#1"]:
+        ds.signals[name].process([f"{name}_RAW#1"], resample, "5min")
+        ds.signals[name].units = "mg/l"
+    inputs = ["A#1_RESAMPLED#1", "B#1_RESAMPLED#1"]
+    ds.process(inputs, average_signals)
+    ds.process(inputs, average_signals)
+    assert "AVERAGE#2" in ds.all_signals
+    assert ds.signals["AVERAGE#2"].all_time_series == ["AVERAGE#2_RAW#1"]
+    # lineage closure still holds for the renamed series
+    ts = ds.signals["AVERAGE#2"].time_series["AVERAGE#2_RAW#1"]
+    assert ts.processing_steps[-1].suffix == "RAW"
+
+
 def test_dataset_add_versions_signal(sample_dataset, spark, provenance):
     ds, data = sample_dataset
     extra = Signal(
