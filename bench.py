@@ -31,9 +31,18 @@ def main() -> None:
 
     spark = get_spark("meteaudata-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup so the first measured query isn't charged for
-    # session startup
+    # Session-startup warmup so the first measured query isn't charged
+    # for one-time costs: JVM/codegen, the vectorized parquet reader,
+    # and the Arrow Python-worker pool (first pandas UDF forks workers)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+        warm.write.mode("overwrite").format("noop").save()
+        warm.mapInPandas(lambda it: it, warm.schema).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    except Exception:  # noqa: BLE001 - warmup is best-effort
+        pass
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

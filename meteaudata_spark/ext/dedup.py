@@ -53,14 +53,31 @@ ORDER BY kept_doc_id
 
 
 def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    toks = F.split(F.col("text"), " ")
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    ``split`` runs once per row (projected before the lambda) — with
+    the split inside the lambda Catalyst re-evaluates it per shingle
+    index, turning an O(words) projection into O(words²)."""
     # Spark SQL array subscript is 0-based inside lambda expressions
     shingle_arr = F.expr(
-        f"array_distinct(transform(sequence(0, size(split(text, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))))"
+        f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
     )
-    return d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    )
+
+
+def _hashed_shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) with h = xxhash64(shingle): 8-byte join/group keys
+    instead of ~20-byte strings.  Jaccard over hashed shingles equals
+    string Jaccard up to a ~n_shingles²/2⁶⁴ collision probability —
+    negligible, and the same trick every large-scale dedup pipeline
+    uses."""
+    return _shingles(d, n).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
 
 
 def doc_ngram_jaccard_pairs(
@@ -73,12 +90,12 @@ def doc_ngram_jaccard_pairs(
     then |A∩B| / (|A|+|B|−|A∩B|).
     """
     d = _docs(spark, sf_dir)
-    sh = _shingles(d, n).persist()
+    sh = _hashed_shingles(d, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, on="shingle")
+        a.join(b, on="h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -154,9 +171,11 @@ def doc_minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     d = _docs(spark, sf_dir)
-    sh = _shingles(d, n)
+    # one shingle pass feeds both the signature agg and the verify
+    # docsets branch
+    sh = _hashed_shingles(d, n).persist()
 
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    h = F.pmod(F.col("h"), F.lit(_MERSENNE))
     # deterministic per-j coefficients (odd a, arbitrary b)
     sig_cols = [
         F.min(
@@ -192,23 +211,38 @@ def doc_minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify: count shared shingles, restricted to candidates
-    sh_v = sh.distinct()
-    sizes = sh_v.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh_v.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(sh_v.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(candidates, ["doc_a", "doc_b"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # exact verify: join the (small) candidate-pair set against
+    # per-doc sorted shingle-hash sets and intersect the arrays.
+    # Candidates drive the join — the quadratic shingle self-join
+    # never runs; each side is one shuffle of the candidate ids
+    # against the doc-keyed set table.  This is the 100 TB shape:
+    # |candidates| ≪ |all sharing pairs| by LSH design.
+    docsets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h")).alias("hs")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    verified = (
+        candidates.join(
+            docsets.select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docsets.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
+        )
+    )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")
@@ -218,7 +252,6 @@ def doc_minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        
     )
 
 

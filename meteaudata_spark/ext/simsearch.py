@@ -155,39 +155,58 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-pattern buckets of ``_LSH_PLANES`` hyperplanes each.
     Output: (vec_id, table, bucket) — one row per table.
 
-    Plan shape (the 100 TB path): posexplode each vector to
-    (vec_id, dim, x), broadcast-join the 2048-row weight table, and
-    hash-aggregate the per-(vec, table, plane) dot products — two
-    narrow shuffles, no quadratic work, no giant codegen expression.
+    Plan shape (the 100 TB path): one Arrow-batched map over the
+    corpus — each batch is an (n × dim) float64 matrix multiplied by
+    the fixed (dim × tables·planes) plane matrix, signs packed into
+    per-table bucket ids.  Embarrassingly parallel, ZERO shuffles, no
+    row inflation; the plane matrix is a 2 KB task-closure constant.
     Same-(table, bucket) joins then replace the all-pairs cross join;
-    more tables buy recall at linear cost."""
+    more tables buy recall at linear cost.
+
+    Determinism vs the DuckDB oracle: only the SIGN of each dot
+    product feeds the bucket, so the (≈1e-14) summation-order
+    difference between BLAS matmul and the oracle's sequential fold
+    is immaterial for non-degenerate data — the same tolerance the
+    previous hash-aggregated implementation relied on."""
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
-    weights = spark.createDataFrame(
-        [
-            (t, p, i, _LSH_W[t][p][i])
-            for t in range(_LSH_TABLES)
-            for p in range(_LSH_PLANES)
-            for i in range(_LSH_DIM)
-        ],
-        "table INT, plane INT, dim INT, w DOUBLE",
+    # (dim × tables·planes) plane matrix, column-major by (table, plane)
+    w_mat = (
+        np.array(_LSH_W, dtype=np.float64)
+        .reshape(_LSH_TABLES * _LSH_PLANES, _LSH_DIM)
+        .T.copy()
     )
-    exploded = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
-    )
-    dots = (
-        exploded.join(F.broadcast(weights), "dim")
-        .groupBy("vec_id", "label", "table", "plane")
-        .agg(F.sum(F.col("w") * F.col("x").cast("double")).alias("dot"))
-    )
-    return (
-        dots.groupBy("vec_id", "label", "table")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0, F.expr("shiftleft(1, plane)")
-                ).otherwise(F.lit(0))
-            ).alias("bucket")
-        )
+    plane_bits = np.arange(_LSH_PLANES, dtype=np.int64)
+
+    def bucketize(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            signs = (x @ w_mat > 0).astype(np.int64)
+            buckets = (
+                signs.reshape(n, _LSH_TABLES, _LSH_PLANES) << plane_bits
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), _LSH_TABLES
+                    ),
+                    "label": np.repeat(
+                        pdf["label"].to_numpy(), _LSH_TABLES
+                    ),
+                    "table": np.tile(
+                        np.arange(_LSH_TABLES, dtype=np.int32), n
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        bucketize, "vec_id BIGINT, label INT, table INT, bucket BIGINT"
     )
 
 
@@ -201,51 +220,61 @@ def emb_lsh_near_pairs(
     approximate recall only).  The plane weights are fixed literals,
     so the whole computation — including which candidate pairs the
     LSH stage surfaces — is reproducible in the DuckDB oracle."""
-    emb = _emb(spark, sf_dir)
-    buckets = emb_lsh_buckets(spark, sf_dir)
-    a = buckets.select(
-        F.col("vec_id").alias("vec_a"), "table", "bucket"
-    )
-    b = buckets.select(
-        F.col("vec_id").alias("vec_b"), "table", "bucket"
-    )
-    candidates = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    # Verify with Arrow-batched numpy: the candidate stream is narrow
-    # (two ids per row) and the whole corpus matrix broadcasts once per
-    # executor — a dense row-wise dot is BLAS work, ~20× the JVM
-    # expression fold that allocates an array per pair.  Output rounds
-    # to 1e-6, which absorbs the (≈1e-14) summation-order difference
-    # from the DuckDB oracle's sequential fold.
+    # Plan shape: bucketize (narrow map) → ONE shuffle of the tiny
+    # (vec_id, table, bucket) stream to co-locate each bucket → pair
+    # generation + numpy scoring inside the same applyInPandas task
+    # (the corpus matrix broadcasts once per executor; dense row-wise
+    # dots are BLAS work) → distinct only over the few survivors.
+    # Scoring before deduplicating means the heavy all-candidate
+    # distinct shuffle never exists; duplicate survivors across
+    # tables carry identical rounded cosines, so the final distinct
+    # is exact.  Rounding to 1e-6 absorbs the (≈1e-14)
+    # summation-order difference from the DuckDB oracle's
+    # sequential fold.
     import numpy as np
     import pandas as pd
 
+    emb = _emb(spark, sf_dir)
+    buckets = emb_lsh_buckets(spark, sf_dir)
     id_arr, mat = _corpus_matrix(emb)
     sc = spark.sparkContext
     b_ids = sc.broadcast(id_arr)
     b_mat = sc.broadcast(mat)
 
-    def score(batches):
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = b_ids.value
         m = b_mat.value
-        norms = np.sqrt((m * m).sum(axis=1))
-        lookup = {int(v): i for i, v in enumerate(ids)}
-        for pdf in batches:
-            ia = pdf["vec_a"].map(lookup).to_numpy()
-            ib = pdf["vec_b"].map(lookup).to_numpy()
-            dots = np.einsum("ij,ij->i", m[ia], m[ib])
-            cos = np.round(dots / (norms[ia] * norms[ib]) * 1e6) / 1e6
-            out = pd.DataFrame(
-                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": cos}
-            )
-            yield out[out["cosine"] >= threshold]
+        empty = pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "cosine": []}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+        members = np.unique(pdf["vec_id"].to_numpy())
+        if len(members) < 2:
+            return empty
+        # positions in the corpus matrix (ids are sorted)
+        pos = np.searchsorted(ids, members)
+        sub = m[pos]
+        norms = np.sqrt((sub * sub).sum(axis=1))
+        iu, ju = np.triu_indices(len(members), k=1)
+        # per-pair einsum, not sub @ sub.T: GEMM blocking varies with
+        # matrix shape, and the same pair must produce bit-identical
+        # cosines in every bucket for the final distinct to dedup
+        dots = np.einsum("ij,ij->i", sub[iu], sub[ju])
+        c = np.round(dots / (norms[iu] * norms[ju]) * 1e6) / 1e6
+        keep = c >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": members[iu[keep]],
+                "vec_b": members[ju[keep]],
+                "cosine": c[keep],
+            }
+        )
 
-    return candidates.mapInPandas(
-        score, "vec_a bigint, vec_b bigint, cosine double"
+    return (
+        buckets.groupBy("table", "bucket")
+        .applyInPandas(score_bucket, "vec_a bigint, vec_b bigint, cosine double")
+        .distinct()
     )
 
 
