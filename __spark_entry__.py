@@ -53,8 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup ladder (§2.12 EXT) ---
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
-        "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,  # no SQL oracle (LSH)
-        "doc_simhash": dedup.doc_simhash,                      # no SQL oracle (bit ops)
+        "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,
+        "doc_simhash": dedup.doc_simhash,
         # --- text analysis (§2.12 EXT) ---
         "doc_text_stats": textstats.doc_text_stats,
         "doc_lang_id": textstats.doc_lang_id,
@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": simsearch.emb_cosine_topk,
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
         "emb_lsh_near_pairs": simsearch.emb_lsh_near_pairs,
-        "emb_ivf_topk": simsearch.emb_ivf_topk,                # no SQL oracle (ANN)
+        "emb_ivf_topk": simsearch.emb_ivf_topk,
     }
 
 
@@ -96,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         "active_building_customers": relational.ACTIVE_BUILDING_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
+        "doc_minhash_lsh_pairs": dedup.DOC_MINHASH_SQL,
+        "doc_simhash": dedup.DOC_SIMHASH_SQL,
         "doc_text_stats": textstats.DOC_TEXT_STATS_SQL,
         "doc_lang_id": textstats.DOC_LANG_ID_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
@@ -105,4 +107,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,
+        "emb_ivf_topk": simsearch.EMB_IVF_TOPK_SQL,
     }

@@ -80,6 +80,43 @@ def _hashed_shingles(d: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _h60(col):
+    """60-bit integer hash from the first 15 hex chars of md5 — the
+    one keyed hash both Spark (conv(hex,16,10)) and DuckDB
+    (CAST('0x…' AS BIGINT)) compute bit-identically, which lets
+    minhash/simhash outputs be verified value-for-value by the DuckDB
+    oracle.  xxhash64 stays on paths where hash values never reach
+    the output (plain Jaccard)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_H60_DUCK = "CAST(CONCAT('0x', SUBSTR(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def _md5_shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) with the cross-engine 60-bit md5 shingle hash."""
+    return _shingles(d, n).select("doc_id", _h60("shingle").alias("h"))
+
+
+_SHINGLE_HH_DUCK = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             generate_series(1, LEN(string_split(text, ' ')) - 2),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )) AS shingle
+    FROM documents
+  )
+),
+hh AS (
+  SELECT DISTINCT doc_id,
+         CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+)"""
+
+
 def doc_ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.25, n: int = 3
 ) -> DataFrame:
@@ -161,8 +198,10 @@ def doc_minhash_lsh_pairs(
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     Signature: ``minhash_j(doc) = min over shingles of
-    (a_j·xxhash64(shingle) + b_j) mod p`` with fixed (a_j, b_j) drawn
-    deterministically from j (reproducible across runs/engines).
+    (a_j·h60(shingle) + b_j) mod p`` with fixed (a_j, b_j) drawn
+    deterministically from j and h60 the md5-derived 60-bit hash —
+    reproducible across runs AND engines, so the ENTIRE pipeline
+    (candidates included) has a DuckDB oracle.
     Bands of ``num_hashes/bands`` rows each; docs colliding on any
     band's full sub-signature become candidates; candidates are
     verified with exact Jaccard so the output has no false positives
@@ -173,7 +212,7 @@ def doc_minhash_lsh_pairs(
     d = _docs(spark, sf_dir)
     # one shingle pass feeds both the signature agg and the verify
     # docsets branch
-    sh = _hashed_shingles(d, n).persist()
+    sh = _md5_shingles(d, n).persist()
 
     h = F.pmod(F.col("h"), F.lit(_MERSENNE))
     # deterministic per-j coefficients (odd a, arbitrary b)
@@ -187,11 +226,17 @@ def doc_minhash_lsh_pairs(
     ]
     sigs = sh.groupBy("doc_id").agg(*sig_cols)
 
+    # bucket key = the band's sub-signature joined as a string —
+    # engine-neutral (Spark's murmur F.hash has no DuckDB equivalent)
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
-            F.hash(
-                *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh_{band * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
             ).alias("bucket"),
         )
         for band in range(bands)
@@ -258,16 +303,17 @@ def doc_minhash_lsh_pairs(
 def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash signature: sign-sum of token-hash bits.
 
-    bit_b(doc) = 1 iff Σ_tokens (bit_b(xxhash64(token)) ? +1 : −1) > 0.
-    Near-dup candidates are docs whose signatures differ in ≤k bits —
-    found by exact-match join on signature rotations (not included in
-    the oracle set; signature itself is deterministic and testable).
+    bit_b(doc) = 1 iff Σ_tokens (bit_b(h60(token)) ? +1 : −1) > 0,
+    with h60 the md5-derived cross-engine hash so the signature is
+    verified value-for-value by the DuckDB oracle.  Near-dup
+    candidates are docs whose signatures differ in ≤k bits — found by
+    exact-match join on signature rotations.
     """
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    h = F.xxhash64("token")
+    h = _h60("token")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -280,3 +326,87 @@ def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def _minhash_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+) -> str:
+    """DuckDB oracle for the FULL minhash pipeline (signatures, band
+    collisions, exact verify) — possible because every hash involved
+    is the md5-derived h60 both engines compute identically."""
+    rpb = num_hashes // bands
+    p = _MERSENNE
+    sig_exprs = ",\n         ".join(
+        f"MIN((({2 * j + 1} * (h % {p})) + {7919 * (j + 1)}) % {p}) AS mh_{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, CONCAT({cols}) AS bucket FROM sig".format(
+            b=band,
+            cols=", '-', ".join(
+                f"mh_{band * rpb + r}" for r in range(rpb)
+            ),
+        )
+        for band in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_HH_DUCK.strip()},
+sig AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM hh GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN hh a ON a.doc_id = c.doc_a
+  JOIN hh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+DOC_MINHASH_SQL = _minhash_sql()
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, {_H60_DUCK.format(col='token')} AS h FROM tok
+),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+DOC_SIMHASH_SQL = _simhash_sql()

@@ -382,6 +382,82 @@ def emb_ivf_topk(
     )
 
 
+def _ivf_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB oracle for the full IVF pipeline.  Both engines compute
+    dot products as sequential index-order float64 folds (Spark's
+    ``aggregate`` lambda, DuckDB's ``list_aggregate('sum')``), so the
+    unrounded similarities that drive centroid assignment and probe
+    selection are bit-identical — the same property emb_cosine_topk
+    already relies on."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, LEN({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {nrm.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn
+  FROM emb WHERE vec_id >= 100 AND vec_id < {100 + n_centroids}
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ({dot.format(a='e.embedding', b='c.ce')} / (e.nrm * c.cn)) DESC,
+                    c.centroid_id
+         ) AS rk
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, nrm, centroid_id FROM asg WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qe, qn, centroid_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qe, e.nrm AS qn,
+           c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ({dot.format(a='e.embedding', b='c.ce')} / (e.nrm * c.cn)) DESC,
+                      c.centroid_id
+           ) AS rk
+    FROM emb e CROSS JOIN cents c
+    WHERE e.vec_id < {n_queries}
+  ) WHERE rk <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND({dot.format(a='p.qe', b='a.embedding')} / (p.qn * a.nrm), 6) AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+EMB_IVF_TOPK_SQL = _ivf_sql()
+
+
 def _dot_literal_duck(weights: list[float], col: str) -> str:
     arr = ", ".join(repr(w) for w in weights)
     return (

@@ -20,10 +20,10 @@ def entry():
 def test_all_queries_declared_with_oracles(entry):
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(oracles) <= set(qs)
-    # only genuinely non-SQL ops may omit oracles
-    assert set(qs) - set(oracles) == {
-        "doc_minhash_lsh_pairs", "doc_simhash", "emb_ivf_topk"
-    }
+    # every declared query carries a DuckDB oracle — the md5-derived
+    # h60 hash makes even minhash/simhash cross-engine, and IVF is
+    # plain window SQL
+    assert set(qs) - set(oracles) == set()
 
 
 def test_entry_smoke(spark, entry):
