@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
         "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,
         "doc_simhash": dedup.doc_simhash,
+        "doc_embedding_dups": dedup.doc_embedding_dups,
         # --- text analysis (§2.12 EXT) ---
         "doc_text_stats": textstats.doc_text_stats,
         "doc_lang_id": textstats.doc_lang_id,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_minhash_lsh_pairs": dedup.DOC_MINHASH_SQL,
         "doc_simhash": dedup.DOC_SIMHASH_SQL,
+        "doc_embedding_dups": dedup.DOC_EMBEDDING_DUPS_SQL,
         "doc_text_stats": textstats.DOC_TEXT_STATS_SQL,
         "doc_lang_id": textstats.DOC_LANG_ID_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,

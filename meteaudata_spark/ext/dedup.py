@@ -410,3 +410,63 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
 
 
 DOC_SIMHASH_SQL = _simhash_sql()
+
+
+def doc_embedding_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over ``documents``
+    (the last rung of the dedup ladder: semantic, not lexical).
+
+    ``embeddings.vec_id`` is the document id; candidate pairs come
+    from the random-hyperplane LSH (linear cost), are verified by
+    exact cosine ≥ threshold, then joined back to ``documents`` for
+    the dedup decision: keep the lower doc_id, drop the higher.
+    Both joins are id-keyed shuffles against the (small) survivor
+    set — at 100 TB the document payload never rides through the
+    pair-mining stage.
+    """
+    from meteaudata_spark.ext import simsearch
+
+    pairs = simsearch.emb_lsh_near_pairs(spark, sf_dir, threshold=threshold)
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("vec_a"),
+                F.col("lang").alias("lang_keep"),
+                F.col("n_chars").alias("n_chars_keep"),
+            ),
+            "vec_a",
+        )
+        .join(d.select(F.col("doc_id").alias("vec_b")), "vec_b")
+        .select(
+            F.col("vec_a").alias("kept_doc_id"),
+            F.col("vec_b").alias("dropped_doc_id"),
+            "cosine",
+            "lang_keep",
+            "n_chars_keep",
+        )
+    )
+
+
+def _embedding_dups_sql(threshold: float = 0.4) -> str:
+    from meteaudata_spark.ext import simsearch
+
+    near = simsearch._lsh_near_pairs_sql(threshold=threshold).strip()
+    # strip the trailing ORDER BY of the inner query
+    near = near[: near.rindex("ORDER BY")]
+    return f"""
+WITH pairs AS (
+{near}
+)
+SELECT p.vec_a AS kept_doc_id, p.vec_b AS dropped_doc_id, p.cosine,
+       d.lang AS lang_keep, d.n_chars AS n_chars_keep
+FROM pairs p
+JOIN documents d ON d.doc_id = p.vec_a
+JOIN documents d2 ON d2.doc_id = p.vec_b
+ORDER BY kept_doc_id, dropped_doc_id
+"""
+
+
+DOC_EMBEDDING_DUPS_SQL = _embedding_dups_sql()

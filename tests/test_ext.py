@@ -147,3 +147,12 @@ def test_wide_view_alignment(spark, provenance):
     n_raw = 30
     n_res = sig.time_series["WV#1_RESAMPLED#1"].count()
     assert len(wide) >= max(n_raw, n_res)
+
+
+def test_embedding_dups_keep_lower_id(spark):
+    from meteaudata_spark.ext import dedup
+
+    rows = dedup.doc_embedding_dups(spark, SF).collect()
+    # keep/drop orientation: kept id strictly below dropped id
+    assert all(r.kept_doc_id < r.dropped_doc_id for r in rows)
+    assert all(r.cosine >= 0.4 for r in rows)
