@@ -90,3 +90,108 @@ def test_stream_sessionize_runs(spark, event_stream_dir):
     got = spark.table("sessions").toPandas()
     assert len(got) >= 2
     assert set(got.columns) == {"user_id", "session_start", "session_end", "n_events"}
+
+
+def test_stream_sliding_mean_matches_batch_windows(spark, event_stream_dir):
+    from meteaudata_spark.streaming.resample_stream import stream_sliding_mean
+
+    path, pdf = event_stream_dir
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_sliding_mean(
+        stream, "10min", "5min", partition_cols=["event_type"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sliding").toPandas()
+    # every event lands in window/slide = 2 overlapping windows, so the
+    # per-group row count must exceed the tumbling-window count
+    assert (got["window_end"] - got["window_start"]).eq(pd.Timedelta("10min")).all()
+    tumbling = got[got["window_start"].dt.minute % 10 == 0]
+    assert len(got) > len(tumbling)
+    # spot-check one window against pandas
+    g = got[(got["event_type"] == "a")].sort_values("window_start").iloc[2]
+    mask = (
+        (pdf["event_type"] == "a")
+        & (pdf["timestamp"] >= g["window_start"])
+        & (pdf["timestamp"] < g["window_end"])
+    )
+    assert np.isclose(pdf.loc[mask, "value"].mean(), g["value"])
+
+
+def test_stream_dedup_drops_retransmissions(spark, tmp_path):
+    from meteaudata_spark.streaming.resample_stream import stream_dedup
+
+    idx = pd.date_range("2024-01-01", freq="1min", periods=20)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [i // 2 for i in range(20)],  # every id twice
+            "timestamp": idx,
+            "value": np.arange(20.0),
+        }
+    )
+    path = str(tmp_path / "dup_src")
+    spark.createDataFrame(pdf).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_dedup(stream, ["event_id"], watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("deduped").toPandas()
+    assert len(got) == 10
+    assert sorted(got["event_id"]) == list(range(10))
+
+
+def test_stream_interval_join_click_to_impression(spark, tmp_path):
+    from meteaudata_spark.streaming.resample_stream import stream_interval_join
+
+    imp = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "timestamp": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:20", "2024-01-01 10:00"]
+            ),
+            "ad": ["x", "y", "z"],
+        }
+    )
+    clk = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "timestamp": pd.to_datetime(
+                ["2024-01-01 10:05", "2024-01-01 10:45"]
+            ),
+            "target": ["t1", "t2"],
+        }
+    )
+    pi, pc = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imp).write.parquet(pi)
+    spark.createDataFrame(clk).write.parquet(pc)
+    s_imp = spark.readStream.schema(spark.read.parquet(pi).schema).parquet(pi)
+    s_clk = spark.readStream.schema(spark.read.parquet(pc).schema).parquet(pc)
+    out = stream_interval_join(
+        s_clk, s_imp, on="user_id", upper="10 minutes"
+    ).selectExpr("__l.user_id AS user_id", "target", "ad")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("joined")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("joined").toPandas().sort_values("user_id")
+    # click@10:05 matches impression@10:00 (within 10min); click@10:45
+    # matches nothing (both impressions too old)
+    assert got["ad"].tolist() == ["x"]
