@@ -45,7 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "brand_revenue_share": relational.brand_revenue_share,
         "revenue_rollup": relational.revenue_rollup,       # grouping sets
-        "q6_revenue_delta": relational.q6_revenue_delta,   # pure pushdown+sum
+        "q6_revenue_delta": relational.q6_revenue_delta,
+        "q4_late_orders": relational.q4_late_orders,
+        "q12_ship_delay_buckets": relational.q12_ship_delay_buckets,
+        "q14_promo_revenue_share": relational.q14_promo_revenue_share,   # pure pushdown+sum
         "customers_without_orders": relational.customers_without_orders,  # anti join
         "suppliers_with_returns": relational.suppliers_with_returns,      # semi join
         "top_orders_per_customer": relational.top_orders_per_customer,    # ranking window
@@ -91,6 +94,9 @@ def oracle_sql() -> dict[str, str]:
         "brand_revenue_share": relational.BRAND_SHARE_SQL,
         "revenue_rollup": relational.REVENUE_ROLLUP_SQL,
         "q6_revenue_delta": relational.Q6_SQL,
+        "q4_late_orders": relational.Q4_LATE_ORDERS_SQL,
+        "q12_ship_delay_buckets": relational.Q12_SHIP_DELAY_SQL,
+        "q14_promo_revenue_share": relational.Q14_PROMO_SHARE_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "suppliers_with_returns": relational.SUPPLIERS_WITH_RETURNS_SQL,
         "top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,

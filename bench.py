@@ -55,7 +55,8 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# ERROR {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    ok = [t for t in timings.values() if t >= 0]
+    total = round(sum(ok), 3)
     print(
         json.dumps(
             {
@@ -63,6 +64,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(ok),
+                "avg_query_sec": round(total / len(ok), 3) if ok else -1.0,
                 "sf": sf,
             }
         )

@@ -417,3 +417,135 @@ SELECT p_brand,
 FROM per_brand
 ORDER BY revenue DESC, p_brand
 """
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: per priority, how many
+    1996 orders had at least one lineitem shipped more than 30 days
+    after the order date.  (The synthetic schema has no
+    l_commitdate/l_receiptdate; shipped-late stands in.)
+
+    Plan: orders filtered by date (pushed to the scan) LEFT SEMI
+    joined to lineitem on key + lateness — the semi join keeps each
+    order at most once, so no distinct is needed, and only the
+    orderkey/date columns of lineitem are read."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            > 30
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 30
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q12_ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-flavored shipping-delay histogram: lineitems
+    bucketed by days between order and ship date, with priority
+    split (URGENT/HIGH vs other) — one fact-fact equi-join, one
+    hash aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, F.lit("0-29"))
+        .when(delay < 60, F.lit("30-59"))
+        .when(delay < 90, F.lit("60-89"))
+        .otherwise(F.lit("90+"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("delay_bucket"), high.alias("is_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SHIP_DELAY_SQL = """
+SELECT
+  CASE WHEN d < 30 THEN '0-29' WHEN d < 60 THEN '30-59'
+       WHEN d < 90 THEN '60-89' ELSE '90+' END AS delay_bucket,
+  SUM(h) AS high_line_count,
+  SUM(1 - h) AS low_line_count
+FROM (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS h
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY 1
+ORDER BY delay_bucket
+"""
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo share: per ship month, the percentage of
+    discounted revenue from PROMO-type parts.  part is broadcast;
+    both sums come out of ONE aggregation (conditional sum), so the
+    fact table is scanned and shuffled once."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double")
+                * 100,
+                6,
+            ).alias("promo_pct"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q14_PROMO_SHARE_SQL = """
+SELECT
+  date_trunc('month', l_shipdate) AS ship_month,
+  ROUND(
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    * 100, 6) AS promo_pct,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY ship_month
+"""
