@@ -63,3 +63,39 @@ def test_events_filter_pushdown(spark):
     ).select("event_id")
     pushed = inspect.pushed_filters(ev)
     assert any("event_type" in f for f in pushed), pushed
+
+
+def test_lsh_bucketize_is_shuffle_free(spark):
+    """The LSH bucket stage must stay a narrow map — no exchange
+    before the per-bucket grouping."""
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_lsh_buckets(spark, SF)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_ngram_jaccard_joins_on_long_keys(spark):
+    """The shingle self-join must run on hashed BIGINT keys, not raw
+    shingle strings (string shuffles dominate at scale)."""
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_ngram_jaccard_pairs(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "xxhash64" in plan, plan[:2000]
+
+
+def test_q4_semi_join_broadcasts(spark):
+    df = relational.q4_late_orders(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    pushed = inspect.pushed_filters(df)
+    assert any("o_orderdate" in f for f in pushed), pushed
+
+
+def test_q14_single_aggregation(spark):
+    """Promo share must come out of ONE aggregation over the fact
+    scan: one partial+final agg pair, dim broadcast, no second scan."""
+    df = relational.q14_promo_revenue_share(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "BroadcastHashJoin" in joins
+    assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
