@@ -184,3 +184,44 @@ def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, out_schema)
+
+
+def embed_assets(assets: DataFrame, dim: int = 64) -> DataFrame:
+    """STUB embedding: binary payload → ``array<float>`` of length
+    ``dim`` (deterministic byte-histogram features; a real deployment
+    swaps in a CLIP/CLAP-style encoder).  Output schema matches the
+    ``embeddings`` table — (vec_id, label, embedding) — so the result
+    feeds straight into the similarity stack (``lsh_bucketize``,
+    IVF, brute top-k): the multimodal → embedding → ANN-index
+    pipeline with every Spark-side stage real."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for p in pdf["payload"]:
+                body = _decode_payload(bytes(p)).astype(np.float64)
+                # byte histogram folded to `dim` buckets, L2-normalized:
+                # deterministic, content-sensitive, unit-scale
+                hist = np.bincount(
+                    (body % dim).astype(np.int64), minlength=dim
+                ).astype(np.float64)
+                nrm = np.sqrt((hist * hist).sum()) or 1.0
+                embs.append((hist / nrm).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["asset_id"],
+                    "label": pdf["modality"],
+                    "embedding": embs,
+                }
+            )
+
+    return assets.mapInPandas(batches, out_schema)

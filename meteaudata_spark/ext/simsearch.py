@@ -168,45 +168,65 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between BLAS matmul and the oracle's sequential fold
     is immaterial for non-degenerate data — the same tolerance the
     previous hash-aggregated implementation relied on."""
-    import numpy as np
-    import pandas as pd
+    return lsh_bucketize(_emb(spark, sf_dir))
 
-    emb = _emb(spark, sf_dir)
-    # (dim × tables·planes) plane matrix, column-major by (table, plane)
+
+def lsh_bucketize(emb: DataFrame) -> DataFrame:
+    """Core LSH bucketing over any (vec_id, label, embedding)
+    DataFrame — see emb_lsh_buckets for semantics and scale notes.
+    Split out so the scale smoke can drive it with executor-side
+    synthetic vectors.
+
+    Uses mapInArrow, not mapInPandas: the list<float> column flattens
+    zero-copy into one (n x dim) matrix, where the pandas route would
+    build n Python lists before the matmul (measured ~10x slower at
+    1M vectors)."""
+    import numpy as np
+    import pyarrow as pa
+
+    # (dim x tables*planes) plane matrix, column-major by (table, plane)
     w_mat = (
         np.array(_LSH_W, dtype=np.float64)
         .reshape(_LSH_TABLES * _LSH_PLANES, _LSH_DIM)
         .T.copy()
     )
     plane_bits = np.arange(_LSH_PLANES, dtype=np.int64)
+    # label passes through untouched, whatever its type (the gate
+    # table has int labels; embed_assets emits modality strings)
+    label_ddl = emb.schema["label"].dataType.simpleString()
 
     def bucketize(batches):
-        for pdf in batches:
-            n = len(pdf)
+        tables = np.arange(_LSH_TABLES, dtype=np.int32)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            embc = batch.column(batch.schema.get_field_index("embedding"))
+            x = np.asarray(embc.flatten(), dtype=np.float64).reshape(
+                n, _LSH_DIM
+            )
             signs = (x @ w_mat > 0).astype(np.int64)
             buckets = (
                 signs.reshape(n, _LSH_TABLES, _LSH_PLANES) << plane_bits
             ).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), _LSH_TABLES
-                    ),
-                    "label": np.repeat(
-                        pdf["label"].to_numpy(), _LSH_TABLES
-                    ),
-                    "table": np.tile(
-                        np.arange(_LSH_TABLES, dtype=np.int32), n
-                    ),
-                    "bucket": buckets.reshape(-1),
-                }
+            # Arrow `take` with repeated indices: null-safe and
+            # type-preserving where numpy round-trips are neither
+            rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), _LSH_TABLES))
+            vec_id = batch.column(batch.schema.get_field_index("vec_id"))
+            label = batch.column(batch.schema.get_field_index("label"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id.take(rep_idx),
+                    label.take(rep_idx),
+                    pa.array(np.tile(tables, n), pa.int32()),
+                    pa.array(buckets.reshape(-1), pa.int64()),
+                ],
+                names=["vec_id", "label", "table", "bucket"],
             )
 
-    return emb.select("vec_id", "label", "embedding").mapInPandas(
-        bucketize, "vec_id BIGINT, label INT, table INT, bucket BIGINT"
+    return emb.select("vec_id", "label", "embedding").mapInArrow(
+        bucketize,
+        f"vec_id BIGINT, label {label_ddl}, table INT, bucket BIGINT",
     )
 
 

@@ -45,3 +45,27 @@ def test_video_frame_sampling(spark, assets):
 def test_real_codec_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         multimodal._decode_payload(b"\x89PNG\r\n...")
+
+
+def test_embed_assets_feeds_similarity_stack(spark):
+    """multimodal → embedding → LSH index, end-to-end on the real
+    Spark plumbing (decode stubbed, everything else genuine)."""
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.multimodal import embed_assets, make_fake_assets
+    from meteaudata_spark.ext.simsearch import _LSH_TABLES, lsh_bucketize
+
+    assets = make_fake_assets(spark, n=30)
+    emb = embed_assets(assets)
+    pdf = emb.toPandas()
+    assert len(pdf) == 30
+    assert all(len(e) == 64 for e in pdf["embedding"])
+    # unit-normalized
+    import numpy as np
+
+    norms = [np.linalg.norm(np.asarray(e, dtype=float)) for e in pdf["embedding"]]
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    # flows into the LSH index unchanged
+    buckets = lsh_bucketize(emb.withColumn("label", F.lit(None).cast("int")))
+    bdf = buckets.toPandas()
+    assert len(bdf) == 30 * _LSH_TABLES

@@ -84,6 +84,26 @@ def main() -> None:
     results["rolling_mean_partitioned"] = round(time.perf_counter() - t0, 2)
     print("rolling mean:", results["rolling_mean_partitioned"], "s", flush=True)
 
+    # LSH bucketize: n_rows/10 synthetic 64-dim vectors, built
+    # executor-side; the stage must stay a narrow shuffle-free map
+    from meteaudata_spark.ext import simsearch
+
+    n_vec = n_rows // 10
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).cast("int").alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), i -> cast(sin(id * 64 + i) as float))"
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    simsearch.lsh_bucketize(vecs).write.mode("overwrite").format("noop").save()
+    results["lsh_bucketize_vectors"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"lsh bucketize ({n_vec:,} x 64-dim):",
+        results["lsh_bucketize_vectors"], "s", flush=True,
+    )
+
     import json
 
     print(json.dumps({"n_rows": n_rows, "n_keys": n_keys, "timings_sec": results}))
