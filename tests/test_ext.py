@@ -156,3 +156,28 @@ def test_embedding_dups_keep_lower_id(spark):
     # keep/drop orientation: kept id strictly below dropped id
     assert all(r.kept_doc_id < r.dropped_doc_id for r in rows)
     assert all(r.cosine >= 0.4 for r in rows)
+
+
+def test_h60_hash_cross_engine(spark):
+    """The md5-h60 hash must agree bit-for-bit across Spark, DuckDB,
+    and Python — it keys the minhash/simhash oracles."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.dedup import _H60_DUCK, _h60
+
+    words = ["", "a", "hello world", "naïve café", "0" * 100, "xyz 123"]
+    sdf = spark.createDataFrame([(w,) for w in words], "s STRING")
+    got_spark = {
+        r.s: r.h for r in sdf.select("s", _h60("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    expr = _H60_DUCK.format(col="s")
+    for w in words:
+        (got_duck,) = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS s)", [w]
+        ).fetchone()
+        ref = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        assert got_spark[w] == got_duck == ref, (w, got_spark[w], got_duck, ref)
