@@ -45,10 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "brand_revenue_share": relational.brand_revenue_share,
         "revenue_rollup": relational.revenue_rollup,       # grouping sets
-        "q6_revenue_delta": relational.q6_revenue_delta,
-        "q4_late_orders": relational.q4_late_orders,
+        "q6_revenue_delta": relational.q6_revenue_delta,   # pure pushdown+sum
+        "q4_late_orders": relational.q4_late_orders,       # semi join + EXISTS
         "q12_ship_delay_buckets": relational.q12_ship_delay_buckets,
-        "q14_promo_revenue_share": relational.q14_promo_revenue_share,   # pure pushdown+sum
+        "q14_promo_revenue_share": relational.q14_promo_revenue_share,  # broadcast dim, conditional agg
         "customers_without_orders": relational.customers_without_orders,  # anti join
         "suppliers_with_returns": relational.suppliers_with_returns,      # semi join
         "top_orders_per_customer": relational.top_orders_per_customer,    # ranking window

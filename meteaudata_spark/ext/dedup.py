@@ -208,8 +208,26 @@ def doc_minhash_lsh_pairs(
     (only the recall is approximate).  At 100 TB the band join
     replaces the quadratic shingle self-join with group-by-bucket.
     """
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        n=n,
+    )
+
+
+def minhash_lsh_pairs(
+    d: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+    n: int = 3,
+) -> DataFrame:
+    """Core MinHash+LSH pipeline over any (doc_id, text) DataFrame —
+    see doc_minhash_lsh_pairs for semantics.  Split out so the scale
+    smoke can drive it with executor-side synthetic corpora."""
     rows_per_band = num_hashes // bands
-    d = _docs(spark, sf_dir)
     # one shingle pass feeds both the signature agg and the verify
     # docsets branch
     sh = _md5_shingles(d, n).persist()

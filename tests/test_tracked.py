@@ -1,0 +1,56 @@
+"""TrackedTable: EXT table transforms emit ProcessingStep lineage
+(SURVEY §7.2 M4) with source capture and parameter records."""
+
+from meteaudata_spark.ext.tracked import TrackedTable
+from meteaudata_spark.metadata import ProcessingType
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tracked_dedup_chain_records_lineage(spark):
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.dedup import minhash_lsh_pairs
+
+    docs = TrackedTable.from_table(spark, SF, "documents")
+
+    def drop_short(df, min_chars=10):
+        """Filter documents shorter than min_chars."""
+        return df.filter(F.col("n_chars") >= min_chars)
+
+    filtered = docs.apply(
+        drop_short,
+        ptype=ProcessingType.FILTERING,
+        min_chars=20,
+    )
+    pairs = filtered.apply(
+        minhash_lsh_pairs,
+        ptype=ProcessingType.REMOVE_DUPLICATES,
+        suffix="MINHASH-LSH",
+        num_hashes=16,
+        bands=4,
+    )
+    # lineage accumulated in order, with source + parameters captured
+    assert [s.type for s in pairs.steps] == [
+        ProcessingType.FILTERING,
+        ProcessingType.REMOVE_DUPLICATES,
+    ]
+    assert "def drop_short" in pairs.steps[0].function_info.source_code
+    assert pairs.steps[0].parameters.model_dump()["min_chars"] == "20"
+    assert pairs.steps[1].parameters.model_dump()["num_hashes"] == "16"
+    assert pairs.name == "documents_DROP-SHORT_MINHASH-LSH"
+    assert pairs.steps[1].input_series_names == ["documents_DROP-SHORT"]
+    # the data plane stayed lazy but is runnable
+    assert pairs.df.count() >= 0
+    # manifest-ready summary
+    summary = pairs.lineage_summary()
+    assert summary[1]["function"] == "minhash_lsh_pairs"
+    assert summary[1]["inputs"] == ["documents_DROP-SHORT"]
+
+
+def test_tracked_suffix_grammar_enforced(spark):
+    import pytest
+
+    docs = TrackedTable.from_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="suffix"):
+        docs.apply(lambda df: df, suffix="BAD_SUFFIX")

@@ -104,6 +104,27 @@ def main() -> None:
         results["lsh_bucketize_vectors"], "s", flush=True,
     )
 
+    # MinHash+LSH dedup ladder: n_rows/100 synthetic 20-word docs
+    # (500-word vocab, ~3% exact-dup pairs via modular id reuse)
+    from meteaudata_spark.ext import dedup
+
+    n_docs = n_rows // 100
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(0, 19), "
+            "i -> concat('w', pmod(xxhash64("
+            "IF(pmod(id, 33) = 0, id + 1, id) * 20 + i), 500))), ' ')"
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    n_pairs = dedup.minhash_lsh_pairs(docs).count()
+    results["minhash_lsh_docs"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"minhash+lsh dedup ({n_docs:,} docs, {n_pairs:,} pairs):",
+        results["minhash_lsh_docs"], "s", flush=True,
+    )
+
     import json
 
     print(json.dumps({"n_rows": n_rows, "n_keys": n_keys, "timings_sec": results}))
