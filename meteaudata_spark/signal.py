@@ -229,6 +229,19 @@ class Signal:
     # ------------------------------------------------------------------
     # views / plumbing
     # ------------------------------------------------------------------
+    def persist(self, names: Optional[list[str]] = None) -> "Signal":
+        """Persist the named series (default: all) for common-subplan
+        reuse across repeated ``process`` calls — see
+        ``TimeSeries.persist``."""
+        for n in names or list(self.time_series):
+            self.time_series[n].persist()
+        return self
+
+    def unpersist(self, names: Optional[list[str]] = None) -> "Signal":
+        for n in names or list(self.time_series):
+            self.time_series[n].unpersist()
+        return self
+
     def to_wide_dataframe(self, names: Optional[list[str]] = None) -> DataFrame:
         """Full-outer alignment of series on the index — the analog of
         the reference's ``_to_dataframe`` (types.py:748-751).

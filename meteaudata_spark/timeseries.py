@@ -128,6 +128,28 @@ class TimeSeries:
     def count(self) -> int:
         return self.df.count()
 
+    def persist(self, storage_level: Optional[object] = None) -> "TimeSeries":
+        """Cache this series' plan for common-subplan reuse.
+
+        Repeated ``process`` calls extend a lazy DAG, so every action
+        on a downstream series re-executes the whole upstream chain;
+        persisting a hot intermediate makes later transforms read the
+        materialized partitions instead (SURVEY §4 — the cheap answer
+        to common-subplan reuse, before any custom Catalyst work).
+        MEMORY_AND_DISK by default so an oversized series spills
+        rather than evicting."""
+        from pyspark import StorageLevel
+
+        self.df = self.df.persist(
+            storage_level or StorageLevel.MEMORY_AND_DISK
+        )
+        return self
+
+    def unpersist(self, blocking: bool = False) -> "TimeSeries":
+        """Release a persisted series' storage."""
+        self.df = self.df.unpersist(blocking)
+        return self
+
     def describe(self) -> dict:
         """Data-quality summary in ONE aggregation job: row count,
         null/NaN ratio, duplicate-timestamp count, min/max/mean of

@@ -170,3 +170,33 @@ def test_dataset_add_versions_signal(sample_dataset, spark, provenance):
     ds.add(extra)
     assert "A#2" in ds.all_signals
     assert "A#2_RAW#1" in ds.signals["A#2"].all_time_series
+
+
+def test_persist_reuses_common_subplan(spark, provenance):
+    """SURVEY §4: persisting a hot intermediate makes downstream
+    transforms read cached partitions (InMemoryTableScan in the plan)
+    instead of re-running the whole upstream chain."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators.univariate import (
+        linear_interpolation,
+        resample,
+    )
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=200)
+    ser = pd.Series(np.random.default_rng(3).standard_normal(200), index=idx, name="RAW")
+    sig = Signal(input_data=ser, name="P", units="x", provenance=provenance, spark=spark)
+    sig.process(["P#1_RAW#1"], resample, "5min")
+    sig.persist(["P#1_RESAMPLED#1"])
+    try:
+        sig.process(["P#1_RESAMPLED#1"], linear_interpolation)
+        ts = sig.time_series["P#1_LIN-INT#1"]
+        plan = ts.df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan[:1500]
+        # values unchanged by caching
+        ref = ser.resample("5min").mean().interpolate(method="linear")
+        got = ts.to_pandas()
+        assert np.allclose(got.values, ref.values, equal_nan=True)
+    finally:
+        sig.unpersist()
