@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
         "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
         "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot
+        "ts_value_percentiles": tsq.ts_value_percentiles,  # exact quantiles (approx_percentile = scale path)
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_asof_last_order": tsq.TS_ASOF_SQL,
         "events_json_stats": tsq.EVENTS_JSON_SQL,
         "ts_daily_pivot": tsq.TS_DAILY_PIVOT_SQL,
+        "ts_value_percentiles": tsq.TS_PERCENTILES_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,

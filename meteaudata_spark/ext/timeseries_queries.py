@@ -431,3 +431,39 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event values per type (data-quality /
+    SLA-style aggregate).
+
+    ``percentile`` is the exact interpolated quantile — it sorts each
+    group, so at 100 TB prefer ``approx_percentile(value, q, 10000)``
+    (t-digest-style sketch, one pass, mergeable across partitions);
+    exact stays here because the oracle comparison demands
+    determinism and the per-group sort parallelizes across types."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.expr(
+                    f"round(percentile(value, {q}) * 1000000.0) / 1000000.0"
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.5, 0.95, 0.99)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+TS_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5)  * 1000000.0) / 1000000.0 AS p50,
+       ROUND(quantile_cont(value, 0.95) * 1000000.0) / 1000000.0 AS p95,
+       ROUND(quantile_cont(value, 0.99) * 1000000.0) / 1000000.0 AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
