@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
         "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot
         "ts_value_percentiles": tsq.ts_value_percentiles,  # exact quantiles (approx_percentile = scale path)
+        "ts_daily_delta": tsq.ts_daily_delta,              # agg → lag window (aggregate-first ordering)
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": tsq.EVENTS_JSON_SQL,
         "ts_daily_pivot": tsq.TS_DAILY_PIVOT_SQL,
         "ts_value_percentiles": tsq.TS_PERCENTILES_SQL,
+        "ts_daily_delta": tsq.TS_DAILY_DELTA_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,

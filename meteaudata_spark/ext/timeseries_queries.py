@@ -467,3 +467,35 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def ts_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day change of the daily mean per event type: an
+    aggregate feeding an analytic window (lag).  The window partitions
+    by type over already-aggregated days, so its sort input is tiny
+    regardless of fact-table size — aggregate first, window second is
+    the scale ordering."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("avg_raw"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        _r6(F.col("avg_raw")).alias("avg_value"),
+        _r6(F.col("avg_raw") - F.lag("avg_raw").over(w)).alias("delta_vs_prev_day"),
+    )
+
+
+TS_DAILY_DELTA_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS avg_raw
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       ROUND(avg_raw * 1000000.0) / 1000000.0 AS avg_value,
+       ROUND((avg_raw - LAG(avg_raw) OVER (PARTITION BY event_type ORDER BY day)) * 1000000.0) / 1000000.0 AS delta_vs_prev_day
+FROM daily
+ORDER BY event_type, day
+"""
