@@ -1,0 +1,86 @@
+"""transformWithStateInPandas EWMA: plan construction always; full
+execution only where the worker runtime (protobuf) exists."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from meteaudata_spark.streaming.transform_state import (
+    EWMA_OUTPUT_SCHEMA,
+    has_transform_with_state_runtime,
+    stream_ewma,
+)
+
+
+def _source(spark, tmp_path):
+    idx = pd.date_range("2024-01-01", freq="1min", periods=60)
+    pdf = pd.DataFrame(
+        {
+            "key": ["a" if i % 2 else "b" for i in range(60)],
+            "timestamp": idx,
+            "value": np.arange(60.0),
+        }
+    )
+    path = str(tmp_path / "ewma_src")
+    spark.createDataFrame(pdf).write.parquet(path)
+    return path, pdf
+
+
+def test_stream_ewma_plan_builds(spark, tmp_path):
+    path, _ = _source(spark, tmp_path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_ewma(stream, alpha=0.3)
+    assert out.isStreaming
+    assert out.schema == EWMA_OUTPUT_SCHEMA
+
+
+@pytest.mark.skipif(
+    not has_transform_with_state_runtime(),
+    reason="transformWithState worker runtime (protobuf) not in this env",
+)
+def test_stream_ewma_matches_pandas(spark, tmp_path):
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    path, pdf = _source(spark, tmp_path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        stream_ewma(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("ewma")
+        .toPandas()
+        .sort_values(["key", "timestamp"])
+        .reset_index(drop=True)
+    )
+    ref_parts = []
+    for k, g in pdf.groupby("key"):
+        s = pd.Series(g["value"].values, index=g["timestamp"])
+        ref_parts.append(
+            pd.DataFrame(
+                {
+                    "key": k,
+                    "timestamp": s.index,
+                    "ref": s.ewm(alpha=0.3, adjust=False).mean().values,
+                }
+            )
+        )
+    ref = (
+        pd.concat(ref_parts)
+        .sort_values(["key", "timestamp"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["ewma"].values, ref["ref"].values)
