@@ -489,3 +489,54 @@ def aligned_agg(
         df_long.groupBy(ts_col)
         .agg(fn(clean).alias(val_col))
     )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exponentially weighted moving average per key group, matching
+    pandas ``ewm(alpha, adjust=False, ignore_na=True).mean()``.
+
+    EWMA is a sequential recurrence (e_t = α·x_t + (1−α)·e_{t−1}),
+    which no window frame expresses without numerically exploding
+    (the closed form needs (1−α)^(−t) factors).  So this is the
+    documented exception to built-ins-only: an Arrow-batched
+    ``applyInPandas`` per key group — parallel across keys, sequential
+    within one (inherent to the operator).  For one series too big
+    for a task, the chunk + boundary-carry design of
+    ``interpolate_linear_distributed`` applies: within-chunk EWMA with
+    zero seed, then one tiny sequential pass over chunk-end states,
+    since the seed's influence enters linearly as (1−α)^i · seed.
+    The streaming analog (``streaming/transform_state.py:stream_ewma``)
+    keeps the same semantics with one value of state per key."""
+    import pandas as pd  # noqa: F401 - used by the worker closure
+
+    pcols = list(partition_cols)
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(ts_col)
+        pdf[val_col] = (
+            pdf[val_col]
+            .ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+        )
+        return pdf
+
+    schema = df.schema
+    if pcols:
+        return df.groupBy(*pcols).applyInPandas(
+            lambda pdf: kernel(pdf), schema
+        )
+    # single-group fallback: a real constant column (an integer
+    # literal in groupBy parses as an ordinal), dropped by the kernel
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: kernel(pdf.drop(columns="__g")), schema
+        )
+    )

@@ -366,3 +366,35 @@ def remove_duplicates(
         )
         outputs.append((out, [step]))
     return outputs
+
+
+def exponential_smoothing(
+    input_series: list[TimeSeries],
+    alpha: float = 0.3,
+    *args: Any,
+    **kwargs: Any,
+) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
+    """EWMA smoothing (ProcessingType.SMOOTHING, types.py:186 —
+    declared but unshipped in the reference).  Matches pandas
+    ``ewm(alpha, adjust=False).mean()``; see ``kernels.ewma`` for the
+    recurrence/scale discussion."""
+    step = _make_step(
+        ProcessingType.SMOOTHING,
+        f"Exponential smoothing with alpha={alpha}",
+        "exponential_smoothing",
+        "EWMA",
+        [ts.name for ts in input_series],
+        Parameters(alpha=alpha),
+        func=exponential_smoothing,
+    )
+    outputs = []
+    for ts in input_series:
+        _require_time_index(ts)
+        out = TimeSeries(
+            df=kernels.ewma(ts.df, alpha=alpha),
+            index_metadata=ts.index_metadata.model_copy(deep=True),
+            values_dtype="float64",
+            name=_out_name(ts, step.suffix),
+        )
+        outputs.append((out, [step]))
+    return outputs

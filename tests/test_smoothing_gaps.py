@@ -84,3 +84,52 @@ def test_detect_gaps_kernel_partitioned(spark):
     )
     assert len(out) == 2
     assert out["gap_seconds"].tolist() == [6900.0, 18000.0]
+
+
+def test_exponential_smoothing_matches_pandas(spark, provenance):
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators.univariate import exponential_smoothing
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=120)
+    vals = np.random.default_rng(9).standard_normal(120)
+    vals[10:14] = np.nan  # NaN handling: ignore_na matches pandas default
+    ser = pd.Series(vals, index=idx, name="RAW")
+    sig = Signal(input_data=ser, name="E", units="x", provenance=provenance, spark=spark)
+    sig.process(["E#1_RAW#1"], exponential_smoothing, alpha=0.25)
+    got = sig.time_series["E#1_EWMA#1"].to_pandas()
+    ref = ser.ewm(alpha=0.25, adjust=False, ignore_na=True).mean()
+    assert np.allclose(got.values, ref.values, equal_nan=True)
+    assert sig.time_series["E#1_EWMA#1"].processing_steps[-1].suffix == "EWMA"
+
+
+def test_ewma_kernel_partitioned(spark):
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators import kernels
+
+    idx = pd.date_range("2024-01-01", freq="1min", periods=40)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a" if i % 2 else "b" for i in range(40)],
+            "timestamp": idx,
+            "value": np.arange(40.0),
+        }
+    )
+    out = (
+        kernels.ewma(spark.createDataFrame(pdf), alpha=0.5, partition_cols=["k"])
+        .toPandas()
+        .sort_values(["k", "timestamp"])
+        .reset_index(drop=True)
+    )
+    ref = []
+    for k, g in pdf.groupby("k"):
+        ref.append(
+            g.sort_values("timestamp")
+            .assign(ref=lambda x: x["value"].ewm(alpha=0.5, adjust=False).mean())
+        )
+    ref = pd.concat(ref).sort_values(["k", "timestamp"]).reset_index(drop=True)
+    assert np.allclose(out["value"].values, ref["ref"].values)
