@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_score": textstats.doc_quality_score,
         "doc_top_tokens_per_lang": textstats.doc_top_tokens_per_lang,
         "doc_bpe_token_count": textstats.doc_bpe_token_count,
+        "doc_clean_text": textstats.doc_clean_text,
+        "doc_repetition_score": textstats.doc_repetition_score,
         # --- similarity search (§2.12 EXT) ---
         "emb_cosine_topk": simsearch.emb_cosine_topk,
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
@@ -116,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_score": textstats.DOC_QUALITY_SQL,
         "doc_top_tokens_per_lang": textstats.DOC_TOP_TOKENS_SQL,
         "doc_bpe_token_count": textstats.DOC_BPE_TOKENS_SQL,
+        "doc_clean_text": textstats.DOC_CLEAN_TEXT_SQL,
+        "doc_repetition_score": textstats.DOC_REPETITION_SQL,
         "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,

@@ -262,3 +262,104 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+
+def doc_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text scrubbing (the C4-style cleanup pass):
+    strip URLs and emails, collapse runs of whitespace, trim.
+    Reports per-doc how many characters the scrub removed.
+
+    Pure ``regexp_replace`` chains — JVM-side, fully pushdown/codegen
+    friendly; the patterns avoid constructs where Java regex and
+    DuckDB's RE2 diverge (no backrefs, no lookaround), so the oracle
+    matches byte-for-byte."""
+    d = _docs(spark, sf_dir)
+    url = r"https?://[^\s]+"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), url, " "),
+                email,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).alias("n_chars_removed"),
+    )
+
+
+DOC_CLEAN_TEXT_SQL = r"""
+SELECT doc_id,
+       TRIM(regexp_replace(
+         regexp_replace(
+           regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+         '\s+', ' ', 'g')) AS clean_text,
+       LEN(text) - LEN(TRIM(regexp_replace(
+         regexp_replace(
+           regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+         '\s+', ' ', 'g'))) AS n_chars_removed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_repetition_score(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """Repetition signal (Gopher-style quality rule): the share of a
+    document's word-bigrams occupied by its single most frequent
+    bigram.  Machine-generated / boilerplate text scores high.
+
+    One explode + two aggregations, all built-ins; the per-doc bigram
+    count is bounded by document length so the shuffle is O(corpus
+    tokens), never quadratic."""
+    d = _docs(spark, sf_dir)
+    # split once per row — inside the lambda it would re-evaluate per
+    # gram index (the O(words²) trap _shingles documents)
+    grams = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {n}), "
+                f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double") * 1000000.0
+        ).cast("double").alias("top_bigram_share_e6"),
+        F.sum("c").alias("n_bigrams"),
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           generate_series(1, LEN(string_split(text, ' ')) - 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+         )) AS gram
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1000000.0) AS DOUBLE) AS top_bigram_share_e6,
+       SUM(c) AS n_bigrams
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
