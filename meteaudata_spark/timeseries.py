@@ -150,6 +150,22 @@ class TimeSeries:
         self.df = self.df.unpersist(blocking)
         return self
 
+    def checkpoint(self, eager: bool = True) -> "TimeSeries":
+        """Truncate the lineage plan at this series.
+
+        A long ``process`` chain builds one ever-deeper Catalyst plan;
+        past a few dozen operators, analysis/optimization time per
+        action grows with chain length (the classic iterative-
+        algorithm trap).  ``localCheckpoint`` materializes the
+        partitions and replaces the plan with a leaf — downstream
+        transforms start from here.  The ProcessingStep record is the
+        durable lineage story and is untouched.  Local checkpoints
+        are executor-local (lost if an executor dies); for a
+        fault-tolerant cut, save to the native store and reload
+        (``sources/store.py``), which bounds the plan the same way."""
+        self.df = self.df.localCheckpoint(eager=eager)
+        return self
+
     def describe(self) -> dict:
         """Data-quality summary in ONE aggregation job: row count,
         null/NaN ratio, duplicate-timestamp count, min/max/mean of

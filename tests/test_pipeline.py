@@ -200,3 +200,44 @@ def test_persist_reuses_common_subplan(spark, provenance):
         assert np.allclose(got.values, ref.values, equal_nan=True)
     finally:
         sig.unpersist()
+
+
+def test_checkpoint_truncates_plan(spark, provenance):
+    """Checkpointing mid-chain replaces the upstream plan (including
+    the resample aggregation) with a materialized leaf; values are
+    unchanged.  Scalar maps alone collapse under Catalyst's project
+    merging — the aggregate is what makes the chain's plan deep."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators.univariate import (
+        resample,
+        transform_values,
+    )
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=50)
+    ser = pd.Series(np.arange(50.0), index=idx, name="RAW")
+
+    def build(chkpt: bool):
+        sig = Signal(
+            input_data=ser, name="C", units="x", provenance=provenance, spark=spark
+        )
+        sig.process(["C#1_RAW#1"], resample, "5min")
+        if chkpt:
+            sig.time_series["C#1_RESAMPLED#1"].checkpoint()
+        sig.process(["C#1_RESAMPLED#1"], transform_values, "value * 1.01", suffix="SCALED")
+        return sig.time_series["C#1_SCALED#1"]
+
+    deep = build(False)
+    cut = build(True)
+    plan_deep = cut_plan = None
+    plan_deep = deep.df._jdf.queryExecution().optimizedPlan().toString()
+    cut_plan = cut.df._jdf.queryExecution().optimizedPlan().toString()
+    # without checkpoint the resample aggregation is still in the plan;
+    # with it, the upstream collapses to a materialized leaf
+    assert "Aggregate" in plan_deep or "Join" in plan_deep, plan_deep
+    assert "Aggregate" not in cut_plan and "Join" not in cut_plan, cut_plan
+    assert "LogicalRDD" in cut_plan or "Scan ExistingRDD" in cut_plan
+    got_deep = deep.to_pandas()
+    got_cut = cut.to_pandas()
+    assert np.allclose(got_deep.values, got_cut.values, equal_nan=True)
