@@ -349,3 +349,112 @@ def dataset_from_json(spark: SparkSession, blob: str) -> Dataset:
         created_on=datetime.datetime.fromisoformat(payload["created_on"]),
         last_updated=datetime.datetime.fromisoformat(payload["last_updated"]),
     )
+
+
+# ----------------------------------------------------------------------
+# consolidated long-table store (the many-series scale layout)
+# ----------------------------------------------------------------------
+def save_dataset_long(dataset: Dataset, path: str) -> str:
+    """ONE partitioned Parquet dataset for the whole Dataset:
+
+        {path}/manifest.yaml
+        {path}/data/signal_name=…/  (long rows: series_name, ts, value)
+
+    The per-series-directory layout (``save_dataset``) mirrors the
+    reference and is right for tens of series; with millions of
+    series it degenerates into the small-files problem and a driver-
+    side write loop.  Here every series lands in one table written by
+    one job — partition pruning on ``signal_name``, predicate
+    pushdown on ``series_name``, and a single manifest.
+
+    Constraints of the consolidated layout: timestamp-indexed,
+    numeric-valued series only (values stored as DOUBLE; the
+    per-series ``values_dtype`` in the manifest restores the declared
+    dtype on load).  Mixed-type corpora belong in the per-series
+    layout."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as SparkDataFrame
+    from pyspark.sql import functions as F
+
+    parts = []
+    for sig_name, sig in dataset.signals.items():
+        for ts_name, ts in sig.time_series.items():
+            idx_type = dict(ts.df.dtypes)[INDEX_COL]
+            if not idx_type.startswith("timestamp"):
+                raise ValueError(
+                    f"save_dataset_long requires timestamp indexes; "
+                    f"series {ts_name!r} has {idx_type!r} — use "
+                    f"save_dataset for heterogeneous layouts"
+                )
+            parts.append(
+                ts.df.select(
+                    F.lit(sig_name).alias("signal_name"),
+                    F.lit(ts_name).alias("series_name"),
+                    F.col(INDEX_COL),
+                    F.col(VALUE_COL).cast("double").alias(VALUE_COL),
+                )
+            )
+    if not parts:
+        raise ValueError("dataset has no series to save")
+    long_df = reduce(SparkDataFrame.unionByName, parts)
+    ds_dir = os.path.join(path, _enc(dataset.name))
+    os.makedirs(ds_dir, exist_ok=True)
+    manifest = dataset.metadata_dict()
+    manifest["layout"] = "long"
+    with open(os.path.join(ds_dir, "manifest.yaml"), "w") as fh:
+        yaml.safe_dump(manifest, fh, sort_keys=False)
+    (
+        long_df.write.mode("overwrite")
+        .partitionBy("signal_name")
+        .parquet(os.path.join(ds_dir, "data"))
+    )
+    return ds_dir
+
+
+def load_dataset_long(spark: SparkSession, ds_dir: str) -> Dataset:
+    """Rebuild a Dataset from the consolidated layout.  Each series'
+    DataFrame is a lazy filter over the one table — signal_name
+    prunes partitions, series_name pushes into the scan; nothing is
+    read until a series is acted on."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.metadata import DataProvenance
+
+    with open(os.path.join(ds_dir, "manifest.yaml")) as fh:
+        manifest = yaml.safe_load(fh)
+    data = spark.read.parquet(os.path.join(ds_dir, "data"))
+    signals: dict[str, Signal] = {}
+    for sig_name, sig_meta in manifest["signals"].items():
+        series: dict[str, TimeSeries] = {}
+        for ts_name, ts_meta in sig_meta["time_series"].items():
+            df = (
+                data.filter(
+                    (F.col("signal_name") == sig_name)
+                    & (F.col("series_name") == ts_name)
+                )
+                .select(INDEX_COL, VALUE_COL)
+            )
+            series[ts_name] = TimeSeries.from_metadata_dict(df, ts_meta)
+        signals[sig_name] = Signal(
+            name=sig_meta["name"],
+            units=sig_meta["units"],
+            provenance=DataProvenance.model_validate(sig_meta["provenance"]),
+            time_series=series,
+            created_on=datetime.datetime.fromisoformat(sig_meta["created_on"]),
+            last_updated=datetime.datetime.fromisoformat(
+                sig_meta["last_updated"]
+            ),
+        )
+    return Dataset(
+        name=manifest["name"],
+        description=manifest["description"],
+        owner=manifest["owner"],
+        purpose=manifest["purpose"],
+        project=manifest["project"],
+        signals=signals,
+        created_on=datetime.datetime.fromisoformat(manifest["created_on"]),
+        last_updated=datetime.datetime.fromisoformat(manifest["last_updated"]),
+    )

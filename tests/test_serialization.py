@@ -108,3 +108,45 @@ def test_time_partitioned_roundtrip(spark, processed_signal, tmp_path):
     assert any(p.startswith("__tpart=") for p in os.listdir(series_dir))
     loaded = store.load_signal(spark, sig_dir)
     assert loaded == processed_signal
+
+
+def test_dataset_long_store_roundtrip(spark, provenance, tmp_path):
+    """Consolidated long-table layout: one partitioned parquet dataset
+    for all signals/series; round-trip equality; per-series reads
+    prune on signal partition and push series_name into the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.dataset import Dataset
+    from meteaudata_spark.operators.univariate import resample
+    from meteaudata_spark.signal import Signal
+    from meteaudata_spark.sources.store import (
+        load_dataset_long,
+        save_dataset_long,
+    )
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=60)
+    rng = np.random.default_rng(4)
+    signals = {}
+    for nm in ["A", "B"]:
+        sig = Signal(
+            input_data=pd.Series(rng.standard_normal(60), index=idx, name="RAW"),
+            name=nm,
+            units="mg/l",
+            provenance=provenance,
+            spark=spark,
+        )
+        sig.process([f"{nm}#1_RAW#1"], resample, "5min")
+        signals[sig.name] = sig
+    ds = Dataset(
+        name="LONGSTORE", description="d", owner="o", purpose="p",
+        project="x", signals=signals,
+    )
+    out = save_dataset_long(ds, str(tmp_path))
+    ds2 = load_dataset_long(spark, out)
+    assert ds2 == ds
+    # scan shape: partition pruning + series_name pushdown
+    ts = ds2.signals["A#1"].time_series["A#1_RESAMPLED#1"]
+    plan = ts.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "signal_name" in plan, plan[:800]
+    assert "PushedFilters: [" in plan and "series_name" in plan.split("PushedFilters")[1][:200], plan[:800]
