@@ -158,3 +158,26 @@ def test_rolling_mean_property(values, window):
     )
     ref = ser.rolling(window, min_periods=1).mean().values
     assert np.allclose(got, ref, equal_nan=True, rtol=1e-9)
+
+
+@given(
+    values=values_strategy,
+    alpha=st.floats(min_value=0.01, max_value=0.99),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ewma_matches_pandas(values, alpha):
+    idx = pd.date_range("2021-01-01", freq="1min", periods=len(values))
+    ser = pd.Series(values, index=idx)
+    out = (
+        kernels.ewma(_to_spark(ser), alpha=alpha)
+        .toPandas()
+        .sort_values("timestamp")
+    )
+    ref = ser.ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+    assert np.allclose(
+        out["value"].values, ref.values, equal_nan=True, rtol=1e-9
+    )
