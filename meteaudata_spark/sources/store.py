@@ -405,7 +405,12 @@ def save_dataset_long(dataset: Dataset, path: str) -> str:
     with open(os.path.join(ds_dir, "manifest.yaml"), "w") as fh:
         yaml.safe_dump(manifest, fh, sort_keys=False)
     (
-        long_df.write.mode("overwrite")
+        # sorted within files so Parquet row-group min/max stats make
+        # the series_name pushdown skip row groups, and time-range
+        # predicates skip within a series — data skipping with no
+        # index structure
+        long_df.sortWithinPartitions("series_name", INDEX_COL)
+        .write.mode("overwrite")
         .partitionBy("signal_name")
         .parquet(os.path.join(ds_dir, "data"))
     )
