@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot
         "ts_value_percentiles": tsq.ts_value_percentiles,  # exact quantiles (approx_percentile = scale path)
         "ts_daily_delta": tsq.ts_daily_delta,              # agg → lag window (aggregate-first ordering)
+        "ts_seasonal_deviation": tsq.ts_seasonal_deviation,  # aggregate-then-rejoin profile join
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_daily_pivot": tsq.TS_DAILY_PIVOT_SQL,
         "ts_value_percentiles": tsq.TS_PERCENTILES_SQL,
         "ts_daily_delta": tsq.TS_DAILY_DELTA_SQL,
+        "ts_seasonal_deviation": tsq.TS_SEASONAL_DEV_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,

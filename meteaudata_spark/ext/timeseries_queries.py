@@ -499,3 +499,40 @@ SELECT event_type, day,
 FROM daily
 ORDER BY event_type, day
 """
+
+
+def ts_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deviation of every event from its type's hour-of-day seasonal
+    profile — the aggregate-then-rejoin feature-engineering shape
+    (profile table is tiny: types × 24 rows, broadcast back onto the
+    fact stream; the fact table is scanned twice but never shuffled)."""
+    ev = _events(spark, sf_dir)
+    hour = F.hour("ts")
+    profile = (
+        ev.groupBy("event_type", hour.alias("hod"))
+        .agg(F.avg("value").alias("hod_mean"))
+    )
+    return (
+        ev.withColumn("hod", hour)
+        .join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            _r6(F.col("value") - F.col("hod_mean")).alias("deviation"),
+        )
+    )
+
+
+TS_SEASONAL_DEV_SQL = """
+WITH profile AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod, AVG(value) AS hod_mean
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, CAST(EXTRACT(hour FROM e.ts) AS INTEGER) AS hod,
+       ROUND((e.value - p.hod_mean) * 1000000.0) / 1000000.0 AS deviation
+FROM events e
+JOIN profile p
+  ON p.event_type = e.event_type AND p.hod = EXTRACT(hour FROM e.ts)
+ORDER BY e.event_id
+"""
