@@ -125,6 +125,40 @@ def main() -> None:
         results["minhash_lsh_docs"], "s", flush=True,
     )
 
+    # relational kernel: Q1-shaped decimal aggregation + broadcast-dim
+    # join over n_rows synthetic fact rows (all generated executor-side)
+    n_dim = max(1000, n_rows // 100)
+    fact = spark.range(n_rows).select(
+        (F.col("id") % n_dim).alias("fk"),
+        F.pmod(F.xxhash64("id"), F.lit(5)).alias("flag"),
+        (
+            (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100000)) / 100.0)
+        ).cast("decimal(18,2)").alias("price"),
+        (
+            (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(10)) / 100.0)
+        ).cast("decimal(18,2)").alias("disc"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("fk"),
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(25)).alias("grp"),
+    )
+    rev = F.col("price") * (F.lit(1).cast("decimal(18,2)") - F.col("disc"))
+    t0 = time.perf_counter()
+    (
+        fact.join(F.broadcast(dim), "fk")
+        .select("flag", "grp", rev.alias("__rev"))
+        .groupBy("flag", "grp")
+        .agg(F.sum("__rev").alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    results["relational_bcast_join_agg"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"relational join+agg ({n_rows:,} fact x {n_dim:,} dim):",
+        results["relational_bcast_join_agg"], "s", flush=True,
+    )
+
     import json
 
     print(json.dumps({"n_rows": n_rows, "n_keys": n_keys, "timings_sec": results}))
