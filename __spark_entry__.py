@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_count": textstats.doc_bpe_token_count,
         "doc_clean_text": textstats.doc_clean_text,
         "doc_repetition_score": textstats.doc_repetition_score,
+        "doc_pipeline_clean_dedup": textstats.doc_pipeline_clean_dedup,  # scrub → filter → dedup, one DAG
         # --- similarity search (§2.12 EXT) ---
         "emb_cosine_topk": simsearch.emb_cosine_topk,
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_token_count": textstats.DOC_BPE_TOKENS_SQL,
         "doc_clean_text": textstats.DOC_CLEAN_TEXT_SQL,
         "doc_repetition_score": textstats.DOC_REPETITION_SQL,
+        "doc_pipeline_clean_dedup": textstats.DOC_PIPELINE_SQL,
         "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,

@@ -363,3 +363,58 @@ FROM counts
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def doc_pipeline_clean_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed in ONE lazy DAG: scrub
+    (URL/email/whitespace) → quality filter (length after cleaning)
+    → exact dedup on the cleaned text → per-language survivor count.
+    Catalyst fuses the scrub+filter into the scan projection; the
+    only shuffles are the dedup group-by and the tiny final count."""
+    d = _docs(spark, sf_dir)
+    url = r"https?://[^\s]+"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), url, " "),
+                email,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    scrubbed = d.select("doc_id", "lang", cleaned.alias("clean_text"))
+    quality = scrubbed.filter(F.length("clean_text") >= 50)
+    deduped = quality.groupBy(F.md5("clean_text").alias("h"), "lang").agg(
+        F.min("doc_id").alias("kept_doc_id")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("kept_doc_id").alias("first_doc_id"),
+    )
+
+
+DOC_PIPELINE_SQL = r"""
+WITH scrubbed AS (
+  SELECT doc_id, lang,
+         TRIM(regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+),
+quality AS (
+  SELECT * FROM scrubbed WHERE LEN(clean_text) >= 50
+),
+deduped AS (
+  SELECT md5(clean_text) AS h, lang, MIN(doc_id) AS kept_doc_id
+  FROM quality GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_kept, MIN(kept_doc_id) AS first_doc_id
+FROM deduped
+GROUP BY lang
+ORDER BY lang
+"""
