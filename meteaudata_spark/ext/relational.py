@@ -500,8 +500,8 @@ Q12_SHIP_DELAY_SQL = """
 SELECT
   CASE WHEN d < 30 THEN '0-29' WHEN d < 60 THEN '30-59'
        WHEN d < 90 THEN '60-89' ELSE '90+' END AS delay_bucket,
-  SUM(h) AS high_line_count,
-  SUM(1 - h) AS low_line_count
+  CAST(SUM(h) AS BIGINT) AS high_line_count,
+  CAST(SUM(1 - h) AS BIGINT) AS low_line_count
 FROM (
   SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d,
          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS h

@@ -165,12 +165,12 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_BPE_TOKENS_SQL = r"""
 SELECT doc_id,
        LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_pieces,
-       LIST_SUM(LIST_TRANSFORM(
+       CAST(LIST_SUM(LIST_TRANSFORM(
          regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'),
          p -> CASE WHEN regexp_matches(p, '^[a-zA-Z]+$')
                    THEN CAST(CEIL(LENGTH(p) / 4.0) AS BIGINT)
                    ELSE CAST(1 AS BIGINT) END
-       )) AS est_bpe_tokens
+       )) AS BIGINT) AS est_bpe_tokens
 FROM documents
 ORDER BY doc_id
 """
@@ -358,7 +358,7 @@ counts AS (
 )
 SELECT doc_id,
        CAST(ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1000000.0) AS DOUBLE) AS top_bigram_share_e6,
-       SUM(c) AS n_bigrams
+       CAST(SUM(c) AS BIGINT) AS n_bigrams
 FROM counts
 GROUP BY doc_id
 ORDER BY doc_id

@@ -282,7 +282,7 @@ s AS (
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
   FROM g
 )
-SELECT user_id, MAX(session_no) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_no) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM s
 GROUP BY user_id
 ORDER BY user_id
