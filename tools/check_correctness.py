@@ -97,7 +97,18 @@ def main() -> None:
             failed += 1
             continue
         if compare(name, spark_pdf, duck_pdf):
-            print(f"  ok   {name}: rows={len(spark_pdf)}")
+            notes = [
+                f"{c}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+                for c in sorted(spark_pdf.columns)
+                if c in duck_pdf.columns
+                and str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+                and not (
+                    str(spark_pdf[c].dtype).startswith("datetime")
+                    and str(duck_pdf[c].dtype).startswith("datetime")
+                )
+            ]
+            suffix = f"  [dtype drift: {'; '.join(notes)}]" if notes else ""
+            print(f"  ok   {name}: rows={len(spark_pdf)}{suffix}")
             passed += 1
         else:
             failed += 1
