@@ -332,7 +332,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("bigint").alias("rank"))
     )
 
 

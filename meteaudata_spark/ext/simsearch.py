@@ -64,7 +64,7 @@ def emb_cosine_topk(
     )
     return (
         ranked.filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
         .orderBy("query_id", "rank")
     )
 
@@ -397,7 +397,7 @@ def emb_ivf_topk(
             ),
         )
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
         .orderBy("query_id", "rank")
     )
 

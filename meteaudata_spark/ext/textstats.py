@@ -26,9 +26,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct(toks))
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_computed"),
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
         F.round(
             (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
         ).alias("avg_token_len"),
@@ -157,7 +157,7 @@ def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size(pieces).alias("n_pieces"),
+        F.size(pieces).cast("bigint").alias("n_pieces"),
         subwords.alias("est_bpe_tokens"),
     )
 
@@ -202,7 +202,7 @@ def doc_top_tokens_per_lang(
     )
     return (
         ranked.filter(F.col("rank") <= k)
-        .select("lang", "token", "doc_freq", "rank")
+        .select("lang", "token", "doc_freq", F.col("rank").cast("bigint").alias("rank"))
         
     )
 
@@ -290,7 +290,7 @@ def doc_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         cleaned.alias("clean_text"),
-        (F.length("text") - F.length(cleaned)).alias("n_chars_removed"),
+        (F.length("text") - F.length(cleaned)).cast("bigint").alias("n_chars_removed"),
     )
 
 
