@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
         "ts_rolling_mean": tsq.ts_rolling_mean,            # SMOOTHING at scale
         "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
+        "ts_outlier_rate": tsq.ts_outlier_rate,            # IQR fences (quantiles, not stddev)
         "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
         "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
         "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_sessionize": tsq.TS_SESSIONIZE_SQL,
         "ts_rolling_mean": tsq.TS_ROLLING_SQL,
         "ts_detect_gaps": tsq.TS_DETECT_GAPS_SQL,
+        "ts_outlier_rate": tsq.TS_OUTLIER_RATE_SQL,
         "ts_asof_last_order": tsq.TS_ASOF_SQL,
         "events_json_stats": tsq.EVENTS_JSON_SQL,
         "ts_daily_pivot": tsq.TS_DAILY_PIVOT_SQL,

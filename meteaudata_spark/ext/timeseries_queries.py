@@ -536,3 +536,35 @@ JOIN profile p
   ON p.event_type = e.event_type AND p.hod = EXTRACT(hour FROM e.ts)
 ORDER BY e.event_id
 """
+
+
+def ts_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type IQR outlier counts: Tukey fences from exact quantiles
+    (engine-deterministic, robust), fences broadcast back onto the
+    stream (kernels.detect_outliers_iqr at scale)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").alias("timestamp"), "value"
+    )
+    flags = kernels.detect_outliers_iqr(
+        ev, partition_cols=["event_type"]
+    )
+    return flags.groupBy("event_type").agg(
+        F.sum("value").cast("bigint").alias("n_outliers"),
+        F.count("value").alias("n_events"),
+    )
+
+
+TS_OUTLIER_RATE_SQL = """
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS lo,
+         quantile_cont(value, 0.75) + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1.0 ELSE 0.0 END) AS BIGINT) AS n_outliers,
+       COUNT(e.value) AS n_events
+FROM events e JOIN fences f USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

@@ -540,3 +540,44 @@ def ewma(
             lambda pdf: kernel(pdf.drop(columns="__g")), schema
         )
     )
+
+
+def detect_outliers_iqr(
+    df: DataFrame,
+    k: float = 1.5,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """IQR outlier indicator: 1.0 where value falls outside
+    [q1 − k·IQR, q3 + k·IQR] of its key group, else 0.0 (null stays
+    null).  Quantile fences, not z-scores: exact percentiles are
+    sort-based and engine-deterministic where stddev's unordered
+    float sum is not, and the fences are robust to the outliers
+    themselves.  Plan: one exact-percentile aggregation per group
+    (tiny result) broadcast back onto the stream — the fact data is
+    never shuffled."""
+    pcols = list(partition_cols)
+    grp = df.groupBy(*pcols) if pcols else df.groupBy()
+    fences = grp.agg(
+        F.expr(f"percentile({val_col}, 0.25)").alias("__q1"),
+        F.expr(f"percentile({val_col}, 0.75)").alias("__q3"),
+    ).select(
+        *pcols,
+        (F.col("__q1") - k * (F.col("__q3") - F.col("__q1"))).alias("__lo"),
+        (F.col("__q3") + k * (F.col("__q3") - F.col("__q1"))).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(fences), on=pcols, how="inner")
+        if pcols
+        else df.crossJoin(F.broadcast(fences))
+    )
+    flag = (
+        F.when(F.col(val_col).isNull() | F.isnan(F.col(val_col)), F.lit(None))
+        .when(
+            (F.col(val_col) < F.col("__lo")) | (F.col(val_col) > F.col("__hi")),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(*pcols, ts_col, flag.alias(val_col))

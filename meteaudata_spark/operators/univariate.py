@@ -398,3 +398,35 @@ def exponential_smoothing(
         )
         outputs.append((out, [step]))
     return outputs
+
+
+def detect_outliers(
+    input_series: list[TimeSeries],
+    k: float = 1.5,
+    *args: Any,
+    **kwargs: Any,
+) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
+    """IQR outlier flags (ProcessingType.FAULT_DETECTION,
+    types.py:191): indicator series marking points outside the
+    Tukey fences [q1 − k·IQR, q3 + k·IQR] — see
+    ``kernels.detect_outliers_iqr`` for the quantile-fence rationale."""
+    step = _make_step(
+        ProcessingType.FAULT_DETECTION,
+        f"IQR outlier detection with k={k}",
+        "detect_outliers",
+        "OUTLIERS",
+        [ts.name for ts in input_series],
+        Parameters(k=k),
+        func=detect_outliers,
+    )
+    outputs = []
+    for ts in input_series:
+        _require_time_index(ts)
+        out = TimeSeries(
+            df=kernels.detect_outliers_iqr(ts.df, k=k),
+            index_metadata=ts.index_metadata.model_copy(deep=True),
+            values_dtype="float64",
+            name=_out_name(ts, step.suffix),
+        )
+        outputs.append((out, [step]))
+    return outputs

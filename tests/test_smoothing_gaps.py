@@ -133,3 +133,29 @@ def test_ewma_kernel_partitioned(spark):
         )
     ref = pd.concat(ref).sort_values(["k", "timestamp"]).reset_index(drop=True)
     assert np.allclose(out["value"].values, ref["ref"].values)
+
+
+def test_detect_outliers_iqr_matches_pandas(spark, provenance):
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators.univariate import detect_outliers
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=100)
+    vals = np.random.default_rng(12).standard_normal(100)
+    vals[7] = 40.0   # blatant outliers
+    vals[55] = -35.0
+    vals[20] = np.nan
+    ser = pd.Series(vals, index=idx, name="RAW")
+    sig = Signal(input_data=ser, name="O", units="x", provenance=provenance, spark=spark)
+    sig.process(["O#1_RAW#1"], detect_outliers, k=1.5)
+    got = sig.time_series["O#1_OUTLIERS#1"].to_pandas()
+    q1, q3 = ser.quantile(0.25), ser.quantile(0.75)
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    ref = ((ser < lo) | (ser > hi)).astype(float)
+    ref[ser.isna()] = np.nan
+    assert np.allclose(got.values, ref.values, equal_nan=True)
+    assert got.values[7] == 1.0 and got.values[55] == 1.0
+    step = sig.time_series["O#1_OUTLIERS#1"].processing_steps[-1]
+    assert step.type.value == "fault_detection"
