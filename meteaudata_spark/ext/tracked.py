@@ -79,12 +79,11 @@ class TrackedTable:
         out = fn(self.df, *args, **kwargs)
         info = FunctionInfo(name=getattr(fn, "__name__", str(fn)))
         info.capture_source(fn)
+        doc_first = (fn.__doc__ or "").strip().splitlines()
         step = ProcessingStep(
             type=ptype,
             description=description
-            or (fn.__doc__ or "").strip().splitlines()[0][:200]
-            if (description or fn.__doc__)
-            else f"table transform {info.name}",
+            or (doc_first[0][:200] if doc_first else f"table transform {info.name}"),
             function_info=info,
             parameters=Parameters(**{k: repr(v) for k, v in kwargs.items()}),
             suffix=suffix or info.name.upper().replace("_", "-"),

@@ -54,3 +54,18 @@ def test_tracked_suffix_grammar_enforced(spark):
     docs = TrackedTable.from_table(spark, SF, "documents")
     with pytest.raises(ValueError, match="suffix"):
         docs.apply(lambda df: df, suffix="BAD_SUFFIX")
+
+
+def test_tracked_handles_docless_functions(spark):
+    docs = TrackedTable.from_table(spark, SF, "documents")
+
+    def no_doc(df):
+        return df
+
+    def blank_doc(df):
+        """   """
+        return df
+
+    for fn, expect in [(no_doc, "table transform no_doc"), (blank_doc, "table transform blank_doc")]:
+        out = docs.apply(fn)
+        assert out.steps[-1].description == expect
