@@ -181,3 +181,16 @@ def test_h60_hash_cross_engine(spark):
         ).fetchone()
         ref = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
         assert got_spark[w] == got_duck == ref, (w, got_spark[w], got_duck, ref)
+
+
+def test_every_query_runs_at_smallest_sf(spark, entry):
+    """Every declared gate query must execute on the tiniest dataset —
+    catches empty-input and small-data edge crashes before the driver
+    does."""
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            fn(spark, SF).count()
+        except Exception as exc:  # noqa: BLE001 - collect all failures
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, failures
