@@ -79,6 +79,19 @@ class Dataset:
     def all_signals(self) -> list[str]:
         return list(self.signals.keys())
 
+    def persist(self, names: Optional[list[str]] = None) -> "Dataset":
+        """Persist every series of the named signals (default: all) —
+        the dataset-level entry to common-subplan reuse (see
+        ``TimeSeries.persist``)."""
+        for name in names or self.all_signals:
+            self.signals[name].persist()
+        return self
+
+    def unpersist(self, names: Optional[list[str]] = None) -> "Dataset":
+        for name in names or self.all_signals:
+            self.signals[name].unpersist()
+        return self
+
     def all_series_names(self) -> list[str]:
         names: list[str] = []
         for sig in self.signals.values():
