@@ -507,10 +507,10 @@ def ewma(
     documented exception to built-ins-only: an Arrow-batched
     ``applyInPandas`` per key group — parallel across keys, sequential
     within one (inherent to the operator).  For one series too big
-    for a task, the chunk + boundary-carry design of
-    ``interpolate_linear_distributed`` applies: within-chunk EWMA with
-    zero seed, then one tiny sequential pass over chunk-end states,
-    since the seed's influence enters linearly as (1−α)^i · seed.
+    for a task, ``ewma_distributed`` below implements the chunk +
+    boundary-carry decomposition (the seed enters the recurrence
+    linearly as (1−α)^j · seed, so chunks compute independently with
+    zero seed and one tiny fold over chunk-end states corrects them).
     The streaming analog (``streaming/transform_state.py:stream_ewma``)
     keeps the same semantics with one value of state per key."""
     import pandas as pd  # noqa: F401 - used by the worker closure
@@ -581,3 +581,141 @@ def detect_outliers_iqr(
         .otherwise(F.lit(0.0))
     )
     return joined.select(*pcols, ts_col, flag.alias(val_col))
+
+
+def _obs(val_col: str):
+    """True only for real observations: non-null AND non-NaN."""
+    return F.col(val_col).isNotNull() & ~F.isnan(F.col(val_col))
+
+
+def ewma_distributed(
+    df: DataFrame,
+    alpha: float = 0.3,
+    chunk_seconds: float = 86400.0,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+) -> DataFrame:
+    """``ewma`` for ONE series too large for a single task — the
+    boundary-carry decomposition the plain kernel's docstring
+    promises.
+
+    The recurrence is linear in its seed, so a chunk's EWMA is
+
+        e_t = e0_t + (1−α)^{j_t} · s        (j_t = non-null count
+                                             so far in the chunk)
+
+    with e0 the zero-seed chunk EWMA and s the carried EWMA entering
+    the chunk.  pandas' adjust=False seeding (first observation IS
+    the mean) falls out by defining the first chunk's incoming seed
+    as the first observation itself.
+
+    Stages, all executor-side:
+      A. per-chunk zero-seed EWMA + non-null prefix counts — pandas
+         per chunk, chunks run in parallel (chunk length is the task
+         bound, as in ``interpolate_linear_distributed``);
+      B. chunk-stats table (one row per chunk): closing zero-seed
+         mean, non-null count, first value — the seed recurrence
+         s_k = e0L_k + (1−α)^{n_k}·s_{k−1} folds over this TINY
+         table in one single-group pandas pass (no driver collect);
+      C. seeds broadcast back; the final value is a pure column
+         expression.  Differential-tested against the plain kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    chunked = df.withColumn(
+        "__chunk", F.floor(F.col(ts_col).cast("double") / F.lit(chunk_seconds))
+    )
+    base_cols = [c for c in df.columns]
+
+    # A: zero-seed EWMA + prefix counts per chunk
+    local_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in chunked.schema.fields
+    ) + ", __e0 double, __j bigint"
+
+    def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        vals = pdf[val_col].to_numpy(dtype=float)
+        e0 = np.empty(len(vals))
+        j = np.zeros(len(vals), dtype=np.int64)
+        acc, cnt = 0.0, 0
+        for i, x in enumerate(vals):
+            if not np.isnan(x):
+                acc = alpha * x + (1 - alpha) * acc
+                cnt += 1
+            e0[i] = acc
+            j[i] = cnt
+        pdf["__e0"] = e0
+        pdf["__j"] = j
+        return pdf
+
+    local = chunked.groupBy("__chunk").applyInPandas(local_pass, local_schema)
+
+    # B: chunk-stats + sequential seed fold over the tiny table
+    stats = local.groupBy("__chunk").agg(
+        F.max_by("__e0", ts_col).alias("__e0_last"),
+        F.max("__j").alias("__n"),
+        # the Arrow return path of applyInPandas surfaces NaN as NULL,
+        # and isnan(NULL) is NULL (not true) — guard on both; the
+        # sentinel key keeps missing rows below every real observation
+        # (max_by would otherwise rank a NULL key highest)
+        F.max_by(
+            F.when(_obs(val_col), F.col(val_col)),
+            F.coalesce(
+                F.when(_obs(val_col), F.lit(0) - F.col("__j")),
+                F.lit(-(2 ** 62)),
+            ),
+        ).alias("__first_val"),
+    )
+
+    def seed_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__chunk").reset_index(drop=True)
+        seeds = np.empty(len(pdf))
+        boot = np.zeros(len(pdf), dtype=bool)
+        s = np.nan  # no seed until the first observation exists
+        seeded = False
+        for i in range(len(pdf)):
+            fv = pdf["__first_val"].iloc[i]
+            if not seeded and fv is not None and not np.isnan(
+                np.float64(fv if fv is not None else np.nan)
+            ):
+                # this chunk holds the global first observation: it
+                # bootstraps its own seed (pandas: first obs IS the mean)
+                s = float(fv)
+                seeded = True
+                boot[i] = True
+            seeds[i] = s  # seed ENTERING this chunk
+            n = int(pdf["__n"].iloc[i])
+            if seeded and n > 0:
+                s = pdf["__e0_last"].iloc[i] + (1 - alpha) ** n * s
+        pdf["__seed"] = seeds
+        pdf["__boot"] = boot
+        return pdf
+
+    seeds = (
+        stats.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: seed_pass(pdf.drop(columns="__g")),
+            "__chunk bigint, __e0_last double, __n bigint, "
+            "__first_val double, __seed double, __boot boolean",
+        )
+        .select("__chunk", "__seed", "__boot")
+    )
+
+    # C: correction.  The formula covers j == 0 naturally (e0 = 0,
+    # (1−α)^0·s = s — the carried mean, matching pandas at NaN rows
+    # across chunk boundaries).  A NULL seed means the chunk precedes
+    # the first global observation entirely — those rows stay null.
+    has_seed = F.col("__seed").isNotNull() & ~F.isnan(F.col("__seed"))
+    # in the bootstrap chunk, rows before its first observation
+    # (j == 0) predate the seed and stay null — everywhere else j == 0
+    # rows carry the incoming mean, matching pandas across boundaries
+    out_val = F.when(
+        has_seed & ~(F.col("__boot") & (F.col("__j") == 0)),
+        F.col("__e0") + F.pow(F.lit(1 - alpha), F.col("__j")) * F.col("__seed"),
+    )
+    return (
+        local.join(F.broadcast(seeds), "__chunk")
+        .select(*[c for c in base_cols if c != val_col], out_val.alias(val_col))
+    )
