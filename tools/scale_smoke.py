@@ -78,6 +78,19 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
+    kernels.ewma_distributed(
+        single, chunk_seconds=3600.0
+    ).write.mode("overwrite").format("noop").save()
+    results["ewma_distributed_single_series"] = round(
+        time.perf_counter() - t0, 2
+    )
+    print(
+        "distributed ewma (1 series,",
+        f"{n_rows // n_keys:,} rows):",
+        results["ewma_distributed_single_series"], "s", flush=True,
+    )
+
+    t0 = time.perf_counter()
     kernels.rolling_mean(
         base, 10, partition_cols=["series_name"]
     ).write.mode("overwrite").format("noop").save()
