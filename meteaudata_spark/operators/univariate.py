@@ -371,27 +371,40 @@ def remove_duplicates(
 def exponential_smoothing(
     input_series: list[TimeSeries],
     alpha: float = 0.3,
+    chunk_seconds: float | None = None,
     *args: Any,
     **kwargs: Any,
 ) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
     """EWMA smoothing (ProcessingType.SMOOTHING, types.py:186 —
     declared but unshipped in the reference).  Matches pandas
     ``ewm(alpha, adjust=False).mean()``; see ``kernels.ewma`` for the
-    recurrence/scale discussion."""
+    recurrence/scale discussion.
+
+    ``chunk_seconds``: when set, the series runs through
+    ``kernels.ewma_distributed`` (chunk + boundary-carry) — choose it
+    so one chunk fits a task; the default single-pass path funnels
+    the whole series through one worker, which is fine below ~10M
+    rows and exact either way."""
     step = _make_step(
         ProcessingType.SMOOTHING,
         f"Exponential smoothing with alpha={alpha}",
         "exponential_smoothing",
         "EWMA",
         [ts.name for ts in input_series],
-        Parameters(alpha=alpha),
+        Parameters(alpha=alpha, chunk_seconds=chunk_seconds),
         func=exponential_smoothing,
     )
     outputs = []
     for ts in input_series:
         _require_time_index(ts)
+        if chunk_seconds is not None:
+            out_df = kernels.ewma_distributed(
+                ts.df, alpha=alpha, chunk_seconds=chunk_seconds
+            )
+        else:
+            out_df = kernels.ewma(ts.df, alpha=alpha)
         out = TimeSeries(
-            df=kernels.ewma(ts.df, alpha=alpha),
+            df=out_df,
             index_metadata=ts.index_metadata.model_copy(deep=True),
             values_dtype="float64",
             name=_out_name(ts, step.suffix),

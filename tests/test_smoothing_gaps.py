@@ -159,3 +159,19 @@ def test_detect_outliers_iqr_matches_pandas(spark, provenance):
     assert got.values[7] == 1.0 and got.values[55] == 1.0
     step = sig.time_series["O#1_OUTLIERS#1"].processing_steps[-1]
     assert step.type.value == "fault_detection"
+
+
+def test_exponential_smoothing_distributed_path(spark, provenance):
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators.univariate import exponential_smoothing
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=200)
+    ser = pd.Series(np.random.default_rng(5).standard_normal(200), index=idx, name="RAW")
+    sig = Signal(input_data=ser, name="ED", units="x", provenance=provenance, spark=spark)
+    sig.process(["ED#1_RAW#1"], exponential_smoothing, alpha=0.4, chunk_seconds=3600.0)
+    got = sig.time_series["ED#1_EWMA#1"].to_pandas()
+    ref = ser.ewm(alpha=0.4, adjust=False, ignore_na=True).mean()
+    assert np.allclose(got.values, ref.values, equal_nan=True)
