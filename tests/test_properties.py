@@ -181,3 +181,33 @@ def test_ewma_matches_pandas(values, alpha):
     assert np.allclose(
         out["value"].values, ref.values, equal_nan=True, rtol=1e-9
     )
+
+
+@given(
+    values=values_strategy,
+    freq=st.sampled_from(["2min", "5min", "7min", "1h", "90s", "3min"]),
+    start_min=st.integers(min_value=0, max_value=500),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resample_matches_pandas_across_freqs(values, freq, start_min):
+    """resample_mean must reproduce pandas resample(...).mean() with
+    origin='start_day' for arbitrary values/NaNs, frequencies
+    (including non-divisors of an hour), and start offsets."""
+    idx = pd.date_range("2021-03-02", freq="11min", periods=len(values)) + pd.Timedelta(
+        minutes=start_min
+    )
+    ser = pd.Series(values, index=idx)
+    out = (
+        kernels.resample_mean(_to_spark(ser), freq)
+        .toPandas()
+        .sort_values("timestamp")
+        .reset_index(drop=True)
+    )
+    ref = ser.resample(freq, origin="start_day").mean()
+    assert len(out) == len(ref)
+    assert (out["timestamp"].values == ref.index.values).all()
+    assert np.allclose(out["value"].values, ref.values, equal_nan=True)
