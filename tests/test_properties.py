@@ -211,3 +211,69 @@ def test_resample_matches_pandas_across_freqs(values, freq, start_min):
     assert len(out) == len(ref)
     assert (out["timestamp"].values == ref.index.values).all()
     assert np.allclose(out["value"].values, ref.values, equal_nan=True)
+
+
+@given(
+    left_offsets=st.lists(
+        st.integers(min_value=0, max_value=10000), min_size=1, max_size=25
+    ),
+    right_offsets=st.lists(
+        st.integers(min_value=0, max_value=10000), min_size=1, max_size=25
+    ),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_merge_asof(left_offsets, right_offsets):
+    """asof_join_backward must agree with pandas merge_asof
+    (backward, inclusive on ties) for arbitrary timestamp patterns,
+    including duplicate times on either side."""
+    from meteaudata_spark.ext.asof import asof_join_backward
+
+    base = pd.Timestamp("2022-01-01")
+    left = pd.DataFrame(
+        {
+            "k": ["g"] * len(left_offsets),
+            "t": [base + pd.Timedelta(seconds=o) for o in left_offsets],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["g"] * len(right_offsets),
+            "rt": [base + pd.Timedelta(seconds=o) for o in right_offsets],
+            "rv": np.arange(len(right_offsets), dtype=float),
+        }
+    )
+    # merge_asof requires sorted, deduplicated right keys for a clean
+    # oracle: collapse duplicate right times to the LAST row (matching
+    # the union+last carry-forward semantics)
+    right_dedup = (
+        right.sort_values(["rt", "rv"]).groupby("rt", as_index=False).last()
+    )
+    right_dedup["k"] = "g"
+    got = (
+        asof_join_backward(
+            _SPARK.createDataFrame(left),
+            _SPARK.createDataFrame(right_dedup[["k", "rt", "rv"]]),
+            "t",
+            "rt",
+            by=["k"],
+            value_cols=["rv"],
+        )
+        .toPandas()
+        .sort_values(["t"])
+        .reset_index(drop=True)
+    )
+    ref = pd.merge_asof(
+        left.sort_values("t"),
+        right_dedup.sort_values("rt")[["rt", "rv"]],
+        left_on="t",
+        right_on="rt",
+        direction="backward",
+    ).reset_index(drop=True)
+    got_sorted = got.sort_values("t").reset_index(drop=True)
+    assert np.allclose(
+        got_sorted["rv"].values, ref["rv"].values, equal_nan=True
+    )
