@@ -72,6 +72,32 @@ def main() -> None:
         f"micro-batches of ~{n_rows // 8:,} rows)",
         flush=True,
     )
+    # custom-state path: Welford running stats via applyInPandasWithState
+    from meteaudata_spark.streaming.stateful import stream_running_stats
+
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max(1, n_files // 8))
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q2 = (
+        stream_running_stats(stream2, key_col="event_type")
+        .writeStream.format("memory")
+        .queryName("smoke_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(3000)
+    elapsed2 = time.perf_counter() - t0
+    rate2 = n_rows / elapsed2
+    print(
+        f"stateful (Welford) pass: {elapsed2:.1f} s "
+        f"({rate2/1e6:.1f}M rows/s through applyInPandasWithState)",
+        flush=True,
+    )
+
     import json
 
     print(
@@ -82,6 +108,8 @@ def main() -> None:
                 "elapsed_sec": round(elapsed, 1),
                 "rows_per_sec": int(rate),
                 "windows_emitted": n_out,
+                "stateful_elapsed_sec": round(elapsed2, 1),
+                "stateful_rows_per_sec": int(rate2),
             }
         )
     )
