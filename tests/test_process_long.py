@@ -59,3 +59,41 @@ def test_rerun_bumps_versions(multi_dataset):
     ds.resample_all("5min")
     ds.resample_all("5min")
     assert "A#1_RESAMPLED#2" in ds.signals["A#1"].all_time_series
+
+
+def test_long_store_feeds_one_job_processing(spark, provenance, tmp_path):
+    """The consolidated store composes with process_long: load the
+    long table lazily, resample every series in ONE job, and values
+    match the per-signal path."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.dataset import Dataset
+    from meteaudata_spark.signal import Signal
+    from meteaudata_spark.sources.store import (
+        load_dataset_long,
+        save_dataset_long,
+    )
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=80)
+    rng = np.random.default_rng(8)
+    signals = {}
+    for nm in ["X", "Y", "Z"]:
+        sig = Signal(
+            input_data=pd.Series(rng.standard_normal(80), index=idx, name="RAW"),
+            name=nm, units="mg/l", provenance=provenance, spark=spark,
+        )
+        signals[sig.name] = sig
+    ds = Dataset(name="COMPOSE", description="", owner="", purpose="",
+                 project="", signals=signals)
+    out_dir = save_dataset_long(ds, str(tmp_path))
+    ds2 = load_dataset_long(spark, out_dir)
+    ds2.resample_all("5min")
+    for nm in ["X#1", "Y#1", "Z#1"]:
+        got = ds2.signals[nm].time_series[f"{nm}_RESAMPLED#1"].to_pandas()
+        src = ds.signals[nm].time_series[f"{nm}_RAW#1"].to_pandas()
+        ref = src.resample("5min").mean()
+        assert np.allclose(got.values, ref.values, equal_nan=True)
+        # lineage recorded on the reloaded dataset too
+        steps = ds2.signals[nm].time_series[f"{nm}_RESAMPLED#1"].processing_steps
+        assert steps[-1].suffix == "RESAMPLED"
