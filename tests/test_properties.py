@@ -277,3 +277,35 @@ def test_asof_join_matches_merge_asof(left_offsets, right_offsets):
     assert np.allclose(
         got_sorted["rv"].values, ref["rv"].values, equal_nan=True
     )
+
+
+@given(
+    values=values_strategy,
+    lo=st.integers(min_value=0, max_value=39),
+    span=st.integers(min_value=0, max_value=39),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_replace_ranges_matches_pandas_label_slice(values, lo, span):
+    """replace_ranges must reproduce pandas label slicing:
+    ser.loc[start:end] = NaN, inclusive BOTH ends (reference
+    replace.py:51-57)."""
+    idx = pd.date_range("2021-01-01", freq="3min", periods=len(values))
+    ser = pd.Series(values, index=idx)
+    lo = min(lo, len(values) - 1)
+    hi = min(lo + span, len(values) - 1)
+    start, end = idx[lo], idx[hi]
+    out = (
+        kernels.replace_ranges(
+            _to_spark(ser), [[str(start), str(end)]], replace_with=None
+        )
+        .toPandas()
+        .sort_values("timestamp")
+        .reset_index(drop=True)
+    )
+    ref = ser.copy()
+    ref.loc[start:end] = np.nan
+    assert np.allclose(out["value"].values, ref.values, equal_nan=True)
