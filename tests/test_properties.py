@@ -309,3 +309,25 @@ def test_replace_ranges_matches_pandas_label_slice(values, lo, span):
     ref = ser.copy()
     ref.loc[start:end] = np.nan
     assert np.allclose(out["value"].values, ref.values, equal_nan=True)
+
+
+@given(
+    values=values_strategy,
+    window=st.integers(min_value=1, max_value=12),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rolling_mean_matches_pandas(values, window):
+    idx = pd.date_range("2021-01-01", freq="1min", periods=len(values))
+    ser = pd.Series(values, index=idx)
+    out = (
+        kernels.rolling_mean(_to_spark(ser), window)
+        .toPandas()
+        .sort_values("timestamp")
+        .reset_index(drop=True)
+    )
+    ref = ser.rolling(window, min_periods=1).mean()
+    assert np.allclose(out["value"].values, ref.values, equal_nan=True)
