@@ -264,6 +264,26 @@ class Dataset:
             function_name="resample",
         )
 
+    def smooth_all(
+        self, alpha: float = 0.3, names: Optional[list[str]] = None
+    ) -> "Dataset":
+        """EWMA-smooth every series in one job (SMOOTHING across the
+        dataset; grouped-pandas kernel, parallel per series)."""
+        from functools import partial
+
+        from meteaudata_spark.metadata import Parameters, ProcessingType
+        from meteaudata_spark.operators import kernels
+
+        return self.process_long(
+            partial(kernels.ewma, alpha=alpha),
+            suffix="EWMA",
+            processing_type=ProcessingType.SMOOTHING,
+            description=f"Exponential smoothing with alpha={alpha}",
+            parameters=Parameters(alpha=alpha),
+            names=names,
+            function_name="exponential_smoothing",
+        )
+
     def interpolate_all(self, names: Optional[list[str]] = None) -> "Dataset":
         """Linear-interpolate every series in one job (W1 across the
         dataset)."""

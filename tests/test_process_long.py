@@ -97,3 +97,31 @@ def test_long_store_feeds_one_job_processing(spark, provenance, tmp_path):
         # lineage recorded on the reloaded dataset too
         steps = ds2.signals[nm].time_series[f"{nm}_RESAMPLED#1"].processing_steps
         assert steps[-1].suffix == "RESAMPLED"
+
+
+def test_smooth_all_one_job(spark, provenance):
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.dataset import Dataset
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=60)
+    rng = np.random.default_rng(13)
+    signals = {}
+    for nm in ["S", "T"]:
+        sig = Signal(
+            input_data=pd.Series(rng.standard_normal(60), index=idx, name="RAW"),
+            name=nm, units="x", provenance=provenance, spark=spark,
+        )
+        signals[sig.name] = sig
+    ds = Dataset(name="SM", description="", owner="", purpose="",
+                 project="", signals=signals)
+    ds.smooth_all(alpha=0.35)
+    for nm in ["S#1", "T#1"]:
+        got = ds.signals[nm].time_series[f"{nm}_EWMA#1"].to_pandas()
+        src = ds.signals[nm].time_series[f"{nm}_RAW#1"].to_pandas()
+        ref = src.ewm(alpha=0.35, adjust=False, ignore_na=True).mean()
+        assert np.allclose(got.values, ref.values, equal_nan=True)
+        steps = ds.signals[nm].time_series[f"{nm}_EWMA#1"].processing_steps
+        assert steps[-1].suffix == "EWMA"
