@@ -199,11 +199,23 @@ def ts_aligned_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").alias("timestamp"), "value"
     )
     res = kernels.resample_mean(ev, "5min", partition_cols=["event_type"])
+    # cross-engine determinism: round each inner mean to integer
+    # micro-units BEFORE the outer average, which then runs as an
+    # exact integer sum / count — one unordered-float layer instead
+    # of two compounding ones (two layers measurably flipped a 1e-6
+    # rounding boundary at sf0.1)
+    inner_e6 = F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint")
     return (
-        res.groupBy("timestamp")
-        .agg(_r6(F.avg("value")).alias("avg_across_series"))
+        res.select("timestamp", inner_e6.alias("__v_e6"))
+        .groupBy("timestamp")
+        .agg(
+            (
+                F.sum("__v_e6").cast("double")
+                / F.count("__v_e6")
+                / F.lit(1000000.0)
+            ).alias("avg_across_series")
+        )
         .select(F.col("timestamp").alias("bucket_ts"), "avg_across_series")
-        
     )
 
 
@@ -233,7 +245,9 @@ resampled AS (
   SELECT s.event_type, s.bucket_ts, a.avg_raw AS value
   FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket_ts = a.bucket_ts
 )
-SELECT bucket_ts, ROUND(AVG(value) * 1000000.0) / 1000000.0 AS avg_across_series
+SELECT bucket_ts,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / COUNT(CAST(ROUND(value * 1000000.0) AS BIGINT)) / 1000000.0 AS avg_across_series
 FROM resampled
 GROUP BY bucket_ts
 ORDER BY bucket_ts
