@@ -117,3 +117,26 @@ def values_dtype_to_spark(values_dtype: str) -> str:
     if values_dtype.startswith("datetime64"):
         return "timestamp"
     return _DTYPE_TO_SPARK.get(values_dtype, "string")
+
+
+def index_meta_to_spark(meta: IndexMetadata) -> str:
+    """Spark SQL type of the index *column* implied by index metadata.
+
+    Mirrors ``index_to_column``: Datetime/Period → timestamp,
+    Categorical → string, Timedelta → day-time interval, everything
+    else follows the recorded index dtype. Used to declare the schema
+    of an empty series so it stays union/join-compatible with
+    non-empty series of the same index type (reference reconstructs
+    per-type the same way, types.py:125-173).
+    """
+    itype = meta.type or ""
+    if itype in ("DatetimeIndex", "PeriodIndex"):
+        return "timestamp"
+    if itype == "CategoricalIndex":
+        return "string"
+    if itype == "TimedeltaIndex":
+        return "interval day to second"
+    dtype = meta.dtype or ""
+    if dtype.startswith("datetime64"):
+        return "timestamp"
+    return _DTYPE_TO_SPARK.get(dtype, "bigint")

@@ -63,25 +63,22 @@ def resample_mean(
       * ``avg`` skips nulls, matching pandas ``mean(skipna=True)``.
 
     Scale notes: the per-bucket aggregation is a single hash
-    aggregation with map-side partial combine; the spine is generated
-    per partition group from its own bounds (``sequence`` + ``explode``)
-    and joined back — spine size is O(time-range / freq), independent
-    of row count.
+    aggregation with map-side partial combine.  Empty buckets are
+    gap-filled AFTER the aggregation: a ``lag`` window over the (small,
+    one-row-per-bucket) agg output finds each gap and ``sequence`` +
+    ``posexplode`` emits the missing null buckets inline — so the fact
+    table is scanned exactly twice (origin + agg), every subplan
+    appears once, and nothing needs ``persist`` (an earlier version
+    cached a bounds table and leaked the cache entry per call).
     """
     step_sec = to_seconds(freq)
     interval = to_spark_interval(freq)
     pcols = list(partition_cols)
 
-    # origin per group: midnight of the first timestamp.  The bounds
-    # table feeds BOTH the bucket join and the spine — persist it so
-    # Catalyst doesn't re-scan the fact table once per branch (it's one
-    # tiny row per group).
+    # origin per group: midnight of the first timestamp (tiny — one
+    # row per group — so the join back is a broadcast)
     grp = df.groupBy(*pcols) if pcols else df.groupBy()
-    bounds = grp.agg(
-        F.date_trunc("day", F.min(ts_col)).alias("__origin"),
-        F.min(ts_col).alias("__mn"),
-        F.max(ts_col).alias("__mx"),
-    ).persist()
+    bounds = grp.agg(F.date_trunc("day", F.min(ts_col)).alias("__origin"))
 
     if pcols:
         joined = df.join(F.broadcast(bounds), on=pcols, how="inner")
@@ -105,33 +102,27 @@ def resample_mean(
         .agg(F.avg(clean_val).alias(val_col))
     )
 
-    # spine: every bucket between first and last observed bucket
-    first_bucket = F.timestamp_seconds(
-        F.col("__origin").cast("double")
-        + F.floor(
-            (F.col("__mn").cast("double") - F.col("__origin").cast("double"))
-            / F.lit(step_sec)
-        )
-        * F.lit(step_sec)
+    # gap-fill: for each observed bucket, explode the range
+    # (prev_bucket+step .. bucket]; every element but the last is an
+    # empty bucket (null value).  The window runs over the already-
+    # aggregated rows — O(time-range / freq), independent of row count.
+    w = (Window.partitionBy(*pcols) if pcols else Window.partitionBy()).orderBy(
+        "__bucket"
     )
-    last_bucket = F.timestamp_seconds(
-        F.col("__origin").cast("double")
-        + F.floor(
-            (F.col("__mx").cast("double") - F.col("__origin").cast("double"))
-            / F.lit(step_sec)
-        )
-        * F.lit(step_sec)
+    step_iv = F.expr(f"INTERVAL {interval}")
+    # lag in its own projection: a generator (explode) may not contain
+    # a window expression directly
+    with_from = agg.withColumn(
+        "__from",
+        F.coalesce(F.lag("__bucket").over(w) + step_iv, F.col("__bucket")),
     )
-    spine = bounds.select(
+    filled = with_from.withColumn(
+        "__fill", F.explode(F.sequence(F.col("__from"), F.col("__bucket"), step_iv))
+    )
+    return filled.select(
         *pcols,
-        F.explode(
-            F.sequence(first_bucket, last_bucket, F.expr(f"INTERVAL {interval}"))
-        ).alias("__bucket"),
-    )
-
-    out = spine.join(agg, on=pcols + ["__bucket"], how="left")
-    return out.select(
-        *pcols, F.col("__bucket").alias(ts_col), F.col(val_col)
+        F.col("__fill").alias(ts_col),
+        F.when(F.col("__fill") == F.col("__bucket"), F.col(val_col)).alias(val_col),
     )
 
 
@@ -212,7 +203,10 @@ def replace_ranges(
 ) -> DataFrame:
     """Set ``value`` wherever ``ts`` falls in any [start, end] pair
     (inclusive both ends, matching pandas label slicing —
-    reference replace.py:51-57)."""
+    reference replace.py:51-57).  An empty ``index_pairs`` is a no-op
+    (pandas semantics: nothing selected, nothing replaced)."""
+    if not index_pairs:
+        return df
     cond = None
     for pair in index_pairs:
         if len(pair) != 2:
@@ -247,16 +241,26 @@ def drop_duplicate_timestamps(
     val_col: str = "value",
     partition_cols: Sequence[str] = (),
     keep: str = "first",
+    order_col: Optional[str] = None,
 ) -> DataFrame:
     """Keep one row per (partition, timestamp).
 
-    ``keep="first"`` matches pandas ``~index.duplicated(keep='first')``
-    given a stable prior ordering; implemented as a window row_number
-    filter (one shuffle on the group key; map-side safe under AQE).
+    ``keep="first"`` matches pandas ``~index.duplicated(keep='first')``;
+    implemented as a window row_number filter (one shuffle on the group
+    key; map-side safe under AQE).
+
+    PRECONDITION (pandas-parity caveat): without ``order_col`` the
+    tiebreaker is ``monotonically_increasing_id()``, which reflects
+    original row order only while the input has NOT been shuffled
+    (straight off a scan / ingest).  After joins or aggregations the
+    kept row is nondeterministic — pass ``order_col`` (a stable ordinal
+    captured at ingest, e.g. a ``row_number`` stamped before the
+    shuffle) wherever exact pandas parity matters.
     """
     pcols = list(partition_cols)
+    tie = F.col(order_col) if order_col is not None else F.monotonically_increasing_id()
     w = Window.partitionBy(*pcols, ts_col).orderBy(
-        F.monotonically_increasing_id() if keep == "first" else F.monotonically_increasing_id().desc()
+        tie if keep == "first" else tie.desc()
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

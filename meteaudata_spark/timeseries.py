@@ -31,8 +31,10 @@ from meteaudata_spark.metadata import (
 )
 from meteaudata_spark.functions.indexmeta import (
     extract_index_metadata,
+    index_meta_to_spark,
     index_to_column,
     reconstruct_index,
+    values_dtype_to_spark,
 )
 
 INDEX_COL = "timestamp"
@@ -96,8 +98,12 @@ class TimeSeries:
         )
         if len(pdf) == 0:
             # schema can't be inferred from an empty frame; declare it
+            # from the captured index/value metadata so empty series
+            # stay union/join-compatible with non-empty ones
             df = spark.createDataFrame(
-                [], f"{INDEX_COL} bigint, {VALUE_COL} string"
+                [],
+                f"{INDEX_COL} {index_meta_to_spark(index_metadata)}, "
+                f"{VALUE_COL} {values_dtype_to_spark(dtype)}",
             )
         else:
             df = spark.createDataFrame(pdf)

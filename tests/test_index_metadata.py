@@ -103,3 +103,24 @@ def test_spark_roundtrip_int_index(spark, provenance):
     got = sig.time_series["I#1_RAW#1"].to_pandas()
     assert (got.index == ser.index).all()
     assert np.allclose(got.values, ser.values)
+
+
+def test_empty_datetime_series_ingest_schema(spark):
+    """Empty ingest derives schema from index/value dtype (ADVICE r1):
+    an empty datetime float series must union cleanly with a non-empty
+    one instead of materializing as (bigint, string)."""
+    import numpy as np
+    from meteaudata_spark.timeseries import TimeSeries
+
+    empty = TimeSeries.from_pandas(
+        spark, pd.Series([], index=pd.DatetimeIndex([]), dtype="float64")
+    )
+    assert dict(empty.df.dtypes) == {"timestamp": "timestamp", "value": "double"}
+
+    idx = pd.date_range("2020-01-01", freq="5min", periods=3)
+    full = TimeSeries.from_pandas(spark, pd.Series([1.0, 2.0, 3.0], index=idx))
+    merged = empty.df.unionByName(full.df)
+    assert merged.count() == 3
+
+    empty_int = TimeSeries.from_pandas(spark, pd.Series([], dtype="int64"))
+    assert dict(empty_int.df.dtypes) == {"timestamp": "bigint", "value": "bigint"}

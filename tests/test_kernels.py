@@ -173,3 +173,45 @@ def test_aligned_agg_avg(spark):
         axis=1,
     ).mean(axis=1)
     assert np.allclose(got.values, ref.values, equal_nan=True)
+
+
+# ----------------------------------------------------------------------
+# round-2 ADVICE regressions
+# ----------------------------------------------------------------------
+def test_resample_leaves_no_cache_behind(spark):
+    """resample_mean must not leak persisted RDDs (ADVICE r1: the old
+    bounds.persist() was never unpersisted)."""
+    spark.catalog.clearCache()
+    idx = pd.date_range("2020-01-01", freq="6min", periods=50)
+    ser = pd.Series(np.arange(50.0), index=idx)
+    kernels.resample_mean(_to_spark(spark, ser), "15min").count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().isEmpty()
+
+
+def test_replace_ranges_empty_pairs_is_noop(spark):
+    idx = pd.date_range("2020-01-01", freq="5min", periods=10)
+    ser = pd.Series(np.arange(10.0), index=idx)
+    got = _collect(kernels.replace_ranges(_to_spark(spark, ser), []))
+    assert np.allclose(got.values, ser.values)
+
+
+def test_drop_duplicates_explicit_tiebreaker(spark):
+    """With order_col, keep=first/last is deterministic even after a
+    shuffle scrambles physical row order (ADVICE r1)."""
+    idx = pd.DatetimeIndex(
+        ["2020-01-01 00:00", "2020-01-01 00:00", "2020-01-01 00:05"] * 2
+    )
+    pdf = pd.DataFrame(
+        {"timestamp": idx, "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+         "ord": [0, 1, 2, 3, 4, 5]}
+    )
+    df = spark.createDataFrame(pdf).repartition(8, "value")  # scramble
+    first = kernels.drop_duplicate_timestamps(df, order_col="ord", keep="first")
+    last = kernels.drop_duplicate_timestamps(df, order_col="ord", keep="last")
+    f = {r["timestamp"]: r["value"] for r in first.collect()}
+    l = {r["timestamp"]: r["value"] for r in last.collect()}
+    ts0 = pd.Timestamp("2020-01-01 00:00")
+    ts1 = pd.Timestamp("2020-01-01 00:05")
+    assert f[ts0] == 1.0 and f[ts1] == 3.0
+    assert l[ts0] == 5.0 and l[ts1] == 6.0
