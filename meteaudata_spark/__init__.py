@@ -21,6 +21,7 @@ from meteaudata_spark.timeseries import TimeSeries
 from meteaudata_spark.signal import Signal
 from meteaudata_spark.dataset import Dataset
 from meteaudata_spark.session import get_spark
+from meteaudata_spark.plans.opcache import release_operator_caches
 
 __all__ = [
     "DataProvenance",
@@ -34,6 +35,7 @@ __all__ = [
     "Signal",
     "TimeSeries",
     "get_spark",
+    "release_operator_caches",
 ]
 
 __version__ = "0.1.0"

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from meteaudata_spark.plans.opcache import cache_intermediate
+
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
 # a·h+b never overflows a signed 64-bit long under ANSI arithmetic
 _MERSENNE = (1 << 31) - 1
@@ -127,16 +129,20 @@ def doc_ngram_jaccard_pairs(
     then |A∩B| / (|A|+|B|−|A∩B|).
     """
     d = _docs(spark, sf_dir)
-    sh = _hashed_shingles(d, n).persist()
+    sh = cache_intermediate(_hashed_shingles(d, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # inverted index as ONE shuffle: group docs per shingle bucket,
+    # emit the C(k,2) pairs inside each bucket with a double explode
+    # (a self-join on h would shuffle the exploded shingle table twice
+    # and sort-merge; this shuffles it once).  Hot shingles make k²
+    # pairs under either shape — the postings-list cap is the
+    # standard mitigation and would drop super-common shingles here.
+    buckets = sh.groupBy("h").agg(F.collect_set("doc_id").alias("ds"))
     inter = (
-        a.join(b, on="h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -228,9 +234,7 @@ def minhash_lsh_pairs(
     see doc_minhash_lsh_pairs for semantics.  Split out so the scale
     smoke can drive it with executor-side synthetic corpora."""
     rows_per_band = num_hashes // bands
-    # one shingle pass feeds both the signature agg and the verify
-    # docsets branch
-    sh = _md5_shingles(d, n).persist()
+    sh = _md5_shingles(d, n)
 
     h = F.pmod(F.col("h"), F.lit(_MERSENNE))
     # deterministic per-j coefficients (odd a, arbitrary b)
@@ -242,7 +246,17 @@ def minhash_lsh_pairs(
         ).alias(f"mh_{j}")
         for j in range(num_hashes)
     ]
-    sigs = sh.groupBy("doc_id").agg(*sig_cols)
+    # ONE per-doc aggregation feeds every downstream branch: the band
+    # sub-signatures AND the sorted shingle-hash set used by the
+    # exact-Jaccard verify — one corpus scan + one shuffle total.  The
+    # combined table is cached (bounded registry, not a bare persist)
+    # because the band self-join and the two verify joins each re-read
+    # it.
+    sigs = cache_intermediate(
+        sh.groupBy("doc_id").agg(
+            *sig_cols, F.array_sort(F.collect_set("h")).alias("hs")
+        )
+    )
 
     # bucket key = the band's sub-signature joined as a string —
     # engine-neutral (Spark's murmur F.hash has no DuckDB equivalent)
@@ -274,15 +288,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify: join the (small) candidate-pair set against
-    # per-doc sorted shingle-hash sets and intersect the arrays.
+    # exact verify: join the (small) candidate-pair set against the
+    # per-doc sorted shingle-hash sets already computed in ``sigs``.
     # Candidates drive the join — the quadratic shingle self-join
     # never runs; each side is one shuffle of the candidate ids
     # against the doc-keyed set table.  This is the 100 TB shape:
     # |candidates| ≪ |all sharing pairs| by LSH design.
-    docsets = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("h")).alias("hs")
-    )
+    docsets = sigs.select("doc_id", "hs")
     verified = (
         candidates.join(
             docsets.select(
