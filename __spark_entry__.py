@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from meteaudata_spark.ext import dedup, relational, simsearch, textstats
+from meteaudata_spark.ext import corpus_ops, dedup, relational, simsearch, sketches, textstats
 from meteaudata_spark.ext import timeseries_queries as tsq
 
 
@@ -73,6 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_text": textstats.doc_clean_text,
         "doc_repetition_score": textstats.doc_repetition_score,
         "doc_pipeline_clean_dedup": textstats.doc_pipeline_clean_dedup,  # scrub → filter → dedup, one DAG
+        # --- corpus pipeline ops (§2.12 EXT, round 2) ---
+        "doc_dedup_clusters": dedup.doc_dedup_clusters,  # connected components over near-dup pairs
+        "doc_hash_split": corpus_ops.doc_hash_split,
+        "doc_stratified_sample": corpus_ops.doc_stratified_sample,
+        "doc_contamination": corpus_ops.doc_contamination,
+        "doc_pii_scrub": corpus_ops.doc_pii_scrub,
+        "doc_hll_shingles": sketches.doc_hll_shingles,  # deterministic cross-engine HyperLogLog
         # --- similarity search (§2.12 EXT) ---
         "emb_cosine_topk": simsearch.emb_cosine_topk,
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
@@ -126,6 +133,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_clean_text": textstats.DOC_CLEAN_TEXT_SQL,
         "doc_repetition_score": textstats.DOC_REPETITION_SQL,
         "doc_pipeline_clean_dedup": textstats.DOC_PIPELINE_SQL,
+        "doc_dedup_clusters": dedup.DOC_DEDUP_CLUSTERS_SQL,
+        "doc_hash_split": corpus_ops.DOC_HASH_SPLIT_SQL,
+        "doc_stratified_sample": corpus_ops.DOC_STRATIFIED_SAMPLE_SQL,
+        "doc_contamination": corpus_ops.DOC_CONTAMINATION_SQL,
+        "doc_pii_scrub": corpus_ops.DOC_PII_SCRUB_SQL,
+        "doc_hll_shingles": sketches.DOC_HLL_SHINGLES_SQL,
         "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,

@@ -500,3 +500,111 @@ ORDER BY kept_doc_id, dropped_doc_id
 
 
 DOC_EMBEDDING_DUPS_SQL = _embedding_dups_sql()
+
+
+# ----------------------------------------------------------------------
+# near-duplicate cluster assignment (connected components)
+# ----------------------------------------------------------------------
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair list → one cluster id
+    (the component's minimum doc_id) per affected doc.
+
+    Pairwise near-dup output is not directly usable for dedup — if
+    A~B and B~C, keeping "the lower id of each pair" keeps A and
+    drops both B and C only if transitivity is resolved.  This is the
+    standard min-label-propagation component finder: every node
+    starts labeled with itself; each round it takes the min of its
+    own and its neighbors' labels; converged when no label changes.
+
+    Scale shape: the edge list (near-dup pairs) is tiny relative to
+    the corpus by construction, and each round is one join + one
+    groupBy on it — O(E) per round, rounds = component diameter
+    (near-dup clusters are shallow).  ``localCheckpoint`` truncates
+    the growing plan so round N doesn't replay rounds 1..N-1, the
+    standard Spark iterative-algorithm pattern (GraphX/GraphFrames do
+    the equivalent internally).  Driver-side state is one integer
+    (the changed-count), never the data.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nl = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), F.col("lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nl, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: cluster assignment for every doc in a minhash
+    near-dup pair."""
+    return dedup_clusters(doc_minhash_lsh_pairs(spark, sf_dir))
+
+
+def _dedup_clusters_sql() -> str:
+    inner = _minhash_sql().strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE pairs AS (
+SELECT doc_a, doc_b FROM (
+{inner}
+) t
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl
+  FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+ORDER BY c.doc_id
+"""
+
+
+DOC_DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()

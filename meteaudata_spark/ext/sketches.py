@@ -1,0 +1,140 @@
+"""Distinct-count sketches ([EXT]): a deterministic HyperLogLog built
+from engine-portable integer arithmetic.
+
+Spark's ``approx_count_distinct`` and DuckDB's ``approx_count_distinct``
+use different hashes, so their estimates can never hash-match.  This
+HLL derives every register from the cross-engine md5 60-bit hash and
+keeps ALL register math in exact integers:
+
+  * bucket  = h mod m           (m = 256 registers, p = 8)
+  * w       = h div m           (a 52-bit word)
+  * rho(w)  = 53 − bitlen(w)    (bitlen via the binary-string length —
+                                  both engines' ``bin()`` — so no
+                                  float log2 whose libm rounding could
+                                  diverge between JVM and C++)
+  * register M_b = max rho      (integer max)
+  * Σ 2^−M_b is scaled by 2^53: each term is the integer 1 << (53−M),
+    the sum of ≤ m terms ≤ 2^60 is EXACT in a bigint, and both engines
+    divide the same two exact numbers — bit-identical estimates.
+
+The raw HLL estimator (no linear-counting branch) is used; callers
+should keep cardinalities above 2.5·m ≈ 640 where raw HLL is the
+operative regime (the gate query estimates distinct word-3-grams per
+language — thousands at every scale factor).
+
+Scale: the sketch is one explode + one (group, bucket) aggregation +
+one per-group fold — the whole point of HLL is that 100 TB of tokens
+reduce to m integers per group, mergeable across partitions
+(``max`` is the merge), which is exactly what the partial-aggregation
+plan does map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meteaudata_spark.ext.dedup import _docs, _h60, _shingles, _H60_DUCK
+
+_M = 256  # registers (p = 8)
+_ALPHA_M = 0.7213 / (1.0 + 1.079 / _M)  # standard bias constant
+# single numerator constant α·m²·2^53, pre-multiplied in Python so
+# both engines receive one double literal (DuckDB parses decimal
+# literals as DECIMAL and overflows multiplying them)
+_NUMER = _ALPHA_M * _M * _M * float(1 << 53)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str = "h",
+) -> DataFrame:
+    """Per-group (exact_distinct, hll_estimate) over an integer hash
+    column.  ``hash_col`` must hold non-negative 60-bit hashes."""
+    h = F.col(hash_col)
+    # integer division only: h exceeds 2^53, so a double-typed h/m
+    # would lose low bits before truncation
+    w = F.expr(f"{hash_col} div {_M}")
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    regs = (
+        df.select(group_col, F.pmod(h, F.lit(_M)).alias("__b"), rho.alias("__rho"))
+        .groupBy(group_col, "__b")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    # Σ 2^{53-M} over non-empty buckets + 2^53 per empty bucket, all
+    # in exact bigints
+    per_group = regs.groupBy(group_col).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - __m)")).alias("__s"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    scaled_sum = F.col("__s") + (F.lit(_M) - F.col("__nb")) * F.lit(1 << 53)
+    raw = F.lit(_NUMER) / scaled_sum.cast("double")
+    return per_group.select(
+        group_col, F.floor(raw).cast("bigint").alias("hll_distinct")
+    )
+
+
+def doc_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-lang distinct word-3-gram count — exact vs the
+    deterministic HLL estimate, plus the relative error ×10⁴ (kept as
+    an exact integer so the comparison is engine-stable)."""
+    d = _docs(spark, sf_dir)
+    grams = (
+        _shingles(d.select(F.col("lang").alias("doc_id"), "text"), 3)
+        .select(F.col("doc_id").alias("lang"), _h60("shingle").alias("h"))
+        .distinct()
+    )
+    exact = grams.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = hll_distinct(grams, "lang")
+    # abs error in basis points, all-integer: non-negative numerator
+    # so Spark's truncating `div` and DuckDB's flooring `//` agree
+    return (
+        exact.join(est, "lang")
+        .withColumn(
+            "err_abs_bp",
+            F.expr("(abs(hll_distinct - exact_distinct) * 10000) div exact_distinct"),
+        )
+        .select("lang", "exact_distinct", "hll_distinct", "err_abs_bp")
+    )
+
+
+_H60_SH = _H60_DUCK.format(col="shingle")
+
+DOC_HLL_SHINGLES_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT lang, {_H60_SH} AS h
+  FROM (
+    SELECT lang,
+           UNNEST(list_transform(
+             generate_series(1, LEN(string_split(text, ' ')) - 2),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )) AS shingle
+    FROM documents
+  )
+),
+rho AS (
+  SELECT lang, h % {_M} AS b,
+         CASE WHEN h // {_M} = 0 THEN 53
+              ELSE 53 - LEN(bin(h // {_M})) END AS r
+  FROM grams
+),
+regs AS (SELECT lang, b, MAX(r) AS m FROM rho GROUP BY lang, b),
+per_group AS (
+  SELECT lang,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s,
+         COUNT(*) AS nb
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang,
+         CAST(FLOOR(CAST({_NUMER!r} AS DOUBLE)
+              / CAST(s + ({_M} - nb) * (1::BIGINT << 53) AS DOUBLE)) AS BIGINT)
+           AS hll_distinct
+  FROM per_group
+),
+exact AS (SELECT lang, COUNT(*) AS exact_distinct FROM grams GROUP BY lang)
+SELECT e.lang, e.exact_distinct, est.hll_distinct,
+       (abs(est.hll_distinct - e.exact_distinct) * 10000) // e.exact_distinct AS err_abs_bp
+FROM exact e JOIN est ON e.lang = est.lang
+ORDER BY e.lang
+"""
