@@ -41,7 +41,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot
         "ts_value_percentiles": tsq.ts_value_percentiles,  # exact quantiles (approx_percentile = scale path)
         "ts_daily_delta": tsq.ts_daily_delta,              # agg → lag window (aggregate-first ordering)
-        "ts_seasonal_deviation": tsq.ts_seasonal_deviation,  # aggregate-then-rejoin profile join
+        "ts_seasonal_deviation": tsq.ts_seasonal_deviation,
+        "ts_locf_gapfill": tsq.ts_locf_gapfill,  # resample + LOCF forward fill
+        "ts_robust_zscore": tsq.ts_robust_zscore,  # quantile-based anomaly flags
+        "ts_multires_rollup": tsq.ts_multires_rollup,  # 5min→1h→1d continuous aggregate
+        "ts_cross_corr": tsq.ts_cross_corr,  # pairwise Pearson on aligned buckets  # aggregate-then-rejoin profile join
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -85,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
         "emb_lsh_near_pairs": simsearch.emb_lsh_near_pairs,
         "emb_ivf_topk": simsearch.emb_ivf_topk,
+        "emb_kmeans": simsearch.emb_kmeans_refine,  # deterministic Lloyd refinement
     }
 
 
@@ -105,6 +110,10 @@ def oracle_sql() -> dict[str, str]:
         "ts_value_percentiles": tsq.TS_PERCENTILES_SQL,
         "ts_daily_delta": tsq.TS_DAILY_DELTA_SQL,
         "ts_seasonal_deviation": tsq.TS_SEASONAL_DEV_SQL,
+        "ts_locf_gapfill": tsq.TS_LOCF_SQL,
+        "ts_robust_zscore": tsq.TS_ROBUST_ZSCORE_SQL,
+        "ts_multires_rollup": tsq.TS_MULTIRES_SQL,
+        "ts_cross_corr": tsq.TS_CROSS_CORR_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,
@@ -143,4 +152,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,
         "emb_ivf_topk": simsearch.EMB_IVF_TOPK_SQL,
+        "emb_kmeans": simsearch.EMB_KMEANS_SQL,
     }

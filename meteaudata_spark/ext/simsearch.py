@@ -529,3 +529,185 @@ ORDER BY vec_a, vec_b
 
 
 EMB_LSH_NEAR_PAIRS_SQL = _lsh_near_pairs_sql()
+
+
+# ----------------------------------------------------------------------
+# k-means (one deterministic Lloyd refinement)
+# ----------------------------------------------------------------------
+def emb_kmeans_refine(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """One Lloyd iteration of cosine k-means with engine-exact math.
+
+    Seeds are the deterministic IVF codebook (vec_id ∈ [100, 100+k)).
+    Step 1 assigns every vector to its nearest seed; step 2 recomputes
+    each centroid; step 3 re-assigns against the refined centroids and
+    reports per-cluster sizes and mean similarity.
+
+    The usual blocker for a cross-engine oracle is the centroid mean:
+    a float sum over rows depends on partition order.  Here components
+    are quantized to integers (round(x·2²⁰) — exact for float32
+    inputs, since ×2²⁰ is a power-of-two scale) and summed as bigints,
+    which is EXACT and order-free; cosine against such a centroid
+    needs no division by the cluster count because cosine is
+    scale-invariant.  Per-cluster mean similarity is likewise summed
+    as rounded-integer micro-units before one final division, so both
+    engines divide the same two exact integers.
+
+    Scale: two broadcast cross-joins against k centroids (linear
+    passes, no corpus shuffle) + one (k × 64)-row update aggregation
+    with map-side partial sums.  Iterating to convergence repeats the
+    same plan — this is the canonical distributed k-means shape.
+    """
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("nrm", F.expr(_norm_expr("embedding")))
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+            ),
+        )
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_clusters)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sim1 = F.expr(_DOT.format(a="embedding", b="ce")) / (F.col("nrm") * F.col("cn"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", sim1)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "embedding", "nrm", "q", "centroid_id")
+    )
+    # centroid update: exact bigint sums per (cluster, dimension),
+    # reassembled into a position-ordered array
+    upd = (
+        assigned.select("centroid_id", F.posexplode("q").alias("pos", "qv"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.sum("qv").alias("s"))
+    )
+    cent2 = (
+        upd.groupBy("centroid_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), p -> p.s)"
+            ).alias("sq")
+        )
+        .withColumn(
+            "cn2",
+            F.expr(
+                "sqrt(aggregate(sq, CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+            ),
+        )
+    )
+    sim2 = F.expr(_DOT.format(a="embedding", b="sq")) / (F.col("nrm") * F.col("cn2"))
+    re_assigned = (
+        emb.select("vec_id", "embedding", "nrm")
+        .crossJoin(F.broadcast(cent2))
+        .withColumn("__sim", sim2)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+    )
+    return (
+        re_assigned.groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum(F.expr("CAST(round(__sim * 1000000.0) AS BIGINT)")).alias("__s6"),
+        )
+        .select(
+            "cluster_id",
+            "n_assigned",
+            F.round(
+                F.col("__s6").cast("double")
+                / (F.lit(1000000.0) * F.col("n_assigned")),
+                4,
+            ).alias("avg_cos"),
+        )
+    )
+
+
+def _kmeans_sql(n_clusters: int = 8) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, LEN({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {nrm.format(a='embedding')} AS nrm,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn
+  FROM emb WHERE vec_id >= 100 AND vec_id < {100 + n_clusters}
+),
+asg AS (
+  SELECT e.vec_id, e.q, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ({dot.format(a='e.embedding', b='c.ce')} / (e.nrm * c.cn)) DESC,
+                    c.centroid_id
+         ) AS rk
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, q, centroid_id FROM asg WHERE rk = 1),
+upd AS (
+  SELECT centroid_id, i, CAST(SUM(q[i]) AS BIGINT) AS s
+  FROM assigned CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) dims
+  GROUP BY centroid_id, i
+),
+cent2 AS (
+  SELECT centroid_id, list(s ORDER BY i) AS sq,
+         sqrt(list_aggregate(list_transform(list(s ORDER BY i),
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cn2
+  FROM upd GROUP BY centroid_id
+),
+asg2 AS (
+  SELECT e.vec_id, c.centroid_id,
+         ({dot.format(a='e.embedding', b='c.sq')} / (e.nrm * c.cn2)) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ({dot.format(a='e.embedding', b='c.sq')} / (e.nrm * c.cn2)) DESC,
+                    c.centroid_id
+         ) AS rk
+  FROM emb e CROSS JOIN cent2 c
+)
+SELECT centroid_id AS cluster_id,
+       COUNT(*) AS n_assigned,
+       ROUND(CAST(CAST(SUM(CAST(round(sim * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / (1000000.0 * COUNT(*)), 4) AS avg_cos
+FROM asg2 WHERE rk = 1
+GROUP BY centroid_id
+ORDER BY cluster_id
+"""
+
+
+EMB_KMEANS_SQL = _kmeans_sql()

@@ -582,3 +582,262 @@ FROM events e JOIN fences f USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+def ts_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute resample with empty buckets forward-filled (LOCF) —
+    the GAP_FILLING strategy paired with linear interpolation
+    (kernels.locf at scale; resample + fill is one fused lazy plan,
+    the fact table is scanned twice and shuffled once)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").alias("timestamp"), "value"
+    )
+    res = kernels.resample_mean(ev, "5min", partition_cols=["event_type"])
+    filled = kernels.locf(res, partition_cols=["event_type"])
+    return filled.select(
+        "event_type",
+        F.col("timestamp").alias("bucket_ts"),
+        _r6(F.col("value")).alias("filled_value"),
+    )
+
+
+TS_LOCF_SQL = """
+WITH b AS (
+  SELECT event_type,
+         date_trunc('day', MIN(ts)) AS origin,
+         MIN(ts) AS mn, MAX(ts) AS mx
+  FROM events GROUP BY event_type
+),
+agg AS (
+  SELECT e.event_type,
+         CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 300) * 300) AS TIMESTAMP) AS bucket_ts,
+         AVG(e.value) AS avg_raw
+  FROM events e JOIN b USING (event_type)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         CAST(UNNEST(generate_series(
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mn) - epoch(origin)) / 300) * 300) AS TIMESTAMP),
+           CAST(to_timestamp(epoch(origin) + floor((epoch(mx) - epoch(origin)) / 300) * 300) AS TIMESTAMP),
+           INTERVAL 5 MINUTE)) AS TIMESTAMP) AS bucket_ts
+  FROM b
+),
+joined AS (
+  SELECT s.event_type, s.bucket_ts, a.avg_raw
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket_ts = a.bucket_ts
+)
+SELECT event_type, bucket_ts,
+       ROUND(LAST_VALUE(avg_raw IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0) / 1000000.0
+       AS filled_value
+FROM joined
+ORDER BY event_type, bucket_ts
+"""
+
+
+def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows whose robust z-score |value − median| / IQR exceeds 2 per
+    event type.  Median/IQR come from exact quantiles (engine-
+    deterministic, like ts_value_percentiles), so the flag boundary is
+    bit-stable — the reason to prefer robust z over mean/std anomaly
+    flags when an oracle must agree; the quantile table (types × 3
+    values) is broadcast back onto the stream."""
+    ev = _events(spark, sf_dir)
+    quants = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    rz = (F.col("value") - F.col("med")) / (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(quants), "event_type")
+        .withColumn("__rz", rz)
+        .filter(F.abs(F.col("__rz")) > 2.0)
+        .select(
+            "event_id",
+            "event_type",
+            _r6(F.col("value")).alias("value"),
+            _r6(F.col("__rz")).alias("robust_z"),
+        )
+    )
+
+
+TS_ROBUST_ZSCORE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5)  AS med,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value * 1000000.0) / 1000000.0 AS value,
+       ROUND((e.value - q.med) / (q.q3 - q.q1) * 1000000.0) / 1000000.0 AS robust_z
+FROM events e JOIN q USING (event_type)
+WHERE ABS((e.value - q.med) / (q.q3 - q.q1)) > 2.0
+ORDER BY e.event_id
+"""
+
+
+def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 5-minute partials roll
+    up to hourly, hourly rolls up to daily — each level aggregates the
+    (tiny) level below, never the fact table, by carrying (sum, count)
+    instead of averages.  This is the 100 TB shape for dashboard
+    rollups: the raw stream is touched once; re-aggregation cost is
+    proportional to the 5-minute partial table.
+
+    Values are quantized to round(x·2²⁰) integers at the partial
+    level, so every rollup level sums EXACTLY (bigints) and both
+    engines divide the same two exact numbers — a float partial sum
+    re-summed per level would drift with partition order (observed: a
+    daily average landing precisely on the 6-decimal rounding
+    boundary split between engines)."""
+    ev = _events(spark, sf_dir)
+    p5 = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("b5"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 1048576) AS BIGINT)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    h1 = (
+        p5.groupBy(
+            "event_type", (F.floor(F.col("b5") / 3600) * 3600).alias("bh")
+        )
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    d1 = (
+        h1.groupBy(
+            "event_type", (F.floor(F.col("bh") / 86400) * 86400).alias("bd")
+        )
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    avg = _r6(F.col("s").cast("double") / (F.lit(1048576.0) * F.col("n")))
+    lvl_h = h1.select(
+        F.lit("1h").alias("level"),
+        "event_type",
+        F.timestamp_seconds("bh").alias("bucket_ts"),
+        F.col("n").alias("n_events"),
+        avg.alias("avg_value"),
+    )
+    lvl_d = d1.select(
+        F.lit("1d").alias("level"),
+        "event_type",
+        F.timestamp_seconds("bd").alias("bucket_ts"),
+        F.col("n").alias("n_events"),
+        avg.alias("avg_value"),
+    )
+    return lvl_h.unionByName(lvl_d)
+
+
+TS_MULTIRES_SQL = """
+WITH p5 AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         CAST(SUM(CAST(round(value * 1048576) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+h1 AS (
+  SELECT event_type, CAST(floor(b5 / 3600) * 3600 AS BIGINT) AS bh,
+         CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+  FROM p5 GROUP BY 1, 2
+),
+d1 AS (
+  SELECT event_type, CAST(floor(bh / 86400) * 86400 AS BIGINT) AS bd,
+         CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+  FROM h1 GROUP BY 1, 2
+)
+SELECT '1h' AS level, event_type, to_timestamp(bh)::TIMESTAMP AS bucket_ts,
+       n AS n_events,
+       ROUND(CAST(s AS DOUBLE) / (1048576.0 * n) * 1000000.0) / 1000000.0 AS avg_value
+FROM h1
+UNION ALL
+SELECT '1d' AS level, event_type, to_timestamp(bd)::TIMESTAMP AS bucket_ts,
+       n AS n_events,
+       ROUND(CAST(s AS DOUBLE) / (1048576.0 * n) * 1000000.0) / 1000000.0 AS avg_value
+FROM d1
+ORDER BY level, event_type, bucket_ts
+"""
+
+
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event types over
+    aligned 5-minute bucket means.
+
+    Numerically hardened for a cross-engine oracle: values are first
+    centered by a per-type ROUNDED mean (a deterministic constant;
+    Pearson is shift-invariant, so any center is exact), which removes
+    the catastrophic n·Σxy − Σx·Σy cancellation that would otherwise
+    amplify float-summation order noise past the rounding guard.
+    Plan: one bucket aggregation, one tiny self-join on bucket
+    (aligned pairs), one pair aggregation."""
+    ev = _events(spark, sf_dir)
+    mu = ev.groupBy("event_type").agg(_r6(F.avg("value")).alias("mu"))
+    b = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("b5"),
+        )
+        .agg(F.avg(F.col("value") - F.col("mu")).alias("m"))
+    )
+    a = b.select(
+        F.col("event_type").alias("type_a"), "b5", F.col("m").alias("x")
+    )
+    c = b.select(
+        F.col("event_type").alias("type_b"), "b5", F.col("m").alias("y")
+    )
+    pairs = a.join(c, "b5").filter(F.col("type_a") < F.col("type_b"))
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    corr = (
+        F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.sqrt(F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n_buckets") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "type_a", "type_b", "n_buckets", _r6(corr).alias("corr")
+    )
+
+
+TS_CROSS_CORR_SQL = """
+WITH mu AS (
+  SELECT event_type, ROUND(AVG(value) * 1000000.0) / 1000000.0 AS mu
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type, CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) AS b5,
+         AVG(e.value - mu.mu) AS m
+  FROM events e JOIN mu USING (event_type)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b, a.m AS x, c.m AS y
+  FROM b a JOIN b c ON a.b5 = c.b5 AND a.event_type < c.event_type
+),
+agg AS (
+  SELECT type_a, type_b, COUNT(*) AS n_buckets,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_buckets,
+       ROUND((n_buckets * sxy - sx * sy)
+             / (sqrt(n_buckets * sxx - sx * sx) * sqrt(n_buckets * syy - sy * sy))
+             * 1000000.0) / 1000000.0 AS corr
+FROM agg
+ORDER BY type_a, type_b
+"""

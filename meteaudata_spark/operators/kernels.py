@@ -419,6 +419,31 @@ def rolling_mean(
     return df.withColumn(val_col, F.avg(clean).over(w))
 
 
+def locf(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Last-observation-carried-forward: fill nulls with the most
+    recent non-null value, like ``pandas.Series.ffill()``.  Leading
+    nulls stay null.
+
+    One ``last(ignorenulls)`` over a RUNNING frame — incremental O(n)
+    per partition, parallel across ``partition_cols`` groups (same
+    frame discipline as ``interpolate_linear``; a following-frame
+    variant would be O(n²)).
+    """
+    pcols = list(partition_cols)
+    w = _win(pcols, ts_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean = (
+        F.when(F.isnan(F.col(val_col)), F.lit(None)).otherwise(F.col(val_col))
+        if dict(df.dtypes)[val_col] in ("double", "float")
+        else F.col(val_col)
+    )
+    return df.withColumn(val_col, F.last(clean, ignorenulls=True).over(w))
+
+
 # ----------------------------------------------------------------------
 # gap detection (ProcessingType.FAULT_DETECTION application)
 # ----------------------------------------------------------------------

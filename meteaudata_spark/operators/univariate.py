@@ -134,6 +134,35 @@ def linear_interpolation(
     return outputs
 
 
+def forward_fill(
+    input_series: list[TimeSeries], *args: Any, **kwargs: Any
+) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
+    """Fill gaps by carrying the last observation forward
+    (``pandas.Series.ffill()`` — the second GAP_FILLING strategy next
+    to linear interpolation)."""
+    step = _make_step(
+        ProcessingType.GAP_FILLING,
+        "A processing function that forward-fills missing values",
+        "forward fill",
+        "FFILL",
+        [ts.name for ts in input_series],
+        Parameters(),
+        func=forward_fill,
+    )
+    outputs = []
+    for ts in input_series:
+        _require_time_index(ts)
+        new_df = kernels.locf(ts.df)
+        out = TimeSeries(
+            df=new_df,
+            index_metadata=ts.index_metadata.model_copy(deep=True),
+            values_dtype=ts.values_dtype,
+            name=_out_name(ts, step.suffix),
+        )
+        outputs.append((out, [step]))
+    return outputs
+
+
 def replace_ranges(
     input_series: list[TimeSeries],
     index_pairs: Sequence[Sequence[Any]],

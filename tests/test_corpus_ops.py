@@ -124,3 +124,12 @@ def test_dedup_clusters_long_chain_converges(spark):
     got = dedup_clusters(pairs).collect()
     assert all(r["cluster_id"] == 0 for r in got)
     assert all(r["cluster_size"] == 13 for r in got)
+
+
+def test_kmeans_refine_partitions_corpus(spark):
+    from meteaudata_spark.ext.simsearch import emb_kmeans_refine
+
+    got = emb_kmeans_refine(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_assigned"] for r in got) == 500  # every vector assigned once
+    assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in got)
+    assert len(got) <= 8

@@ -215,3 +215,31 @@ def test_drop_duplicates_explicit_tiebreaker(spark):
     ts1 = pd.Timestamp("2020-01-01 00:05")
     assert f[ts0] == 1.0 and f[ts1] == 3.0
     assert l[ts0] == 5.0 and l[ts1] == 6.0
+
+
+def test_locf_matches_pandas_ffill(spark):
+    idx = pd.date_range("2020-01-01", freq="5min", periods=12)
+    vals = [np.nan, 1.0, np.nan, np.nan, 4.0, np.nan, 6.0, np.nan, np.nan, np.nan, 10.0, np.nan]
+    ser = pd.Series(vals, index=idx)
+    got = _collect(kernels.locf(_to_spark(spark, ser)))
+    ref = ser.ffill()
+    assert np.allclose(got.values, ref.values, equal_nan=True)
+    # leading NaN must stay NaN
+    assert np.isnan(got.values[0])
+
+
+def test_forward_fill_operator_names_and_fills(spark):
+    from meteaudata_spark import DataProvenance, Signal
+    from meteaudata_spark.operators.univariate import forward_fill
+
+    idx = pd.date_range("2020-01-01", freq="5min", periods=6)
+    ser = pd.Series([1.0, np.nan, np.nan, 4.0, np.nan, 6.0], index=idx, name="RAW")
+    sig = Signal(
+        input_data=ser, name="F", units="mg/l",
+        provenance=DataProvenance(), spark=spark,
+    )
+    sig.process(["F#1_RAW#1"], forward_fill)
+    got = sig.time_series["F#1_FFILL#1"].to_pandas()
+    assert np.allclose(got.values, ser.ffill().values, equal_nan=True)
+    step = sig.time_series["F#1_FFILL#1"].processing_steps[-1]
+    assert step.type.value == "gap_filling"
