@@ -60,7 +60,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": relational.customers_without_orders,  # anti join
         "suppliers_with_returns": relational.suppliers_with_returns,      # semi join
         "top_orders_per_customer": relational.top_orders_per_customer,    # ranking window
-        "active_building_customers": relational.active_building_customers,  # INTERSECT
+        "active_building_customers": relational.active_building_customers,
+        # --- round-2 relational additions ---
+        "q7_nation_volume": relational.q7_nation_volume,
+        "q9_type_profit": relational.q9_type_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        "q13_order_count_distribution": relational.q13_order_count_distribution,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "q19_or_predicate_revenue": relational.q19_or_predicate_revenue,
+        "part_cheapest_supplier": relational.part_cheapest_supplier,  # INTERSECT
         # --- dedup ladder (§2.12 EXT) ---
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
@@ -128,6 +137,14 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_with_returns": relational.SUPPLIERS_WITH_RETURNS_SQL,
         "top_orders_per_customer": relational.TOP_ORDERS_PER_CUSTOMER_SQL,
         "active_building_customers": relational.ACTIVE_BUILDING_SQL,
+        "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,
+        "q9_type_profit": relational.Q9_TYPE_PROFIT_SQL,
+        "q10_returned_items": relational.Q10_RETURNED_SQL,
+        "q13_order_count_distribution": relational.Q13_ORDER_COUNT_SQL,
+        "q17_small_quantity_revenue": relational.Q17_SMALL_QTY_SQL,
+        "q18_large_volume_customers": relational.Q18_LARGE_VOLUME_SQL,
+        "q19_or_predicate_revenue": relational.Q19_OR_PREDICATE_SQL,
+        "part_cheapest_supplier": relational.PART_CHEAPEST_SUPPLIER_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_minhash_lsh_pairs": dedup.DOC_MINHASH_SQL,

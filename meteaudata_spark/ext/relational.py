@@ -554,3 +554,348 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 ORDER BY ship_month
 """
+
+
+# ----------------------------------------------------------------------
+# round-2 additions: wider TPC-H-style coverage
+# ----------------------------------------------------------------------
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style volume shipping: revenue flowing between two specific
+    nations (supplier side ↔ customer side) per year.  Two broadcast
+    dim chains onto one filtered fact scan; the only fact shuffle is
+    the final (nation, nation, year) aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+Q7_NATION_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q9_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style revenue by supplier nation × part type × year (the
+    profit query minus partsupp, which this schema doesn't carry).
+    Part + supplier + nation broadcast; fact scanned once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+Q9_TYPE_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style returned-item reporting: top 20 customers by revenue
+    lost to returns in one quarter-year window."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_RETURNED_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style customer distribution: how many customers placed
+    exactly k orders (left join so zero-order customers count).  The
+    orders side pre-aggregates per customer before the join, so the
+    join input is one row per customer — not the raw fact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_ORDER_COUNT_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COALESCE(oc.c_count, 0) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS c_count FROM orders GROUP BY o_custkey
+  ) oc ON c.c_custkey = oc.o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style small-quantity revenue: average yearly revenue lost
+    if small orders (below 20% of a part's mean quantity) weren't
+    filled, for one brand.
+
+    The correlated per-part average becomes one pre-aggregation +
+    broadcast re-join; the < 0.2·avg predicate is cross-multiplied
+    (5·qty·cnt < sum_qty) so both engines compare exact decimals — no
+    decimal-division precision rules in play."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li_b = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    stats = li_b.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li_b.join(F.broadcast(stats), li_b["l_partkey"] == stats["sp_partkey"]).filter(
+        _dec("l_quantity") * F.lit(5).cast("decimal(18,2)") * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+Q17_SMALL_QTY_SQL = """
+WITH li_b AS (
+  SELECT l.* FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+),
+stats AS (
+  SELECT l_partkey AS sp_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM li_b GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li_b l
+JOIN stats s ON l.l_partkey = s.sp_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(18,2)) * s.cnt < s.sum_qty
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume customers: orders whose total quantity
+    exceeds 250, with the customer attached.  The HAVING pre-filter
+    shrinks the fact to a handful of orderkeys before any dim join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(250).cast("decimal(18,2)"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+Q18_LARGE_VOLUME_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
+def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style disjunctive-predicate revenue: three (brand, size,
+    quantity) AND-groups OR-ed together.  The whole predicate is one
+    Parquet-pushable filter after the broadcast part join — Catalyst
+    keeps it a single scan + filter, no union of three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return j.filter(cond).agg(rev.cast("double").alias("revenue"))
+
+
+Q19_OR_PREDICATE_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-flavored min-per-group: for each part (of one type), the
+    supplier with the LOWEST total revenue on it (tie → lowest
+    suppkey).  Exercises the argmin-within-group pattern — one
+    aggregation + one window rank, both on the same (part, supplier)
+    key so AQE coalesces the shuffles."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    per_ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).alias("ps_rev")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("ps_rev").asc(), F.col("l_suppkey").asc())
+    return (
+        per_ps.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("ps_rev").cast("double").alias("min_revenue"),
+        )
+    )
+
+
+PART_CHEAPEST_SUPPLIER_SQL = """
+WITH per_ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS ps_rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+  GROUP BY 1, 2
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+       CAST(ps_rev AS DOUBLE) AS min_revenue
+FROM (
+  SELECT l_partkey, l_suppkey, ps_rev,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY ps_rev ASC, l_suppkey ASC) AS rk
+  FROM per_ps
+)
+WHERE rk = 1
+ORDER BY p_partkey
+"""
