@@ -543,6 +543,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("node")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter-count on already-materialized
+        # data — one job per iteration instead of two (join + count)
         new_labels = (
             labels.join(nl, "node", "left")
             .select(
@@ -550,16 +553,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
                     "lbl"
                 ),
+                F.col("lbl").alias("__prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("lbl") != F.col("__prev")).count()
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))

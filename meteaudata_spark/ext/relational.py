@@ -173,18 +173,25 @@ ORDER BY revenue DESC, n_name
 
 
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 customers by lineitem revenue (broadcast dim pattern)."""
+    """Top-20 customers by lineitem revenue (broadcast dim pattern).
+
+    The lineitem⋈orders fact-fact join is fed a per-orderkey partial
+    aggregate instead of raw lineitems — Catalyst doesn't push
+    aggregates below joins, so we do it by hand: the join moves one
+    row per order (~4× less at TPC-H ratios) and the decimal sums are
+    associative, so re-aggregating per customer is exact."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
     )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("o_rev"))
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum("o_rev").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
