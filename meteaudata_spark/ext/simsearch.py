@@ -539,6 +539,14 @@ def emb_kmeans_refine(
     sf_dir: str,
     n_clusters: int = 8,
 ) -> DataFrame:
+    """Gate query: one Lloyd refinement over the embeddings table."""
+    return kmeans_refine(_emb(spark, sf_dir), n_clusters=n_clusters)
+
+
+def kmeans_refine(
+    emb_in: DataFrame,
+    n_clusters: int = 8,
+) -> DataFrame:
     """One Lloyd iteration of cosine k-means with engine-exact math.
 
     Seeds are the deterministic IVF codebook (vec_id ∈ [100, 100+k)).
@@ -562,8 +570,9 @@ def emb_kmeans_refine(
     same plan — this is the canonical distributed k-means shape.
     """
     emb = (
-        _emb(spark, sf_dir)
+        emb_in
         .withColumn("nrm", F.expr(_norm_expr("embedding")))
+        .filter(F.col("nrm") > 0)  # cosine undefined for zero vectors
         .withColumn(
             "q",
             F.expr(
@@ -664,6 +673,7 @@ WITH emb AS (
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
   FROM embeddings
+  WHERE {nrm.format(a='embedding')} > 0
 ),
 cents AS (
   SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn
@@ -711,3 +721,54 @@ ORDER BY cluster_id
 
 
 EMB_KMEANS_SQL = _kmeans_sql()
+
+
+def kmeans_assign_fast(emb: DataFrame, centroids) -> DataFrame:
+    """SCALE-path k-means assignment: nearest centroid by cosine via
+    one mapInArrow matmul — (vec_id, centroid_id, cosine).
+
+    ``kmeans_refine`` keeps dot products as sequential SQL folds so a
+    DuckDB oracle can reproduce them bit-for-bit; that costs ~25k
+    vecs/s because Catalyst interprets higher-order lambdas per
+    element.  This variant flattens each Arrow batch zero-copy into
+    one (n × dim) matrix and assigns the whole batch with a single
+    BLAS matmul — the same machinery as ``lsh_bucketize`` (measured
+    ~1.4M vecs/s) — at the price of SIMD/pairwise summation order, so
+    results agree with the fold path only to float tolerance.  At
+    100 TB the assignment step is this map-only pass; the (k × dim)
+    centroid array rides along in the closure (broadcast by Spark's
+    task serialization).
+
+    ``centroids``: list of (centroid_id, vector) with unit-or-any
+    norm; cosine normalizes both sides.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.array([c[0] for c in centroids], dtype=np.int64)
+    cm = np.array([c[1] for c in centroids], dtype=np.float64)
+    cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+    dim = cm.shape[1]
+
+    def assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            embc = batch.column(batch.schema.get_field_index("embedding"))
+            x = np.asarray(embc.flatten(), dtype=np.float64).reshape(n, dim)
+            nrm = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = (x / nrm) @ cm.T
+            best = sims.argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    pa.array(ids[best], pa.int64()),
+                    pa.array(sims[np.arange(n), best], pa.float64()),
+                ],
+                names=["vec_id", "centroid_id", "cosine"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id BIGINT, centroid_id BIGINT, cosine DOUBLE"
+    )

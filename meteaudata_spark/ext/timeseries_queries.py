@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from meteaudata_spark.operators import kernels
 from meteaudata_spark.ext.asof import asof_join_backward
+from meteaudata_spark.plans.opcache import cache_intermediate
 from meteaudata_spark.sources.tables import load_table
 
 
@@ -706,7 +707,10 @@ def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    h1 = (
+    # the hourly partial feeds BOTH output levels (directly and via
+    # the daily rollup) — cache it (bounded registry) so the fact
+    # table is scanned once, not once per union branch
+    h1 = cache_intermediate(
         p5.groupBy(
             "event_type", (F.floor(F.col("b5") / 3600) * 3600).alias("bh")
         )

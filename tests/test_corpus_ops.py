@@ -133,3 +133,47 @@ def test_kmeans_refine_partitions_corpus(spark):
     assert sum(r["n_assigned"] for r in got) == 500  # every vector assigned once
     assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in got)
     assert len(got) <= 8
+
+
+def test_kmeans_fast_assignment_matches_fold_path(spark):
+    """The Arrow-matmul assignment must agree with the oracle-exact
+    fold path on every vector (same argmax; cosine to float tol)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from meteaudata_spark.ext.simsearch import kmeans_assign_fast
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).collect()
+    ]
+    fast = {
+        r["vec_id"]: r for r in kmeans_assign_fast(emb, cents).collect()
+    }
+    # fold-path assignment (same math as kmeans_refine step 1)
+    from meteaudata_spark.ext.simsearch import _DOT, _norm_expr
+    from pyspark.sql import Window
+
+    e = emb.withColumn("nrm", F.expr(_norm_expr("embedding")))
+    c = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sim = F.expr(_DOT.format(a="embedding", b="ce")) / (F.col("nrm") * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    slow = {
+        r["vec_id"]: r
+        for r in e.crossJoin(F.broadcast(c))
+        .withColumn("__sim", sim)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "centroid_id", F.col("__sim").alias("cosine"))
+        .collect()
+    }
+    assert set(fast) == set(slow)
+    n_diff = sum(1 for v in fast if fast[v]["centroid_id"] != slow[v]["centroid_id"])
+    assert n_diff == 0, f"{n_diff} assignment mismatches"
+    for v in fast:
+        assert abs(fast[v]["cosine"] - slow[v]["cosine"]) < 1e-9

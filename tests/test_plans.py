@@ -99,3 +99,62 @@ def test_q14_single_aggregation(spark):
     joins = inspect.join_strategies(df)
     assert "BroadcastHashJoin" in joins
     assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
+
+
+# ----------------------------------------------------------------------
+# round-2 additions
+# ----------------------------------------------------------------------
+def test_hash_split_is_map_only(spark):
+    """Split membership is a row-local projection: zero exchanges."""
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_hash_split(spark, SF)
+    assert inspect.exchange_count(df) == 0
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must be the broadcast side — no
+    sort-merge join of the corpus against it."""
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_contamination(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert any("BroadcastHashJoin" in j for j in joins), joins
+    assert not any("SortMergeJoin" in j for j in joins), joins
+
+
+def test_multires_rollup_scans_fact_once(spark):
+    """Coarser levels aggregate the cached hourly partial, not the
+    fact table: exactly one events scan in the plan."""
+    plan = inspect.formatted_plan(tsq.ts_multires_rollup(spark, SF))
+    assert plan.count("events.parquet") <= 1, plan[:2000]
+
+
+def test_top_customers_preaggregates_before_join(spark):
+    """The per-orderkey partial aggregate must sit BELOW the
+    orders join (aggregate-pushdown-by-hand)."""
+    df = relational.top_customers_by_revenue(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # a per-orderkey aggregate exists at all (the pushdown-by-hand)
+    assert "Keys [1]: [l_orderkey" in plan, plan[:2000]
+    # and the whole query needs only the two aggregation exchanges —
+    # the orderkey partial + the customer final (joins broadcast)
+    assert inspect.exchange_count(df) <= 2, plan[:2000]
+
+
+def test_q7_broadcasts_all_dims(spark):
+    df = relational.q7_nation_volume(spark, SF)
+    joins = inspect.join_strategies(df)
+    bhj = [j for j in joins if "Broadcast" in j]
+    assert len(bhj) >= 4, joins  # supplier, nation×2, customer
+
+
+def test_kmeans_centroids_broadcast(spark):
+    """Both assignment passes must broadcast the centroid table —
+    the corpus side never shuffles."""
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_kmeans_refine(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
