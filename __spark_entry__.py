@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": corpus_ops.doc_contamination,
         "doc_pii_scrub": corpus_ops.doc_pii_scrub,
         "doc_hll_shingles": sketches.doc_hll_shingles,  # deterministic cross-engine HyperLogLog
+        "doc_cms_heavy_hitters": sketches.doc_cms_heavy_hitters,  # count-min sketch vs exact
         # --- similarity search (§2.12 EXT) ---
         "emb_cosine_topk": simsearch.emb_cosine_topk,
         "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": corpus_ops.DOC_CONTAMINATION_SQL,
         "doc_pii_scrub": corpus_ops.DOC_PII_SCRUB_SQL,
         "doc_hll_shingles": sketches.DOC_HLL_SHINGLES_SQL,
+        "doc_cms_heavy_hitters": sketches.DOC_CMS_HEAVY_HITTERS_SQL,
         "emb_cosine_topk": simsearch.EMB_COSINE_TOPK_SQL,
         "emb_avg_norm_by_label": simsearch.EMB_AVG_NORM_SQL,
         "emb_lsh_near_pairs": simsearch.EMB_LSH_NEAR_PAIRS_SQL,

@@ -138,3 +138,150 @@ SELECT e.lang, e.exact_distinct, est.hll_distinct,
 FROM exact e JOIN est ON e.lang = est.lang
 ORDER BY e.lang
 """
+
+
+# ----------------------------------------------------------------------
+# count-min sketch (heavy hitters)
+# ----------------------------------------------------------------------
+_CMS_D = 4       # hash rows
+_CMS_W = 1024    # counters per row
+_CMS_P = (1 << 31) - 1
+
+
+def _cms_col(j: int, h):
+    """Row-j counter index for hash h: ((a_j·h + b_j) mod p) mod w,
+    universal-hash family keyed on j — integer math only."""
+    return F.pmod(
+        F.pmod(F.lit(2 * j + 3) * F.pmod(h, F.lit(_CMS_P)) + F.lit(911 * (j + 1)), F.lit(_CMS_P)),
+        F.lit(_CMS_W),
+    )
+
+
+def cms_counts(df: DataFrame, group_col: str, hash_col: str = "h") -> DataFrame:
+    """Count-min sketch table: (group, row, col, c) — the d×w counter
+    grid per group, built with ONE aggregation over d exploded rows.
+
+    All-integer (like ``hll_distinct``): counter values are exact
+    bigint sums, so estimates are bit-identical across engines.  At
+    100 TB the sketch is the point: the grid is d·w counters per
+    group regardless of stream size, mergeable by + across partitions
+    (map-side partial aggregation does exactly that)."""
+    h = F.col(hash_col)
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("r"), _cms_col(j, h).alias("c"))
+            for j in range(_CMS_D)
+        ]
+    )
+    return (
+        df.select(group_col, F.explode(rows).alias("rc"))
+        .groupBy(group_col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def doc_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, top_n: int = 10
+) -> DataFrame:
+    """Gate query: per-lang top tokens — exact count vs the count-min
+    estimate (min over the token's d counters).  CMS never
+    underestimates; the overestimate bound is n/w per row.  Pairs with
+    ``doc_hll_shingles``: HLL answers "how many distinct", CMS answers
+    "how often does X occur" — the two sketches a streaming corpus
+    profiler keeps."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).withColumn("h", _h60(F.concat(F.lit("tok:"), F.col("token"))))
+
+    sketch = cms_counts(toks, "lang")
+
+    exact = toks.groupBy("lang", "token", "h").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("exact_n").desc(), F.col("token")
+    )
+    top = exact.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_n
+    )
+
+    # look up each top token's d cells and take the min counter
+    cells = top.select(
+        "lang",
+        "token",
+        "exact_n",
+        "rk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"), _cms_col(j, F.col("h")).alias("c")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("lang", "token", "exact_n", "rk", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return (
+        cells.join(sketch, ["lang", "r", "c"])
+        .groupBy("lang", "token", "exact_n", "rk")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select("lang", F.col("rk").cast("bigint").alias("rk"), "token", "exact_n", "cms_n")
+    )
+
+
+def _cms_sql(top_n: int = 10) -> str:
+    h60_tok = _H60_DUCK.format(col="'tok:' || token")
+    cols = ",\n    ".join(
+        f"(((( {2 * j + 3} * (h % {_CMS_P}) + {911 * (j + 1)}) % {_CMS_P}) + {_CMS_P}) % {_CMS_P}) % {_CMS_W} AS c{j}"
+        for j in range(_CMS_D)
+    )
+    cell_rows = "\n  UNION ALL\n".join(
+        f"  SELECT lang, {j} AS r, c{j} AS c FROM tok_cells" for j in range(_CMS_D)
+    )
+    top_cells = "\n  UNION ALL\n".join(
+        f"  SELECT lang, token, exact_n, rk, {j} AS r, c{j} AS c FROM top" for j in range(_CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT lang, token, {h60_tok} AS h FROM toks
+),
+tok_cells AS (
+  SELECT lang, token, h,
+    {cols}
+  FROM hashed
+),
+cells AS (
+{cell_rows}
+),
+sketch AS (
+  SELECT lang, r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT lang, token, MIN(c0) AS c0, MIN(c1) AS c1, MIN(c2) AS c2, MIN(c3) AS c3,
+         COUNT(*) AS exact_n
+  FROM tok_cells GROUP BY lang, token
+),
+top AS (
+  SELECT lang, token, exact_n, c0, c1, c2, c3,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY exact_n DESC, token) AS rk
+  FROM exact
+  QUALIFY rk <= {top_n}
+),
+tc AS (
+{top_cells}
+)
+SELECT t.lang, t.rk, t.token, t.exact_n, MIN(s.cnt) AS cms_n
+FROM tc t JOIN sketch s ON t.lang = s.lang AND t.r = s.r AND t.c = s.c
+GROUP BY t.lang, t.rk, t.token, t.exact_n
+ORDER BY t.lang, t.rk
+"""
+
+
+DOC_CMS_HEAVY_HITTERS_SQL = _cms_sql()

@@ -177,3 +177,13 @@ def test_kmeans_fast_assignment_matches_fold_path(spark):
     assert n_diff == 0, f"{n_diff} assignment mismatches"
     for v in fast:
         assert abs(fast[v]["cosine"] - slow[v]["cosine"]) < 1e-9
+
+
+def test_cms_never_underestimates(spark):
+    from meteaudata_spark.ext.sketches import doc_cms_heavy_hitters
+
+    got = doc_cms_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 50  # 5 langs × top 10
+    for r in got:
+        assert r["cms_n"] >= r["exact_n"]          # CMS overestimates only
+        assert r["cms_n"] - r["exact_n"] < 2000    # d=4, w=1024 bound
