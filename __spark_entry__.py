@@ -45,7 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_locf_gapfill": tsq.ts_locf_gapfill,  # resample + LOCF forward fill
         "ts_robust_zscore": tsq.ts_robust_zscore,  # quantile-based anomaly flags
         "ts_multires_rollup": tsq.ts_multires_rollup,  # 5min→1h→1d continuous aggregate
-        "ts_cross_corr": tsq.ts_cross_corr,  # pairwise Pearson on aligned buckets  # aggregate-then-rejoin profile join
+        "ts_cross_corr": tsq.ts_cross_corr,  # pairwise Pearson on aligned buckets
+        "ts_asof_next_order": tsq.ts_asof_next_order,  # forward as-of with tolerance  # aggregate-then-rejoin profile join
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_robust_zscore": tsq.TS_ROBUST_ZSCORE_SQL,
         "ts_multires_rollup": tsq.TS_MULTIRES_SQL,
         "ts_cross_corr": tsq.TS_CROSS_CORR_SQL,
+        "ts_asof_next_order": tsq.TS_ASOF_NEXT_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,

@@ -845,3 +845,39 @@ SELECT type_a, type_b, n_buckets,
 FROM agg
 ORDER BY type_a, type_b
 """
+
+
+def ts_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each user's NEXT order date
+    within 30 days of the event (the merge_asof direction='forward'
+    analog — same single-sort union-and-carry plan, frame reversed)."""
+    from meteaudata_spark.ext.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", F.col("ts"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        left_time="ts",
+        right_time="o_orderdate",
+        by=["user_id"],
+        value_cols=["o_orderdate"],
+        direction="forward",
+        tolerance_seconds=30 * 86400.0,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderdate").alias("next_order_date")
+    )
+
+
+TS_ASOF_NEXT_SQL = """
+SELECT e.event_id, e.user_id, MIN(o.o_orderdate) AS next_order_date
+FROM events e
+LEFT JOIN orders o ON o.o_custkey = e.user_id
+  AND o.o_orderdate >= e.ts
+  AND epoch(o.o_orderdate) - epoch(e.ts) <= 30 * 86400.0
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""

@@ -194,3 +194,80 @@ def test_every_query_runs_at_smallest_sf(spark, entry):
         except Exception as exc:  # noqa: BLE001 - collect all failures
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, failures
+
+
+# ----------------------------------------------------------------------
+# generalized as-of join (round 2): directions + tolerance vs pandas
+# ----------------------------------------------------------------------
+def _asof_case(spark, direction, tolerance=None):
+    import numpy as np
+    import pandas as pd
+    from meteaudata_spark.ext.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 60),
+            "t": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(rng.integers(0, 5000, 60), unit="s"),
+            "lv": np.arange(60.0),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "rt": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(rng.integers(0, 5000, 40), unit="s"),
+            "rv": np.arange(40.0) * 10,
+        }
+    ).sort_values("rt").reset_index(drop=True)
+
+    ref = pd.merge_asof(
+        left.sort_values("t"),
+        right.rename(columns={"rt": "t"}).sort_values("t"),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+    )
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_time="t",
+            right_time="rt",
+            by=["k"],
+            value_cols=["rv"],
+            direction=direction,
+            tolerance_seconds=tolerance,
+        )
+        .orderBy("lv")
+        .toPandas()
+    )
+    ref = ref.sort_values("lv").reset_index(drop=True)
+    got = got.sort_values("lv").reset_index(drop=True)
+    assert np.allclose(got["rv"].values, ref["rv"].values, equal_nan=True), (
+        direction,
+        tolerance,
+        got["rv"].values,
+        ref["rv"].values,
+    )
+
+
+def test_asof_backward_matches_pandas(spark):
+    _asof_case(spark, "backward")
+
+
+def test_asof_forward_matches_pandas(spark):
+    _asof_case(spark, "forward")
+
+
+def test_asof_nearest_matches_pandas(spark):
+    _asof_case(spark, "nearest")
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    _asof_case(spark, "backward", tolerance=600)
+    _asof_case(spark, "forward", tolerance=600)
+    _asof_case(spark, "nearest", tolerance=600)
