@@ -1,0 +1,98 @@
+"""Streaming distinct-count: the deterministic HLL of
+``ext/sketches.py`` carried across micro-batches in GroupState
+(SURVEY §2.8 custom-stateful extension point).
+
+Per key, state is the m=256 register array (one byte of information
+per register, stored as 256 longs) — stream length never grows it.
+Each micro-batch folds its values' rho contributions into the
+registers with max(); the emitted estimate uses the identical
+integer-scaled harmonic sum as the batch operator, so a drained
+stream's final estimate EQUALS ``hll_distinct`` over the same rows
+(asserted in tests) — the batch/streaming consistency a lambda-style
+pipeline needs when backfill and live paths must agree.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from meteaudata_spark.ext.sketches import _M, _NUMER
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("hll_distinct", LongType()),
+        StructField("batch_n", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("regs", ArrayType(LongType()))])
+
+
+def _rho(h: int) -> int:
+    w = h // _M
+    return 53 if w == 0 else 53 - w.bit_length()
+
+
+def _estimate(regs: list) -> int:
+    s = sum(1 << (53 - m) for m in regs if m > 0)
+    nb = sum(1 for m in regs if m > 0)
+    scaled = s + (_M - nb) * (1 << 53)
+    return int(_NUMER / float(scaled))
+
+
+def _update_hll(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    regs = list(state.get[0]) if state.exists else [0] * _M
+    batch_n = 0
+    for pdf in pdfs:
+        for h in pdf["h"]:
+            h = int(h)
+            b = h % _M
+            r = _rho(h)
+            if r > regs[b]:
+                regs[b] = r
+            batch_n += 1
+    state.update((regs,))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "hll_distinct": [_estimate(regs)],
+            "batch_n": [batch_n],
+        }
+    )
+
+
+def stream_hll_distinct(
+    stream_df: DataFrame, key_col: str = "key", hash_col: str = "h"
+) -> DataFrame:
+    """Per-key streaming HLL over a non-negative 60-bit hash column.
+
+    Output (update mode): one row per key per micro-batch with the
+    cumulative distinct estimate.  State per key is m longs (the
+    registers) — merge is max(), which is what makes the sketch
+    streamable at all."""
+    from pyspark.sql import functions as F
+
+    renamed = stream_df.select(
+        F.col(key_col).alias("key"), F.col(hash_col).alias("h")
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _update_hll,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
