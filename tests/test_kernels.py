@@ -181,12 +181,14 @@ def test_aligned_agg_avg(spark):
 def test_resample_leaves_no_cache_behind(spark):
     """resample_mean must not leak persisted RDDs (ADVICE r1: the old
     bounds.persist() was never unpersisted)."""
-    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     idx = pd.date_range("2020-01-01", freq="6min", periods=50)
     ser = pd.Series(np.arange(50.0), index=idx)
     kernels.resample_mean(_to_spark(spark, ser), "15min").count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().isEmpty()
+    # no NEW persistent entries (other tests' localCheckpoints may
+    # legitimately live in the shared session)
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_replace_ranges_empty_pairs_is_noop(spark):

@@ -69,3 +69,37 @@ def test_tracked_handles_docless_functions(spark):
     for fn, expect in [(no_doc, "table transform no_doc"), (blank_doc, "table transform blank_doc")]:
         out = docs.apply(fn)
         assert out.steps[-1].description == expect
+
+
+def test_tracked_corpus_pipeline_end_to_end(spark):
+    """The round-2 corpus operators compose under lineage tracking:
+    scrub → split → sample, each step recorded with type + params."""
+    from meteaudata_spark.ext.corpus_ops import (
+        hash_split,
+        scrub_pii,
+        stratified_sample,
+    )
+    from meteaudata_spark.metadata import ProcessingType
+
+    docs = TrackedTable.from_table(spark, SF, "documents")
+    cleaned = docs.apply(
+        scrub_pii, ptype=ProcessingType.TRANSFORMATION, suffix="PII-SCRUB"
+    )
+    split = cleaned.apply(
+        hash_split, ptype=ProcessingType.TRANSFORMATION, suffix="SPLIT"
+    )
+    sampled = split.apply(
+        stratified_sample,
+        "lang",
+        fraction=0.5,
+        ptype=ProcessingType.FILTERING,
+        suffix="SAMPLE",
+    )
+    assert [s.suffix for s in sampled.steps] == ["PII-SCRUB", "SPLIT", "SAMPLE"]
+    assert float(sampled.steps[2].parameters.fraction) == 0.5
+    assert sampled.steps[2].type == ProcessingType.FILTERING
+    # source capture carried through
+    assert "def stratified_sample" in sampled.steps[2].function_info.source_code
+    # the composed lazy plan runs: every doc has split + keep columns
+    row = sampled.df.select("doc_id", "split", "__keep").limit(1).collect()
+    assert len(row) == 1
