@@ -46,7 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_robust_zscore": tsq.ts_robust_zscore,  # quantile-based anomaly flags
         "ts_multires_rollup": tsq.ts_multires_rollup,  # 5min→1h→1d continuous aggregate
         "ts_cross_corr": tsq.ts_cross_corr,  # pairwise Pearson on aligned buckets
-        "ts_asof_next_order": tsq.ts_asof_next_order,  # forward as-of with tolerance  # aggregate-then-rejoin profile join
+        "ts_asof_next_order": tsq.ts_asof_next_order,  # forward as-of with tolerance
+        "ts_cumulative_volume": tsq.ts_cumulative_volume,  # running-total window  # aggregate-then-rejoin profile join
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -70,7 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "q19_or_predicate_revenue": relational.q19_or_predicate_revenue,
-        "part_cheapest_supplier": relational.part_cheapest_supplier,  # INTERSECT
+        "part_cheapest_supplier": relational.part_cheapest_supplier,
+        "customer_revenue_quartiles": relational.customer_revenue_quartiles,  # INTERSECT
         # --- dedup ladder (§2.12 EXT) ---
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
@@ -126,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_multires_rollup": tsq.TS_MULTIRES_SQL,
         "ts_cross_corr": tsq.TS_CROSS_CORR_SQL,
         "ts_asof_next_order": tsq.TS_ASOF_NEXT_SQL,
+        "ts_cumulative_volume": tsq.TS_CUMULATIVE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,
@@ -148,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers": relational.Q18_LARGE_VOLUME_SQL,
         "q19_or_predicate_revenue": relational.Q19_OR_PREDICATE_SQL,
         "part_cheapest_supplier": relational.PART_CHEAPEST_SUPPLIER_SQL,
+        "customer_revenue_quartiles": relational.CUSTOMER_REVENUE_QUARTILES_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_minhash_lsh_pairs": dedup.DOC_MINHASH_SQL,

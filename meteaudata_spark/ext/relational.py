@@ -906,3 +906,65 @@ FROM (
 WHERE rk = 1
 ORDER BY p_partkey
 """
+
+
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over per-customer revenue → quartile summary (count,
+    exact decimal revenue range and total per quartile).  The ntile
+    runs over the small per-customer aggregate, not the fact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(rev.alias("o_rev"))
+    per_cust = (
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("o_rev").alias("c_rev"))
+    )
+    w = Window.orderBy(F.col("c_rev").desc(), F.col("o_custkey"))
+    return (
+        per_cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_rev").cast("double").alias("min_revenue"),
+            F.max("c_rev").cast("double").alias("max_revenue"),
+            F.sum("c_rev").cast("double").alias("total_revenue"),
+        )
+        .select(
+            F.col("quartile").cast("bigint").alias("quartile"),
+            "n_customers",
+            "min_revenue",
+            "max_revenue",
+            "total_revenue",
+        )
+    )
+
+
+CUSTOMER_REVENUE_QUARTILES_SQL = """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS c_rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+q AS (
+  SELECT o_custkey, c_rev,
+         NTILE(4) OVER (ORDER BY c_rev DESC, o_custkey) AS quartile
+  FROM per_cust
+)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(c_rev) AS DOUBLE) AS min_revenue,
+       CAST(MAX(c_rev) AS DOUBLE) AS max_revenue,
+       CAST(SUM(c_rev) AS DOUBLE) AS total_revenue
+FROM q
+GROUP BY quartile
+ORDER BY quartile
+"""

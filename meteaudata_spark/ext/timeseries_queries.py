@@ -881,3 +881,34 @@ LEFT JOIN orders o ON o.o_custkey = e.user_id
 GROUP BY e.event_id, e.user_id
 ORDER BY e.event_id
 """
+
+
+def ts_cumulative_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type running total of value over time (cumulative window).
+
+    Deterministic despite float addition: the running frame adds in
+    ONE defined order (ts, then event_id as tiebreak), so both
+    engines execute the identical sequential sum."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        _r6(F.sum("value").over(w)).alias("cum_value"),
+        F.count(F.lit(1)).over(w).alias("cum_n"),
+    )
+
+
+TS_CUMULATIVE_SQL = """
+SELECT event_id, event_type,
+       ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0) / 1000000.0 AS cum_value,
+       COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+FROM events
+ORDER BY event_id
+"""
