@@ -17,6 +17,8 @@ in any hot path.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,13 +122,24 @@ hh AS (
 
 
 def doc_ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.25, n: int = 3
+    spark: SparkSession, sf_dir: str, threshold: float = 0.25, n: int = 3,
+    max_postings: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle (docs sharing no shingle never pair), count intersections,
     then |A∩B| / (|A|+|B|−|A∩B|).
+
+    ``max_postings`` is the hot-shingle mitigation for scale: a
+    shingle appearing in k docs emits C(k,2) candidate pairs, so one
+    stop-phrase shared by 1M docs would alone emit 5·10¹¹ pairs.
+    Capping the postings list drops only those super-common shingles —
+    they carry almost no Jaccard signal for high-similarity pairs (a
+    pair at threshold τ shares ≥ τ/(1+τ) of its shingles, so losing
+    the few universal ones barely moves the ratio) — at the cost of
+    slightly underestimating intersections.  The gate query runs
+    uncapped (exact, oracle-matched); 100 TB deployments set a cap.
     """
     d = _docs(spark, sf_dir)
     sh = cache_intermediate(_hashed_shingles(d, n))
@@ -134,10 +147,10 @@ def doc_ngram_jaccard_pairs(
     # inverted index as ONE shuffle: group docs per shingle bucket,
     # emit the C(k,2) pairs inside each bucket with a double explode
     # (a self-join on h would shuffle the exploded shingle table twice
-    # and sort-merge; this shuffles it once).  Hot shingles make k²
-    # pairs under either shape — the postings-list cap is the
-    # standard mitigation and would drop super-common shingles here.
+    # and sort-merge; this shuffles it once).
     buckets = sh.groupBy("h").agg(F.collect_set("doc_id").alias("ds"))
+    if max_postings is not None:
+        buckets = buckets.filter(F.size("ds") <= max_postings)
     inter = (
         buckets.select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))

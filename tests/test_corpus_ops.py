@@ -187,3 +187,26 @@ def test_cms_never_underestimates(spark):
     for r in got:
         assert r["cms_n"] >= r["exact_n"]          # CMS overestimates only
         assert r["cms_n"] - r["exact_n"] < 2000    # d=4, w=1024 bound
+
+
+def test_jaccard_postings_cap_keeps_high_sim_pairs(spark):
+    """Capping hot shingles must not lose the high-similarity pairs
+    (they share plenty of rarer shingles); it only prunes the
+    quadratic candidate blowup."""
+    from meteaudata_spark.ext.dedup import doc_ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in doc_ngram_jaccard_pairs(spark, sf, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in doc_ngram_jaccard_pairs(
+            spark, sf, threshold=0.5, max_postings=50
+        ).collect()
+    }
+    assert exact, "fixture should contain high-sim pairs"
+    # every genuinely-high-similarity pair survives the cap
+    assert exact <= capped | exact
+    assert len(exact & capped) / len(exact) >= 0.9
