@@ -47,7 +47,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_multires_rollup": tsq.ts_multires_rollup,  # 5min→1h→1d continuous aggregate
         "ts_cross_corr": tsq.ts_cross_corr,  # pairwise Pearson on aligned buckets
         "ts_asof_next_order": tsq.ts_asof_next_order,  # forward as-of with tolerance
-        "ts_cumulative_volume": tsq.ts_cumulative_volume,  # running-total window  # aggregate-then-rejoin profile join
+        "ts_cumulative_volume": tsq.ts_cumulative_volume,  # running-total window
+        "ts_funnel_conversion": tsq.ts_funnel_conversion,  # sequential pattern funnel
+        "ts_retention_cohorts": tsq.ts_retention_cohorts,  # cohort retention rollup  # aggregate-then-rejoin profile join
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -129,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_cross_corr": tsq.TS_CROSS_CORR_SQL,
         "ts_asof_next_order": tsq.TS_ASOF_NEXT_SQL,
         "ts_cumulative_volume": tsq.TS_CUMULATIVE_SQL,
+        "ts_funnel_conversion": tsq.TS_FUNNEL_SQL,
+        "ts_retention_cohorts": tsq.TS_RETENTION_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,

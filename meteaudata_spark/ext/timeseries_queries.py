@@ -912,3 +912,131 @@ SELECT event_id, event_type,
 FROM events
 ORDER BY event_id
 """
+
+
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: per user, did each step happen
+    AFTER the previous step (first qualifying event, 24 h windows)?
+
+    The match_recognize-style sequential pattern as aggregate-then-
+    carry: one pass computes each user's first view; clicks join
+    against it (first click after the view), purchases against that —
+    every stage is a per-user aggregate on the SAME user_id
+    partitioning, so AQE plans one shuffle chain, no fact self-join
+    explosion.  Output: users entering each funnel stage."""
+    ev = _events(spark, sf_dir)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        first_view.select(F.lit(1).alias("step"), F.lit("view").alias("stage"), "user_id"),
+        first_click.select(F.lit(2).alias("step"), F.lit("click").alias("stage"), "user_id"),
+        first_purchase.select(F.lit(3).alias("step"), F.lit("purchase").alias("stage"), "user_id"),
+    ]
+    funnel = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return (
+        funnel.groupBy("step", "stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("step").cast("bigint").alias("step"), "stage", "n_users")
+    )
+
+
+TS_FUNNEL_SQL = """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+first_click AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN first_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+),
+first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN first_click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+),
+funnel AS (
+  SELECT 1 AS step, 'view' AS stage, user_id FROM first_view
+  UNION ALL
+  SELECT 2, 'click', user_id FROM first_click
+  UNION ALL
+  SELECT 3, 'purchase', user_id FROM first_purchase
+)
+SELECT CAST(step AS BIGINT) AS step, stage, COUNT(*) AS n_users
+FROM funnel GROUP BY step, stage
+ORDER BY step
+"""
+
+
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohort retention: users grouped by first-seen day, counted
+    by how many days after signup they were active.  All-integer
+    (counts and day arithmetic) — the canonical product-analytics
+    rollup, two aggregates on the same user partitioning."""
+    ev = _events(spark, sf_dir)
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_active",
+        )
+    )
+
+
+TS_RETENTION_SQL = """
+WITH first_day AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN first_day f ON e.user_id = f.user_id
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active
+FROM active GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
