@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_or_predicate_revenue": relational.q19_or_predicate_revenue,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
         "customer_revenue_quartiles": relational.customer_revenue_quartiles,  # INTERSECT
+        "q8_market_share": relational.q8_market_share,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q21_sole_late_shipper": relational.q21_sole_late_shipper,
+        "q22_wealthy_inactive": relational.q22_wealthy_inactive_customers,
         # --- dedup ladder (§2.12 EXT) ---
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
@@ -156,6 +160,10 @@ def oracle_sql() -> dict[str, str]:
         "q19_or_predicate_revenue": relational.Q19_OR_PREDICATE_SQL,
         "part_cheapest_supplier": relational.PART_CHEAPEST_SUPPLIER_SQL,
         "customer_revenue_quartiles": relational.CUSTOMER_REVENUE_QUARTILES_SQL,
+        "q8_market_share": relational.Q8_MARKET_SHARE_SQL,
+        "q15_top_supplier": relational.Q15_TOP_SUPPLIER_SQL,
+        "q21_sole_late_shipper": relational.Q21_SOLE_LATE_SHIPPER_SQL,
+        "q22_wealthy_inactive": relational.Q22_WEALTHY_INACTIVE_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_minhash_lsh_pairs": dedup.DOC_MINHASH_SQL,

@@ -15,7 +15,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -967,4 +967,260 @@ SELECT CAST(quartile AS BIGINT) AS quartile,
 FROM q
 GROUP BY quartile
 ORDER BY quartile
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style national market share: NATION_3 suppliers' share of
+    STANDARD-part revenue sold to ASIA customers, by order year.
+
+    Every dimension (part filter, supplier→nation, customer→nation→
+    region) broadcasts; the only shuffle is the lineitem⋈orders
+    fact-fact join on orderkey plus one tiny year aggregation.  The
+    share is a single DOUBLE division of two exact decimal sums, so
+    both engines see bit-identical operands (IEEE 754 division is
+    deterministic; decimal-division precision rules never engage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+
+    asia_nations = (
+        n.join(F.broadcast(r), (n["n_regionkey"] == r["r_regionkey"]) & (r["r_name"] == "ASIA"))
+        .select(F.col("n_nationkey").alias("cn_nationkey"))
+    )
+    cust_asia = c.join(
+        F.broadcast(asia_nations), c["c_nationkey"] == F.col("cn_nationkey")
+    ).select("c_custkey")
+    supp_nat = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    per_year = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust_asia), o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("nation_vol"),
+            F.sum(vol).alias("total_vol"),
+        )
+    )
+    return per_year.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        (F.col("nation_vol").cast("double") / F.col("total_vol").cast("double")).alias("mkt_share"),
+        F.col("total_vol").cast("double").alias("total_volume"),
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+WITH j AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS vol,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style top supplier: revenue per supplier over one quarter,
+    keeping the supplier(s) whose revenue equals the global max (the
+    reference query's CREATE VIEW + scalar subquery, expressed as one
+    aggregation reused for both sides — Spark computes the 10-row
+    aggregate once, the max is a broadcast of that same tiny table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["max_rev"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-adapted waiting-supplier count.  The benchmark lineitem has
+    no commit/receipt dates (documented deviation), so 'kept the order
+    waiting' becomes: in finished ('F') multi-supplier orders, this
+    supplier's latest shipment is STRICTLY later than every other
+    supplier's — the sole latest shipper.  Per supplier, count such
+    orders.
+
+    Shape matches TPC-H Q21: one fact aggregation to (order, supplier)
+    grain, one window over the order to find the sole maximum, then a
+    tiny count — no self-join of the raw fact against itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last_ship"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last_ship",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("supp_last_ship").over(w).alias("order_last_ship"),
+        F.sum(
+            F.when(
+                F.col("supp_last_ship")
+                == F.max("supp_last_ship").over(w),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("n_at_max"),
+    )
+    return (
+        flagged.filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_at_max") == 1)
+            & (F.col("supp_last_ship") == F.col("order_last_ship"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+Q21_SOLE_LATE_SHIPPER_SQL = """
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey, MAX(l.l_shipdate) AS supp_last_ship
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+w1 AS (
+  SELECT l_orderkey, l_suppkey, supp_last_ship,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         MAX(supp_last_ship) OVER (PARTITION BY l_orderkey) AS order_last_ship
+  FROM per_os
+),
+flagged AS (
+  SELECT l_orderkey, l_suppkey, supp_last_ship, n_supp, order_last_ship,
+         SUM(CASE WHEN supp_last_ship = order_last_ship THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM w1
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM flagged f
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.n_supp >= 2 AND f.n_at_max = 1 AND f.supp_last_ship = f.order_last_ship
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY s.s_suppkey
+"""
+
+
+def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-adapted global-sales-opportunity: customers with NO orders
+    whose balance beats the average positive balance, counted and
+    summed per nation.  (The schema has no phone column, so TPC-H's
+    country-code substring becomes the customer's nation — documented
+    deviation.)
+
+    'No orders' means none since 2000-01-01 (every customer has SOME
+    order in the benchmark data; TPC-H's 7-year window becomes a
+    lapsed-since cutoff).  The threshold comparison is cross-multiplied
+    (bal·n_pos > sum_pos) so only exact decimal sums and bigint
+    products are compared — no decimal division, no double
+    accumulation-order effects.  The average is a 1-row broadcast; the
+    order check is an anti join against the date-pruned fact."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    inactive = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        inactive.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_WEALTHY_INACTIVE_SQL = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos, COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+CROSS JOIN pos
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+ORDER BY n.n_name
 """
