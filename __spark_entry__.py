@@ -49,7 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_next_order": tsq.ts_asof_next_order,  # forward as-of with tolerance
         "ts_cumulative_volume": tsq.ts_cumulative_volume,  # running-total window
         "ts_funnel_conversion": tsq.ts_funnel_conversion,  # sequential pattern funnel
-        "ts_retention_cohorts": tsq.ts_retention_cohorts,  # cohort retention rollup  # aggregate-then-rejoin profile join
+        "ts_retention_cohorts": tsq.ts_retention_cohorts,
+        "ts_event_transitions": tsq.ts_event_transitions,  # Markov bigram matrix
+        "ts_cusum_changepoint": tsq.ts_cusum_changepoint,  # integer-exact CUSUM argmax  # cohort retention rollup  # aggregate-then-rejoin profile join
         # --- relational star-schema analytics (§2.12) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "doc_quality_score": textstats.doc_quality_score,
         "doc_top_tokens_per_lang": textstats.doc_top_tokens_per_lang,
+        "doc_tfidf_top_terms": textstats.doc_tfidf_top_terms,  # rational tf-idf ranking
         "doc_bpe_token_count": textstats.doc_bpe_token_count,
         "doc_clean_text": textstats.doc_clean_text,
         "doc_repetition_score": textstats.doc_repetition_score,
@@ -137,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_cumulative_volume": tsq.TS_CUMULATIVE_SQL,
         "ts_funnel_conversion": tsq.TS_FUNNEL_SQL,
         "ts_retention_cohorts": tsq.TS_RETENTION_SQL,
+        "ts_event_transitions": tsq.TS_EVENT_TRANSITIONS_SQL,
+        "ts_cusum_changepoint": tsq.TS_CUSUM_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_supplier_volume": relational.Q5_SQL,
@@ -174,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "doc_quality_score": textstats.DOC_QUALITY_SQL,
         "doc_top_tokens_per_lang": textstats.DOC_TOP_TOKENS_SQL,
+        "doc_tfidf_top_terms": textstats.DOC_TFIDF_SQL,
         "doc_bpe_token_count": textstats.DOC_BPE_TOKENS_SQL,
         "doc_clean_text": textstats.DOC_CLEAN_TEXT_SQL,
         "doc_repetition_score": textstats.DOC_REPETITION_SQL,

@@ -418,3 +418,81 @@ FROM deduped
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k distinctive terms by a rational tf-idf
+    (score = tf · N_docs / df).  Classic tf-idf's log() is libm- and
+    engine-dependent in the last ulp; the rational variant preserves
+    the ranking property (rewards high in-doc frequency, punishes
+    corpus-common terms) while the score stays a single IEEE division
+    of two exact bigints — bit-identical across engines, safe to rank
+    and hash on.
+
+    Plan shape: one explode → two aggregations (term-frequency per
+    doc, document-frequency per term) joined on the term, then a
+    per-doc top-k window.  df is a term-keyed aggregate of the tf
+    table itself, so the corpus is tokenized exactly once."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+DOC_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+  )
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+  FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""

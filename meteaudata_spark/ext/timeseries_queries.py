@@ -1040,3 +1040,136 @@ SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
 FROM active GROUP BY cohort_day, day_offset
 ORDER BY cohort_day, day_offset
 """
+
+
+def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (event_type → next event_type) bigram, the
+    count and the transition probability.
+
+    One window pass (lead over user_id ordered by ts with event_id as
+    the deterministic tiebreaker) + one aggregation.  The per-source
+    total comes from a second tiny window over the 25-row transition
+    table, not from re-scanning the fact.  The probability is a single
+    DOUBLE division of two exact bigints, identical in both engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_tot).cast("double")
+        ).alias("probability"),
+    )
+
+
+TS_EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS probability
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of the daily total from its mean is largest
+    in magnitude (argmax_k |Σ_{i<=k}(s_i − mean)|).
+
+    Everything until the final report is EXACT integer math — daily
+    sums are value·2²⁰ quantized bigints, and the deviation statistic
+    is cross-multiplied (U_k = n·P_k − k·S, with P_k the bigint prefix
+    sum) so no float accumulates across a window.  Both engines
+    therefore agree bit-for-bit regardless of how their window
+    operators order the running sum.  The reported magnitude is one
+    final DOUBLE division."""
+    ev = _events(spark, sf_dir)
+    q = F.round(F.col("value") * F.lit(1048576.0), 0).cast("bigint")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(q).alias("s"))
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(w_all) * F.sum("s").over(w_ord)
+            - F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("day"))
+            * F.sum("s").over(w_all)
+        ).alias("u"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u")).desc(), F.col("day")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            (
+                F.abs(F.col("u")).cast("double")
+                / (F.col("n_days") * F.lit(1048576.0))
+            ).alias("max_cusum_dev"),
+        )
+    )
+
+
+TS_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(CAST(round(value * 1048576.0) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day,
+         COUNT(*) OVER (PARTITION BY event_type)
+           * SUM(s) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+           * SUM(s) OVER (PARTITION BY event_type) AS u,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+picked AS (
+  SELECT event_type, day, u, n_days,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(u) DESC, day) AS rk
+  FROM scored
+)
+SELECT event_type, day AS changepoint_day,
+       CAST(ABS(u) AS DOUBLE) / (n_days * 1048576.0) AS max_cusum_dev
+FROM picked WHERE rk = 1
+ORDER BY event_type
+"""
