@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from meteaudata_spark.functions.epoch import epoch_seconds
 from meteaudata_spark.operators import kernels
 from meteaudata_spark.ext.asof import asof_join_backward
 from meteaudata_spark.plans.opcache import cache_intermediate
@@ -263,7 +264,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_gap = ev.withColumn(
         "__new_session",
         F.when(
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w)
             > 1800.0,
             1,
         )

@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from meteaudata_spark.functions.epoch import epoch_seconds, seconds_to_ts
 from meteaudata_spark.functions.freq import to_seconds, to_spark_interval
 
 
@@ -86,10 +87,14 @@ def resample_mean(
         joined = df.crossJoin(F.broadcast(bounds))
 
     # bucket left edge: origin + floor((ts-origin)/step)*step, computed in
-    # epoch seconds (microsecond-exact via double cast)
-    off = F.col(ts_col).cast("double") - F.col("__origin").cast("double")
-    bucket_expr = F.timestamp_seconds(
-        F.col("__origin").cast("double") + F.floor(off / F.lit(step_sec)) * F.lit(step_sec)
+    # epoch seconds (microsecond-exact; NTZ-safe via epoch_seconds), and
+    # cast back to the input's timestamp flavor (NTZ in → NTZ out)
+    ts_dtype = dict(df.dtypes)[ts_col]
+    off = epoch_seconds(F.col(ts_col)) - epoch_seconds(F.col("__origin"))
+    bucket_expr = seconds_to_ts(
+        epoch_seconds(F.col("__origin"))
+        + F.floor(off / F.lit(step_sec)) * F.lit(step_sec),
+        ts_dtype,
     )
     # avg must skip NaN like pandas: NaN→null before aggregating
     clean_val = F.when(F.isnan(F.col(val_col)), F.lit(None)).otherwise(
@@ -301,7 +306,7 @@ def interpolate_linear_distributed(
         else F.col(val_col).isNotNull()
     )
     chunked = df.withColumn(
-        "__chunk", F.floor(F.col(ts_col).cast("double") / F.lit(chunk_seconds))
+        "__chunk", F.floor(epoch_seconds(F.col(ts_col)) / F.lit(chunk_seconds))
     ).withColumn("__vv", F.when(is_valid, F.col(val_col)))
 
     w_chunk = Window.partitionBy("__chunk").orderBy(ts_col)
@@ -459,7 +464,7 @@ def detect_gaps(
     pcols = list(partition_cols)
     w = _win(pcols, ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    delta = F.col(ts_col).cast("double") - prev.cast("double")
+    delta = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev)
     return (
         df.select(*pcols, F.col(ts_col), prev.alias("__prev"), delta.alias("__delta"))
         .filter(F.col("__delta") > max_gap_seconds)
@@ -653,7 +658,7 @@ def ewma_distributed(
     import pandas as pd
 
     chunked = df.withColumn(
-        "__chunk", F.floor(F.col(ts_col).cast("double") / F.lit(chunk_seconds))
+        "__chunk", F.floor(epoch_seconds(F.col(ts_col)) / F.lit(chunk_seconds))
     )
     base_cols = [c for c in df.columns]
 

@@ -27,6 +27,7 @@ from meteaudata_spark.metadata import (
     ProcessingStep,
     ProcessingType,
 )
+from meteaudata_spark.functions.epoch import epoch_seconds
 from meteaudata_spark.naming import split_full_name
 from meteaudata_spark.operators import kernels
 from meteaudata_spark.timeseries import TimeSeries
@@ -290,9 +291,9 @@ def detect_gaps(
     for ts in input_series:
         _require_time_index(ts)
         w = W.orderBy("timestamp")
-        delta = F.col("timestamp").cast("double") - F.lag(
-            F.col("timestamp")
-        ).over(w).cast("double")
+        delta = epoch_seconds(F.col("timestamp")) - epoch_seconds(
+            F.lag(F.col("timestamp")).over(w)
+        )
         flagged = ts.df.select(
             "timestamp",
             F.when(delta > gap_sec, 1.0).otherwise(0.0).alias("value"),

@@ -29,6 +29,7 @@ from meteaudata_spark.metadata import (
     ProcessingStep,
     dedup_steps,
 )
+from meteaudata_spark.functions.epoch import epoch_seconds
 from meteaudata_spark.functions.indexmeta import (
     extract_index_metadata,
     index_meta_to_spark,
@@ -187,8 +188,8 @@ class TimeSeries:
             if is_num
             else F.when(v.isNull(), 1).otherwise(0)
         )
-        delta = F.col(INDEX_COL).cast("double") - F.lag(
-            F.col(INDEX_COL).cast("double")
+        delta = epoch_seconds(F.col(INDEX_COL)) - F.lag(
+            epoch_seconds(F.col(INDEX_COL))
         ).over(Window.orderBy(INDEX_COL))
         stats = (
             self.df.withColumn("__delta", delta)

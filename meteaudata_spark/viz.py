@@ -20,6 +20,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meteaudata_spark.functions.epoch import epoch_seconds, seconds_to_ts
 from meteaudata_spark.functions.freq import normalize_pandas_freq, to_seconds
 from meteaudata_spark.signal import Signal
 from meteaudata_spark.timeseries import INDEX_COL, VALUE_COL, TimeSeries
@@ -44,16 +45,19 @@ def downsample_for_plot(
         F.count(F.lit(1)).alias("n"),
     )
     joined = df.crossJoin(F.broadcast(bounds))
-    span = F.col("mx").cast("double") - F.col("mn").cast("double")
+    ts_dtype = dict(df.dtypes).get(INDEX_COL, "timestamp")
+    span = epoch_seconds(F.col("mx")) - epoch_seconds(F.col("mn"))
     step = F.greatest(span / F.lit(max_points), F.lit(1e-9))
     bucket = F.floor(
-        (F.col(INDEX_COL).cast("double") - F.col("mn").cast("double")) / step
+        (epoch_seconds(F.col(INDEX_COL)) - epoch_seconds(F.col("mn"))) / step
     )
     return (
         joined.withColumn("__bucket", bucket)
         .groupBy("__bucket")
         .agg(
-            F.timestamp_seconds(F.avg(F.col(INDEX_COL).cast("double"))).alias(INDEX_COL),
+            seconds_to_ts(
+                F.avg(epoch_seconds(F.col(INDEX_COL))), ts_dtype
+            ).alias(INDEX_COL),
             F.avg(VALUE_COL).alias(VALUE_COL),
         )
         .drop("__bucket")
