@@ -909,10 +909,16 @@ ORDER BY p_partkey
 
 
 def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) over per-customer revenue → quartile summary (count,
-    exact decimal revenue range and total per quartile).  The ntile
-    runs over the small per-customer aggregate, not the fact."""
-    from pyspark.sql import Window
+    """NTILE(4) over per-customer revenue → quartile summary (count,
+    exact decimal revenue range and total per quartile).
+
+    No unpartitioned window anywhere: the quartile label comes from
+    ``operators.rank.global_rank`` (range-bucketed distributed
+    row_number) plus the arithmetic NTILE reconstruction — identical
+    output to ``ntile(4) OVER (ORDER BY c_rev DESC, o_custkey)``, but
+    the per-customer table never funnels through one task (the old
+    plan's 100 TB bottleneck)."""
+    from meteaudata_spark.operators.rank import global_rank, ntile_from_rank
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -925,9 +931,19 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_rev").alias("c_rev"))
     )
-    w = Window.orderBy(F.col("c_rev").desc(), F.col("o_custkey"))
+    ranked = global_rank(
+        per_cust,
+        "c_rev",
+        ascending=False,
+        tiebreak_cols=["o_custkey"],
+        out_col="__rank",
+    )
+    total = per_cust.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        per_cust.withColumn("quartile", F.ntile(4).over(w))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "quartile", ntile_from_rank(F.col("__rank"), F.col("__n"), 4)
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

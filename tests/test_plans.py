@@ -84,6 +84,14 @@ def test_ngram_jaccard_joins_on_long_keys(spark):
     assert "xxhash64" in plan, plan[:2000]
 
 
+def test_quartiles_no_global_ntile(spark):
+    # customer_revenue_quartiles must use the distributed range-rank,
+    # never an unpartitioned ntile window (single-task sort at scale)
+    df = relational.customer_revenue_quartiles(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "ntile(" not in plan, plan
+
+
 def test_q4_semi_join_broadcasts(spark):
     df = relational.q4_late_orders(spark, SF)
     joins = inspect.join_strategies(df)
