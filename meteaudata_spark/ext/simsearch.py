@@ -240,75 +240,52 @@ def emb_lsh_near_pairs(
     approximate recall only).  The plane weights are fixed literals,
     so the whole computation — including which candidate pairs the
     LSH stage surfaces — is reproducible in the DuckDB oracle."""
-    # Plan shape: bucketize (narrow map) → ONE shuffle of the tiny
-    # (vec_id, table, bucket) stream to co-locate each bucket → pair
-    # generation + numpy scoring inside the same applyInPandas task
-    # (the corpus matrix broadcasts once per executor; dense row-wise
-    # dots are BLAS work) → distinct only over the few survivors.
-    # Scoring before deduplicating means the heavy all-candidate
-    # distinct shuffle never exists; duplicate survivors across
-    # tables carry identical rounded cosines, so the final distinct
-    # is exact.  Rounding to 1e-6 absorbs the (≈1e-14)
-    # summation-order difference from the DuckDB oracle's
-    # sequential fold.
-    import numpy as np
-    import pandas as pd
-
+    # Fully distributed plan — no driver-side corpus materialization:
+    #   1. bucketize (narrow map) → self-join the slim
+    #      (table, bucket, vec_id) stream on the bucket key — a plain
+    #      shuffle join; hot buckets are AQE-skew-splittable;
+    #   2. `distinct()` the candidate PAIRS before scoring, so a pair
+    #      colliding in several tables is scored exactly once (the
+    #      candidate stream is ids-only — far narrower than scoring
+    #      first and deduplicating scored rows);
+    #   3. shuffle-join the surviving pairs back to the embeddings
+    #      table on each side — the corpus stays partitioned across
+    #      executors (the old implementation collect()ed it to the
+    #      driver and broadcast, capping corpus size at executor
+    #      memory);
+    #   4. cosine as a built-in zip_with/aggregate fold — JVM-side,
+    #      same left-to-right summation order as the DuckDB oracle,
+    #      with 1e-6 rounding absorbing any residual FP noise.
     emb = _emb(spark, sf_dir)
     buckets = emb_lsh_buckets(spark, sf_dir)
-    id_arr, mat = _corpus_matrix(emb)
-    sc = spark.sparkContext
-    b_ids = sc.broadcast(id_arr)
-    b_mat = sc.broadcast(mat)
-
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = b_ids.value
-        m = b_mat.value
-        empty = pd.DataFrame(
-            {"vec_a": [], "vec_b": [], "cosine": []}
-        ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
-        members = np.unique(pdf["vec_id"].to_numpy())
-        if len(members) < 2:
-            return empty
-        # positions in the corpus matrix (ids are sorted)
-        pos = np.searchsorted(ids, members)
-        sub = m[pos]
-        norms = np.sqrt((sub * sub).sum(axis=1))
-        iu, ju = np.triu_indices(len(members), k=1)
-        # per-pair einsum, not sub @ sub.T: GEMM blocking varies with
-        # matrix shape, and the same pair must produce bit-identical
-        # cosines in every bucket for the final distinct to dedup
-        dots = np.einsum("ij,ij->i", sub[iu], sub[ju])
-        c = np.round(dots / (norms[iu] * norms[ju]) * 1e6) / 1e6
-        keep = c >= threshold
-        if not keep.any():
-            return empty
-        return pd.DataFrame(
-            {
-                "vec_a": members[iu[keep]],
-                "vec_b": members[ju[keep]],
-                "cosine": c[keep],
-            }
-        )
-
-    return (
-        buckets.groupBy("table", "bucket")
-        .applyInPandas(score_bucket, "vec_a bigint, vec_b bigint, cosine double")
+    left = buckets.select("table", "bucket", F.col("vec_id").alias("vec_a"))
+    right = buckets.select("table", "bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .distinct()
     )
-
-
-def _corpus_matrix(emb: DataFrame):
-    """Collect (vec_id array, float64 matrix) for broadcast — the
-    corpus must fit executor memory; for larger corpora shard the
-    matrix by vec_id range and join candidates to their shard."""
-    import numpy as np
-
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_norm_expr("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_norm_expr("embedding")).alias("nb"),
+    )
+    cosine = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
 
 
 def emb_ivf_topk(

@@ -92,6 +92,16 @@ def test_quartiles_no_global_ntile(spark):
     assert "ntile(" not in plan, plan
 
 
+def test_lsh_near_pairs_fully_distributed(spark):
+    # scoring must be a distributed join + JVM fold: no Pandas stage
+    # (the old driver-collected corpus broadcast) anywhere in the plan
+    from meteaudata_spark.ext import simsearch
+
+    plan = inspect.formatted_plan(simsearch.emb_lsh_near_pairs(spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_q4_semi_join_broadcasts(spark):
     df = relational.q4_late_orders(spark, SF)
     joins = inspect.join_strategies(df)
