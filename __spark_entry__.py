@@ -13,7 +13,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from meteaudata_spark.ext import corpus_ops, dedup, relational, simsearch, sketches, textstats
+from meteaudata_spark.ext import (
+    corpus_ops,
+    dedup,
+    multimodal,
+    relational,
+    simsearch,
+    sketches,
+    textstats,
+)
 from meteaudata_spark.ext import timeseries_queries as tsq
 
 
@@ -75,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
         "customer_revenue_quartiles": relational.customer_revenue_quartiles,
+        "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,  # postings-cap path
+        "mm_codec_stats": multimodal.mm_codec_stats,  # real PPM/WAV byte round-trip
         # --- (3) rotation slice of the long-green remainder ---
         "ts_replace_ranges": tsq.ts_replace_ranges,        # P2 masked update
         "ts_daily_stats": tsq.ts_daily_stats,              # A1 generalization
@@ -179,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "q22_wealthy_inactive": relational.Q22_WEALTHY_INACTIVE_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
+        "doc_ngram_jaccard_capped": dedup.DOC_NGRAM_JACCARD_CAPPED_SQL,
+        "mm_codec_stats": multimodal.MM_CODEC_STATS_SQL,
         "doc_minhash_lsh_pairs": dedup.DOC_MINHASH_SQL,
         "doc_simhash": dedup.DOC_SIMHASH_SQL,
         "doc_embedding_dups": dedup.DOC_EMBEDDING_DUPS_SQL,

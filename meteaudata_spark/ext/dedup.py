@@ -138,8 +138,10 @@ def doc_ngram_jaccard_pairs(
     they carry almost no Jaccard signal for high-similarity pairs (a
     pair at threshold τ shares ≥ τ/(1+τ) of its shingles, so losing
     the few universal ones barely moves the ratio) — at the cost of
-    slightly underestimating intersections.  The gate query runs
-    uncapped (exact, oracle-matched); 100 TB deployments set a cap.
+    slightly underestimating intersections.  Both paths are oracle-
+    verified gate queries: this one uncapped (exact), and
+    ``doc_ngram_jaccard_capped`` with the cap active (the shape a
+    100 TB deployment runs).
     """
     d = _docs(spark, sf_dir)
     sh = cache_intermediate(_hashed_shingles(d, n))
@@ -176,6 +178,52 @@ def doc_ngram_jaccard_pairs(
         
     )
     return jac
+
+
+def doc_ngram_jaccard_capped(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.25, n: int = 3,
+    max_postings: int = 4,
+) -> DataFrame:
+    """The 100 TB-shaped Jaccard variant: same inverted-index plan but
+    with the hot-shingle postings cap ACTIVE (shingles shared by more
+    than ``max_postings`` docs are dropped before pair generation,
+    bounding each bucket's pair fan-out at C(cap, 2)).  Declared as its
+    own gate query so the capped path — the one a real deployment
+    runs — is oracle-verified, not just the exact path."""
+    return doc_ngram_jaccard_pairs(
+        spark, sf_dir, threshold=threshold, n=n, max_postings=max_postings
+    )
+
+
+DOC_NGRAM_JACCARD_CAPPED_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             generate_series(1, LEN(string_split(text, ' ')) - 2),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )) AS shingle
+    FROM documents
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 4),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok o ON o.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.25
+ORDER BY doc_a, doc_b
+"""
 
 
 DOC_NGRAM_JACCARD_SQL = """

@@ -1,6 +1,7 @@
-"""Multimodal binary-column plumbing (decode is stubbed; the Spark
-plumbing — schemas, Arrow batching, 1→N frame explode — is real)."""
+"""Multimodal binary-column plumbing: real PPM/WAV codecs plus the
+Spark plumbing — schemas, Arrow batching, 1→N frame explode."""
 
+import numpy as np
 import pytest
 
 from meteaudata_spark.ext import multimodal
@@ -42,9 +43,54 @@ def test_video_frame_sampling(spark, assets):
     assert (frames["frame_no"] % 2 == 0).all()
 
 
-def test_real_codec_is_stubbed(spark):
+def test_undecodable_format_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal._decode_payload(b"\x89PNG\r\n...")
+
+
+def test_ppm_round_trip():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    payload = multimodal.encode_ppm(arr)
+    assert payload.startswith(b"P6")
+    out = multimodal.decode_image(payload)
+    assert out.shape == (7, 5, 3)
+    assert (out == arr).all()
+    # dispatcher takes the same bytes
+    assert (multimodal._decode_payload(payload) == arr.reshape(-1)).all()
+
+
+def test_wav_round_trip():
+    rng = np.random.default_rng(4)
+    samples = rng.integers(-32768, 32768, size=321, dtype=np.int16)
+    payload = multimodal.encode_wav(samples, 16000)
+    out, rate = multimodal.decode_audio(payload)
+    assert rate == 16000
+    assert (out == samples).all()
+    assert (multimodal._decode_payload(payload) == samples).all()
+
+
+def test_wav_rejects_stereo_and_truncated():
+    import struct
+
+    samples = np.zeros(4, dtype=np.int16)
+    payload = bytearray(multimodal.encode_wav(samples, 8000))
+    payload[22:24] = struct.pack("<H", 2)  # channels = 2
+    with pytest.raises(ValueError):
+        multimodal.decode_audio(bytes(payload))
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n1 1\n65535\n\x00\x00\x00")
+
+
+def test_mm_codec_stats_shape(spark):
+    pdf = multimodal.mm_codec_stats(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) > 0
+    img = pdf[pdf["modality"] == "image"]
+    aud = pdf[pdf["modality"] == "audio"]
+    assert (img["payload_bytes"] == 59).all()
+    assert (aud["payload_bytes"] == 76).all()
+    assert (img["width"] == 4).all() and (img["height"] == 4).all()
+    assert (aud["n_samples"] == 16).all() and (aud["sample_rate"] == 8000).all()
 
 
 def test_embed_assets_feeds_similarity_stack(spark):
