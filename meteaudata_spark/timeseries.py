@@ -270,6 +270,72 @@ class TimeSeries:
             created_on=datetime.datetime.fromisoformat(meta["created_on"]),
         )
 
+    # ------------------------------------------------------------------
+    # reference-parity loaders (types.py:338-377) — same call shapes,
+    # with an explicit SparkSession where the reference mutates a bare
+    # pandas series in place
+    # ------------------------------------------------------------------
+    def load_metadata_from_dict(self, metadata: dict) -> None:
+        """In-place metadata restore (reference types.py:338)."""
+        self.processing_steps = [
+            ProcessingStep.model_validate(s)
+            for s in metadata.get("processing_steps", [])
+        ]
+        self.index_metadata = IndexMetadata.model_validate(
+            metadata["index_metadata"]
+        )
+        self.values_dtype = metadata["values_dtype"]
+
+    def load_metadata_from_file(self, file_path: str) -> "TimeSeries":
+        """YAML metadata restore (reference types.py:351)."""
+        import yaml
+
+        with open(file_path) as fh:
+            self.load_metadata_from_dict(yaml.safe_load(fh))
+        return self
+
+    def load_data_fom_file(
+        self, spark: SparkSession, file_path: str
+    ) -> "TimeSeries":
+        """CSV data restore — name (typo included) per reference
+        types.py:357; ``load_data_from_file`` is the spelled-out
+        alias."""
+        pdf = pd.read_csv(file_path, index_col=0)
+        ser = pdf.iloc[:, 0]
+        ser.index = pd.to_datetime(ser.index)
+        self.df = TimeSeries.from_pandas(spark, ser).df
+        return self
+
+    load_data_from_file = load_data_fom_file
+
+    @staticmethod
+    def load(
+        spark: SparkSession,
+        data_file_path: Optional[str] = None,
+        data: Optional[pd.Series] = None,
+        metadata_file_path: Optional[str] = None,
+        metadata: Optional[dict] = None,
+    ) -> "TimeSeries":
+        """Composite loader matching reference types.py:362 (data from
+        a pandas Series or CSV path, metadata from a dict or YAML
+        path), with the SparkSession made explicit."""
+        if data is not None:
+            ts = TimeSeries.from_pandas(spark, data)
+        elif data_file_path is not None:
+            ts = TimeSeries(
+                spark.createDataFrame([], f"{INDEX_COL} timestamp, {VALUE_COL} double")
+            )
+            ts.load_data_fom_file(spark, data_file_path)
+        else:
+            ts = TimeSeries(
+                spark.createDataFrame([], f"{INDEX_COL} timestamp, {VALUE_COL} double")
+            )
+        if metadata is not None:
+            ts.load_metadata_from_dict(metadata)
+        elif metadata_file_path is not None:
+            ts.load_metadata_from_file(metadata_file_path)
+        return ts
+
 
 def _step_dump(step: ProcessingStep) -> dict:
     return step.model_dump(mode="json")

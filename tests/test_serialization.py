@@ -150,3 +150,31 @@ def test_dataset_long_store_roundtrip(spark, provenance, tmp_path):
     plan = ts.df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "signal_name" in plan, plan[:800]
     assert "PushedFilters: [" in plan and "series_name" in plan.split("PushedFilters")[1][:200], plan[:800]
+
+
+def test_timeseries_reference_loaders(spark, tmp_path, sample_series):
+    """TimeSeries.load / load_data_fom_file / load_metadata_from_file
+    parity (reference types.py:338-377, typo'd name included)."""
+    import yaml
+
+    from meteaudata_spark.timeseries import TimeSeries
+
+    src = TimeSeries.from_pandas(spark, sample_series, name="RAW#1")
+    csv_path = str(tmp_path / "data.csv")
+    src.to_pandas().to_csv(csv_path)
+    meta_path = str(tmp_path / "meta.yaml")
+    with open(meta_path, "w") as fh:
+        yaml.safe_dump(src.metadata_dict(), fh)
+
+    loaded = TimeSeries.load(
+        spark, data_file_path=csv_path, metadata_file_path=meta_path
+    )
+    assert loaded.values_dtype == src.values_dtype
+    assert loaded.index_metadata == src.index_metadata
+    got = loaded.to_pandas()
+    ref = src.to_pandas()
+    assert len(got) == len(ref)
+    assert np.allclose(got.values, ref.values, equal_nan=True)
+    assert (got.index == ref.index).all()
+    # typo'd alias and spelled-out alias are the same method
+    assert TimeSeries.load_data_from_file is TimeSeries.load_data_fom_file
