@@ -46,7 +46,7 @@ def main() -> None:
 
     # min of N runs per query: the host shows intermittent external
     # load, and min-of-N measures the query, not the neighbors
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         best = -1.0
