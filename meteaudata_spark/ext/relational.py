@@ -926,7 +926,12 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     )
     per_order = li.groupBy("l_orderkey").agg(rev.alias("o_rev"))
-    per_cust = (
+    # cached: global_rank references its input three times (boundary
+    # percentiles, local rank, bucket counts) plus the total-count agg
+    # below — without the cache each reference re-runs the fact join
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    per_cust = cache_intermediate(
         per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(F.sum("o_rev").alias("c_rev"))
