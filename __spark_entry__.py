@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
         "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,
         "doc_simhash": dedup.doc_simhash,
+        "doc_simhash_near_pairs": dedup.doc_simhash_near_pairs,  # pigeonhole block join
         "doc_embedding_dups": dedup.doc_embedding_dups,
         "doc_dedup_clusters": dedup.doc_dedup_clusters,  # connected components over near-dup pairs
         # text analysis (§2.12 EXT)
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_codec_stats": multimodal.MM_CODEC_STATS_SQL,
         "doc_minhash_lsh_pairs": dedup.DOC_MINHASH_SQL,
         "doc_simhash": dedup.DOC_SIMHASH_SQL,
+        "doc_simhash_near_pairs": dedup.DOC_SIMHASH_NEAR_PAIRS_SQL,
         "doc_embedding_dups": dedup.DOC_EMBEDDING_DUPS_SQL,
         "doc_text_stats": textstats.DOC_TEXT_STATS_SQL,
         "doc_lang_id": textstats.DOC_LANG_ID_SQL,

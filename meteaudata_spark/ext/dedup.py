@@ -503,6 +503,85 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
 DOC_SIMHASH_SQL = _simhash_sql()
 
 
+def doc_simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, bits: int = 16, k: int = 2
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``k`` — the
+    scalable pair-mining stage the ``doc_simhash`` docstring promises.
+
+    Pigeonhole block join: split the ``bits``-bit signature into
+    ``k+1`` blocks; any pair within hamming ``k`` has at most ``k``
+    differing bits, so at least one block matches EXACTLY.  Join on
+    (block_id, block_value) — an equi-join Spark shuffles by key, no
+    quadratic all-pairs stage — then verify the exact hamming with one
+    ``bit_count(xor)``.  Unlike MinHash/LSH this is exact-recall: the
+    block cover guarantees every qualifying pair is a candidate, so
+    the output equals the brute-force self-join (which is exactly what
+    the DuckDB oracle runs).
+    """
+    sig = doc_simhash(spark, sf_dir, bits)
+    nblocks = k + 1
+    width = bits // nblocks
+    blocks = []
+    for i in range(nblocks):
+        lo = i * width
+        w = width if i < nblocks - 1 else bits - lo
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("block_val"),
+            )
+        )
+    exploded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("b")
+    ).select("doc_id", "simhash", "b.block_id", "b.block_val")
+    left = exploded.select(
+        "block_id",
+        "block_val",
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+    )
+    right = exploded.select(
+        "block_id",
+        "block_val",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("bigint")
+    return (
+        left.join(right, ["block_id", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
+def _simhash_near_pairs_sql(bits: int = 16, k: int = 2) -> str:
+    base = _simhash_sql(bits).strip().rstrip()
+    # reuse the signature CTE; brute-force verify (the oracle's O(n²)
+    # is fine at oracle scale and proves the block cover loses nothing)
+    base_cte = base[: base.rindex("SELECT doc_id,")]
+    return f"""{base_cte}
+, sigs AS (
+  SELECT doc_id, CAST({" + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))} AS BIGINT) AS simhash
+  FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+ORDER BY doc_a, doc_b
+"""
+
+
+DOC_SIMHASH_NEAR_PAIRS_SQL = _simhash_near_pairs_sql()
+
+
 def doc_embedding_dups(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:

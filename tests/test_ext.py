@@ -271,3 +271,29 @@ def test_asof_tolerance_matches_pandas(spark):
     _asof_case(spark, "backward", tolerance=600)
     _asof_case(spark, "forward", tolerance=600)
     _asof_case(spark, "nearest", tolerance=600)
+
+
+def test_simhash_near_pairs_equals_brute_force(spark):
+    """The pigeonhole block cover must lose NOTHING: banded candidates
+    + hamming verify == brute-force all-pairs hamming join."""
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext import dedup
+
+    sf = "/root/testdata/sf0.001"
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.doc_simhash_near_pairs(spark, sf, k=2).collect()
+    }
+    sig = dedup.doc_simhash(spark, sf)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["h"]
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint"))
+        .filter(F.col("h") <= 2)
+        .collect()
+    }
+    assert banded == brute
