@@ -92,7 +92,9 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL ``NTILE(k)`` bucket from a 1-based global rank and total row
     count ``n``: the first ``n % k`` buckets get ``n div k + 1`` rows,
     the rest ``n div k`` — reproduced arithmetically so no global
-    window is needed."""
+    window is needed.  The divisions go through double, so results are
+    exact for ``n`` < 2^53 (9·10¹⁵ rows — beyond any per-key aggregate
+    this engine ranks)."""
     q = (n / k).cast("bigint")  # floor division (both non-negative)
     rem = n - q * k
     head = rem * (q + 1)  # rows living in the oversized buckets
