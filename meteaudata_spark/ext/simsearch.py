@@ -256,8 +256,15 @@ def emb_lsh_near_pairs(
     #   4. cosine as a built-in zip_with/aggregate fold — JVM-side,
     #      same left-to-right summation order as the DuckDB oracle,
     #      with 1e-6 rounding absorbing any residual FP noise.
-    emb = _emb(spark, sf_dir)
-    buckets = emb_lsh_buckets(spark, sf_dir)
+    return lsh_near_pairs(_emb(spark, sf_dir), threshold)
+
+
+def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Core distributed near-pair mining over any (vec_id, label,
+    embedding) DataFrame — see ``emb_lsh_near_pairs`` for plan notes.
+    Split out so the scale smoke can drive it with executor-side
+    synthetic vectors."""
+    buckets = lsh_bucketize(emb)
     left = buckets.select("table", "bucket", F.col("vec_id").alias("vec_a"))
     right = buckets.select("table", "bucket", F.col("vec_id").alias("vec_b"))
     cand = (

@@ -67,6 +67,23 @@ def main() -> None:
     )
     _timed(f"single-window ntile ({n_win:,} rows, ONE task)", quart_win, results)
 
+    # --- distributed LSH near-pair mining, 1M synthetic vectors ------
+    # vectors generated executor-side; ~0.1% planted near-dups (id and
+    # id+offset share a base pattern) give the verify stage real work
+    from meteaudata_spark.ext.simsearch import _LSH_DIM, lsh_near_pairs
+
+    n_vec = 1_000_000
+    base = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.expr(
+            f"transform(sequence(1, {_LSH_DIM}), "
+            f"i -> cast(sin(xxhash64(id % {n_vec - 1000}, i)) as float))"
+        ).alias("embedding"),
+    )
+    pairs = lsh_near_pairs(base, threshold=0.9)
+    _timed(f"lsh_near_pairs ({n_vec:,} vectors, distributed)", pairs, results)
+
     print({k: round(v, 1) for k, v in results.items()})
 
 
