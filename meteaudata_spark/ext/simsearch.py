@@ -16,6 +16,8 @@ bit-identical to the DuckDB oracle's list_aggregate fold.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -171,7 +173,11 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketize(_emb(spark, sf_dir))
 
 
-def lsh_bucketize(emb: DataFrame) -> DataFrame:
+def lsh_bucketize(
+    emb: DataFrame,
+    n_tables: Optional[int] = None,
+    n_planes: Optional[int] = None,
+) -> DataFrame:
     """Core LSH bucketing over any (vec_id, label, embedding)
     DataFrame — see emb_lsh_buckets for semantics and scale notes.
     Split out so the scale smoke can drive it with executor-side
@@ -180,23 +186,38 @@ def lsh_bucketize(emb: DataFrame) -> DataFrame:
     Uses mapInArrow, not mapInPandas: the list<float> column flattens
     zero-copy into one (n x dim) matrix, where the pandas route would
     build n Python lists before the matmul (measured ~10x slower at
-    1M vectors)."""
+    1M vectors).
+
+    ``n_planes`` is the scale knob: expected bucket occupancy is
+    ``n_vectors / 2^n_planes`` per table, and pair generation is
+    quadratic in occupancy — the gate default (4 planes → 16 buckets)
+    is recall-tuned for the small oracle corpus, while a 1M-vector
+    corpus wants 16-20 planes to keep buckets in the tens.  More
+    planes = fewer, higher-precision candidates (recall is bought back
+    with more tables)."""
     import numpy as np
     import pyarrow as pa
 
+    n_tables = n_tables or _LSH_TABLES
+    n_planes = n_planes or _LSH_PLANES
+    weights = (
+        _LSH_W
+        if (n_tables, n_planes) == (_LSH_TABLES, _LSH_PLANES)
+        else _plane_weights(n_tables, n_planes, _LSH_DIM)
+    )
     # (dim x tables*planes) plane matrix, column-major by (table, plane)
     w_mat = (
-        np.array(_LSH_W, dtype=np.float64)
-        .reshape(_LSH_TABLES * _LSH_PLANES, _LSH_DIM)
+        np.array(weights, dtype=np.float64)
+        .reshape(n_tables * n_planes, _LSH_DIM)
         .T.copy()
     )
-    plane_bits = np.arange(_LSH_PLANES, dtype=np.int64)
+    plane_bits = np.arange(n_planes, dtype=np.int64)
     # label passes through untouched, whatever its type (the gate
     # table has int labels; embed_assets emits modality strings)
     label_ddl = emb.schema["label"].dataType.simpleString()
 
     def bucketize(batches):
-        tables = np.arange(_LSH_TABLES, dtype=np.int32)
+        tables = np.arange(n_tables, dtype=np.int32)
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -207,11 +228,11 @@ def lsh_bucketize(emb: DataFrame) -> DataFrame:
             )
             signs = (x @ w_mat > 0).astype(np.int64)
             buckets = (
-                signs.reshape(n, _LSH_TABLES, _LSH_PLANES) << plane_bits
+                signs.reshape(n, n_tables, n_planes) << plane_bits
             ).sum(axis=2)
             # Arrow `take` with repeated indices: null-safe and
             # type-preserving where numpy round-trips are neither
-            rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), _LSH_TABLES))
+            rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_tables))
             vec_id = batch.column(batch.schema.get_field_index("vec_id"))
             label = batch.column(batch.schema.get_field_index("label"))
             yield pa.RecordBatch.from_arrays(
@@ -259,12 +280,18 @@ def emb_lsh_near_pairs(
     return lsh_near_pairs(_emb(spark, sf_dir), threshold)
 
 
-def lsh_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+def lsh_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_tables: Optional[int] = None,
+    n_planes: Optional[int] = None,
+) -> DataFrame:
     """Core distributed near-pair mining over any (vec_id, label,
-    embedding) DataFrame — see ``emb_lsh_near_pairs`` for plan notes.
+    embedding) DataFrame — see ``emb_lsh_near_pairs`` for plan notes
+    and ``lsh_bucketize`` for the ``n_planes`` occupancy/scale knob.
     Split out so the scale smoke can drive it with executor-side
     synthetic vectors."""
-    buckets = lsh_bucketize(emb)
+    buckets = lsh_bucketize(emb, n_tables=n_tables, n_planes=n_planes)
     left = buckets.select("table", "bucket", F.col("vec_id").alias("vec_a"))
     right = buckets.select("table", "bucket", F.col("vec_id").alias("vec_b"))
     cand = (

@@ -81,8 +81,13 @@ def main() -> None:
             f"i -> cast(sin(xxhash64(id % {n_vec - 1000}, i)) as float))"
         ).alias("embedding"),
     )
-    pairs = lsh_near_pairs(base, threshold=0.9)
-    _timed(f"lsh_near_pairs ({n_vec:,} vectors, distributed)", pairs, results)
+    # 18 planes → ~4 vectors/bucket at 1M: pair generation stays linear.
+    # The gate's 4-plane default is recall-tuned for the small oracle
+    # corpus and would put ~60k vectors in every bucket here (quadratic
+    # blowup — measured: does not finish).  Plane count is THE
+    # occupancy knob a real deployment sizes to its corpus.
+    pairs = lsh_near_pairs(base, threshold=0.9, n_planes=18)
+    _timed(f"lsh_near_pairs ({n_vec:,} vectors, 18 planes)", pairs, results)
 
     print({k: round(v, 1) for k, v in results.items()})
 
