@@ -111,17 +111,22 @@ def decode_image(payload: bytes) -> np.ndarray:
     # followed by exactly one whitespace byte before the raster
     fields: list[int] = []
     pos = 2
+    end = len(payload)
     while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start or pos >= end:
+            raise ValueError("truncated PPM header")
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
+    if w <= 0 or h <= 0 or end < pos + w * h * 3:
+        raise ValueError("truncated PPM raster")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raster.reshape(h, w, 3)
 

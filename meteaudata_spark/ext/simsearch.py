@@ -148,6 +148,25 @@ def _plane_weights(
 
 _LSH_TABLES = 8
 _LSH_PLANES = 4
+# Auto-derive target: expected per-table bucket occupancy ``n / 2^planes``
+# stays in the tens (pair generation is quadratic in occupancy — the
+# SCALE.md 1M-vector experiment showed the fixed 4-plane default putting
+# ~60k vectors per bucket, which never finishes).
+_LSH_TARGET_OCCUPANCY = 32
+_LSH_MAX_PLANES = 30  # bucket ids are packed into int64
+
+
+def derive_lsh_planes(n_vectors: int) -> int:
+    """Size the LSH plane count from the corpus size so expected bucket
+    occupancy ``n / 2^planes`` ≈ ``_LSH_TARGET_OCCUPANCY``: 15 planes at
+    1M vectors (~30/bucket), 18 at 10M.  Never below the recall-tuned
+    gate default (``_LSH_PLANES``), never above int64 packing room."""
+    import math
+
+    if n_vectors <= _LSH_TARGET_OCCUPANCY:
+        return _LSH_PLANES
+    derived = math.ceil(math.log2(n_vectors / _LSH_TARGET_OCCUPANCY))
+    return max(_LSH_PLANES, min(_LSH_MAX_PLANES, derived))
 _LSH_DIM = 64
 _LSH_W = _plane_weights(_LSH_TABLES, _LSH_PLANES, _LSH_DIM)
 
@@ -169,14 +188,21 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     product feeds the bucket, so the (≈1e-14) summation-order
     difference between BLAS matmul and the oracle's sequential fold
     is immaterial for non-degenerate data — the same tolerance the
-    previous hash-aggregated implementation relied on."""
-    return lsh_bucketize(_emb(spark, sf_dir))
+    previous hash-aggregated implementation relied on.
+
+    The gate pins ``n_tables``/``n_planes`` to the fixed literals the
+    DuckDB oracle reproduces; library callers who omit them get the
+    occupancy-derived plane count instead (``derive_lsh_planes``)."""
+    return lsh_bucketize(
+        _emb(spark, sf_dir), n_tables=_LSH_TABLES, n_planes=_LSH_PLANES
+    )
 
 
 def lsh_bucketize(
     emb: DataFrame,
     n_tables: Optional[int] = None,
     n_planes: Optional[int] = None,
+    n_vectors: Optional[int] = None,
 ) -> DataFrame:
     """Core LSH bucketing over any (vec_id, label, embedding)
     DataFrame — see emb_lsh_buckets for semantics and scale notes.
@@ -190,16 +216,26 @@ def lsh_bucketize(
 
     ``n_planes`` is the scale knob: expected bucket occupancy is
     ``n_vectors / 2^n_planes`` per table, and pair generation is
-    quadratic in occupancy — the gate default (4 planes → 16 buckets)
-    is recall-tuned for the small oracle corpus, while a 1M-vector
-    corpus wants 16-20 planes to keep buckets in the tens.  More
-    planes = fewer, higher-precision candidates (recall is bought back
-    with more tables)."""
+    quadratic in occupancy.  When ``n_planes`` is omitted it is
+    auto-derived from the corpus size (``derive_lsh_planes``; one
+    cheap ``count()``, skipped when the caller passes ``n_vectors``)
+    so a caller who never read SCALE.md still gets a plan that
+    finishes at 1M+ vectors.  More planes = fewer, higher-precision
+    candidates (recall is bought back with more tables).  The oracle
+    gate pins explicit literals instead — bucket values must be
+    reproducible in SQL."""
     import numpy as np
     import pyarrow as pa
 
-    n_tables = n_tables or _LSH_TABLES
-    n_planes = n_planes or _LSH_PLANES
+    n_tables = _LSH_TABLES if n_tables is None else n_tables
+    if n_tables <= 0:
+        raise ValueError(f"n_tables must be positive, got {n_tables}")
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = emb.count()
+        n_planes = derive_lsh_planes(n_vectors)
+    if n_planes <= 0:
+        raise ValueError(f"n_planes must be positive, got {n_planes}")
     weights = (
         _LSH_W
         if (n_tables, n_planes) == (_LSH_TABLES, _LSH_PLANES)
@@ -277,7 +313,12 @@ def emb_lsh_near_pairs(
     #   4. cosine as a built-in zip_with/aggregate fold — JVM-side,
     #      same left-to-right summation order as the DuckDB oracle,
     #      with 1e-6 rounding absorbing any residual FP noise.
-    return lsh_near_pairs(_emb(spark, sf_dir), threshold)
+    return lsh_near_pairs(
+        _emb(spark, sf_dir),
+        threshold,
+        n_tables=_LSH_TABLES,
+        n_planes=_LSH_PLANES,
+    )
 
 
 def lsh_near_pairs(
@@ -285,13 +326,16 @@ def lsh_near_pairs(
     threshold: float = 0.35,
     n_tables: Optional[int] = None,
     n_planes: Optional[int] = None,
+    n_vectors: Optional[int] = None,
 ) -> DataFrame:
     """Core distributed near-pair mining over any (vec_id, label,
     embedding) DataFrame — see ``emb_lsh_near_pairs`` for plan notes
-    and ``lsh_bucketize`` for the ``n_planes`` occupancy/scale knob.
-    Split out so the scale smoke can drive it with executor-side
-    synthetic vectors."""
-    buckets = lsh_bucketize(emb, n_tables=n_tables, n_planes=n_planes)
+    and ``lsh_bucketize`` for the ``n_planes`` occupancy auto-derive
+    and knobs.  Split out so the scale smoke can drive it with
+    executor-side synthetic vectors."""
+    buckets = lsh_bucketize(
+        emb, n_tables=n_tables, n_planes=n_planes, n_vectors=n_vectors
+    )
     left = buckets.select("table", "bucket", F.col("vec_id").alias("vec_a"))
     right = buckets.select("table", "bucket", F.col("vec_id").alias("vec_b"))
     cand = (

@@ -59,12 +59,19 @@ def global_rank(
     joined = df.crossJoin(F.broadcast(bounds))
 
     v = F.col(value_col)
+    # NULLs must land in the bucket where the window order would place
+    # them: asc → NULLS FIRST (bucket 0), desc → NULLS LAST (final
+    # bucket) — the in-bucket row_number then orders them consistently.
     if ascending:
         # bucket = how many boundaries sort strictly before this value
-        bucket = F.size(F.filter(F.col(_BOUNDS), lambda b: b < v))
+        bucket = F.when(v.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(F.col(_BOUNDS), lambda b: b < v))
+        )
         order: list[Column] = [v.asc()]
     else:
-        bucket = F.size(F.filter(F.col(_BOUNDS), lambda b: b > v))
+        bucket = F.when(v.isNull(), F.lit(n_buckets - 1)).otherwise(
+            F.size(F.filter(F.col(_BOUNDS), lambda b: b > v))
+        )
         order = [v.desc()]
     order += [F.col(c).asc() for c in tiebreak_cols]
 

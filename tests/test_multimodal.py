@@ -82,6 +82,16 @@ def test_wav_rejects_stereo_and_truncated():
         multimodal.decode_image(b"P6\n1 1\n65535\n\x00\x00\x00")
 
 
+def test_ppm_truncated_header_raises_not_hangs():
+    # a corrupt asset must fail fast, never spin the executor task
+    for bad in (b"P6", b"P6\n", b"P6\n4 4", b"P6\n4 4\n255",
+                b"P6\n4 4\n255\n" + b"\x00" * 10):
+        with pytest.raises(ValueError):
+            multimodal.decode_image(bad)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n0 4\n255\n")
+
+
 def test_mm_codec_stats_shape(spark):
     pdf = multimodal.mm_codec_stats(spark, "/root/testdata/sf0.001").toPandas()
     assert len(pdf) > 0

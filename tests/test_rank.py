@@ -60,3 +60,29 @@ def test_ntile_reconstruction_matches_spark_ntile(spark, k):
             .collect()
         }
         assert got == expected
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_global_rank_null_values_match_window(spark, ascending):
+    # NULLs must land where the window order puts them: asc → NULLS
+    # FIRST, desc → NULLS LAST (Spark defaults)
+    rng = random.Random(11)
+    rows = [
+        (i, None if i % 7 == 0 else float(rng.randint(0, 20)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    order = (F.col("v").asc() if ascending else F.col("v").desc()), F.col("id")
+    expected = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(
+            df, "v", ascending=ascending, tiebreak_cols=["id"], n_buckets=8
+        ).collect()
+    }
+    assert got == expected
