@@ -601,6 +601,95 @@ def emb_kmeans_refine(
 def kmeans_refine(
     emb_in: DataFrame,
     n_clusters: int = 8,
+    exact_fold: bool = False,
+) -> DataFrame:
+    """One Lloyd iteration of cosine k-means.
+
+    Both assignment passes run through ``kmeans_assign_fast`` — the
+    Arrow-matmul map (~1.4M vecs/s, the 100 TB shape: map-only corpus
+    passes, centroids ride in the task closure) — while the centroid
+    UPDATE keeps the quantized exact-bigint sum, so the refined
+    centroids are still order-free and cross-engine reproducible.
+    The only float-tolerance surface left is the cosine summation
+    order (BLAS pairwise vs sequential fold), ~1e-15 — far below the
+    1e-6 micro-unit rounding the output aggregates through.
+
+    ``exact_fold=True`` keeps every dot product as a sequential SQL
+    fold (bit-identical to the DuckDB oracle's ``list_aggregate``) —
+    the oracle-comparison harness and the equivalence test use it;
+    it interprets lambdas per element (~25k vecs/s) and is never the
+    production path.
+    """
+    if not exact_fold:
+        return _kmeans_refine_fast(emb_in, n_clusters)
+    return _kmeans_refine_fold(emb_in, n_clusters)
+
+
+def _kmeans_refine_fast(emb_in: DataFrame, n_clusters: int) -> DataFrame:
+    """Matmul-assignment Lloyd step; see ``kmeans_refine``.
+
+    Driver boundary: only the k seed vectors and the k×dim exact
+    integer centroid sums are collected (k rows each) — the corpus
+    itself never leaves the executors.  At scale, cache ``emb_in``:
+    the plan scans it three times (seeds, assign+update, re-assign).
+    """
+    emb = (
+        emb_in.withColumn("nrm", F.expr(_norm_expr("embedding")))
+        .filter(F.col("nrm") > 0)
+        .select("vec_id", "embedding")
+    )
+    seeds = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_clusters)
+        ).collect()
+    ]
+    a1 = kmeans_assign_fast(emb, seeds, keep_cols=("embedding",))
+    # centroid update: exact bigint sums per (cluster, dimension) —
+    # identical to the fold path, so refined centroids match exactly
+    upd = (
+        a1.withColumn(
+            "q",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+            ),
+        )
+        .select("centroid_id", F.posexplode("q").alias("pos", "qv"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.sum("qv").alias("s"))
+    )
+    by_cluster: dict = {}
+    for r in upd.collect():  # k×dim rows
+        by_cluster.setdefault(r["centroid_id"], {})[r["pos"]] = r["s"]
+    cents2 = [
+        (cid, [float(dims[p]) for p in sorted(dims)])
+        for cid, dims in sorted(by_cluster.items())
+    ]
+    a2 = kmeans_assign_fast(emb, cents2)
+    return (
+        a2.groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum(
+                F.expr("CAST(round(cosine * 1000000.0) AS BIGINT)")
+            ).alias("__s6"),
+        )
+        .select(
+            "cluster_id",
+            "n_assigned",
+            F.round(
+                F.col("__s6").cast("double")
+                / (F.lit(1000000.0) * F.col("n_assigned")),
+                4,
+            ).alias("avg_cos"),
+        )
+    )
+
+
+def _kmeans_refine_fold(
+    emb_in: DataFrame,
+    n_clusters: int = 8,
 ) -> DataFrame:
     """One Lloyd iteration of cosine k-means with engine-exact math.
 
@@ -778,7 +867,9 @@ ORDER BY cluster_id
 EMB_KMEANS_SQL = _kmeans_sql()
 
 
-def kmeans_assign_fast(emb: DataFrame, centroids) -> DataFrame:
+def kmeans_assign_fast(
+    emb: DataFrame, centroids, keep_cols: tuple = ()
+) -> DataFrame:
     """SCALE-path k-means assignment: nearest centroid by cosine via
     one mapInArrow matmul — (vec_id, centroid_id, cosine).
 
@@ -795,15 +886,23 @@ def kmeans_assign_fast(emb: DataFrame, centroids) -> DataFrame:
     task serialization).
 
     ``centroids``: list of (centroid_id, vector) with unit-or-any
-    norm; cosine normalizes both sides.
+    norm; cosine normalizes both sides.  Similarity ties break toward
+    the LOWEST centroid_id (the list is sorted internally), matching
+    the fold path's ``ORDER BY sim DESC, centroid_id`` window.
+
+    ``keep_cols``: input columns passed through 1:1 alongside the
+    assignment (zero-copy Arrow column reuse — no join needed to get
+    e.g. the embedding next to its cluster id).
     """
     import numpy as np
     import pyarrow as pa
 
+    centroids = sorted(centroids, key=lambda c: c[0])
     ids = np.array([c[0] for c in centroids], dtype=np.int64)
     cm = np.array([c[1] for c in centroids], dtype=np.float64)
     cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
     dim = cm.shape[1]
+    keep_cols = tuple(keep_cols)
 
     def assign(batches):
         for batch in batches:
@@ -820,10 +919,19 @@ def kmeans_assign_fast(emb: DataFrame, centroids) -> DataFrame:
                     batch.column(batch.schema.get_field_index("vec_id")),
                     pa.array(ids[best], pa.int64()),
                     pa.array(sims[np.arange(n), best], pa.float64()),
+                ]
+                + [
+                    batch.column(batch.schema.get_field_index(c))
+                    for c in keep_cols
                 ],
-                names=["vec_id", "centroid_id", "cosine"],
+                names=["vec_id", "centroid_id", "cosine", *keep_cols],
             )
 
-    return emb.select("vec_id", "embedding").mapInArrow(
-        assign, "vec_id BIGINT, centroid_id BIGINT, cosine DOUBLE"
+    in_schema = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
+    out_ddl = "vec_id BIGINT, centroid_id BIGINT, cosine DOUBLE" + "".join(
+        f", {c} {in_schema[c]}" for c in keep_cols
+    )
+    extra = [c for c in keep_cols if c not in ("vec_id", "embedding")]
+    return emb.select("vec_id", "embedding", *extra).mapInArrow(
+        assign, out_ddl
     )

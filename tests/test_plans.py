@@ -167,12 +167,32 @@ def test_q7_broadcasts_all_dims(spark):
     assert len(bhj) >= 4, joins  # supplier, nation×2, customer
 
 
-def test_kmeans_centroids_broadcast(spark):
-    """Both assignment passes must broadcast the centroid table —
-    the corpus side never shuffles."""
+def test_kmeans_assignment_is_map_only(spark):
+    """Both assignment passes ride the Arrow-matmul map (centroids in
+    the task closure) — no join against the corpus at all; the only
+    shuffles are the k-row update/output aggregations."""
     from meteaudata_spark.ext import simsearch
 
     df = simsearch.emb_kmeans_refine(spark, SF)
     plan = inspect.formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    fold = simsearch.kmeans_refine(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), exact_fold=True
+    )
+    fold_plan = inspect.formatted_plan(fold)
+    # the oracle-harness fold path keeps the broadcast cross-join shape
+    assert "BroadcastNestedLoopJoin" in fold_plan or "BroadcastExchange" in fold_plan
+
+
+def test_kmeans_fast_refine_equals_fold_refine(spark):
+    from meteaudata_spark.ext import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    fast = sorted(map(tuple, simsearch.kmeans_refine(emb).collect()))
+    fold = sorted(
+        map(tuple, simsearch.kmeans_refine(emb, exact_fold=True).collect())
+    )
+    assert fast == fold

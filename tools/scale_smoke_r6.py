@@ -1,0 +1,62 @@
+"""Round-6 scale smoke: LSH near-pair mining at 1M vectors with NO
+explicit occupancy knob — the auto-derived plane count
+(derive_lsh_planes, occupancy-targeted) must make the job finish and
+recover the planted duplicates, where the old fixed 4-plane default
+measurably never finished (SCALE.md round-5 finding).
+
+Usage: python tools/scale_smoke_r6.py [n_vec]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from meteaudata_spark.ext.simsearch import (  # noqa: E402
+    _LSH_DIM,
+    derive_lsh_planes,
+    lsh_near_pairs,
+)
+from meteaudata_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    spark = get_spark("scale-smoke-r6")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # ~0.1% planted near-dups: id and id+offset share a base pattern
+    base = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.expr(
+            f"transform(sequence(1, {_LSH_DIM}), "
+            f"i -> cast(sin(xxhash64(id % {n_vec - 1000}, i)) as float))"
+        ).alias("embedding"),
+    )
+    planes = derive_lsh_planes(n_vec)
+    print(f"derived planes for {n_vec:,} vectors: {planes} "
+          f"(expected occupancy {n_vec / 2**planes:.0f})", flush=True)
+
+    t0 = time.perf_counter()
+    pairs = lsh_near_pairs(base, threshold=0.9)  # no knobs at all
+    n_pairs = pairs.count()
+    dt = time.perf_counter() - t0
+    print(f"lsh_near_pairs ({n_vec:,} vectors, auto-derived planes): "
+          f"{dt:.1f}s, {n_pairs:,} pairs", flush=True)
+    # planted dups: the last 1000 ids alias an earlier id exactly
+    planted = pairs.filter(
+        (F.col("vec_b") >= n_vec - 1000)
+        & (F.col("vec_a") == (F.col("vec_b") % (n_vec - 1000)))
+    ).count()
+    print(f"planted duplicates recovered: {planted}/1000", flush=True)
+
+
+if __name__ == "__main__":
+    main()
