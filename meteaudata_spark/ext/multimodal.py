@@ -131,6 +131,122 @@ def decode_image(payload: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 array as a real PNG (8-bit RGB,
+    non-interlaced, filter 0 scanlines, stdlib-zlib IDAT).  Readable
+    by any PNG viewer; no external imaging library involved."""
+    import struct
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (h, w, 3) uint8, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder → ``(h, w, 3)`` uint8.
+
+    Walks real chunks with CRC verification, inflates the IDAT stream,
+    and reverses all five scanline filters (None/Sub/Up/Average/
+    Paeth) — so externally-produced 8-bit RGB non-interlaced PNGs
+    decode too, not just ``encode_png`` output.  Palette/alpha/16-bit/
+    interlaced variants raise ValueError."""
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, end = len(PNG_MAGIC), len(payload)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) != size or pos + 12 + size > end:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + size : pos + 12 + size]
+        )
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit RGB non-interlaced PNG supported, got "
+                    f"depth={depth} color={ctype} interlace={ilace}"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            ln = line.astype(np.int64)
+            pv = prev.astype(np.int64)
+            for i in range(stride):
+                left = ln[i - 3] if i >= 3 else 0
+                if ftype == 1:
+                    ln[i] = (ln[i] + left) & 0xFF
+                elif ftype == 3:
+                    ln[i] = (ln[i] + (left + pv[i]) // 2) & 0xFF
+                else:
+                    up = pv[i]
+                    ul = pv[i - 3] if i >= 3 else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else ul
+                    )
+                    ln[i] = (ln[i] + pred) & 0xFF
+            line = ln.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode mono int16 samples as a PCM16 WAV (RIFF) byte string."""
     import struct
@@ -181,6 +297,8 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         return np.frombuffer(payload[len(FAKE_MAGIC):], dtype=np.uint8)
     if payload.startswith(b"P6"):
         return decode_image(payload).reshape(-1)
+    if payload.startswith(PNG_MAGIC):
+        return decode_png(payload).reshape(-1)
     if payload[:4] == b"RIFF":
         return decode_audio(payload)[0]
     raise NotImplementedError(
@@ -366,6 +484,69 @@ SELECT doc_id AS asset_id,
             THEN 3 * list_aggregate(bytes, 'sum')
             ELSE list_aggregate(list_transform(bytes, x -> (x - 128) * 256), 'sum')
        END AS BIGINT) AS value_sum
+FROM d
+ORDER BY asset_id
+"""
+
+
+def mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG gate query: every document becomes a real 4×4 RGB PNG
+    (raster = the 16 ``md5(text)`` digest bytes cycled ×3), round-
+    tripped ``encode_png`` → ``decode_png`` inside Arrow-batched
+    ``mapInPandas``, reduced to exact-integer pixel stats.
+
+    The compressed IDAT size is zlib-version-dependent, so unlike
+    ``mm_codec_stats`` no payload-length column is exposed; instead
+    the decode path itself (chunk walk, CRC verify, inflate, filter
+    reversal) guards the bytes, and the DuckDB oracle reproduces the
+    pixel stats straight from the digest hex — a chunk-layout, CRC,
+    or filter bug breaks the value match.
+
+    Scale shape: narrow map end to end, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+
+    out_schema = (
+        "asset_id bigint, width int, height int, value_sum bigint, "
+        "value_min int, value_max int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "value_sum",
+                "value_min", "value_max",
+            )}
+            for doc_id, digest in zip(pdf["doc_id"], pdf["digest"]):
+                raw = bytes.fromhex(digest)
+                arr = np.frombuffer(raw * 3, dtype=np.uint8).reshape(4, 4, 3)
+                decoded = decode_png(encode_png(arr))
+                rows["asset_id"].append(doc_id)
+                rows["width"].append(decoded.shape[1])
+                rows["height"].append(decoded.shape[0])
+                rows["value_sum"].append(int(decoded.astype(np.int64).sum()))
+                rows["value_min"].append(int(decoded.min()))
+                rows["value_max"].append(int(decoded.max()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, out_schema)
+
+
+MM_PNG_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16),
+                        i -> CAST(CONCAT('0x', SUBSTR(md5(text), 2*i - 1, 2)) AS BIGINT)
+         ) AS bytes
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       4 AS width,
+       4 AS height,
+       CAST(3 * list_aggregate(bytes, 'sum') AS BIGINT) AS value_sum,
+       CAST(list_aggregate(bytes, 'min') AS INT) AS value_min,
+       CAST(list_aggregate(bytes, 'max') AS INT) AS value_max
 FROM d
 ORDER BY asset_id
 """

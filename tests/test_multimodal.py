@@ -45,7 +45,7 @@ def test_video_frame_sampling(spark, assets):
 
 def test_undecodable_format_raises(spark):
     with pytest.raises(NotImplementedError):
-        multimodal._decode_payload(b"\x89PNG\r\n...")
+        multimodal._decode_payload(b"\xff\xd8\xff\xe0...")  # JPEG/JFIF
 
 
 def test_ppm_round_trip():
@@ -125,3 +125,104 @@ def test_embed_assets_feeds_similarity_stack(spark):
     buckets = lsh_bucketize(emb.withColumn("label", F.lit(None).cast("int")))
     bdf = buckets.toPandas()
     assert len(bdf) == 30 * _LSH_TABLES
+
+
+def test_png_round_trip():
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    payload = multimodal.encode_png(arr)
+    assert payload.startswith(multimodal.PNG_MAGIC)
+    out = multimodal.decode_png(payload)
+    assert out.shape == (11, 7, 3)
+    assert (out == arr).all()
+    assert (multimodal._decode_payload(payload) == arr.reshape(-1)).all()
+
+
+def test_png_rejects_corruption():
+    import struct
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(multimodal.encode_png(arr))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+    flipped = bytearray(payload)
+    flipped[-6] ^= 0xFF  # corrupt a byte inside IEND's CRC
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(flipped))
+    # 16-bit depth must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    import zlib
+    bad = (
+        multimodal.PNG_MAGIC
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bad)
+
+
+def test_png_decodes_all_filter_types():
+    """Externally-produced PNGs use Sub/Up/Average/Paeth scanline
+    filters; apply each filter forward here (per the PNG spec) and
+    assert the decoder reverses it."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    stride = 6 * 3
+
+    def forward_filter(ftype, line, prev):
+        out = np.zeros(stride, dtype=np.uint8)
+        for i in range(stride):
+            x = int(line[i])
+            left = int(line[i - 3]) if i >= 3 else 0
+            up = int(prev[i])
+            ul = int(prev[i - 3]) if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out[i] = (x - pred) & 0xFF
+        return out
+
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(5):
+        ftype = y % 5  # exercise every filter type
+        line = arr[y].reshape(-1)
+        raw.append(ftype)
+        raw += forward_filter(ftype, line, prev).tobytes()
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+    payload = (
+        multimodal.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(payload)
+    assert (out == arr).all()
+
+
+def test_mm_png_stats_matches_digest(spark):
+    pdf = multimodal.mm_png_stats(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["width"] == 4).all() and (pdf["height"] == 4).all()
+    assert (pdf["value_min"] >= 0).all() and (pdf["value_max"] <= 255).all()
+    assert (pdf["value_sum"] == 3 * (pdf["value_sum"] // 3)).all()
