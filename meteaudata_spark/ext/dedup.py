@@ -519,7 +519,23 @@ def doc_simhash_near_pairs(
     the output equals the brute-force self-join (which is exactly what
     the DuckDB oracle runs).
     """
-    sig = doc_simhash(spark, sf_dir, bits)
+    return simhash_near_pairs(doc_simhash(spark, sf_dir, bits), bits, k)
+
+
+def simhash_near_pairs(
+    sig: DataFrame, bits: int = 16, k: int = 2
+) -> DataFrame:
+    """Core pigeonhole block join over any (doc_id, simhash) DataFrame
+    — see ``doc_simhash_near_pairs`` for semantics.  Split out so the
+    adversarial-skew test can drive it with a synthetic hot-key
+    corpus.
+
+    Skew note: a corpus of near-identical documents concentrates one
+    (block_id, block_val) key; the equi-join then leans on AQE's
+    skew-join split (enabled in ``session.get_spark``) to fan the hot
+    partition out.  Candidate volume within the hot key is inherently
+    quadratic — as it must be, since all those pairs genuinely
+    qualify and exact recall is the contract."""
     nblocks = k + 1
     width = bits // nblocks
     blocks = []

@@ -1,0 +1,48 @@
+"""Adversarial-skew smoke for the pair-mining joins: a corpus where
+EVERY row lands on one join key (identical simhash signatures /
+identical embeddings → one LSH bucket per table).  The hot key's pair
+volume is inherently quadratic (all pairs genuinely qualify), so N is
+sized to ~2M output pairs; the assertion is that the job COMPLETES
+within a wall budget and returns the exact closed-form pair count —
+i.e. the skewed equi-join neither stalls on one straggler task past
+the budget nor drops candidates."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+N_HOT = 2000
+EXPECT_PAIRS = N_HOT * (N_HOT - 1) // 2
+BUDGET_S = 240  # generous: CI host carries external load
+
+
+def test_simhash_block_join_survives_identical_corpus(spark):
+    from meteaudata_spark.ext.dedup import simhash_near_pairs
+
+    sig = spark.range(N_HOT).select(
+        F.col("id").alias("doc_id"), F.lit(0x5A5A).alias("simhash")
+    )
+    t0 = time.perf_counter()
+    got = simhash_near_pairs(sig, bits=16, k=2).count()
+    dt = time.perf_counter() - t0
+    assert got == EXPECT_PAIRS
+    assert dt < BUDGET_S, f"hot-key simhash join took {dt:.0f}s"
+
+
+def test_lsh_bucket_join_survives_identical_corpus(spark):
+    from meteaudata_spark.ext.simsearch import _LSH_DIM, lsh_near_pairs
+
+    emb = spark.range(N_HOT).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.expr(
+            f"transform(sequence(1, {_LSH_DIM}), i -> CAST(0.5 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    # identical vectors: every pair has cosine exactly 1.0
+    got = lsh_near_pairs(emb, threshold=0.999, n_vectors=N_HOT).count()
+    dt = time.perf_counter() - t0
+    assert got == EXPECT_PAIRS
+    assert dt < BUDGET_S, f"hot-bucket LSH join took {dt:.0f}s"
