@@ -259,7 +259,14 @@ ORDER BY bucket_ts
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30-minute gap per
     user (lag + running sum — one shuffle on user_id)."""
-    ev = _events(spark, sf_dir)
+    return sessionize_events(_events(spark, sf_dir))
+
+
+def sessionize_events(ev: DataFrame) -> DataFrame:
+    """Core sessionization over any (user_id, ts, ...) DataFrame —
+    split out so the timestamp-flavor matrix can drive it with NTZ /
+    LTZ / CSV-parsed inputs (the gap arithmetic goes through
+    ``epoch_seconds``)."""
     w = Window.partitionBy("user_id").orderBy("ts")
     with_gap = ev.withColumn(
         "__new_session",
@@ -314,6 +321,12 @@ def ts_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
+    return asof_last_order_events(ev, orders)
+
+
+def asof_last_order_events(ev: DataFrame, orders: DataFrame) -> DataFrame:
+    """Core as-of attach over any (event_id, user_id, ts) × (user_id,
+    o_orderdate) pair — split out for the timestamp-flavor matrix."""
     joined = asof_join_backward(
         ev,
         orders,
@@ -697,7 +710,12 @@ def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-summed per level would drift with partition order (observed: a
     daily average landing precisely on the 6-decimal rounding
     boundary split between engines)."""
-    ev = _events(spark, sf_dir)
+    return multires_rollup_events(_events(spark, sf_dir))
+
+
+def multires_rollup_events(ev: DataFrame) -> DataFrame:
+    """Core multi-resolution rollup over any (event_type, ts, value)
+    DataFrame — split out for the timestamp-flavor matrix."""
     p5 = (
         ev.groupBy(
             "event_type",

@@ -75,3 +75,91 @@ def test_kernel_is_flavor_invariant(flavors, kernel):
                 ), (name, c)
             else:
                 assert got[c].equals(ref[c]), (name, c)
+
+
+@pytest.fixture(scope="module")
+def event_flavors(spark, tmp_path_factory):
+    """events/orders-shaped tables in NTZ / LTZ / CSV flavors for the
+    ext query entry points (they build their own epoch arithmetic on
+    top of the kernels)."""
+    rng = np.random.default_rng(23)
+    n = 400
+    ts = pd.Timestamp("2021-06-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 14 * 86400, size=n)), unit="s"
+    )
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(1, 12, size=n),
+            "event_type": rng.choice(["click", "view", "error"], size=n),
+            "ts": ts,
+            "value": rng.normal(size=n).round(3),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "user_id": rng.integers(1, 12, size=60),
+            "o_orderdate": pd.Timestamp("2021-05-20")
+            + pd.to_timedelta(rng.integers(0, 20 * 86400, size=60), unit="s"),
+        }
+    )
+
+    out = {}
+    base = tmp_path_factory.mktemp("evflav")
+    for name, df in (("ev", ev), ("orders", orders)):
+        pq = str(base / f"{name}.parquet")
+        df.to_parquet(pq, coerce_timestamps="us", allow_truncated_timestamps=True)
+        out[f"{name}_ntz"] = spark.read.parquet(pq)
+        out[f"{name}_ltz"] = spark.createDataFrame(df)
+        csvp = str(base / f"{name}.csv")
+        df.to_csv(csvp, index=False)
+        schema = (
+            "event_id bigint, user_id bigint, event_type string, "
+            "ts timestamp, value double"
+            if name == "ev"
+            else "user_id bigint, o_orderdate timestamp"
+        )
+        out[f"{name}_csv"] = spark.read.csv(csvp, header=True, schema=schema)
+    tscol = {"ev": "ts", "orders": "o_orderdate"}
+    for name in ("ev", "orders"):
+        assert dict(out[f"{name}_ntz"].dtypes)[tscol[name]] == "timestamp_ntz"
+        assert dict(out[f"{name}_ltz"].dtypes)[tscol[name]] == "timestamp"
+    return out
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        lambda fl, flavor: __import__(
+            "meteaudata_spark.ext.timeseries_queries", fromlist=["x"]
+        ).sessionize_events(fl[f"ev_{flavor}"]),
+        lambda fl, flavor: __import__(
+            "meteaudata_spark.ext.timeseries_queries", fromlist=["x"]
+        ).asof_last_order_events(
+            fl[f"ev_{flavor}"].select("event_id", "user_id", "ts"),
+            fl[f"orders_{flavor}"],
+        ),
+        lambda fl, flavor: __import__(
+            "meteaudata_spark.ext.timeseries_queries", fromlist=["x"]
+        ).multires_rollup_events(fl[f"ev_{flavor}"]),
+    ],
+    ids=["sessionize", "asof_last_order", "multires_rollup"],
+)
+def test_ext_query_is_flavor_invariant(event_flavors, query):
+    def values_sorted(df):
+        out = _values(df)
+        keys = [c for c in out.columns if out[c].dtype.kind != "f"]
+        return out.sort_values(keys).reset_index(drop=True)
+
+    ref = values_sorted(query(event_flavors, "ltz"))
+    for flavor in ("ntz", "csv"):
+        got = values_sorted(query(event_flavors, flavor))
+        assert list(got.columns) == list(ref.columns)
+        assert len(got) == len(ref)
+        for c in ref.columns:
+            if ref[c].dtype.kind == "f":
+                assert np.allclose(
+                    got[c], ref[c], rtol=0, atol=1e-9, equal_nan=True
+                ), (flavor, c)
+            else:
+                assert got[c].equals(ref[c]), (flavor, c)
