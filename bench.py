@@ -47,7 +47,9 @@ def main() -> None:
     # min of N runs per query: the host shows intermittent external
     # load, and min-of-N measures the query, not the neighbors
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    loadavg_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    loadavgs: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         best = -1.0
         try:
@@ -61,6 +63,10 @@ def main() -> None:
             best = -1.0
             print(f"# ERROR {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
         timings[name] = best
+        # 1-min loadavg at query end: round-over-round regressions on a
+        # shared host adjudicate against this instead of re-probing by
+        # hand (r4's apparent regressions were all external load)
+        loadavgs[name] = round(os.getloadavg()[0], 2)
 
     ok = [t for t in timings.values() if t >= 0]
     total = round(sum(ok), 3)
@@ -74,6 +80,12 @@ def main() -> None:
                 "n_queries": len(ok),
                 "avg_query_sec": round(total / len(ok), 3) if ok else -1.0,
                 "sf": sf,
+                "bench_runs": n_runs,
+                "loadavg_1m": {
+                    "start": loadavg_start,
+                    "end": round(os.getloadavg()[0], 2),
+                    "per_query": loadavgs,
+                },
             }
         )
     )

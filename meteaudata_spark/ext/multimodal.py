@@ -299,11 +299,16 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         return decode_image(payload).reshape(-1)
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload).reshape(-1)
+    if payload[:2] == b"\xff\xd8":
+        from meteaudata_spark.ext.jpeg import decode_jpeg
+
+        return decode_jpeg(payload).reshape(-1)
     if payload[:4] == b"RIFF":
         return decode_audio(payload)[0]
     raise NotImplementedError(
-        "Real codec support (PIL/librosa/pyav) is not installed in this "
-        "environment; PPM/WAV/FAKE payloads are the decodable formats."
+        "No decoder for this format: video containers (MP4/AVI) need "
+        "external libs this environment doesn't ship; PPM/PNG/JPEG/WAV/"
+        "FAKE payloads are the decodable formats."
     )
 
 

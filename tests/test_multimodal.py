@@ -45,7 +45,7 @@ def test_video_frame_sampling(spark, assets):
 
 def test_undecodable_format_raises(spark):
     with pytest.raises(NotImplementedError):
-        multimodal._decode_payload(b"\xff\xd8\xff\xe0...")  # JPEG/JFIF
+        multimodal._decode_payload(b"\x00\x00\x00\x18ftypmp42")  # MP4
 
 
 def test_ppm_round_trip():
