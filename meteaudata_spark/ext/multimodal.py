@@ -2,17 +2,22 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-Executable codecs (pure numpy + struct, no PIL/librosa needed):
+Executable codecs (pure numpy + stdlib, no PIL/librosa/pyav needed):
 
 * **PPM (P6)** images — ``encode_ppm`` / ``decode_image`` parse the
   real binary PPM format (header + raw RGB24);
+* **PNG** images — ``encode_png`` / ``decode_png`` (stdlib zlib,
+  CRC-verified chunks, all five scanline filters);
+* **JPEG** images — ``ext/jpeg.py`` baseline sequential codec
+  (huffman + DCT in numpy, 4:4:4/4:2:0, restart markers);
 * **WAV (PCM16)** audio — ``encode_wav`` / ``decode_audio`` write and
-  walk real RIFF chunks.
+  walk real RIFF chunks;
+* **AVI (MJPEG/DIB)** video — ``ext/avi.py`` real RIFF container for
+  frame sampling.
 
-Formats the container can't decode without external libs (JPEG, MP4,
-…) still raise ``NotImplementedError`` from ``_decode_payload`` — a
-documented env constraint, with the deterministic FAKE codec standing
-in for tests of the streaming plumbing.
+Only formats needing external codec libraries (MP4/H.264, …) raise
+``NotImplementedError`` from ``_decode_payload``; the deterministic
+FAKE codec stands in for tests of the streaming plumbing.
 
 Layout convention (one row per asset):
 
@@ -366,9 +371,14 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
-    """STUB frame sampler: emits one row per kept frame for video
-    assets (frame payload faked as a slice of the source bytes).
-    Demonstrates the 1→N explode shape of frame extraction."""
+    """Frame sampler: one output row per kept frame per video asset
+    (the 1→N explode shape of frame extraction).
+
+    RIFF/AVI payloads go through the REAL container parser
+    (``ext/avi.py`` — MJPEG or DIB frames) and each kept frame is
+    re-emitted as a standalone baseline JPEG, decodable by
+    ``_decode_payload`` downstream.  FAKE-codec payloads keep the stub
+    slicing path so plumbing tests stay cheap."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -378,13 +388,24 @@ def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from meteaudata_spark.ext import avi as avimod
+        from meteaudata_spark.ext.jpeg import encode_jpeg
+
         for pdf in it:
             rows = {"asset_id": [], "frame_no": [], "frame_payload": []}
             for _, row in pdf.iterrows():
                 if row["modality"] != "video":
                     continue
+                payload = bytes(row["payload"])
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    frames, _fps = avimod.decode_avi(payload)
+                    for f in range(0, len(frames), every_n):
+                        rows["asset_id"].append(row["asset_id"])
+                        rows["frame_no"].append(f)
+                        rows["frame_payload"].append(encode_jpeg(frames[f]))
+                    continue
                 n_frames = (row["meta"]["n_frames"] or 1)
-                body = _decode_payload(bytes(row["payload"]))
+                body = _decode_payload(payload)
                 chunk = max(1, len(body) // n_frames)
                 for f in range(0, n_frames, every_n):
                     frame = body[f * chunk : (f + 1) * chunk]
