@@ -346,19 +346,59 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def _decode_rgb(payload: bytes):
+    """Decode an image payload to ``(h, w, 3)`` uint8 if it is one of
+    the real image formats, else None."""
+    if payload.startswith(b"P6"):
+        return decode_image(payload)
+    if payload.startswith(PNG_MAGIC):
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from meteaudata_spark.ext.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    return None
+
+
+def _resize_nn(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index maps (pure numpy)."""
+    h, w, _ = arr.shape
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[ys][:, xs]
+
+
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: demonstrates the transform signature (binary in,
-    binary out, metadata rewritten).  The fake codec 'resizes' by
-    truncating/padding the byte stream to width·height; a real codec
-    would decode → resample → re-encode."""
+    """Resize image payloads to ``width × height`` (binary in, binary
+    out, metadata rewritten).
+
+    Real image formats (PPM/PNG/JPEG) decode → nearest-neighbor
+    resample → re-encode IN THE SAME FORMAT, all executor-side in the
+    Arrow batch.  FAKE-codec payloads keep the byte-truncation stub so
+    plumbing tests stay cheap.  Audio/video payloads pass through the
+    fake path unchanged in semantics (they carry no raster)."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from meteaudata_spark.ext.jpeg import encode_jpeg
+
         target = width * height
         for pdf in it:
             out_payload = []
             for p in pdf["payload"]:
-                body = _decode_payload(bytes(p))
-                resized = np.resize(body, target)
-                out_payload.append(FAKE_MAGIC + resized.tobytes())
+                p = bytes(p)
+                rgb = _decode_rgb(p)
+                if rgb is not None:
+                    resized = _resize_nn(rgb, width, height)
+                    if p.startswith(b"P6"):
+                        out_payload.append(encode_ppm(resized))
+                    elif p.startswith(PNG_MAGIC):
+                        out_payload.append(encode_png(resized))
+                    else:
+                        out_payload.append(encode_jpeg(resized))
+                    continue
+                body = _decode_payload(p)
+                out_payload.append(
+                    FAKE_MAGIC + np.resize(body, target).tobytes()
+                )
             pdf = pdf.copy()
             pdf["payload"] = out_payload
             meta = pd.DataFrame(list(pdf["meta"]))

@@ -226,3 +226,37 @@ def test_mm_png_stats_matches_digest(spark):
     assert (pdf["width"] == 4).all() and (pdf["height"] == 4).all()
     assert (pdf["value_min"] >= 0).all() and (pdf["value_max"] <= 255).all()
     assert (pdf["value_sum"] == 3 * (pdf["value_sum"] // 3)).all()
+
+
+def test_resize_real_formats_roundtrip(spark):
+    """PPM/PNG/JPEG payloads resize by real decode → NN resample →
+    re-encode in the same format, executor-side."""
+    from meteaudata_spark.ext.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    payloads = [
+        multimodal.encode_ppm(arr),
+        multimodal.encode_png(arr),
+        encode_jpeg(arr, quality=95),
+    ]
+    rows = [
+        (i, "image", p,
+         {"width": 10, "height": 12, "channels": 3, "sample_rate": None,
+          "n_frames": None, "format": f})
+        for i, (p, f) in enumerate(zip(payloads, ["ppm", "png", "jpeg"]))
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    out = multimodal.resize_images(assets, 6, 4).toPandas().sort_values("asset_id")
+    magics = [bytes(p)[:2] for p in out["payload"]]
+    assert magics[0] == b"P6"
+    assert bytes(out["payload"].iloc[1]).startswith(multimodal.PNG_MAGIC)
+    assert magics[2] == b"\xff\xd8"
+    for p in out["payload"]:
+        dec = multimodal._decode_rgb(bytes(p))
+        assert dec.shape == (4, 6, 3)
+    assert (pd_width := out["meta"].apply(lambda m: m["width"])).eq(6).all(), pd_width
+    # lossless formats: NN resample is exactly reproducible driver-side
+    expected = multimodal._resize_nn(arr, 6, 4)
+    assert (multimodal._decode_rgb(bytes(out["payload"].iloc[0])) == expected).all()
+    assert (multimodal._decode_rgb(bytes(out["payload"].iloc[1])) == expected).all()
