@@ -159,8 +159,18 @@ _LSH_MAX_PLANES = 30  # bucket ids are packed into int64
 def derive_lsh_planes(n_vectors: int) -> int:
     """Size the LSH plane count from the corpus size so expected bucket
     occupancy ``n / 2^planes`` ≈ ``_LSH_TARGET_OCCUPANCY``: 15 planes at
-    1M vectors (~30/bucket), 18 at 10M.  Never below the recall-tuned
-    gate default (``_LSH_PLANES``), never above int64 packing room."""
+    1M vectors (~30/bucket), 19 at 10M.  Never below the recall-tuned
+    gate default (``_LSH_PLANES``), never above int64 packing room.
+
+    Recall trade (random hyperplanes): a pair at angle θ collides in
+    one table with probability ``(1 − θ/π)^planes``, so across T
+    tables recall ≈ ``1 − (1 − (1 − θ/π)^p)^T``.  At cosine 0.9
+    (θ≈0.45 rad) that is ~0.55 for p=15, T=8 — versus ~0.99 at the
+    4-plane gate default, which only the small oracle corpus can
+    afford.  Exact duplicates (θ=0) are always recovered.  Callers
+    who need higher near-pair recall at scale should RAISE
+    ``n_tables`` (linear cost) rather than lower ``n_planes``
+    (quadratic blowup in hot buckets)."""
     import math
 
     if n_vectors <= _LSH_TARGET_OCCUPANCY:

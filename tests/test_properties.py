@@ -331,3 +331,43 @@ def test_rolling_mean_matches_pandas(values, window):
     )
     ref = ser.rolling(window, min_periods=1).mean()
     assert np.allclose(out["value"].values, ref.values, equal_nan=True)
+
+
+# ---------------------------------------------------------------------
+# codec properties: lossless round trips and lossy determinism hold
+# for ARBITRARY image content and dimensions, not just the fixtures
+# ---------------------------------------------------------------------
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_ppm_roundtrip_exact(h, w, seed):
+    from meteaudata_spark.ext import multimodal
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert (multimodal.decode_png(multimodal.encode_png(arr)) == arr).all()
+    assert (multimodal.decode_image(multimodal.encode_ppm(arr)) == arr).all()
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    quality=st.integers(min_value=30, max_value=95),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_decode_deterministic_and_bounded(h, w, quality, seed):
+    from meteaudata_spark.ext.jpeg import decode_jpeg, encode_jpeg
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    payload = encode_jpeg(arr, quality=quality)
+    out = decode_jpeg(payload)
+    assert out.shape == arr.shape
+    assert (decode_jpeg(payload) == out).all()  # bit-deterministic
+    assert out.dtype == np.uint8  # clamped into range by contract
