@@ -1,0 +1,155 @@
+"""Streaming near-duplicate detection: MinHash band buckets + stateful
+first-seen memory (``applyInPandasWithState``).
+
+The batch dedup ladder (``ext/dedup.py``) mines near-dup PAIRS with a
+band self-join — a batch-only shape.  The streaming analog answers the
+online question instead: *is this incoming document a near-duplicate
+of anything seen so far?*  Per micro-batch:
+
+1. a Pandas UDF computes each document's MinHash band sub-signatures
+   with the SAME deterministic shingle/coefficient math as the batch
+   pipeline (word-3-gram → 60-bit md5 → per-j affine mod 2³¹−1), so a
+   document collides with its batch-computed self;
+2. rows explode to (band, bucket) keys;
+3. ``applyInPandasWithState`` keyed on (band, bucket) keeps O(1) state
+   per bucket — the first-seen doc_id and a count — and emits a row
+   for every LATER document that lands in a non-empty bucket.
+
+Emitted rows are near-dup CANDIDATES (recall governed by bands ×
+rows-per-band exactly as in batch LSH; no false-negative exact dups).
+A downstream exact-verify join against a document store mirrors the
+batch verify stage and stays out of scope here.
+
+State is bounded by DISTINCT BUCKET cardinality, not stream length;
+production deployments should pass ``ttl_minutes`` so idle buckets
+expire (processing-time timeout) instead of accumulating forever.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MERSENNE = (1 << 31) - 1  # same modulus as ext/dedup.py
+
+_CANDIDATE_SCHEMA = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("bucket", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("first_doc_id", LongType()),
+        StructField("n_seen_in_bucket", LongType()),
+    ]
+)
+
+_BUCKET_STATE_SCHEMA = StructType(
+    [StructField("first_doc", LongType()), StructField("n_seen", LongType())]
+)
+
+
+def _band_signatures(
+    text: str, num_hashes: int, bands: int, n: int
+) -> list[str]:
+    """Per-doc band sub-signatures, bit-identical to the batch
+    pipeline's (``ext/dedup.py`` ``minhash_lsh_pairs``)."""
+    words = text.split(" ")
+    shingles = {
+        " ".join(words[i : i + n]) for i in range(max(0, len(words) - n + 1))
+    }
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE
+        for s in shingles
+    ] or [0]
+    sig = [
+        min(((2 * j + 1) * h + 7919 * (j + 1)) % _MERSENNE for h in hs)
+        for j in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    return [
+        "-".join(
+            str(sig[band * rows_per_band + r]) for r in range(rows_per_band)
+        )
+        for band in range(bands)
+    ]
+
+
+def _update_bucket(
+    key: Tuple[int, str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    first_doc, n_seen = state.get if state.exists else (None, 0)
+    rows = {k: [] for k in (
+        "band", "bucket", "doc_id", "first_doc_id", "n_seen_in_bucket",
+    )}
+    for pdf in pdfs:
+        # deterministic arrival order within the micro-batch
+        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+            n_seen += 1
+            if first_doc is None:
+                first_doc = doc_id
+                continue
+            rows["band"].append(key[0])
+            rows["bucket"].append(key[1])
+            rows["doc_id"].append(doc_id)
+            rows["first_doc_id"].append(first_doc)
+            rows["n_seen_in_bucket"].append(n_seen)
+    state.update((first_doc, n_seen))
+    if rows["doc_id"]:
+        yield pd.DataFrame(rows)
+
+
+def stream_near_dup_candidates(
+    stream_df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """(doc_id, text) stream → candidate near-dup rows; see module
+    docstring.  One output row per (band, colliding doc); consumers
+    ``distinct()`` on (doc_id, first_doc_id) for pair semantics."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def band_sigs(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: _band_signatures(t or "", num_hashes, bands, n)
+        )
+
+    exploded = (
+        stream_df.select("doc_id", band_sigs("text").alias("sigs"))
+        .select("doc_id", F.posexplode("sigs").alias("band", "bucket"))
+        .select(F.col("band").cast("long").alias("band"), "bucket", "doc_id")
+    )
+
+    def with_timeout(_key, pdfs, state):
+        if ttl_minutes is not None and not state.hasTimedOut:
+            state.setTimeoutDuration(ttl_minutes * 60_000)
+        yield from _update_bucket(_key, pdfs, state)
+
+    return exploded.groupBy("band", "bucket").applyInPandasWithState(
+        with_timeout,
+        outputStructType=_CANDIDATE_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
