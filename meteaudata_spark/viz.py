@@ -211,3 +211,116 @@ def plot_dependency_graph(signal: Signal, series_name: str):
         )
     )
     return fig
+
+
+# ---------------------------------------------------------------------
+# real rendering without plotly: standalone SVG from a plot spec
+# ---------------------------------------------------------------------
+_SVG_COLORS = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728",
+               "#9467bd", "#8c564b", "#e377c2", "#7f7f7f"]
+
+
+def _svg_escape(s: str) -> str:
+    return (
+        str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def render_svg(
+    spec: dict[str, Any], width: int = 800, height: int = 400
+) -> str:
+    """Render a ``plot_signal`` spec dict (``{"data": traces,
+    "layout": ...}``) to a standalone SVG string — REAL rendering with
+    zero plotting dependencies (pure string assembly), so the plot
+    path is executable in this container even though plotly isn't
+    installed.  Lines per trace, markers for prediction traces, axis
+    frame with min/max tick labels, title, and a legend."""
+    traces = spec.get("data", [])
+    pad_l, pad_r, pad_t, pad_b = 60, 120, 40, 40
+    pw, ph = width - pad_l - pad_r, height - pad_t - pad_b
+
+    def _num(x) -> float:
+        # datetimes plot on their epoch-seconds axis
+        try:
+            return float(x)
+        except (TypeError, ValueError):
+            import pandas as pd
+
+            return pd.Timestamp(x).timestamp()
+
+    xs_all = [_num(x) for t in traces for x in t.get("x", [])]
+    ys_all = [
+        float(y)
+        for t in traces
+        for y in t.get("y", [])
+        if y is not None and y == y
+    ]
+    if not xs_all or not ys_all:
+        return (
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{height}"><text x="10" y="20">empty plot</text></svg>'
+        )
+    x0, x1 = min(xs_all), max(xs_all)
+    y0, y1 = min(ys_all), max(ys_all)
+    xr = (x1 - x0) or 1.0
+    yr = (y1 - y0) or 1.0
+
+    def sx(x: float) -> float:
+        return pad_l + (x - x0) / xr * pw
+
+    def sy(y: float) -> float:
+        return pad_t + (1.0 - (y - y0) / yr) * ph
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">',
+        f'<rect x="{pad_l}" y="{pad_t}" width="{pw}" height="{ph}" '
+        'fill="none" stroke="#333" stroke-width="1"/>',
+    ]
+    title = spec.get("layout", {}).get("title", "")
+    if title:
+        parts.append(
+            f'<text x="{width / 2}" y="24" text-anchor="middle" '
+            f'font-size="16">{_svg_escape(title)}</text>'
+        )
+    # min/max tick labels on both axes
+    parts += [
+        f'<text x="{pad_l}" y="{height - 12}" font-size="10">'
+        f"{_svg_escape(traces[0]['x'][0])}</text>",
+        f'<text x="{width - pad_r}" y="{height - 12}" text-anchor="end" '
+        f'font-size="10">{_svg_escape(traces[0]["x"][-1])}</text>',
+        f'<text x="{pad_l - 6}" y="{sy(y0) + 4}" text-anchor="end" '
+        f'font-size="10">{y0:.4g}</text>',
+        f'<text x="{pad_l - 6}" y="{sy(y1) + 4}" text-anchor="end" '
+        f'font-size="10">{y1:.4g}</text>',
+    ]
+    for i, t in enumerate(traces):
+        color = _SVG_COLORS[i % len(_SVG_COLORS)]
+        pts = [
+            (sx(_num(x)), sy(float(y)))
+            for x, y in zip(t.get("x", []), t.get("y", []))
+            if y is not None and y == y
+        ]
+        if not pts:
+            continue
+        path = " ".join(f"{px:.2f},{py:.2f}" for px, py in pts)
+        parts.append(
+            f'<polyline fill="none" stroke="{color}" stroke-width="1.5" '
+            f'points="{path}"/>'
+        )
+        if "markers" in t.get("mode", ""):
+            parts += [
+                f'<circle cx="{px:.2f}" cy="{py:.2f}" r="2.5" '
+                f'fill="{color}"/>'
+                for px, py in pts
+            ]
+        ly = pad_t + 14 + i * 16
+        parts += [
+            f'<line x1="{width - pad_r + 8}" y1="{ly - 4}" '
+            f'x2="{width - pad_r + 28}" y2="{ly - 4}" stroke="{color}" '
+            'stroke-width="2"/>',
+            f'<text x="{width - pad_r + 32}" y="{ly}" font-size="11">'
+            f"{_svg_escape(t.get('name', f'trace{i}'))}</text>",
+        ]
+    parts.append("</svg>")
+    return "".join(parts)

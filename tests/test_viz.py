@@ -62,3 +62,54 @@ def test_dependency_graph(spark, provenance):
             e["origin"] == "V#1_RESAMPLED#1" and e["destination"] == "V#1_LIN-INT#1"
             for e in spec["edges"]
         )
+
+
+def test_render_svg_real_output(spark, provenance):
+    """The SVG renderer produces valid XML with one polyline per
+    trace, the title, legend entries, and axis labels — real
+    rendering with no plotting library."""
+    import xml.etree.ElementTree as ET
+
+    sig = _signal(spark, provenance, periods=500)
+    sig.process(["V#1_RAW#1"], resample, "5min")
+    spec = viz.plot_signal(sig, max_points=100)
+    if not isinstance(spec, dict):  # plotly installed: spec path covered anyway
+        spec = {
+            "data": [
+                {"name": t.name, "x": list(t.x), "y": list(t.y), "mode": t.mode}
+                for t in spec.data
+            ],
+            "layout": {"title": "Signal V [x]"},
+        }
+    svg = viz.render_svg(spec)
+    root = ET.fromstring(svg)  # well-formed XML
+    ns = "{http://www.w3.org/2000/svg}"
+    polylines = root.findall(f"{ns}polyline")
+    assert len(polylines) == len(spec["data"])
+    for pl in polylines:
+        assert len(pl.attrib["points"].split()) > 10
+    texts = [t.text for t in root.findall(f"{ns}text")]
+    assert any("Signal V" in (t or "") for t in texts)
+    for tr in spec["data"]:
+        assert tr["name"] in texts
+
+
+def test_render_svg_empty_and_prediction_markers(spark, provenance):
+    import xml.etree.ElementTree as ET
+
+    assert "empty plot" in viz.render_svg({"data": [], "layout": {}})
+    # prediction traces (lines+markers) get circle markers
+    spec = {
+        "data": [
+            {
+                "name": "p",
+                "x": [1.0, 2.0, 3.0],
+                "y": [1.0, 4.0, 2.0],
+                "mode": "lines+markers",
+            }
+        ],
+        "layout": {"title": "t"},
+    }
+    root = ET.fromstring(viz.render_svg(spec))
+    ns = "{http://www.w3.org/2000/svg}"
+    assert len(root.findall(f"{ns}circle")) == 3
