@@ -81,6 +81,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": simsearch.emb_kmeans_refine,  # Arrow-matmul assignment swap
         "mm_codec_stats": multimodal.mm_codec_stats,  # bounded PPM header parse
         "mm_png_stats": multimodal.mm_png_stats,  # NEW: stdlib-zlib PNG codec round-trip
+        # --- (2b) brand-new this round: never oracle-verified by the driver ---
+        "doc_segment_dedup": dedup.doc_segment_dedup,  # NEW: C4-style sub-document dedup
+        "doc_pack_sequences": corpus_ops.doc_pack_sequences,  # NEW: context-window packing
+        "doc_contamination_bloom": corpus_ops.doc_contamination_bloom,  # NEW: Bloom decontamination scale path
+        "ts_seasonal_decompose": tsq.ts_seasonal_decompose,  # NEW: STL-lite trend/seasonal/residual
+        "emb_pq_codes": simsearch.emb_pq_codes,  # NEW: product-quantization codes
+        "emb_pq_topk": simsearch.emb_pq_topk,  # NEW: PQ asymmetric-distance ANN
         # --- (3) rotation slice of the recently-verified remainder ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -89,14 +96,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
         "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,  # postings-cap path
+        # ---------------- past the 50-cap from here ----------------
+        # (all green in r5's CORRECTNESS run or this round's local gate)
         "ts_replace_ranges": tsq.ts_replace_ranges,        # P2 masked update
         "ts_daily_stats": tsq.ts_daily_stats,              # A1 generalization
         "ts_rolling_mean": tsq.ts_rolling_mean,            # SMOOTHING at scale
         "ts_outlier_rate": tsq.ts_outlier_rate,            # IQR fences (quantiles, not stddev)
         "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
         "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
-        # ---------------- past the 50-cap from here ----------------
-        # (all green in r5's CORRECTNESS run)
         "ts_multires_rollup": tsq.ts_multires_rollup,  # 5min→1h→1d continuous aggregate
         "ts_cusum_changepoint": tsq.ts_cusum_changepoint,  # integer-exact CUSUM argmax
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -218,4 +225,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": simsearch.EMB_IVF_TOPK_SQL,
         "emb_kmeans": simsearch.EMB_KMEANS_SQL,
         "mm_png_stats": multimodal.MM_PNG_STATS_SQL,
+        "doc_segment_dedup": dedup.DOC_SEGMENT_DEDUP_SQL,
+        "doc_pack_sequences": corpus_ops.DOC_PACK_SEQUENCES_SQL,
+        "doc_contamination_bloom": corpus_ops.DOC_CONTAMINATION_BLOOM_SQL,
+        "ts_seasonal_decompose": tsq.TS_SEASONAL_DECOMPOSE_SQL,
+        "emb_pq_codes": simsearch.EMB_PQ_CODES_SQL,
+        "emb_pq_topk": simsearch.EMB_PQ_TOPK_SQL,
     }

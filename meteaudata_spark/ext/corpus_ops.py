@@ -272,3 +272,212 @@ SELECT doc_id, n_emails,
 FROM scrub1
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# sequence packing (context-window bin assignment)
+# ----------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 200,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: walk each group's docs in
+    ``id_col`` order accumulating token counts; when the next doc
+    would overflow ``capacity``, start a new bin.  A doc longer than
+    the capacity gets a bin to itself (never split).  This is the
+    standard pretraining step that concatenates short documents into
+    fixed-size context windows to avoid padding waste.
+
+    Packing is inherently sequential WITHIN a bin stream, so the
+    parallel unit is the group: real pipelines pack per shard
+    (``group_cols=[split, shard]`` where shard is a hash bucket), which
+    makes every group an independent sequential walk of bounded size —
+    ``applyInPandas`` over groups is the honest 100 TB shape (the
+    equivalent of each worker packing its own shard), not a
+    workaround.  Only (group, id, n_tokens) travels through the
+    shuffle — never the text.
+
+    Returns one row per doc: group cols, id, n_tokens, bin_id (dense
+    per group, 0-based), bin_fill (tokens in the bin after placing
+    this doc).  Reference analog: none (pure [EXT]).
+    """
+    if group_cols is None:
+        group_cols = ["lang"]
+    slim = df.select(
+        *group_cols,
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    out_fields = slim.schema.fields
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+        + ", bin_id bigint, bin_fill bigint"
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, acc = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if acc > 0 and acc + n > capacity:
+                bin_id += 1
+                acc = 0
+            acc += n
+            bins.append(bin_id)
+            fills.append(acc)
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills
+        return pdf
+
+    return slim.groupBy(*group_cols).applyInPandas(pack, schema)
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-lang greedy packing into 200-token windows."""
+    d = _docs(spark, sf_dir)
+    return pack_sequences(d, capacity=200, group_cols=["lang"]).select(
+        "doc_id", "lang", "n_tokens", "bin_id", "bin_fill"
+    )
+
+
+DOC_PACK_SEQUENCES_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.lang, b.n_tokens, b.rn,
+         CASE WHEN p.bin_fill + b.n_tokens > 200 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + b.n_tokens > 200 THEN b.n_tokens ELSE p.bin_fill + b.n_tokens END
+  FROM packed p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1
+)
+SELECT doc_id, lang, n_tokens, bin_id, bin_fill
+FROM packed
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Bloom-filter contamination (scale path for huge benchmark sets)
+# ----------------------------------------------------------------------
+def contamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark-contamination check through a Bloom filter instead of
+    the raw n-gram set.
+
+    ``contamination`` broadcasts the benchmark's distinct hashed
+    n-grams — fine while the benchmark is small, but a consortium-size
+    eval suite (billions of grams) stops fitting in a broadcast.  The
+    Bloom construction caps the broadcast at ``m_bits`` REGARDLESS of
+    benchmark size: a gram sets bits ``h60(i + ':' + gram) mod m`` for
+    i < k; a corpus gram is flagged iff all k bits are set.  Flags are
+    a deterministic SUPERSET of true overlaps (false positives at the
+    classic (1-e^{-kn/m})^k rate, never false negatives) — exactly the
+    guarantee decontamination needs, since flagged docs get dropped or
+    exact-checked.  Size ``m_bits`` ≈ 14·n_grams for ~1e-3 FPR at
+    k = 4 (the default fits a ~4.5k-gram benchmark; a billion-gram
+    suite needs m ≈ 1.75 GB — still one broadcast, vs. ~30 GB of raw
+    60-bit gram hashes).
+
+    Implementation is pure relational algebra so the DuckDB oracle can
+    verify it bit-for-bit: bench grams → distinct bit positions
+    (≤ m rows, broadcast); corpus grams → k position rows each,
+    left-joined against the bit table; a gram is flagged when all k of
+    its rows matched.  No corpus-sized shuffle: the corpus side only
+    hash-aggregates its own (doc, gram) rows.  Reference analog: none
+    (pure [EXT]).
+    """
+    bench_grams = _shingles(benchmark, n).select("shingle").distinct()
+    bit_cols = [
+        F.pmod(
+            _h60(F.concat(F.lit(f"{i}:"), F.col("shingle"))), F.lit(m_bits)
+        ).cast("bigint")
+        for i in range(k)
+    ]
+    bloom = (
+        bench_grams.select(F.explode(F.array(*bit_cols)).alias("pos"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corp = _shingles(corpus, n).distinct()
+    corp_pos = corp.select(
+        "doc_id", "shingle", F.explode(F.array(*bit_cols)).alias("pos")
+    )
+    per_gram = (
+        corp_pos.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            (F.count(F.lit(1)) == F.coalesce(F.sum("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("flagged")
+        )
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("flagged").alias("n_flagged"),
+        )
+        .withColumn(
+            "bloom_contamination",
+            F.round(F.col("n_flagged").cast("double") / F.col("n_grams"), 6),
+        )
+        .select("doc_id", "n_grams", "n_flagged", "bloom_contamination")
+    )
+
+
+def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: same bench/corpus split as ``doc_contamination``
+    but through the 65536-bit / 4-hash Bloom filter (~3k bench grams
+    -> fill ratio ~0.17, false-positive rate ~1e-3)."""
+    d = _docs(spark, sf_dir)
+    return contamination_bloom(
+        d.filter(F.col("doc_id") >= 50), d.filter(F.col("doc_id") < 50)
+    )
+
+
+_BLOOM_POS_DUCK = _H60_DUCK.format(
+    col="CAST(i AS VARCHAR) || ':' || shingle"
+) + " % 65536"
+
+DOC_CONTAMINATION_BLOOM_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE5_DUCK})
+),
+bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id < 50),
+bloom AS (
+  SELECT DISTINCT {_BLOOM_POS_DUCK} AS pos
+  FROM bench, UNNEST([0, 1, 2, 3]) AS t(i)
+),
+corp AS (SELECT doc_id, shingle FROM grams WHERE doc_id >= 50),
+cpos AS (
+  SELECT doc_id, shingle, {_BLOOM_POS_DUCK} AS pos
+  FROM corp, UNNEST([0, 1, 2, 3]) AS t(i)
+),
+pg AS (
+  SELECT c.doc_id, c.shingle,
+         CASE WHEN COUNT(*) = SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS flagged
+  FROM cpos c LEFT JOIN bloom b ON c.pos = b.pos
+  GROUP BY c.doc_id, c.shingle
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       ROUND(CAST(SUM(flagged) AS DOUBLE) / COUNT(*), 6) AS bloom_contamination
+FROM pg GROUP BY doc_id ORDER BY doc_id
+"""

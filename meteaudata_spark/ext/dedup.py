@@ -763,3 +763,99 @@ ORDER BY c.doc_id
 
 
 DOC_DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+# ----------------------------------------------------------------------
+# segment-level (C4/RefinedWeb-style line) dedup
+# ----------------------------------------------------------------------
+def segment_dedup(
+    d: DataFrame,
+    seg_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup: C4's line-level dedup generalized to
+    fixed-width word segments (our corpus has no newlines).
+
+    Every document is cut into non-overlapping ``seg_words``-word
+    segments; a segment survives only in its globally-first occurrence
+    (lowest ``(doc_id, seg_idx)``), everywhere else it is dropped —
+    the pass that strips boilerplate repeated across documents while
+    keeping one copy.  Returns one row per doc with the total/kept
+    segment counts and the md5 of the re-assembled deduplicated text.
+
+    100 TB shape: one explode (narrow), ONE shuffle keyed on the
+    segment hash for the first-occurrence window, then a per-doc
+    hash-agg.  Per-segment groups are as small as the duplication
+    factor; a corpus of identical boilerplate concentrates on single
+    segment keys exactly like exact dedup does (AQE skew-split
+    applies).  No driver state, no joins against the full corpus.
+    Reference analog: none (pure [EXT]; the reference has no corpus
+    operators).
+    """
+    from pyspark.sql import Window
+
+    w = seg_words
+    segs = (
+        d.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(__toks) / {w}.0) as int) - 1), "
+                    f"i -> concat_ws(' ', slice(__toks, i * {w} + 1, {w})))"
+                )
+            ).alias("seg_idx", "segment"),
+        )
+    )
+    first = Window.partitionBy("segment").orderBy(id_col, "seg_idx")
+    marked = segs.withColumn("__rn", F.row_number().over(first)).withColumn(
+        # NULL (skipped by collect_list) for dropped segments
+        "__kept",
+        F.when(F.col("__rn") == 1, F.struct("seg_idx", "segment")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("__rn") == 1).cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(__kept)), s -> s.segment)"
+                    ),
+                )
+            ).alias("dedup_hash"),
+        )
+        .select(id_col, "n_segments", "n_kept", "dedup_hash")
+    )
+
+
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 8-word segment dedup over the documents table."""
+    return segment_dedup(_docs(spark, sf_dir), seg_words=8)
+
+
+DOC_SEGMENT_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, i - 1 AS seg_idx,
+         array_to_string(t[(i - 1) * 8 + 1:(i - 1) * 8 + 8], ' ') AS segment
+  FROM toks, UNNEST(generate_series(1, CAST(CEIL(LEN(t) / 8.0) AS BIGINT))) AS g(i)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, segment,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_idx), '')) AS dedup_hash
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

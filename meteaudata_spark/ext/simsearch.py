@@ -945,3 +945,247 @@ def kmeans_assign_fast(
     return emb.select("vec_id", "embedding", *extra).mapInArrow(
         assign, out_ddl
     )
+
+
+# ----------------------------------------------------------------------
+# product quantization (PQ codes + asymmetric-distance top-k)
+# ----------------------------------------------------------------------
+_PQ_SUBS = 8       # subspaces over the 64-dim embeddings
+_PQ_SUBDIM = 8     # dims per subspace
+_PQ_CODES = 16     # centroids per subspace codebook
+_PQ_Q = 1048576    # 2^20 micro-unit quantizer (exact for float32 in [-2, 2])
+
+# integer squared L2 between two quantized 8-dim subvectors — a left
+# fold over exact bigints, so the value (and every argmin built on it)
+# is bit-identical across engines with no float-order caveats
+_PQ_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, x) -> acc + x)"
+)
+
+
+def _pq_quantized_subs(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, qv): each vector split into _PQ_SUBS quantized
+    bigint subvectors.  Quantization (round(x·2²⁰)) is exact for
+    float32 inputs, which removes EVERY float comparison from the PQ
+    path."""
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT))"
+        ).alias("qe"),
+    )
+    return q.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), "
+                f"s -> struct(s AS sub_id, slice(qe, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}) AS qv))"
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.sub_id").alias("sub_id"), F.col("sv.qv").alias("qv"))
+
+
+def pq_assign(emb: DataFrame, codebook: Optional[DataFrame] = None) -> DataFrame:
+    """Product-quantization code assignment.
+
+    Splits every embedding into ``_PQ_SUBS`` subspaces and snaps each
+    subvector to its nearest codebook centroid (exact integer squared
+    L2, ties to the lowest code).  The deterministic default codebook
+    is the sub-vectors of vec_id < _PQ_CODES — a fixed-seed stand-in
+    for a k-means-trained codebook (swap in ``kmeans_refine`` output
+    per subspace for trained codes; the assignment path is identical).
+
+    100 TB shape: the codebook aggregates to _PQ_SUBS rows of 16
+    centroids each (a few KB, broadcast); assignment is then a
+    MAP-ONLY pass — the argmin runs inside ``array_min`` over the
+    in-row codebook array, so the corpus is never shuffled and no
+    per-candidate row explosion survives the projection.  PQ codes
+    compress 64 float32 dims to 8 bytes — the memory step that makes
+    billion-vector ANN serving possible.  Reference analog: none
+    (pure [EXT]).
+    """
+    if codebook is None:
+        codebook = _pq_quantized_subs(
+            emb.filter(F.col("vec_id") < _PQ_CODES)
+        ).select(
+            F.col("sub_id"), F.col("vec_id").alias("code"), F.col("qv").alias("cvec")
+        )
+    cb_arr = codebook.groupBy("sub_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("code"), F.col("cvec")))
+        ).alias("cb")
+    )
+    subs = _pq_quantized_subs(emb)
+    dist = _PQ_SQDIST.format(a="qv", b="c.cvec")
+    best = F.expr(
+        f"array_min(transform(cb, c -> struct({dist} AS sqdist, c.code AS code)))"
+    )
+    return (
+        subs.join(F.broadcast(cb_arr), "sub_id")
+        .withColumn("__best", best)
+        .select(
+            "vec_id",
+            F.col("sub_id").cast("bigint").alias("sub_id"),
+            F.col("__best.code").cast("bigint").alias("code"),
+            F.col("__best.sqdist").alias("sqdist"),
+        )
+    )
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: PQ code + quantization error per (vector, subspace)."""
+    return pq_assign(_emb(spark, sf_dir))
+
+
+EMB_PQ_CODES_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS qe
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s AS sub_id, qe[s * {_PQ_SUBDIM} + 1:s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS qv
+  FROM q, UNNEST(generate_series(0, {_PQ_SUBS - 1})) AS t(s)
+),
+cb AS (
+  SELECT sub_id, vec_id AS code, qv AS cvec FROM subs WHERE vec_id < {_PQ_CODES}
+),
+dists AS (
+  SELECT v.vec_id, v.sub_id, c.code,
+         list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+           i -> (v.qv[i] - c.cvec[i]) * (v.qv[i] - c.cvec[i])), 'sum') AS sqdist
+  FROM subs v JOIN cb c ON c.sub_id = v.sub_id
+),
+ranked AS (
+  SELECT vec_id, sub_id, code, sqdist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY sqdist, code) AS rk
+  FROM dists
+)
+SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id, CAST(code AS BIGINT) AS code,
+       CAST(sqdist AS BIGINT) AS sqdist
+FROM ranked WHERE rk = 1
+ORDER BY vec_id, sub_id
+"""
+
+
+def pq_topk(
+    emb: DataFrame, n_queries: int = 3, k: int = 10
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the serving-side half
+    of product quantization.
+
+    Each query precomputes a lookup table: its exact quantized
+    subvector's squared L2 to every codebook centroid (n_queries ×
+    _PQ_SUBS × _PQ_CODES rows ≈ a few hundred — broadcast).  A
+    database vector's approximate distance is then just the SUM of 8
+    table lookups keyed by its stored codes; the original embeddings
+    are never touched at query time.  All integer arithmetic.
+
+    100 TB shape: codes table is 8 slim rows per vector (the
+    compressed index); the LUT join is broadcast; the per-(query, vec)
+    sum is one keyed partial agg.  The final top-k window ranks
+    n_queries small partitions — at billion-vector scale swap it for
+    ``operators.rank.global_rank`` per query or per-partition heaps;
+    the LUT/codes shape is unchanged.
+    """
+    codes = pq_assign(emb).select("vec_id", "sub_id", "code")
+    q_subs = _pq_quantized_subs(
+        emb.filter(F.col("vec_id") < n_queries)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub_id").cast("bigint").alias("sub_id"),
+        F.col("qv").alias("q_qv"),
+    )
+    cb = _pq_quantized_subs(emb.filter(F.col("vec_id") < _PQ_CODES)).select(
+        F.col("sub_id").cast("bigint").alias("sub_id"),
+        F.col("vec_id").alias("code"),
+        F.col("qv").alias("cvec"),
+    )
+    lut = q_subs.join(cb, "sub_id").select(
+        "query_id",
+        "sub_id",
+        "code",
+        F.expr(_PQ_SQDIST.format(a="q_qv", b="cvec")).alias("lut_dist"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_dist").alias("approx_sqdist"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                "approx_sqdist", F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "approx_sqdist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: PQ asymmetric-distance 10-NN for 3 queries."""
+    return pq_topk(_emb(spark, sf_dir))
+
+
+EMB_PQ_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS qe
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s AS sub_id, qe[s * {_PQ_SUBDIM} + 1:s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS qv
+  FROM q, UNNEST(generate_series(0, {_PQ_SUBS - 1})) AS t(s)
+),
+cb AS (
+  SELECT sub_id, vec_id AS code, qv AS cvec FROM subs WHERE vec_id < {_PQ_CODES}
+),
+dists AS (
+  SELECT v.vec_id, v.sub_id, c.code,
+         list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+           i -> (v.qv[i] - c.cvec[i]) * (v.qv[i] - c.cvec[i])), 'sum') AS sqdist
+  FROM subs v JOIN cb c ON c.sub_id = v.sub_id
+),
+codes AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT vec_id, sub_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY sqdist, code) AS rk
+    FROM dists
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.sub_id, c.code,
+         list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+           i -> (s.qv[i] - c.cvec[i]) * (s.qv[i] - c.cvec[i])), 'sum') AS lut_dist
+  FROM subs s JOIN cb c ON c.sub_id = s.sub_id
+  WHERE s.vec_id < 3
+),
+scored AS (
+  SELECT l.query_id, co.vec_id, CAST(SUM(l.lut_dist) AS BIGINT) AS approx_sqdist
+  FROM codes co JOIN lut l ON l.sub_id = co.sub_id AND l.code = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, approx_sqdist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_sqdist, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, approx_sqdist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""

@@ -1192,3 +1192,78 @@ SELECT event_type, day AS changepoint_day,
 FROM picked WHERE rk = 1
 ORDER BY event_type
 """
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (classical, STL-lite) of
+    each type's hourly series: trend = centered 25-bucket moving
+    average, seasonal = per-hour-of-day mean of the detrended series,
+    residual = the rest.  The standard diagnostic for environmental
+    monitoring series (the reference's domain: daily/diurnal cycles in
+    water-quality signals).
+
+    Shape at scale: one keyed hash-agg to hourly buckets (map-side
+    partial), one per-key window sort for the moving average, one tiny
+    profile agg (types × 24 rows) broadcast back — the fact stream is
+    never shuffled twice.  All arithmetic is JVM built-ins.
+    """
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    hourly = cache_intermediate(hourly)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-12, 12)
+    )
+    with_trend = hourly.withColumn("trend", F.avg("v").over(w)).withColumn(
+        "hod", F.hour("bucket_ts")
+    )
+    profile = (
+        with_trend.groupBy("event_type", "hod")
+        .agg(F.avg(F.col("v") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        with_trend.join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "bucket_ts",
+            _r6(F.col("v")).alias("hourly_avg"),
+            _r6(F.col("trend")).alias("trend"),
+            _r6(F.col("seasonal")).alias("seasonal"),
+            _r6(F.col("v") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+TS_SEASONAL_DECOMPOSE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, bucket_ts, v,
+         AVG(v) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+         EXTRACT(hour FROM bucket_ts) AS hod
+  FROM hourly
+),
+profile AS (
+  SELECT event_type, hod, AVG(v - trend) AS seasonal
+  FROM trended GROUP BY 1, 2
+)
+SELECT t.event_type, t.bucket_ts,
+       ROUND(t.v * 1000000.0) / 1000000.0 AS hourly_avg,
+       ROUND(t.trend * 1000000.0) / 1000000.0 AS trend,
+       ROUND(p.seasonal * 1000000.0) / 1000000.0 AS seasonal,
+       ROUND((t.v - t.trend - p.seasonal) * 1000000.0) / 1000000.0 AS residual
+FROM trended t
+JOIN profile p ON p.event_type = t.event_type AND p.hod = t.hod
+ORDER BY t.event_type, t.bucket_ts
+"""

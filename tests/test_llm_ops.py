@@ -1,0 +1,233 @@
+"""Round-6 continuation LLM-pipeline operators: segment-level dedup,
+sequence packing, Bloom decontamination, PQ codes/top-k, and the
+STL-lite seasonal decomposition.  Differential/oracle coverage runs
+via tools/check_correctness.py; these tests pin SEMANTICS on
+hand-built corpora."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from meteaudata_spark.ext import corpus_ops as C
+from meteaudata_spark.ext import simsearch as SS
+from meteaudata_spark.ext import timeseries_queries as tsq
+from meteaudata_spark.ext.dedup import segment_dedup
+
+
+def _docs_df(spark, texts, langs=None):
+    rows = [
+        {"doc_id": i, "text": t, "lang": (langs[i] if langs else "en")}
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+# ----------------------------------------------------------------------
+# segment-level dedup
+# ----------------------------------------------------------------------
+def test_segment_dedup_drops_repeated_boilerplate(spark):
+    boiler = "one two three four"  # 4 words = one segment at seg_words=4
+    d = _docs_df(
+        spark,
+        [
+            boiler + " unique tail words here",   # doc 0: first occurrence
+            boiler + " other content entirely differs",  # doc 1: boiler repeated
+            "totally fresh document with no overlap",    # doc 2: untouched
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in segment_dedup(d, seg_words=4).collect()
+    }
+    assert out[0]["n_segments"] == 2 and out[0]["n_kept"] == 2
+    # doc 1 loses exactly the boilerplate segment
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == out[2]["n_segments"] == 2
+
+
+def test_segment_dedup_hash_is_reassembled_kept_text(spark):
+    import hashlib
+
+    d = _docs_df(spark, ["a b c d e f g h", "a b c d x y z w"])
+    out = {r["doc_id"]: r for r in segment_dedup(d, seg_words=4).collect()}
+    # doc 1 keeps only its second segment; hash must be md5 of that text
+    assert out[1]["dedup_hash"] == hashlib.md5(b"x y z w").hexdigest()
+    assert out[0]["dedup_hash"] == hashlib.md5(b"a b c d e f g h").hexdigest()
+
+
+def test_segment_dedup_fully_duplicate_doc_keeps_nothing(spark):
+    d = _docs_df(spark, ["p q r s", "p q r s"])
+    out = {r["doc_id"]: r for r in segment_dedup(d, seg_words=4).collect()}
+    import hashlib
+
+    assert out[1]["n_kept"] == 0
+    assert out[1]["dedup_hash"] == hashlib.md5(b"").hexdigest()
+
+
+# ----------------------------------------------------------------------
+# sequence packing
+# ----------------------------------------------------------------------
+def test_pack_sequences_greedy_semantics(spark):
+    # token counts: 3, 3, 3, 10, 2  with capacity 7
+    texts = [
+        "a a a",          # bin 0 (fill 3)
+        "b b b",          # bin 0 (fill 6)
+        "c c c",          # overflow -> bin 1 (fill 3)
+        "d d d d d d d d d d",  # 10 > capacity -> bin 2 alone (fill 10)
+        "e e",            # 10+2 > 7 -> bin 3 (fill 2)
+    ]
+    d = _docs_df(spark, texts)
+    out = (
+        C.pack_sequences(d, capacity=7, group_cols=["lang"])
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["bin_id"] for r in out] == [0, 0, 1, 2, 3]
+    assert [r["bin_fill"] for r in out] == [3, 6, 3, 10, 2]
+
+
+def test_pack_sequences_partition_invariant_and_no_overflow(spark):
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        # variable-length docs: 1..20 words
+        F.expr("array_join(transform(sequence(1, cast(id % 20 + 1 as int)), x -> 'w'), ' ')").alias(
+            "text"
+        ),
+    )
+    a = C.pack_sequences(d, capacity=64).orderBy("doc_id").collect()
+    b = (
+        C.pack_sequences(d.repartition(16), capacity=64)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # no bin overflows unless a single doc alone exceeds capacity
+    fills = {}
+    for r in a:
+        key = (r["lang"], r["bin_id"])
+        fills.setdefault(key, []).append(r["n_tokens"])
+    for docs in fills.values():
+        assert sum(docs) <= 64 or len(docs) == 1
+
+
+# ----------------------------------------------------------------------
+# Bloom decontamination
+# ----------------------------------------------------------------------
+def test_bloom_flags_are_superset_of_exact_overlap(spark):
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in C.doc_contamination(spark, sf).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in C.doc_contamination_bloom(spark, sf).collect()
+    }
+    assert set(exact) == set(bloom)
+    # Bloom never misses a true overlap (no false negatives)
+    for doc_id, n_ov in exact.items():
+        assert bloom[doc_id] >= n_ov
+    # ... and is not trivially flagging everything: global false-positive
+    # mass stays small next to the corpus gram count
+    n_grams = sum(
+        r["n_grams"] for r in C.doc_contamination(spark, sf).collect()
+    )
+    fp = sum(bloom.values()) - sum(exact.values())
+    assert fp <= 0.05 * n_grams
+
+
+def test_bloom_detects_planted_contamination(spark):
+    bench = _docs_df(spark, ["alpha beta gamma delta epsilon zeta eta theta"])
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 50, "text": "x alpha beta gamma delta epsilon y z w q"},
+                {"doc_id": 51, "text": "nothing shared here at all with that set"},
+            ]
+        )
+    )
+    out = {
+        r["doc_id"]: r["n_flagged"]
+        for r in C.contamination_bloom(corpus, bench).collect()
+    }
+    assert out[50] >= 1  # the verbatim 5-gram must be flagged
+    # false-positive probability for any single gram at m=8192,k=3 and
+    # ~4 bench grams is ~(12/8192)^3 — doc 51 must stay clean
+    assert out[51] == 0
+
+
+# ----------------------------------------------------------------------
+# product quantization
+# ----------------------------------------------------------------------
+def test_pq_codebook_vectors_snap_to_themselves(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    codes = SS.pq_assign(emb).filter(F.col("vec_id") < 16).collect()
+    for r in codes:
+        assert r["code"] == r["vec_id"]
+        assert r["sqdist"] == 0
+
+
+def test_pq_topk_finds_planted_duplicate(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # plant an exact copy of query vector 0 under a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = SS.pq_topk(emb.unionByName(dup), n_queries=1, k=3).collect()
+    top1 = [r for r in out if r["rank"] == 1][0]
+    assert top1["vec_id"] == 100000
+    assert top1["approx_sqdist"] == 0
+
+
+def test_pq_codes_shape_and_range(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb.count()
+    codes = SS.pq_assign(emb)
+    assert codes.count() == n * 8
+    stats = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] < 16
+
+
+# ----------------------------------------------------------------------
+# seasonal decomposition
+# ----------------------------------------------------------------------
+def test_seasonal_decompose_additive_identity(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = tsq.ts_seasonal_decompose(spark, sf).collect()
+    assert rows
+    for r in rows:
+        # v = trend + seasonal + residual up to the 4 independent 1e-6
+        # roundings
+        assert abs(
+            r["hourly_avg"] - (r["trend"] + r["seasonal"] + r["residual"])
+        ) <= 4e-6
+
+
+def test_seasonal_decompose_recovers_pure_cycle(spark):
+    # synthetic series: value depends ONLY on hour-of-day -> residual 0
+    # and flat trend once the centered MA window is fully populated
+    ev = spark.range(24 * 14).select(
+        F.lit(1).alias("event_id"),
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id as int),0,0)").alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("a").alias("event_type"),
+        (F.pmod(F.hour(F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id as int),0,0)")), F.lit(24))).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = tsq.ts_seasonal_decompose(spark, td).collect()
+    # interior buckets (full ±12 window): the 25-bucket centered MA of a
+    # 24-period sawtooth is NOT constant, but seasonal+residual must
+    # reconstruct v exactly; check the additive identity plus bounded
+    # residuals in the interior
+    assert len(out) == 24 * 14
+    interior = sorted(out, key=lambda r: r["bucket_ts"])[12:-12]
+    assert max(abs(r["residual"]) for r in interior) < 1.0
