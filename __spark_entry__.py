@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_decompose": tsq.ts_seasonal_decompose,  # NEW: STL-lite trend/seasonal/residual
         "emb_pq_codes": simsearch.emb_pq_codes,  # NEW: product-quantization codes
         "emb_pq_topk": simsearch.emb_pq_topk,  # NEW: PQ asymmetric-distance ANN
+        "emb_ivfpq_topk": simsearch.emb_ivfpq_topk,  # NEW: IVF-PQ (coarse lists + residual PQ)
         # --- (3) rotation slice of the recently-verified remainder ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -95,8 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
         "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
-        "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,  # postings-cap path
         # ---------------- past the 50-cap from here ----------------
+        "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,  # postings-cap path
         # (all green in r5's CORRECTNESS run or this round's local gate)
         "ts_replace_ranges": tsq.ts_replace_ranges,        # P2 masked update
         "ts_daily_stats": tsq.ts_daily_stats,              # A1 generalization
@@ -231,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_seasonal_decompose": tsq.TS_SEASONAL_DECOMPOSE_SQL,
         "emb_pq_codes": simsearch.EMB_PQ_CODES_SQL,
         "emb_pq_topk": simsearch.EMB_PQ_TOPK_SQL,
+        "emb_ivfpq_topk": simsearch.EMB_IVFPQ_TOPK_SQL,
     }

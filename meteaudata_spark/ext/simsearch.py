@@ -1189,3 +1189,263 @@ SELECT query_id, vec_id, approx_sqdist, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization
+# ----------------------------------------------------------------------
+_IVFPQ_COARSE = 16      # coarse centroids (vec_id 100..115, fixed sample)
+_IVFPQ_NPROBE = 4
+
+
+def _q64(col: str):
+    """Full-vector 2^20 quantization to bigint (exact for float32)."""
+    return F.expr(
+        f"transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT))"
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_probe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """FAISS-style IVF-PQ search: coarse inverted lists gate WHICH
+    vectors are scored, residual PQ codes decide HOW — compressed to
+    8 bytes/vector — and every distance is exact integer arithmetic
+    (2²⁰-quantized), so ranks are engine-deterministic.
+
+    Index build (once, cacheable):
+      1. coarse assign: nearest of 16 coarse centroids (fixed sample
+         vec_id 100..115) by integer squared L2 — map-only, the
+         16-entry codebook rides in an in-row array after a 1-row
+         broadcast, argmin via ``array_min``;
+      2. residual r = q(x) − q(centroid) (exact bigint subtraction);
+      3. residual PQ codes: nearest residual-codebook entry per
+         8-dim subspace (codebook = residual subvectors of
+         vec_id < 16) — map-only after an 8-row broadcast.
+    Search (per query): probe the ``n_probe`` nearest coarse lists;
+    per probed list build the LUT of the query's OWN residual (w.r.t.
+    that list's centroid) against the codebook (n_queries·n_probe·8·16
+    rows — broadcast); a candidate's approximate distance is the sum
+    of 8 LUT lookups.  The corpus-side cost is one equi-join keyed on
+    centroid_id against only the probed lists + one slim keyed agg —
+    never a full scan, never a float.
+
+    100 TB shape: lists partition the corpus (write them bucketed by
+    ``centroid_id`` for exchange-free probes); codes are 8 slim rows
+    per vector; everything broadcast is O(centroids + LUT).
+    Reference analog: none (pure [EXT]).
+    """
+    q = emb.select("vec_id", _q64("embedding").alias("qe"))
+    coarse = q.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVFPQ_COARSE)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("qe").alias("ce"))
+    cb_arr = coarse.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col("ce")))
+        ).alias("cb")
+    )
+    cdist = _PQ_SQDIST.format(a="qe", b="c.ce")
+    nearest = F.expr(
+        f"array_min(transform(cb, c -> struct({cdist} AS cd, c.centroid_id AS centroid_id, c.ce AS ce)))"
+    )
+    # coarse assignment + exact-bigint residual, map-only
+    assigned = (
+        q.crossJoin(F.broadcast(cb_arr))
+        .withColumn("__n", nearest)
+        .select(
+            "vec_id",
+            F.col("__n.centroid_id").alias("centroid_id"),
+            F.expr("zip_with(qe, __n.ce, (a, b) -> a - b)").alias("resid"),
+        )
+    )
+    rsubs = assigned.select(
+        "vec_id",
+        "centroid_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), "
+                f"s -> struct(s AS sub_id, slice(resid, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}) AS rv))"
+            )
+        ).alias("sv"),
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.col("sv.sub_id").cast("bigint").alias("sub_id"),
+        F.col("sv.rv").alias("rv"),
+    )
+    rcb = rsubs.filter(F.col("vec_id") < _PQ_CODES).select(
+        "sub_id", F.col("vec_id").alias("code"), F.col("rv").alias("cvec")
+    )
+    rcb_arr = rcb.groupBy("sub_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("code"), F.col("cvec")))
+        ).alias("cb")
+    )
+    rdist = _PQ_SQDIST.format(a="rv", b="c.cvec")
+    rbest = F.expr(
+        f"array_min(transform(cb, c -> struct({rdist} AS sqdist, c.code AS code)))"
+    )
+    codes = rsubs.join(F.broadcast(rcb_arr), "sub_id").select(
+        "vec_id",
+        "centroid_id",
+        "sub_id",
+        rbest.getField("code").alias("code"),
+    )
+    # query side: probe the n_probe nearest coarse lists
+    qv = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    qdist = _PQ_SQDIST.format(a="q_qe", b="ce")
+    probes = (
+        qv.crossJoin(F.broadcast(coarse))
+        .withColumn("__cd", F.expr(qdist))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "__cd", "centroid_id"
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= n_probe)
+        .select(
+            "query_id",
+            "centroid_id",
+            F.expr("zip_with(q_qe, ce, (a, b) -> a - b)").alias("q_resid"),
+        )
+    )
+    # per (query, probed list): LUT of the query residual vs codebook
+    q_rsubs = probes.select(
+        "query_id",
+        "centroid_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), "
+                f"s -> struct(s AS sub_id, slice(q_resid, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}) AS rv))"
+            )
+        ).alias("sv"),
+    ).select(
+        "query_id",
+        "centroid_id",
+        F.col("sv.sub_id").cast("bigint").alias("sub_id"),
+        F.col("sv.rv").alias("rv"),
+    )
+    lut = q_rsubs.join(rcb, "sub_id").select(
+        "query_id",
+        "centroid_id",
+        "sub_id",
+        "code",
+        F.expr(_PQ_SQDIST.format(a="rv", b="cvec")).alias("lut_dist"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["centroid_id", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_dist").alias("approx_sqdist"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                "approx_sqdist", F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "approx_sqdist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: IVF-PQ 10-NN for 3 queries, 4 probed lists."""
+    return ivfpq_topk(_emb(spark, sf_dir))
+
+
+EMB_IVFPQ_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS qe
+  FROM embeddings
+),
+coarse AS (
+  SELECT vec_id AS centroid_id, qe AS ce FROM q
+  WHERE vec_id >= 100 AND vec_id < 100 + {_IVFPQ_COARSE}
+),
+cdists AS (
+  SELECT v.vec_id, c.centroid_id, c.ce,
+         list_aggregate(list_transform(generate_series(1, 64),
+           i -> (v.qe[i] - c.ce[i]) * (v.qe[i] - c.ce[i])), 'sum') AS cd
+  FROM q v CROSS JOIN coarse c
+),
+assigned AS (
+  SELECT vec_id, centroid_id,
+         list_transform(generate_series(1, 64), i -> qe[i] - ce[i]) AS resid
+  FROM (
+    SELECT d.vec_id, d.centroid_id, d.ce, v.qe,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.cd, d.centroid_id) AS rk
+    FROM cdists d JOIN q v ON v.vec_id = d.vec_id
+  ) WHERE rk = 1
+),
+rsubs AS (
+  SELECT vec_id, centroid_id, s AS sub_id,
+         resid[s * {_PQ_SUBDIM} + 1:s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS rv
+  FROM assigned, UNNEST(generate_series(0, {_PQ_SUBS - 1})) AS t(s)
+),
+rcb AS (
+  SELECT sub_id, vec_id AS code, rv AS cvec FROM rsubs WHERE vec_id < {_PQ_CODES}
+),
+codes AS (
+  SELECT vec_id, centroid_id, sub_id, code FROM (
+    SELECT v.vec_id, v.centroid_id, v.sub_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_id ORDER BY
+             list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+               i -> (v.rv[i] - c.cvec[i]) * (v.rv[i] - c.cvec[i])), 'sum'), c.code) AS rk
+    FROM rsubs v JOIN rcb c ON c.sub_id = v.sub_id
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id,
+         list_transform(generate_series(1, 64), i -> qe[i] - ce[i]) AS q_resid
+  FROM (
+    SELECT d.vec_id, d.centroid_id, d.ce, v.qe,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.cd, d.centroid_id) AS rk
+    FROM cdists d JOIN q v ON v.vec_id = d.vec_id
+    WHERE d.vec_id < 3
+  ) WHERE rk <= {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT p.query_id, p.centroid_id, r.sub_id, r.code,
+         list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+           i -> (p.q_resid[(s_val.s) * {_PQ_SUBDIM} + i] - r.cvec[i])
+              * (p.q_resid[(s_val.s) * {_PQ_SUBDIM} + i] - r.cvec[i])), 'sum') AS lut_dist
+  FROM probes p, UNNEST(generate_series(0, {_PQ_SUBS - 1})) AS s_val(s)
+  JOIN rcb r ON r.sub_id = s_val.s
+),
+scored AS (
+  SELECT l.query_id, co.vec_id, CAST(SUM(l.lut_dist) AS BIGINT) AS approx_sqdist
+  FROM codes co
+  JOIN lut l ON l.centroid_id = co.centroid_id
+            AND l.sub_id = co.sub_id AND l.code = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, approx_sqdist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_sqdist, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, approx_sqdist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""

@@ -46,3 +46,27 @@ def test_lsh_bucket_join_survives_identical_corpus(spark):
     dt = time.perf_counter() - t0
     assert got == EXPECT_PAIRS
     assert dt < BUDGET_S, f"hot-bucket LSH join took {dt:.0f}s"
+
+
+def test_segment_dedup_survives_identical_corpus(spark):
+    """All-identical docs concentrate every row of the
+    first-occurrence window on a handful of segment keys.  Unlike the
+    pair miners the output is linear, so the only risk is the hot
+    window partition stalling; assert completion within budget and
+    the exact keep counts (doc 0 keeps everything, the rest nothing)."""
+    from meteaudata_spark.ext.dedup import segment_dedup
+
+    n = 200_000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g h i j k l m n o p").alias("text"),
+    )
+    t0 = time.perf_counter()
+    out = segment_dedup(d, seg_words=8)
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"), F.count(F.lit(1)).alias("docs")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert agg["docs"] == n
+    assert agg["kept"] == 2  # only doc 0's two segments survive
+    assert dt < BUDGET_S, f"hot-segment dedup took {dt:.0f}s"

@@ -231,3 +231,31 @@ def test_seasonal_decompose_recovers_pure_cycle(spark):
     assert len(out) == 24 * 14
     interior = sorted(out, key=lambda r: r["bucket_ts"])[12:-12]
     assert max(abs(r["residual"]) for r in interior) < 1.0
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ
+# ----------------------------------------------------------------------
+def test_ivfpq_finds_planted_duplicate(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = SS.ivfpq_topk(emb.unionByName(dup), n_queries=1, k=5).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # the exact copy shares the query's coarse cell and PQ codes, so
+    # its ADC distance equals the query's own reconstruction error —
+    # the minimum any vector with those codes can achieve
+    assert by_rank[1]["vec_id"] == 100000
+
+
+def test_ivfpq_subset_of_probed_lists_only(spark):
+    sf = "/root/testdata/sf0.001"
+    from meteaudata_spark.ext.simsearch import emb_ivfpq_topk
+
+    out = emb_ivfpq_topk(spark, sf)
+    rows = out.collect()
+    assert len(rows) == 30  # 3 queries × top-10
+    for r in rows:
+        assert r["approx_sqdist"] >= 0
