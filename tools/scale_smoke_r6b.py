@@ -144,8 +144,26 @@ def smoke_pq(spark, n_vec=1_000_000):
     return _timed(f"pq_assign {n_vec:,} vectors", run)
 
 
+def smoke_ivfpq(spark, n_vec=1_000_000):
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(sin(xxhash64(id, i)) as float))"
+        ).alias("embedding"),
+    )
+
+    def run():
+        from meteaudata_spark.ext.simsearch import ivfpq_topk
+
+        out = ivfpq_topk(emb, n_queries=3, k=10).collect()
+        assert len(out) == 30
+        return f"{n_vec:,} vectors indexed + searched, 3 queries x top-10"
+
+    return _timed(f"ivfpq_topk {n_vec:,} vectors", run)
+
+
 def main() -> None:
-    steps = sys.argv[1:] or ["segment", "pack", "bloom", "pq"]
+    steps = sys.argv[1:] or ["segment", "pack", "bloom", "pq", "ivfpq"]
     spark = get_spark("scale-smoke-r6b")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -160,6 +178,8 @@ def main() -> None:
         smoke_bloom(spark)
     if "pq" in steps:
         smoke_pq(spark)
+    if "ivfpq" in steps:
+        smoke_ivfpq(spark)
     print("loadavg end:", os.getloadavg(), flush=True)
 
 
