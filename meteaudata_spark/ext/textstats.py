@@ -496,3 +496,95 @@ SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """
+
+
+def doc_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average bigram-LM probability — the perplexity-style
+    fluency signal training pipelines use to rank text quality,
+    expressed without logs so it is exactly engine-deterministic.
+
+    Model: corpus-wide MLE P(w2|w1) = c(w1 w2) / c(w1·), with c(w1·)
+    the count of w1 as a bigram LHS.  Each doc's score is the mean of
+    its bigram probabilities.  Per-bigram probabilities quantize to
+    1e-6 micro-units (bigint) BEFORE the per-doc sum, so the sum is
+    order-independent integer math — the same trick as the k-means
+    centroid update — and the oracle hash-matches regardless of
+    aggregation order.
+
+    Scale shape: two keyed hash-aggs build the count tables (vocab- /
+    bigram-vocab-sized); scoring is two equi-joins keyed on the bigram
+    and LHS token followed by a per-doc agg — every shuffle is keyed,
+    nothing is driver-side, and the count tables are reusable across
+    scoring runs (write them out once per corpus snapshot).
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    lhs_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(lhs_counts, "w1")
+        .withColumn(
+            "__p6",
+            F.expr(
+                "CAST(round(CAST(c_bg AS DOUBLE) / c_w1 * 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__p6").alias("__s6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            # round to whole micro-units FIRST (x.5 rounds identically
+            # in both engines at 0 dp), then divide: plain ROUND(x, 6)
+            # diverges on half-boundaries (see _r6 in timeseries_queries)
+            (
+                F.round(
+                    F.col("__s6").cast("double") / F.col("n_bigrams"), 0
+                )
+                / F.lit(1000000.0)
+            ).alias("avg_bigram_prob"),
+        )
+    )
+
+
+DOC_BIGRAM_LIKELIHOOD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, LEN(t) - 1)) AS g(i)
+),
+bg_counts AS (
+  SELECT w1, w2, COUNT(*) AS c_bg FROM bigrams GROUP BY w1, w2
+),
+lhs_counts AS (
+  SELECT w1, COUNT(*) AS c_w1 FROM bigrams GROUP BY w1
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(round(CAST(c.c_bg AS DOUBLE) / l.c_w1 * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*)) / 1000000.0 AS avg_bigram_prob
+FROM bigrams b
+JOIN bg_counts c ON c.w1 = b.w1 AND c.w2 = b.w2
+JOIN lhs_counts l ON l.w1 = b.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""

@@ -259,3 +259,36 @@ def test_ivfpq_subset_of_probed_lists_only(spark):
     assert len(rows) == 30  # 3 queries × top-10
     for r in rows:
         assert r["approx_sqdist"] >= 0
+
+
+# ----------------------------------------------------------------------
+# bigram likelihood
+# ----------------------------------------------------------------------
+def test_bigram_likelihood_ranks_fluent_above_shuffled(spark, tmp_path):
+    import os
+    from meteaudata_spark.ext import textstats as T
+
+    # corpus of many fluent repeats + one scrambled doc: the repeated
+    # phrase's bigrams are high-probability, the scramble's are rare
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, fluent, "en") for i in range(20)]
+    docs.append((20, "dog the over quick lazy fox brown jumps the", "en"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang"])
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    out = {
+        r["doc_id"]: r["avg_bigram_prob"]
+        for r in T.doc_bigram_likelihood(spark, str(tmp_path)).collect()
+    }
+    fluent_score = out[0]
+    assert all(out[i] == fluent_score for i in range(20))
+    assert out[20] < fluent_score
+
+
+def test_bigram_likelihood_probability_bounds(spark):
+    from meteaudata_spark.ext import textstats as T
+
+    rows = T.doc_bigram_likelihood(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["avg_bigram_prob"] <= 1.0
