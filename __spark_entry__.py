@@ -90,13 +90,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": simsearch.emb_pq_topk,  # NEW: PQ asymmetric-distance ANN
         "emb_ivfpq_topk": simsearch.emb_ivfpq_topk,  # NEW: IVF-PQ (coarse lists + residual PQ)
         "doc_bigram_likelihood": textstats.doc_bigram_likelihood,  # NEW: bigram-LM fluency score
+        "ts_quantile_sketch": sketches.ts_quantile_sketch,  # NEW: mergeable histogram quantiles
         # --- (3) rotation slice of the recently-verified remainder ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
         "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
-        "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         # ---------------- past the 50-cap from here ----------------
+        "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
         "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,  # postings-cap path
         # (all green in r5's CORRECTNESS run or this round's local gate)
@@ -235,4 +236,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_topk": simsearch.EMB_PQ_TOPK_SQL,
         "emb_ivfpq_topk": simsearch.EMB_IVFPQ_TOPK_SQL,
         "doc_bigram_likelihood": textstats.DOC_BIGRAM_LIKELIHOOD_SQL,
+        "ts_quantile_sketch": sketches.TS_QUANTILE_SKETCH_SQL,
     }

@@ -31,7 +31,7 @@ plan does map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meteaudata_spark.ext.dedup import _docs, _h60, _shingles, _H60_DUCK
@@ -285,3 +285,146 @@ ORDER BY t.lang, t.rk
 
 
 DOC_CMS_HEAVY_HITTERS_SQL = _cms_sql()
+
+
+# ----------------------------------------------------------------------
+# histogram quantile sketch (mergeable one-pass-after-bounds quantiles)
+# ----------------------------------------------------------------------
+_HQ_BINS = 256
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    n_bins: int = _HQ_BINS,
+) -> DataFrame:
+    """Quantile estimation through a fixed-width histogram sketch —
+    the mergeable alternative to exact ``percentile`` (full sort per
+    group) and the completion of the sketch family (HLL distinct,
+    count-min heavy hitters, histogram quantiles).
+
+    Pass 1 aggregates per-group bounds (min/max — cheap, mergeable);
+    pass 2 bins every value and hash-aggregates (group, bin) counts —
+    n_bins integers per group REGARDLESS of group size, mergeable by
+    addition, exactly what map-side partial aggregation produces.  The
+    estimate interpolates within the bin that crosses the rank target
+    ceil(q·n); it is guaranteed within one bin width of the
+    ceil(q·n)-th ORDER STATISTIC (the sketch's rank convention —
+    interpolating conventions like type-7 ``percentile`` can differ
+    by more on sparse tails, as any rank-based summary does).
+    All arithmetic is the same IEEE double sequence in both engines
+    (no libm calls), so estimates hash-match under 1e-6 rounding.
+
+    At 100 TB: both passes are keyed hash-aggs with map-side combine;
+    nothing is sorted, nothing is collected, and the per-group state
+    (n_bins + 2 numbers) can be persisted and merged across corpus
+    snapshots.  Reference analog: none (pure [EXT]).
+    """
+    g = [F.col(c) for c in group_cols]
+    bounds = df.groupBy(*g).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.count(value_col).alias("__n"),
+    )
+    binned = (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            "__bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col(value_col) - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+                ).cast("int"),
+            ),
+        )
+        .groupBy(*group_cols, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__bin")
+    cum = binned.withColumn(
+        "__cum", F.sum("__c").over(w)
+    ).withColumn("__before", F.col("__cum") - F.col("__c"))
+    out = None
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("__n")).cast("bigint")
+        hit = (
+            cum.join(F.broadcast(bounds), group_cols)
+            .filter(
+                (F.col("__cum") >= target) & (F.col("__before") < target)
+            )
+            .withColumn(
+                "est",
+                F.round(
+                    (
+                        F.col("__lo")
+                        + ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+                        * (
+                            F.col("__bin")
+                            + (target - F.col("__before"))
+                            / F.col("__c").cast("double")
+                        )
+                    )
+                    * F.lit(1000000.0),
+                    0,
+                )
+                / F.lit(1000000.0),
+            )
+            .select(
+                *group_cols,
+                F.lit(float(q)).alias("q"),
+                "est",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def ts_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: histogram-sketch p50/p90/p99 of event values per
+    type (compare `ts_value_percentiles` — the exact-sort path)."""
+    from meteaudata_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return hist_quantiles(ev, "value", ["event_type"]).select(
+        "event_type", "q", "est"
+    )
+
+
+TS_QUANTILE_SKETCH_SQL = f"""
+WITH bounds AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi, COUNT(value) AS n
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         LEAST({_HQ_BINS - 1}, CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / {_HQ_BINS}.0)) AS INTEGER)) AS bin,
+         COUNT(*) AS c
+  FROM events e JOIN bounds b ON b.event_type = e.event_type
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) - c AS bef
+  FROM binned
+),
+qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+hits AS (
+  SELECT c.event_type, q.q, b.lo, b.hi, c.bin, c.c, c.bef,
+         CAST(CEIL(q.q * b.n) AS BIGINT) AS target
+  FROM cum c
+  JOIN bounds b ON b.event_type = c.event_type
+  CROSS JOIN qs q
+  WHERE c.cum >= CAST(CEIL(q.q * b.n) AS BIGINT)
+    AND c.bef < CAST(CEIL(q.q * b.n) AS BIGINT)
+)
+SELECT event_type, q,
+       round((lo + ((hi - lo) / {_HQ_BINS}.0)
+              * (bin + (target - bef) / CAST(c AS DOUBLE))) * 1000000.0)
+       / 1000000.0 AS est
+FROM hits
+ORDER BY event_type, q
+"""

@@ -292,3 +292,49 @@ def test_bigram_likelihood_probability_bounds(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r["avg_bigram_prob"] <= 1.0
+
+
+# ----------------------------------------------------------------------
+# histogram quantile sketch
+# ----------------------------------------------------------------------
+def test_hist_quantiles_within_bin_width_of_exact(spark):
+    from meteaudata_spark.ext.sketches import hist_quantiles, _HQ_BINS
+    from meteaudata_spark.sources.tables import load_table
+
+    import math
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in hist_quantiles(ev, "value", ["event_type"]).collect()
+    }
+    # the sketch's guarantee is vs the ceil(q*n)-th ORDER STATISTIC
+    # (its rank convention), within one bin width — NOT vs type-7
+    # interpolated percentile, which with a sparse tail can sit far
+    # from any order statistic's bin
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        width = (vals[-1] - vals[0]) / _HQ_BINS
+        for q in (0.5, 0.9, 0.99):
+            k = math.ceil(q * len(vals))
+            exact = vals[k - 1]
+            est = got[(et, q)]
+            assert abs(est - exact) <= width + 1e-9, (
+                et, q, est, exact, width
+            )
+
+
+def test_hist_quantiles_exact_on_uniform_grid(spark):
+    from meteaudata_spark.ext.sketches import hist_quantiles
+
+    # 256 values 0..255 into 256 bins: every bin holds exactly one
+    # value, so interpolation must land inside the right bin
+    df = spark.range(256).select(
+        F.lit("k").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    out = {r["q"]: r["est"] for r in hist_quantiles(df, "v", ["g"]).collect()}
+    assert abs(out[0.5] - 127.5) <= 1.0
+    assert abs(out[0.9] - 229.5) <= 1.0
