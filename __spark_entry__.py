@@ -91,12 +91,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_topk": simsearch.emb_ivfpq_topk,  # NEW: IVF-PQ (coarse lists + residual PQ)
         "doc_bigram_likelihood": textstats.doc_bigram_likelihood,  # NEW: bigram-LM fluency score
         "ts_quantile_sketch": sketches.ts_quantile_sketch,  # NEW: mergeable histogram quantiles
+        "doc_domain_mixture": corpus_ops.doc_domain_mixture,  # NEW: weighted data mixing
         # --- (3) rotation slice of the recently-verified remainder ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
-        "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
         # ---------------- past the 50-cap from here ----------------
+        "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
         "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
         "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,  # postings-cap path
@@ -237,4 +238,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivfpq_topk": simsearch.EMB_IVFPQ_TOPK_SQL,
         "doc_bigram_likelihood": textstats.DOC_BIGRAM_LIKELIHOOD_SQL,
         "ts_quantile_sketch": sketches.TS_QUANTILE_SKETCH_SQL,
+        "doc_domain_mixture": corpus_ops.DOC_DOMAIN_MIXTURE_SQL,
     }

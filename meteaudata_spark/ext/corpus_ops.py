@@ -481,3 +481,100 @@ SELECT doc_id, COUNT(*) AS n_grams,
        ROUND(CAST(SUM(flagged) AS DOUBLE) / COUNT(*), 6) AS bloom_contamination
 FROM pg GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# domain-mixture sampling (data mixing)
+# ----------------------------------------------------------------------
+def domain_mixture(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted data mixing: sample the largest corpus
+    whose group proportions match ``weights``, as pure hash-sampling.
+
+    Training mixtures are specified as target proportions (40% web,
+    30% code, ...).  Given per-group availability ``a_g`` the largest
+    total honoring the mixture is N = min_g (a_g · W / w_g) (W = sum
+    of weights); each group then keeps fraction ``w_g/W · N / a_g``
+    via the same engine-stable h60 threshold ``hash_split`` uses, so
+    membership is a pure function of the key — re-runs, backfills,
+    and engine ports keep identical rows.  Groups without a weight
+    keep nothing (reported with n_kept = 0).
+
+    Fully relational — per-group counts are a keyed agg, the binding
+    group's N is a 1-row agg broadcast back, the keep decision is a
+    map-only projection: no driver-side state, so the same code runs
+    on 5 groups or 5 million.  Reference analog: none (pure [EXT]).
+    """
+    total_w = float(sum(weights.values()))
+    wdf = df.sparkSession.createDataFrame(
+        [(g, float(w)) for g, w in weights.items()], f"{group_col} string, __w double"
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__a"))
+    j = counts.join(F.broadcast(wdf), group_col)
+    n_total = j.agg(
+        F.min(F.col("__a") * F.lit(total_w) / F.col("__w")).alias("__N")
+    )
+    thresh = j.crossJoin(F.broadcast(n_total)).select(
+        group_col,
+        F.expr(f"CAST(round(__w / {total_w!r} * __N / __a * 1000000.0) AS BIGINT)").alias(
+            "__t"
+        ),
+    )
+    keep = (
+        F.pmod(
+            _h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            F.lit(1_000_000),
+        )
+        < F.col("__t")
+    )
+    marked = df.join(F.broadcast(thresh), group_col, "left").withColumn(
+        "__keep", F.coalesce(keep, F.lit(False))
+    )
+    return (
+        marked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_available"),
+            F.sum(F.col("__keep").cast("bigint")).alias("n_kept"),
+        )
+        .withColumn(
+            "kept_frac",
+            F.round(F.col("n_kept").cast("double") / F.col("n_available"), 4),
+        )
+        .select(group_col, "n_available", "n_kept", "kept_frac")
+    )
+
+
+_MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-lang mixture 40/15/15/15/15 over documents."""
+    return domain_mixture(_docs(spark, sf_dir), _MIX_WEIGHTS)
+
+
+DOC_DOMAIN_MIXTURE_SQL = f"""
+WITH w(lang, w) AS (VALUES ('en', 40.0), ('de', 15.0), ('es', 15.0), ('fr', 15.0), ('zh', 15.0)),
+counts AS (SELECT lang, COUNT(*) AS a FROM documents GROUP BY lang),
+j AS (SELECT c.lang, c.a, w.w FROM counts c JOIN w ON w.lang = c.lang),
+n_total AS (SELECT MIN(a * 100.0 / w) AS N FROM j),
+thresh AS (
+  SELECT lang, CAST(round(w / 100.0 * N / a * 1000000.0) AS BIGINT) AS t
+  FROM j CROSS JOIN n_total
+)
+SELECT d.lang,
+       COUNT(*) AS n_available,
+       CAST(SUM(CASE WHEN t.t IS NOT NULL
+                 AND {_H60_DUCK.format(col="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < t.t
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN t.t IS NOT NULL
+                 AND {_H60_DUCK.format(col="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < t.t
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS kept_frac
+FROM documents d LEFT JOIN thresh t ON t.lang = d.lang
+GROUP BY d.lang
+ORDER BY d.lang
+"""

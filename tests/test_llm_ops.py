@@ -338,3 +338,36 @@ def test_hist_quantiles_exact_on_uniform_grid(spark):
     out = {r["q"]: r["est"] for r in hist_quantiles(df, "v", ["g"]).collect()}
     assert abs(out[0.5] - 127.5) <= 1.0
     assert abs(out[0.9] - 229.5) <= 1.0
+
+
+# ----------------------------------------------------------------------
+# domain mixture
+# ----------------------------------------------------------------------
+def test_domain_mixture_binding_group_keeps_all(spark):
+    from meteaudata_spark.ext.corpus_ops import domain_mixture
+
+    # groups: a=1000 docs, b=100 docs; target 50/50 -> b binds (N=200),
+    # a keeps ~10%, b keeps 100%
+    d = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "a").otherwise("b").alias("lang"),
+    )
+    out = {
+        r["lang"]: r
+        for r in domain_mixture(d, {"a": 50, "b": 50}).collect()
+    }
+    assert out["b"]["n_kept"] == 100  # binding group: keep everything
+    # a's keep count is hash-binomial around 100 (threshold 10%)
+    assert abs(out["a"]["n_kept"] - 100) < 40
+
+
+def test_domain_mixture_unweighted_group_dropped(spark):
+    from meteaudata_spark.ext.corpus_ops import domain_mixture
+
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("lang"),
+    )
+    out = {r["lang"]: r for r in domain_mixture(d, {"x": 100}).collect()}
+    assert out["y"]["n_kept"] == 0
+    assert out["x"]["n_kept"] == 100  # sole weighted group keeps all
