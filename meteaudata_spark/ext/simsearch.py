@@ -1205,39 +1205,11 @@ def _q64(col: str):
     )
 
 
-def ivfpq_topk(
-    emb: DataFrame,
-    n_queries: int = 3,
-    k: int = 10,
-    n_probe: int = _IVFPQ_NPROBE,
-) -> DataFrame:
-    """FAISS-style IVF-PQ search: coarse inverted lists gate WHICH
-    vectors are scored, residual PQ codes decide HOW — compressed to
-    8 bytes/vector — and every distance is exact integer arithmetic
-    (2²⁰-quantized), so ranks are engine-deterministic.
-
-    Index build (once, cacheable):
-      1. coarse assign: nearest of 16 coarse centroids (fixed sample
-         vec_id 100..115) by integer squared L2 — map-only, the
-         16-entry codebook rides in an in-row array after a 1-row
-         broadcast, argmin via ``array_min``;
-      2. residual r = q(x) − q(centroid) (exact bigint subtraction);
-      3. residual PQ codes: nearest residual-codebook entry per
-         8-dim subspace (codebook = residual subvectors of
-         vec_id < 16) — map-only after an 8-row broadcast.
-    Search (per query): probe the ``n_probe`` nearest coarse lists;
-    per probed list build the LUT of the query's OWN residual (w.r.t.
-    that list's centroid) against the codebook (n_queries·n_probe·8·16
-    rows — broadcast); a candidate's approximate distance is the sum
-    of 8 LUT lookups.  The corpus-side cost is one equi-join keyed on
-    centroid_id against only the probed lists + one slim keyed agg —
-    never a full scan, never a float.
-
-    100 TB shape: lists partition the corpus (write them bucketed by
-    ``centroid_id`` for exchange-free probes); codes are 8 slim rows
-    per vector; everything broadcast is O(centroids + LUT).
-    Reference analog: none (pure [EXT]).
-    """
+def _ivfpq_index(emb: DataFrame):
+    """Build the IVF-PQ index relations from an embeddings frame:
+    (coarse centroids, residual codebook, per-vector codes).  Shared
+    by the in-memory search (``ivfpq_topk``) and the persisted index
+    (``build_ivfpq_index``/``ivfpq_search``)."""
     q = emb.select("vec_id", _q64("embedding").alias("qe"))
     coarse = q.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVFPQ_COARSE)
@@ -1294,10 +1266,19 @@ def ivfpq_topk(
         "sub_id",
         rbest.getField("code").alias("code"),
     )
-    # query side: probe the n_probe nearest coarse lists
-    qv = q.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
-    )
+    return coarse, rcb, codes
+
+
+def _ivfpq_search_relations(
+    coarse: DataFrame,
+    rcb: DataFrame,
+    codes: DataFrame,
+    qv: DataFrame,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Search side of IVF-PQ over prebuilt index relations.  ``qv``
+    has (query_id, q_qe) with q_qe the 2²⁰-quantized query vector."""
     qdist = _PQ_SQDIST.format(a="q_qe", b="ce")
     probes = (
         qv.crossJoin(F.broadcast(coarse))
@@ -1364,6 +1345,110 @@ def ivfpq_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_probe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """FAISS-style IVF-PQ search: coarse inverted lists gate WHICH
+    vectors are scored, residual PQ codes decide HOW — compressed to
+    8 bytes/vector — and every distance is exact integer arithmetic
+    (2²⁰-quantized), so ranks are engine-deterministic.
+
+    Index build (once, cacheable):
+      1. coarse assign: nearest of 16 coarse centroids (fixed sample
+         vec_id 100..115) by integer squared L2 — map-only, the
+         16-entry codebook rides in an in-row array after a 1-row
+         broadcast, argmin via ``array_min``;
+      2. residual r = q(x) − q(centroid) (exact bigint subtraction);
+      3. residual PQ codes: nearest residual-codebook entry per
+         8-dim subspace (codebook = residual subvectors of
+         vec_id < 16) — map-only after an 8-row broadcast.
+    Search (per query): probe the ``n_probe`` nearest coarse lists;
+    per probed list build the LUT of the query's OWN residual (w.r.t.
+    that list's centroid) against the codebook (n_queries·n_probe·8·16
+    rows — broadcast); a candidate's approximate distance is the sum
+    of 8 LUT lookups.  The corpus-side cost is one equi-join keyed on
+    centroid_id against only the probed lists + one slim keyed agg —
+    never a full scan, never a float.
+
+    100 TB shape: lists partition the corpus (write them bucketed by
+    ``centroid_id`` for exchange-free probes); codes are 8 slim rows
+    per vector; everything broadcast is O(centroids + LUT).
+    Reference analog: none (pure [EXT]).
+    """
+    coarse, rcb, codes = _ivfpq_index(emb)
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    return _ivfpq_search_relations(coarse, rcb, codes, qv, k, n_probe)
+
+
+def build_ivfpq_index(emb: DataFrame, path: str) -> None:
+    """Persist the IVF-PQ index: build once, serve many.
+
+    Layout under ``path``:
+      * ``coarse``   — 16 coarse centroids (quantized)
+      * ``codebook`` — residual PQ codebook (8 subspaces × 16 entries)
+      * ``codes``    — per-vector codes, ``partitionBy(centroid_id)``
+
+    The codes partitioning is the point: a search probes n_probe of
+    the 16 lists, and the ``centroid_id IN (...)`` filter prunes at
+    the DIRECTORY level — unprobed lists are never read (the plan
+    test asserts PartitionFilters).  At 100 TB that is the difference
+    between scanning the whole compressed index and n_probe/n_lists
+    of it.
+    """
+    coarse, rcb, codes = _ivfpq_index(emb)
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    rcb.write.mode("overwrite").parquet(f"{path}/codebook")
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    path: str,
+    query_emb: DataFrame,
+    k: int = 10,
+    n_probe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index (``build_ivfpq_index``).
+
+    ``query_emb`` has (vec_id, embedding); results match the
+    in-memory ``ivfpq_topk`` bit-for-bit (equality-tested).  The
+    codes scan carries the probed ``centroid_id`` partition filter,
+    so only n_probe/16 of the index files are read."""
+    coarse = spark.read.parquet(f"{path}/coarse")
+    rcb = spark.read.parquet(f"{path}/codebook")
+    codes = spark.read.parquet(f"{path}/codes")
+    qv = query_emb.select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    # resolve probed lists first so the codes scan gets a literal
+    # IN-list partition filter (directory pruning, not a runtime join)
+    qdist = _PQ_SQDIST.format(a="q_qe", b="ce")
+    probed = (
+        qv.crossJoin(F.broadcast(coarse))
+        .withColumn("__cd", F.expr(qdist))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__cd", "centroid_id")
+            ),
+        )
+        .filter(F.col("__rk") <= n_probe)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    probe_ids = sorted(r["centroid_id"] for r in probed)
+    codes = codes.filter(F.col("centroid_id").isin(probe_ids))
+    return _ivfpq_search_relations(coarse, rcb, codes, qv, k, n_probe)
 
 
 def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -371,3 +371,44 @@ def test_domain_mixture_unweighted_group_dropped(spark):
     out = {r["lang"]: r for r in domain_mixture(d, {"x": 100}).collect()}
     assert out["y"]["n_kept"] == 0
     assert out["x"]["n_kept"] == 100  # sole weighted group keeps all
+
+
+# ----------------------------------------------------------------------
+# persisted IVF-PQ index
+# ----------------------------------------------------------------------
+def test_ivfpq_persisted_index_matches_inmemory(spark, tmp_path):
+    from meteaudata_spark.ext.simsearch import (
+        build_ivfpq_index,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivfpq_search(spark, idx, queries).collect()
+    want = ivfpq_topk(emb, n_queries=3, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivfpq_search_prunes_unprobed_lists(spark, tmp_path):
+    from meteaudata_spark.ext.simsearch import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx)
+    out = ivfpq_search(spark, idx, emb.filter(F.col("vec_id") < 1))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the codes scan must carry a centroid_id partition filter — the
+    # unprobed inverted lists are pruned at the directory level
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*\]", plan)
+    assert pf, plan[:2000]
