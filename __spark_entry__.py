@@ -92,11 +92,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_likelihood": textstats.doc_bigram_likelihood,  # NEW: bigram-LM fluency score
         "ts_quantile_sketch": sketches.ts_quantile_sketch,  # NEW: mergeable histogram quantiles
         "doc_domain_mixture": corpus_ops.doc_domain_mixture,  # NEW: weighted data mixing
+        "ts_seasonal_anomaly": tsq.ts_seasonal_anomaly,  # NEW: fences on decomposition residuals
         # --- (3) rotation slice of the recently-verified remainder ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
-        "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
         # ---------------- past the 50-cap from here ----------------
+        "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
         "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
         "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
         "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
@@ -239,4 +240,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_likelihood": textstats.DOC_BIGRAM_LIKELIHOOD_SQL,
         "ts_quantile_sketch": sketches.TS_QUANTILE_SKETCH_SQL,
         "doc_domain_mixture": corpus_ops.DOC_DOMAIN_MIXTURE_SQL,
+        "ts_seasonal_anomaly": tsq.TS_SEASONAL_ANOMALY_SQL,
     }

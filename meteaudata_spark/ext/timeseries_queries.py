@@ -1267,3 +1267,62 @@ FROM trended t
 JOIN profile p ON p.event_type = t.event_type AND p.hod = t.hod
 ORDER BY t.event_type, t.bucket_ts
 """
+
+
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware fault detection: Tukey fences on the
+    RESIDUAL of the additive decomposition, so diurnal cycles don't
+    masquerade as anomalies (the failure mode of plain value fences
+    on environmental series — the reference's core domain).
+
+    Composes ``ts_seasonal_decompose`` with the same exact-quantile
+    fence pattern as ``ts_outlier_rate``: per-type Q1/Q3 of the
+    rounded residuals (a types-sized aggregate, broadcast back), flag
+    |residual| outside 3·IQR.  Returns only flagged buckets — the
+    actionable output — plus the fence values for context.
+    """
+    dec = ts_seasonal_decompose(spark, sf_dir)
+    dec = cache_intermediate(dec)
+    fences = dec.groupBy("event_type").agg(
+        F.expr("percentile(residual, 0.25)").alias("q1"),
+        F.expr("percentile(residual, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 3.0 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 3.0 * (F.col("q3") - F.col("q1"))
+    return (
+        dec.join(F.broadcast(fences), "event_type")
+        .filter((F.col("residual") < lo) | (F.col("residual") > hi))
+        .select(
+            "event_type",
+            "bucket_ts",
+            "residual",
+            _r6(lo).alias("fence_lo"),
+            _r6(hi).alias("fence_hi"),
+        )
+    )
+
+
+def _seasonal_anomaly_sql() -> str:
+    inner = TS_SEASONAL_DECOMPOSE_SQL.strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH dec AS (
+{inner}
+),
+fences AS (
+  SELECT event_type,
+         quantile_cont(residual, 0.25) AS q1,
+         quantile_cont(residual, 0.75) AS q3
+  FROM dec GROUP BY event_type
+)
+SELECT d.event_type, d.bucket_ts, d.residual,
+       ROUND((f.q1 - 3.0 * (f.q3 - f.q1)) * 1000000.0) / 1000000.0 AS fence_lo,
+       ROUND((f.q3 + 3.0 * (f.q3 - f.q1)) * 1000000.0) / 1000000.0 AS fence_hi
+FROM dec d JOIN fences f ON f.event_type = d.event_type
+WHERE d.residual < f.q1 - 3.0 * (f.q3 - f.q1)
+   OR d.residual > f.q3 + 3.0 * (f.q3 - f.q1)
+ORDER BY d.event_type, d.bucket_ts
+"""
+
+
+TS_SEASONAL_ANOMALY_SQL = _seasonal_anomaly_sql()

@@ -412,3 +412,47 @@ def test_ivfpq_search_prunes_unprobed_lists(spark, tmp_path):
 
     pf = re.findall(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*\]", plan)
     assert pf, plan[:2000]
+
+
+# ----------------------------------------------------------------------
+# seasonal anomaly
+# ----------------------------------------------------------------------
+def test_seasonal_anomaly_flags_planted_spike(spark, tmp_path):
+    import os
+
+    # pure 24h cycle for 14 days + one bucket with a massive spike:
+    # plain value fences would flag every daily peak; residual fences
+    # must flag ONLY the spike
+    n = 24 * 14
+    ts_expr = (
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id as int),0,0)"
+    )
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.expr(ts_expr).alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("a").alias("event_type"),
+        (
+            F.pmod(F.hour(F.expr(ts_expr)), F.lit(24)).cast("double") * 10.0
+            + F.when(F.col("id") == 100, 500.0).otherwise(0.0)
+        ).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with __import__("tempfile").TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = tsq.ts_seasonal_anomaly(spark, td).collect()
+    flagged_hours = {r["bucket_ts"].hour + 24 * (r["bucket_ts"].day - 1) for r in out}
+    assert 100 in flagged_hours
+    # allowed co-flags: the spike's own ±12h moving-average window,
+    # the first/last 12 partial-window buckets (centered-MA edge
+    # bias), and other days' hour-4 slots — the mean-based seasonal
+    # profile spreads the spike across its hour-of-day (a median
+    # profile would suppress that; the oracle-matched formulation is
+    # the classical mean).  Everything else must stay quiet: the
+    # daily peaks themselves never flag.
+    quiet = [
+        h
+        for h in flagged_hours
+        if 13 <= h <= n - 13 and abs(h - 100) > 13 and h % 24 != 100 % 24
+    ]
+    assert quiet == [], quiet
