@@ -309,7 +309,14 @@ def pack_sequences(
     slim = df.select(
         *group_cols,
         id_col,
-        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+        # null/empty text counts as 0 tokens instead of propagating a
+        # null into the packing fold
+        F.when(
+            F.coalesce(F.col(text_col), F.lit("")) == "", F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.col(text_col), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     out_fields = slim.schema.fields
     schema = (

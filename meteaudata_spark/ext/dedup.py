@@ -63,9 +63,14 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     the split inside the lambda Catalyst re-evaluates it per shingle
     index, turning an O(words) projection into O(words²)."""
     # Spark SQL array subscript is 0-based inside lambda expressions
+    # guard docs shorter than n words: Spark's sequence(0, size-n)
+    # DESCENDS when size < n and the i+1 slice start then hits 0,
+    # which faults — emit no shingles instead (matches DuckDB's empty
+    # generate_series)
     shingle_arr = F.expr(
-        f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
-        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
+        f"CASE WHEN size(__toks) < {n} THEN CAST(array() AS array<string>) "
+        f"ELSE array_distinct(transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))) END"
     )
     return (
         d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))

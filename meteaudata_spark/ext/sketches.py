@@ -332,12 +332,19 @@ def hist_quantiles(
         df.join(F.broadcast(bounds), group_cols)
         .withColumn(
             "__bin",
-            F.least(
-                F.lit(n_bins - 1),
-                F.floor(
-                    (F.col(value_col) - F.col("__lo"))
-                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
-                ).cast("int"),
+            # constant groups (hi == lo) would divide by a zero width
+            # and fault casting the NaN — every value is bin 0 there
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col(value_col) - F.col("__lo"))
+                        / (
+                            (F.col("__hi") - F.col("__lo"))
+                            / F.lit(float(n_bins))
+                        )
+                    ).cast("int"),
+                )
             ),
         )
         .groupBy(*group_cols, "__bin")

@@ -522,9 +522,15 @@ def doc_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.select(
         "doc_id",
         F.explode(
+            # guard the 1-word doc: Spark's sequence(1, 0) DESCENDS
+            # ([1, 0]) instead of being empty, and __toks[1] then
+            # faults under ANSI — DuckDB's generate_series(1, 0) is
+            # empty, so only this side needs the CASE
             F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2))"
+                "CASE WHEN size(__toks) < 2 THEN "
+                "  CAST(array() AS array<struct<w1: string, w2: string>>) "
+                "ELSE transform(sequence(1, size(__toks) - 1), "
+                "  i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2)) END"
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))

@@ -456,3 +456,62 @@ def test_seasonal_anomaly_flags_planted_spike(spark, tmp_path):
         if 13 <= h <= n - 13 and abs(h - 100) > 13 and h % 24 != 100 % 24
     ]
     assert quiet == [], quiet
+
+
+def test_bigram_likelihood_survives_one_word_docs(spark, tmp_path):
+    import os
+    from meteaudata_spark.ext import textstats as T
+
+    pdf = pd.DataFrame(
+        [(0, "solo", "en"), (1, "two words here now", "en")],
+        columns=["doc_id", "text", "lang"],
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in T.doc_bigram_likelihood(spark, str(tmp_path)).collect()}
+    # the 1-word doc has no bigrams: absent from output (group never
+    # forms), and crucially the query does not fault under ANSI
+    assert 0 not in out
+    assert out[1]["n_bigrams"] == 3
+
+
+# ----------------------------------------------------------------------
+# ANSI edge-case guards (short docs, constant groups)
+# ----------------------------------------------------------------------
+def test_shingles_empty_for_short_docs(spark):
+    from meteaudata_spark.ext.dedup import _shingles
+
+    d = _docs_df(spark, ["one two", "a b c d"])
+    got = sorted(
+        (r["doc_id"], r["shingle"]) for r in _shingles(d, 3).collect()
+    )
+    # the 2-word doc emits nothing (and does not fault under ANSI)
+    assert got == [(1, "a b c"), (1, "b c d")]
+
+
+def test_hist_quantiles_constant_group(spark):
+    from meteaudata_spark.ext.sketches import hist_quantiles
+
+    c = spark.range(10).select(
+        F.lit("g").alias("g"), F.lit(5.0).alias("v")
+    )
+    out = {r["q"]: r["est"] for r in hist_quantiles(c, "v", ["g"]).collect()}
+    assert out == {0.5: 5.0, 0.9: 5.0, 0.99: 5.0}
+
+
+def test_pack_sequences_null_and_empty_text(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 0, "text": "a b c", "lang": "en"},
+                {"doc_id": 1, "text": None, "lang": "en"},
+                {"doc_id": 2, "text": "", "lang": "en"},
+            ]
+        )
+    )
+    out = {
+        r["doc_id"]: r for r in C.pack_sequences(d, capacity=10).collect()
+    }
+    assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+    assert out[0]["bin_id"] == out[1]["bin_id"] == out[2]["bin_id"] == 0
