@@ -1326,3 +1326,87 @@ ORDER BY d.event_type, d.bucket_ts
 
 
 TS_SEASONAL_ANOMALY_SQL = _seasonal_anomaly_sql()
+
+
+def ts_m4_downsample(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 100
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per pixel-bucket
+    keep first/last/min/max — the four points that make a line chart
+    of the bucket pixel-identical to plotting every row.  THE
+    scale path for plotting a 100 TB series: one keyed hash-agg with
+    map-side partials reduces any row count to 4·n_buckets points per
+    series; `viz.downsample_for_plot` covers the generic case, this
+    is the visually-lossless one.
+
+    Bucket index is exact integer math over microsecond epochs
+    ((e−lo)·nb div (hi−lo+1)), so bucket boundaries can't drift
+    between engines; min/max ties resolve by earliest/latest
+    timestamp via struct ordering.
+    """
+    ev = _events(spark, sf_dir)
+    e_us = (epoch_seconds(F.col("ts")) * 1000000).cast("bigint")
+    base = ev.select("event_type", e_us.alias("e"), "value")
+    bounds = base.groupBy("event_type").agg(
+        F.min("e").alias("lo"), F.max("e").alias("hi")
+    )
+    bucketed = base.join(F.broadcast(bounds), "event_type").withColumn(
+        "bucket",
+        F.expr(f"CAST((e - lo) * {n_buckets} AS BIGINT) div (hi - lo + 1)"),
+    )
+    agg = bucketed.groupBy("event_type", "bucket").agg(
+        F.min(F.struct("e", "value")).alias("first_pt"),
+        F.max(F.struct("e", "value")).alias("last_pt"),
+        F.min(F.struct("value", "e")).alias("min_pt"),
+        F.max(F.struct("value", "e")).alias("max_pt"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "event_type",
+        "bucket",
+        "n_rows",
+        F.col("first_pt.e").alias("first_e"),
+        _r6(F.col("first_pt.value")).alias("first_v"),
+        F.col("last_pt.e").alias("last_e"),
+        _r6(F.col("last_pt.value")).alias("last_v"),
+        F.col("min_pt.e").alias("min_e"),
+        _r6(F.col("min_pt.value")).alias("min_v"),
+        F.col("max_pt.e").alias("max_e"),
+        _r6(F.col("max_pt.value")).alias("max_v"),
+    )
+
+
+TS_M4_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS e, value FROM events
+),
+bounds AS (
+  SELECT event_type, MIN(e) AS lo, MAX(e) AS hi FROM base GROUP BY event_type
+),
+bucketed AS (
+  SELECT b.event_type, b.e, b.value,
+         ((b.e - bo.lo) * 100) // (bo.hi - bo.lo + 1) AS bucket
+  FROM base b JOIN bounds bo ON bo.event_type = b.event_type
+),
+ranked AS (
+  SELECT event_type, bucket, e, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY e, value) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY e DESC, value DESC) AS rl,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY value, e) AS rmin,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY value DESC, e DESC) AS rmax,
+         COUNT(*) OVER (PARTITION BY event_type, bucket) AS n_rows
+  FROM bucketed
+)
+SELECT event_type, bucket, n_rows,
+       MAX(CASE WHEN rf = 1 THEN e END) AS first_e,
+       ROUND(MAX(CASE WHEN rf = 1 THEN value END) * 1000000.0) / 1000000.0 AS first_v,
+       MAX(CASE WHEN rl = 1 THEN e END) AS last_e,
+       ROUND(MAX(CASE WHEN rl = 1 THEN value END) * 1000000.0) / 1000000.0 AS last_v,
+       MAX(CASE WHEN rmin = 1 THEN e END) AS min_e,
+       ROUND(MAX(CASE WHEN rmin = 1 THEN value END) * 1000000.0) / 1000000.0 AS min_v,
+       MAX(CASE WHEN rmax = 1 THEN e END) AS max_e,
+       ROUND(MAX(CASE WHEN rmax = 1 THEN value END) * 1000000.0) / 1000000.0 AS max_v
+FROM ranked
+GROUP BY event_type, bucket, n_rows
+ORDER BY event_type, bucket
+"""

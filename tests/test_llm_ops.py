@@ -515,3 +515,37 @@ def test_pack_sequences_null_and_empty_text(spark):
     }
     assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
     assert out[0]["bin_id"] == out[1]["bin_id"] == out[2]["bin_id"] == 0
+
+
+# ----------------------------------------------------------------------
+# M4 downsampling
+# ----------------------------------------------------------------------
+def test_m4_preserves_global_extrema_and_bounds_output(spark):
+    sf = "/root/testdata/sf0.001"
+    out = tsq.ts_m4_downsample(spark, sf).collect()
+    ev = tsq._events(spark, sf)
+    exact = {
+        r["event_type"]: (r["vmin"], r["vmax"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rows in by_type.items():
+        # ≤ 100 buckets regardless of input size, every row accounted
+        assert len(rows) <= 100
+        assert sum(r["n_rows"] for r in rows) == exact[et][2]
+        # the global min/max survive downsampling exactly (modulo _r6)
+        assert abs(min(r["min_v"] for r in rows) - exact[et][0]) < 1e-6
+        assert abs(max(r["max_v"] for r in rows) - exact[et][1]) < 1e-6
+        for r in rows:
+            # within a bucket: first/last bracket the epoch range and
+            # min ≤ max
+            assert r["first_e"] <= r["last_e"]
+            assert r["min_v"] <= r["max_v"]
