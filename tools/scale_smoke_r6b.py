@@ -162,8 +162,47 @@ def smoke_ivfpq(spark, n_vec=1_000_000):
     return _timed(f"ivfpq_topk {n_vec:,} vectors", run)
 
 
+def smoke_m4(spark, n_rows=100_000_000, n_keys=1000):
+    from meteaudata_spark.ext.timeseries_queries import _r6
+    from meteaudata_spark.functions.epoch import epoch_seconds
+
+    ev = spark.range(n_rows).select(
+        F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias(
+            "event_type"
+        ),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,cast(id div 1000 as int))"
+        ).alias("ts"),
+        F.sin(F.col("id").cast("double")).alias("value"),
+    )
+
+    def run():
+        e_us = (epoch_seconds(F.col("ts")) * 1000000).cast("bigint")
+        base = ev.select("event_type", e_us.alias("e"), "value")
+        bounds = base.groupBy("event_type").agg(
+            F.min("e").alias("lo"), F.max("e").alias("hi")
+        )
+        bucketed = base.join(F.broadcast(bounds), "event_type").withColumn(
+            "bucket",
+            F.expr("CAST((e - lo) * 100 AS BIGINT) div (hi - lo + 1)"),
+        )
+        agg = bucketed.groupBy("event_type", "bucket").agg(
+            F.min(F.struct("e", "value")).alias("first_pt"),
+            F.max(F.struct("e", "value")).alias("last_pt"),
+            F.min(F.struct("value", "e")).alias("min_pt"),
+            F.max(F.struct("value", "e")).alias("max_pt"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        n_out = agg.count()
+        total = agg.agg(F.sum("n_rows")).collect()[0][0]
+        assert total == n_rows
+        return f"{n_rows:,} rows -> {n_out:,} M4 buckets (4 pts each)"
+
+    return _timed(f"m4_downsample {n_rows:,} rows / {n_keys} keys", run)
+
+
 def main() -> None:
-    steps = sys.argv[1:] or ["segment", "pack", "bloom", "pq", "ivfpq"]
+    steps = sys.argv[1:] or ["segment", "pack", "bloom", "pq", "ivfpq", "m4"]
     spark = get_spark("scale-smoke-r6b")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -180,6 +219,8 @@ def main() -> None:
         smoke_pq(spark)
     if "ivfpq" in steps:
         smoke_ivfpq(spark)
+    if "m4" in steps:
+        smoke_m4(spark)
     print("loadavg end:", os.getloadavg(), flush=True)
 
 
