@@ -196,3 +196,54 @@ def test_kmeans_fast_refine_equals_fold_refine(spark):
         map(tuple, simsearch.kmeans_refine(emb, exact_fold=True).collect())
     )
     assert fast == fold
+
+
+# ----------------------------------------------------------------------
+# round-6 continuation operators
+# ----------------------------------------------------------------------
+def test_segment_dedup_shuffle_budget(spark):
+    from meteaudata_spark.ext import dedup
+
+    # exactly the design: one window shuffle on the segment + one
+    # per-doc agg shuffle — a regression to joins would inflate this
+    df = dedup.doc_segment_dedup(spark, SF)
+    assert inspect.exchange_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_pq_assign_is_map_only_after_broadcast(spark):
+    from meteaudata_spark.ext import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = simsearch.pq_assign(emb)
+    # the corpus side must NOT shuffle: only the tiny codebook agg
+    # exchanges (plus its broadcast); the assignment itself is a
+    # projection
+    assert inspect.exchange_count(df) <= 2, inspect.formatted_plan(df)
+    joins = inspect.join_strategies(df)
+    assert "SortMergeJoin" not in joins, joins
+
+
+def test_bloom_contamination_broadcasts_filter(spark):
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_contamination_bloom(spark, SF)
+    joins = inspect.join_strategies(df)
+    # the bit table rides a broadcast join; the corpus must never be
+    # the build side of a shuffle join
+    assert "BroadcastHashJoin" in joins, joins
+    assert "SortMergeJoin" not in joins, joins
+
+
+def test_m4_broadcasts_bounds(spark):
+    df = tsq.ts_m4_downsample(spark, SF)
+    joins = inspect.join_strategies(df)
+    # bounds join only (the logical plan may print the reused
+    # broadcast once per reference) — never a shuffle join
+    assert set(joins) == {"BroadcastHashJoin"}, joins
+
+
+def test_seasonal_decompose_broadcasts_profile(spark):
+    df = tsq.ts_seasonal_decompose(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
+    assert "SortMergeJoin" not in joins, joins
