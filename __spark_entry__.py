@@ -94,9 +94,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_mixture": corpus_ops.doc_domain_mixture,  # NEW: weighted data mixing
         "ts_seasonal_anomaly": tsq.ts_seasonal_anomaly,  # NEW: fences on decomposition residuals
         "ts_m4_downsample": tsq.ts_m4_downsample,  # NEW: visually-lossless plot downsampling
+        "doc_url_stats": textstats.doc_url_stats,  # NEW: URL extraction + domain ranking
         # --- (3) rotation slice of the recently-verified remainder ---
-        "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         # ---------------- past the 50-cap from here ----------------
+        "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
         "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
@@ -243,4 +244,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_mixture": corpus_ops.DOC_DOMAIN_MIXTURE_SQL,
         "ts_seasonal_anomaly": tsq.TS_SEASONAL_ANOMALY_SQL,
         "ts_m4_downsample": tsq.TS_M4_SQL,
+        "doc_url_stats": textstats.DOC_URL_STATS_SQL,
     }

@@ -594,3 +594,74 @@ JOIN lhs_counts l ON l.w1 = b.w1
 GROUP BY b.doc_id
 ORDER BY b.doc_id
 """
+
+
+# regex kept to the Java/RE2-identical subset (same policy as the PII
+# scrubber): scheme://host/path with conservative character classes
+URL_RE = r"https?://[A-Za-z0-9.-]+\.[A-Za-z]{2,}(/[A-Za-z0-9._/-]*)?"
+_URL_HOST_RE = r"https?://([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+
+
+def doc_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc URL extraction + corpus-level domain ranking — the
+    web-corpus profiling step (domain blocklists, per-site caps, and
+    citation analysis all start from exactly this table).
+
+    The synthetic corpus contains no URLs, so the gate decorates each
+    doc with two deterministic doc_id-derived URLs (same pattern as
+    ``doc_pii_scrub``) — the REGEX path both engines run is real.
+    Extraction is a JVM-side projection (no UDF); the domain rollup is
+    one keyed hash-agg.  Returns (domain, n_docs, n_urls) ranked.
+    """
+    d = _docs(spark, sf_dir)
+    decorated = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.org/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://ref"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit(".example.net today"),
+        ),
+    )
+    # pattern as a lit() Column — F.expr's SQL string literal would
+    # swallow the \. escape and let the dot match across spaces (the
+    # same pitfall documented at _BPE_ISH_PATTERN)
+    urls = decorated.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_URL_HOST_RE), 1)
+        ).alias("domain"),
+    )
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        .select("domain", "n_docs", "n_urls")
+    )
+
+
+DOC_URL_STATS_SQL = """
+WITH decorated AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+              || ' and http://ref' || CAST(doc_id % 3 AS VARCHAR)
+              || '.example.net today' AS text
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+\\.[A-Za-z]{2,})', 1)) AS domain
+  FROM decorated
+)
+SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+FROM urls
+GROUP BY domain
+ORDER BY domain
+"""

@@ -549,3 +549,21 @@ def test_m4_preserves_global_extrema_and_bounds_output(spark):
             # min ≤ max
             assert r["first_e"] <= r["last_e"]
             assert r["min_v"] <= r["max_v"]
+
+
+# ----------------------------------------------------------------------
+# URL stats
+# ----------------------------------------------------------------------
+def test_url_stats_counts_planted_urls(spark):
+    from meteaudata_spark.ext import textstats as T
+
+    out = {r["domain"]: r for r in T.doc_url_stats(spark, "/root/testdata/sf0.001").collect()}
+    # 7 site domains + 3 ref domains, every doc contributes one of each
+    sites = [d for d in out if d.startswith("site")]
+    refs = [d for d in out if d.startswith("ref")]
+    assert len(sites) == 7 and len(refs) == 3
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert sum(out[d]["n_urls"] for d in sites) == n_docs
+    assert sum(out[d]["n_urls"] for d in refs) == n_docs
