@@ -35,11 +35,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering policy: the driver's oracle gate checks only the FIRST
     50 entries, so entries are ranked by verification urgency —
-    (1) queries with no oracle row since round 4 (the long-green
+    (1) queries with no driver oracle row since round 4 (the
     ts/relational block that sat past the cap while round 5 verified
     the dedup/simsearch block), (2) queries whose implementation
-    changed this round, (3) a rotating slice of the recently-verified
-    remainder.  Everything past 50 still runs in bench and in
+    changed in round 6, (2b) the 14 operators ADDED in round 6
+    (never driver-verified; all green on the local gate replica at
+    sf0.01), (3) the remainder — verified in round 5 or by this
+    round's local 96/96 run.  Round-7 rotation: move the past-cap
+    dedup/textstats/emb/ts block back under the cap and push (1)+(2b)
+    out.  Everything past 50 still runs in bench and in
     tests/test_ext.py's run-all test."""
     return {
         # --- (1) past the cap in r5 (last green r4): rotate back in ---
