@@ -351,10 +351,15 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the CASE mirrors pack_sequences exactly: 0 tokens for NULL/empty
+# text, and a new bin only when the current bin is non-empty
+# (bin_fill > 0) — without those guards the oracle diverges on
+# empty-text docs and on oversized docs following a 0-fill bin
 DOC_PACK_SEQUENCES_SQL = """
 WITH RECURSIVE base AS (
   SELECT doc_id, lang,
-         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(LEN(string_split(text, ' ')) AS BIGINT) END AS n_tokens,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -364,8 +369,8 @@ packed AS (
   FROM base WHERE rn = 1
   UNION ALL
   SELECT b.doc_id, b.lang, b.n_tokens, b.rn,
-         CASE WHEN p.bin_fill + b.n_tokens > 200 THEN p.bin_id + 1 ELSE p.bin_id END,
-         CASE WHEN p.bin_fill + b.n_tokens > 200 THEN b.n_tokens ELSE p.bin_fill + b.n_tokens END
+         CASE WHEN p.bin_fill > 0 AND p.bin_fill + b.n_tokens > 200 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill > 0 AND p.bin_fill + b.n_tokens > 200 THEN b.n_tokens ELSE p.bin_fill + b.n_tokens END
   FROM packed p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1
 )
 SELECT doc_id, lang, n_tokens, bin_id, bin_fill

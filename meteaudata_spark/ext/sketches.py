@@ -323,6 +323,11 @@ def hist_quantiles(
     snapshots.  Reference analog: none (pure [EXT]).
     """
     g = [F.col(c) for c in group_cols]
+    # drop value-NULL rows up front: they would land in a NULL bin that
+    # Spark's ascending window sorts FIRST (inflating every cumulative
+    # count) while __n counts only non-nulls — and DuckDB sorts NULLS
+    # LAST, so the engines would diverge too
+    df = df.filter(F.col(value_col).isNotNull())
     bounds = df.groupBy(*g).agg(
         F.min(value_col).alias("__lo"),
         F.max(value_col).alias("__hi"),
@@ -354,39 +359,35 @@ def hist_quantiles(
     cum = binned.withColumn(
         "__cum", F.sum("__c").over(w)
     ).withColumn("__before", F.col("__cum") - F.col("__c"))
-    out = None
-    for q in quantiles:
-        target = F.ceil(F.lit(q) * F.col("__n")).cast("bigint")
-        hit = (
-            cum.join(F.broadcast(bounds), group_cols)
-            .filter(
-                (F.col("__cum") >= target) & (F.col("__before") < target)
-            )
-            .withColumn(
-                "est",
-                F.round(
-                    (
-                        F.col("__lo")
-                        + ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
-                        * (
-                            F.col("__bin")
-                            + (target - F.col("__before"))
-                            / F.col("__c").cast("double")
-                        )
+    # all quantiles in ONE pass: explode the (tiny) quantile list onto
+    # the cumulative table instead of rebuilding bounds/bins/window per
+    # q — a per-q loop of unions would scan and aggregate the fact
+    # table len(quantiles) times
+    q_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    target = F.ceil(F.col("q") * F.col("__n")).cast("bigint")
+    return (
+        cum.join(F.broadcast(bounds), group_cols)
+        .withColumn("q", F.explode(q_arr))
+        .filter((F.col("__cum") >= target) & (F.col("__before") < target))
+        .withColumn(
+            "est",
+            F.round(
+                (
+                    F.col("__lo")
+                    + ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+                    * (
+                        F.col("__bin")
+                        + (target - F.col("__before"))
+                        / F.col("__c").cast("double")
                     )
-                    * F.lit(1000000.0),
-                    0,
                 )
-                / F.lit(1000000.0),
+                * F.lit(1000000.0),
+                0,
             )
-            .select(
-                *group_cols,
-                F.lit(float(q)).alias("q"),
-                "est",
-            )
+            / F.lit(1000000.0),
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+        .select(*group_cols, "q", "est")
+    )
 
 
 def ts_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,13 +404,15 @@ def ts_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_QUANTILE_SKETCH_SQL = f"""
 WITH bounds AS (
   SELECT event_type, MIN(value) AS lo, MAX(value) AS hi, COUNT(value) AS n
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 ),
 binned AS (
   SELECT e.event_type,
-         LEAST({_HQ_BINS - 1}, CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / {_HQ_BINS}.0)) AS INTEGER)) AS bin,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST({_HQ_BINS - 1}, CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / {_HQ_BINS}.0)) AS INTEGER)) END AS bin,
          COUNT(*) AS c
   FROM events e JOIN bounds b ON b.event_type = e.event_type
+  WHERE e.value IS NOT NULL
   GROUP BY 1, 2
 ),
 cum AS (

@@ -597,8 +597,7 @@ ORDER BY b.doc_id
 
 
 # regex kept to the Java/RE2-identical subset (same policy as the PII
-# scrubber): scheme://host/path with conservative character classes
-URL_RE = r"https?://[A-Za-z0-9.-]+\.[A-Za-z]{2,}(/[A-Za-z0-9._/-]*)?"
+# scrubber); group 1 captures the host
 _URL_HOST_RE = r"https?://([A-Za-z0-9.-]+\.[A-Za-z]{2,})"
 
 

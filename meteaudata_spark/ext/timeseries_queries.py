@@ -1328,8 +1328,12 @@ ORDER BY d.event_type, d.bucket_ts
 TS_SEASONAL_ANOMALY_SQL = _seasonal_anomaly_sql()
 
 
-def ts_m4_downsample(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 100
+def m4_downsample(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 100,
 ) -> DataFrame:
     """M4 downsampling (Jugel et al., VLDB 2014): per pixel-bucket
     keep first/last/min/max — the four points that make a line chart
@@ -1344,17 +1348,18 @@ def ts_m4_downsample(
     between engines; min/max ties resolve by earliest/latest
     timestamp via struct ordering.
     """
-    ev = _events(spark, sf_dir)
-    e_us = (epoch_seconds(F.col("ts")) * 1000000).cast("bigint")
-    base = ev.select("event_type", e_us.alias("e"), "value")
-    bounds = base.groupBy("event_type").agg(
+    e_us = (epoch_seconds(F.col(ts_col)) * 1000000).cast("bigint")
+    base = df.select(
+        *group_cols, e_us.alias("e"), F.col(value_col).alias("value")
+    )
+    bounds = base.groupBy(*group_cols).agg(
         F.min("e").alias("lo"), F.max("e").alias("hi")
     )
-    bucketed = base.join(F.broadcast(bounds), "event_type").withColumn(
+    bucketed = base.join(F.broadcast(bounds), group_cols).withColumn(
         "bucket",
         F.expr(f"CAST((e - lo) * {n_buckets} AS BIGINT) div (hi - lo + 1)"),
     )
-    agg = bucketed.groupBy("event_type", "bucket").agg(
+    agg = bucketed.groupBy(*group_cols, "bucket").agg(
         F.min(F.struct("e", "value")).alias("first_pt"),
         F.max(F.struct("e", "value")).alias("last_pt"),
         F.min(F.struct("value", "e")).alias("min_pt"),
@@ -1362,7 +1367,7 @@ def ts_m4_downsample(
         F.count(F.lit(1)).alias("n_rows"),
     )
     return agg.select(
-        "event_type",
+        *group_cols,
         "bucket",
         "n_rows",
         F.col("first_pt.e").alias("first_e"),
@@ -1373,6 +1378,17 @@ def ts_m4_downsample(
         _r6(F.col("min_pt.value")).alias("min_v"),
         F.col("max_pt.e").alias("max_e"),
         _r6(F.col("max_pt.value")).alias("max_v"),
+    )
+
+
+def ts_m4_downsample(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 100
+) -> DataFrame:
+    """Gate query: M4 reduction of the events table per type (see
+    ``m4_downsample`` — the core is DataFrame-parameterized so scale
+    smokes exercise the exact production code path)."""
+    return m4_downsample(
+        _events(spark, sf_dir), ["event_type"], n_buckets=n_buckets
     )
 
 

@@ -11,11 +11,17 @@ STATELESS map over micro-batches:
    benchmark's set bit positions (≤ ``m_bits`` 64-bit ints; the same
    ``h60(i + ':' + gram) mod m`` math as the batch operator, so the
    two paths flag identical grams);
-2. the positions ship to executors once via a Spark broadcast;
+2. the positions pack into an m_bits/8-byte BITMAP and ship to
+   executors once via a Spark broadcast (512 KB at m = 2²² — a
+   Python set of int positions would cost ~100 bytes/entry per
+   executor, forfeiting the bounded-size guarantee the Bloom design
+   exists for);
 3. ``stream_contamination_flags`` maps each micro-batch through an
    Arrow-batched ``mapInPandas`` that shingles the text in Python
    (identical word-n-gram + md5-h60 math) and counts grams whose k
-   positions are ALL present.
+   positions are ALL present.  Docs with no n-grams (shorter than n
+   words, or null text) emit NO row — exactly the batch operator's
+   output, so the differential test can assert strict equality.
 
 No state store is involved — contamination of a doc depends only on
 the doc and the (static) benchmark — so throughput scales with
@@ -54,7 +60,9 @@ def _h60_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def _grams(text: str, n: int) -> set[str]:
+def _grams(text, n: int) -> set[str]:
+    if not text:  # null text -> no grams (mirrors F.split on NULL)
+        return set()
     words = text.split(" ")
     return {
         " ".join(words[i : i + n]) for i in range(max(0, len(words) - n + 1))
@@ -107,19 +115,28 @@ def stream_contamination_flags(
     Stateless — works identically on a batch DataFrame, which is how
     the differential test pins it against the batch operator."""
     spark = stream.sparkSession
-    bc = spark.sparkContext.broadcast(frozenset(bloom_bits))
+    bitmap = bytearray((m_bits + 7) // 8)
+    for pos in bloom_bits:
+        bitmap[pos >> 3] |= 1 << (pos & 7)
+    bc = spark.sparkContext.broadcast(bytes(bitmap))
 
     def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = bc.value
+
+        def _set(pos: int) -> bool:
+            return bool((bits[pos >> 3] >> (pos & 7)) & 1)
+
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 grams = _grams(text, n)
+                if not grams:
+                    continue  # batch parity: gram-less docs emit no row
                 flagged = sum(
                     1
                     for g in grams
                     if all(
-                        _h60_py(f"{i}:{g}") % m_bits in bits
+                        _set(_h60_py(f"{i}:{g}") % m_bits)
                         for i in range(k)
                     )
                 )

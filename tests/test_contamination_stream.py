@@ -96,3 +96,32 @@ def test_stream_catches_planted_leak_across_batches(spark, tmp_path):
         for r in spark.table("contam").collect()
     }
     assert got == {10: False, 11: True, 12: False}
+
+
+def test_stream_skips_gramless_and_null_docs(spark):
+    from meteaudata_spark.streaming.contamination_stream import (
+        build_bloom_bits,
+        stream_contamination_flags,
+    )
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")],
+            columns=["doc_id", "text"],
+        )
+    )
+    bits = build_bloom_bits(bench)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (10, "too short"),          # < 5 words: no grams
+                (11, None),                 # null text: no grams, no crash
+                (12, "prefix alpha beta gamma delta epsilon suffix"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {r["doc_id"]: r for r in stream_contamination_flags(corpus, bits).collect()}
+    # batch parity: gram-less docs are absent, not emitted as zero rows
+    assert set(got) == {12}
+    assert got[12]["contaminated"]

@@ -567,3 +567,18 @@ def test_url_stats_counts_planted_urls(spark):
     ).count()
     assert sum(out[d]["n_urls"] for d in sites) == n_docs
     assert sum(out[d]["n_urls"] for d in refs) == n_docs
+
+
+def test_hist_quantiles_ignores_null_values(spark):
+    from meteaudata_spark.ext.sketches import hist_quantiles
+
+    d = spark.range(100).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("v"),
+    )
+    # 50 non-null values 0,2,...,98 + 50 nulls: quantiles must be
+    # computed over the non-nulls only (nulls formerly inflated every
+    # cumulative count via the NULLS FIRST window)
+    out = {r["q"]: r["est"] for r in hist_quantiles(d, "v", ["g"]).collect()}
+    assert abs(out[0.5] - 48) <= 2.0, out
+    assert abs(out[0.9] - 88) <= 2.0, out

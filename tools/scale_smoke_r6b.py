@@ -163,8 +163,7 @@ def smoke_ivfpq(spark, n_vec=1_000_000):
 
 
 def smoke_m4(spark, n_rows=100_000_000, n_keys=1000):
-    from meteaudata_spark.ext.timeseries_queries import _r6
-    from meteaudata_spark.functions.epoch import epoch_seconds
+    from meteaudata_spark.ext.timeseries_queries import m4_downsample
 
     ev = spark.range(n_rows).select(
         F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias(
@@ -177,22 +176,8 @@ def smoke_m4(spark, n_rows=100_000_000, n_keys=1000):
     )
 
     def run():
-        e_us = (epoch_seconds(F.col("ts")) * 1000000).cast("bigint")
-        base = ev.select("event_type", e_us.alias("e"), "value")
-        bounds = base.groupBy("event_type").agg(
-            F.min("e").alias("lo"), F.max("e").alias("hi")
-        )
-        bucketed = base.join(F.broadcast(bounds), "event_type").withColumn(
-            "bucket",
-            F.expr("CAST((e - lo) * 100 AS BIGINT) div (hi - lo + 1)"),
-        )
-        agg = bucketed.groupBy("event_type", "bucket").agg(
-            F.min(F.struct("e", "value")).alias("first_pt"),
-            F.max(F.struct("e", "value")).alias("last_pt"),
-            F.min(F.struct("value", "e")).alias("min_pt"),
-            F.max(F.struct("value", "e")).alias("max_pt"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+        # the REAL operator (not a re-implementation): drift-proof
+        agg = m4_downsample(ev, ["event_type"])
         n_out = agg.count()
         total = agg.agg(F.sum("n_rows")).collect()[0][0]
         assert total == n_rows
