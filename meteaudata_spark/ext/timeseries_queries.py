@@ -1280,6 +1280,12 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded residuals (a types-sized aggregate, broadcast back), flag
     |residual| outside 3·IQR.  Returns only flagged buckets — the
     actionable output — plus the fence values for context.
+
+    Scale note: exact ``percentile`` buffers each group's values;
+    fine here (fences aggregate hourly buckets, not raw events), but
+    a deployment fencing RAW 100 TB streams should derive Q1/Q3 from
+    ``sketches.hist_quantiles`` (mergeable, constant memory) or
+    ``approx_percentile`` instead.
     """
     dec = ts_seasonal_decompose(spark, sf_dir)
     dec = cache_intermediate(dec)
