@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_stats": textstats.doc_url_stats,  # NEW: URL extraction + domain ranking
         # --- (3) rotation slice of the recently-verified remainder ---
         # ---------------- past the 50-cap from here ----------------
+        # (added after the cap filled; first in line for the round-7
+        # rotation — all green on the local gate replica at sf0.01)
+        "doc_gopher_rules": textstats.doc_gopher_rules,  # NEW: full Gopher quality rule-set
+        "doc_chunk_text": corpus_ops.doc_chunk_text,  # NEW: overlapping RAG chunking
+        "emb_semdedup": simsearch.emb_semdedup,  # NEW: cluster-bounded semantic dedup
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -249,4 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_seasonal_anomaly": tsq.TS_SEASONAL_ANOMALY_SQL,
         "ts_m4_downsample": tsq.TS_M4_SQL,
         "doc_url_stats": textstats.DOC_URL_STATS_SQL,
+        "doc_gopher_rules": textstats.DOC_GOPHER_RULES_SQL,
+        "doc_chunk_text": corpus_ops.DOC_CHUNK_TEXT_SQL,
+        "emb_semdedup": simsearch.EMB_SEMDEDUP_SQL,
     }

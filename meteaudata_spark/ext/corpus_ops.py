@@ -590,3 +590,78 @@ FROM documents d LEFT JOIN thresh t ON t.lang = d.lang
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+
+# ----------------------------------------------------------------------
+# RAG / context-window chunking
+# ----------------------------------------------------------------------
+def chunk_text(
+    df: DataFrame,
+    window: int = 40,
+    stride: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-width word windows —
+    the retrieval / context-window chunking step (RAG indexing, long-doc
+    training-example construction).  Chunk ``i`` covers words
+    ``[i*stride, i*stride + window)``; the last chunk may be short; a
+    doc shorter than one window yields exactly one chunk.
+
+    Pure built-in array expressions (split → sequence → explode →
+    slice/array_join): a narrow per-row flatMap with NO shuffle — the
+    output inherits the input partitioning, so at 100 TB this is a
+    map-only stage whose cost is proportional to the chunk fan-out.
+    Returns (id, chunk_id, n_chunk_words, chunk_text).
+    Reference analog: none (pure [EXT]).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_words = F.size(words)
+    # ceil((n - window) / stride) extra chunks beyond the first
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n_words - F.lit(window), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+    ).cast("int")
+    chunked = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, window)
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_words"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def doc_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 40-word windows with stride 30 (10-word overlap)."""
+    return chunk_text(_docs(spark, sf_dir), window=40, stride=30)
+
+
+DOC_CHUNK_TEXT_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(COALESCE(text, ''), ' ') AS words,
+         LEN(string_split(COALESCE(text, ''), ' ')) AS n_words
+  FROM documents
+),
+spread AS (
+  SELECT doc_id, words,
+         UNNEST(range(0, 1 + CAST(FLOOR((GREATEST(n_words - 40, 0) + 29) / 30.0) AS BIGINT))) AS chunk_id
+  FROM base
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(LEN(list_slice(words, chunk_id * 30 + 1, chunk_id * 30 + 40)) AS BIGINT) AS n_chunk_words,
+       array_to_string(list_slice(words, chunk_id * 30 + 1, chunk_id * 30 + 40), ' ') AS chunk_text
+FROM spread
+ORDER BY doc_id, chunk_id
+"""

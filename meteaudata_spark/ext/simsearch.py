@@ -1534,3 +1534,138 @@ SELECT query_id, vec_id, approx_sqdist, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
+
+
+# ----------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic deduplication
+# ----------------------------------------------------------------------
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = _IVFPQ_COARSE,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup where the
+    quadratic pair search is BOUNDED to k-means clusters — assign every
+    vector to its nearest centroid, then compare only within-cluster
+    pairs.  A vector is dropped when a lower-id vector in its cluster
+    has cosine ≥ ``threshold``; returns one row per dropped vector:
+    (drop_id, keep_id = lowest such neighbor, centroid_id, n_matches,
+    max_cos).
+
+    Scale shape: assignment is map-only (centroid array rides in a
+    1-row broadcast, argmin over exact 2²⁰-quantized bigint L2 — no
+    float ties); the self-join shuffles on centroid_id only, so the
+    all-pairs cost is Σ|cluster|², never n² — exactly the SemDeDup
+    trick.  Cosine verification reuses the double-precision dot both
+    engines evaluate identically.  Skew note: a degenerate corpus that
+    collapses into one cluster degrades to the quadratic case; cap
+    cluster size upstream (split hot centroids) for adversarial inputs.
+
+    Centroids are the fixed deterministic sample (vec_id 100..115, the
+    same convention as IVF/IVF-PQ) so the gate is reproducible; real
+    deployments pass refined centroids from ``kmeans_refine``.
+    Reference analog: none (pure [EXT]).
+    """
+    q = emb.select("vec_id", "embedding", _q64("embedding").alias("qe"))
+    cb_arr = (
+        q.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_clusters))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("qe").alias("ce"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("centroid_id"), F.col("ce")))
+            ).alias("cb")
+        )
+    )
+    cdist = _PQ_SQDIST.format(a="qe", b="c.ce")
+    nearest = F.expr(
+        f"array_min(transform(cb, c -> struct({cdist} AS cd, c.centroid_id AS centroid_id)))"
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cb_arr))
+        .select(
+            "vec_id",
+            "embedding",
+            nearest.getField("centroid_id").alias("centroid_id"),
+            F.expr(_norm_expr("embedding")).alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("keep_cand"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("keep_cand") < F.col("drop_id"))
+        .select("centroid_id", "keep_cand", "drop_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.groupBy("drop_id", "centroid_id").agg(
+        F.min("keep_cand").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("cosine").alias("max_cos"),
+    ).select("drop_id", "keep_id", "centroid_id", "n_matches", "max_cos")
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: cluster-bounded semantic dedup at cosine ≥ 0.4."""
+    return semdedup(_emb(spark, sf_dir))
+
+
+def _semdedup_sql(threshold: float = 0.4, n_clusters: int = _IVFPQ_COARSE) -> str:
+    sqd = (
+        "list_aggregate(list_transform(generate_series(1, LEN(a.qe)), "
+        "i -> (a.qe[i] - c.ce[i]) * (a.qe[i] - c.ce[i])), 'sum')"
+    )
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, LEN(x.embedding)), "
+        "i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({e}, v -> "
+        "CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS qe
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, qe AS ce FROM q
+  WHERE vec_id >= 100 AND vec_id < {100 + n_clusters}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT a.vec_id, a.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {sqd}, c.centroid_id) AS rn
+    FROM q a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.centroid_id, x.vec_id AS keep_cand, y.vec_id AS drop_id,
+         ROUND({dot} / ({nrm.format(e='x.embedding')} * {nrm.format(e='y.embedding')}), 6) AS cosine
+  FROM assigned x JOIN assigned y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+)
+SELECT drop_id, MIN(keep_cand) AS keep_id, centroid_id,
+       COUNT(*) AS n_matches, MAX(cosine) AS max_cos
+FROM pairs
+WHERE cosine >= {threshold}
+GROUP BY drop_id, centroid_id
+ORDER BY drop_id
+"""
+
+
+EMB_SEMDEDUP_SQL = _semdedup_sql()

@@ -664,3 +664,160 @@ FROM urls
 GROUP BY domain
 ORDER BY domain
 """
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality rule-set (Rae et al. 2021, §A1.1) as a
+    per-document flag table: word-count band, mean-word-length band,
+    symbol-to-word ratio, bullet-line / ellipsis-line shares,
+    alphabetic-word share, and stopword presence, plus the combined
+    ``keep`` verdict.  This is the standard cheap pre-filter stage of
+    an LLM data pipeline (reference analog: none — pure [EXT]).
+
+    The synthetic corpus has no newlines or ellipses, so the gate
+    decorates a deterministic subset of docs with bullet / ellipsis
+    lines (same policy as ``doc_pii_scrub`` / ``doc_url_stats``) —
+    the rule arithmetic both engines run is real.  Everything is
+    built-in array/lambda expressions (JVM-side, no UDF): one narrow
+    projection, no shuffle — embarrassingly parallel at 100 TB.
+    """
+    d = _docs(spark, sf_dir)
+    decorated = d.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n- alpha bullet\n- beta bullet\n- gamma bullet"),
+            ),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(F.col("text"), F.lit("\nto be continued...\nmore soon...")),
+        )
+        .otherwise(F.col("text")),
+    )
+    words = F.split(F.col("text"), " ")
+    # newlines stay attached to words under a space-only split; strip
+    # them from the word view so word metrics match the line view
+    flat_words = F.split(F.regexp_replace(F.col("text"), "\n", " "), " ")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(flat_words).cast("double")
+    n_lines = F.size(lines).cast("double")
+    mean_wl = (
+        F.aggregate(
+            flat_words, F.lit(0).cast("double"), lambda a, w: a + F.length(w)
+        )
+        / n_words
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    frac_bullet = (
+        F.size(F.filter(lines, lambda l: l.startswith("- "))).cast("double") / n_lines
+    )
+    frac_ellipsis = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double") / n_lines
+    )
+    frac_alpha = (
+        F.size(F.filter(flat_words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(flat_words),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_symbol_ratio": symbol_ratio < 0.1,
+        "ok_bullet_lines": frac_bullet <= 0.9,
+        "ok_ellipsis_lines": frac_ellipsis <= 0.3,
+        "ok_alpha_words": frac_alpha >= 0.8,
+        "ok_stopwords": n_stop >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return decorated.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(frac_bullet, 6).alias("frac_bullet_lines"),
+        F.round(frac_ellipsis, 6).alias("frac_ellipsis_lines"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+DOC_GOPHER_RULES_SQL = """
+WITH decorated AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN text || chr(10) || '- alpha bullet' || chr(10) || '- beta bullet' || chr(10) || '- gamma bullet'
+           WHEN doc_id % 5 = 0 THEN text || chr(10) || 'to be continued...' || chr(10) || 'more soon...'
+           ELSE text
+         END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         string_split(replace(text, chr(10), ' '), ' ') AS flat_words,
+         string_split(text, chr(10)) AS lines
+  FROM decorated
+),
+t AS (
+  SELECT doc_id,
+         CAST(LEN(flat_words) AS DOUBLE) AS n_words,
+         CAST(LEN(lines) AS DOUBLE) AS n_lines,
+         list_aggregate(list_transform(flat_words, w -> CAST(LENGTH(w) AS DOUBLE)), 'sum')
+           / CAST(LEN(flat_words) AS DOUBLE) AS mean_wl,
+         (LENGTH(text) - LENGTH(replace(text, '#', ''))
+          + (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3.0)
+           / CAST(LEN(flat_words) AS DOUBLE) AS symbol_ratio,
+         CAST(LEN(list_filter(lines, l -> l LIKE '- %')) AS DOUBLE)
+           / CAST(LEN(lines) AS DOUBLE) AS frac_bullet,
+         CAST(LEN(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+           / CAST(LEN(lines) AS DOUBLE) AS frac_ellipsis,
+         CAST(LEN(list_filter(flat_words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+           / CAST(LEN(flat_words) AS DOUBLE) AS frac_alpha,
+         LEN(list_intersect(list_distinct(flat_words),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_wl, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(frac_bullet, 6) AS frac_bullet_lines,
+       ROUND(frac_ellipsis, 6) AS frac_ellipsis_lines,
+       ROUND(frac_alpha, 6) AS frac_alpha_words,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+       (symbol_ratio < 0.1) AS ok_symbol_ratio,
+       (frac_bullet <= 0.9) AS ok_bullet_lines,
+       (frac_ellipsis <= 0.3) AS ok_ellipsis_lines,
+       (frac_alpha >= 0.8) AS ok_alpha_words,
+       (n_stop >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (symbol_ratio < 0.1)
+        AND (frac_bullet <= 0.9)
+        AND (frac_ellipsis <= 0.3)
+        AND (frac_alpha >= 0.8)
+        AND (n_stop >= 2)) AS keep
+FROM t
+ORDER BY doc_id
+"""

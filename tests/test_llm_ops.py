@@ -582,3 +582,169 @@ def test_hist_quantiles_ignores_null_values(spark):
     out = {r["q"]: r["est"] for r in hist_quantiles(d, "v", ["g"]).collect()}
     assert abs(out[0.5] - 48) <= 2.0, out
     assert abs(out[0.9] - 88) <= 2.0, out
+
+
+# ----------------------------------------------------------------------
+# RAG chunking
+# ----------------------------------------------------------------------
+def test_chunk_text_windows_and_overlap(spark):
+    words = [f"w{i}" for i in range(10)]
+    d = _docs_df(spark, [" ".join(words)])
+    out = (
+        C.chunk_text(d, window=4, stride=3)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # n=10, W=4, S=3 -> 1 + ceil(6/3) = 3 chunks
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert out[2]["chunk_text"] == "w6 w7 w8 w9"
+    assert [r["n_chunk_words"] for r in out] == [4, 4, 4]
+
+
+def test_chunk_text_short_doc_single_chunk_and_ragged_tail(spark):
+    d = _docs_df(spark, ["a b", " ".join(f"w{i}" for i in range(5))])
+    rows = C.chunk_text(d, window=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk_text"] == "a b"
+    # n=5 -> 2 chunks, the second is the ragged 2-word tail
+    tails = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_words"] for r in tails] == [4, 2]
+    assert tails[1]["chunk_text"] == "w3 w4"
+
+
+def test_chunk_text_covers_every_word(spark):
+    texts = [" ".join(f"d{j}w{i}" for i in range(n)) for j, n in enumerate([1, 7, 40, 93])]
+    d = _docs_df(spark, texts)
+    rows = C.chunk_text(d, window=16, stride=11).collect()
+    covered = {w for r in rows for w in r["chunk_text"].split(" ")}
+    expected = {w for t in texts for w in t.split(" ")}
+    assert covered == expected
+
+
+def test_chunk_text_rejects_bad_knobs(spark):
+    d = _docs_df(spark, ["a b c"])
+    with pytest.raises(ValueError):
+        C.chunk_text(d, window=0)
+    with pytest.raises(ValueError):
+        C.chunk_text(d, stride=-1)
+
+
+# ----------------------------------------------------------------------
+# Gopher rule-set
+# ----------------------------------------------------------------------
+def test_gopher_rules_flags(spark, tmp_path):
+    from meteaudata_spark.ext import textstats as T
+
+    good = " ".join(
+        ["the", "and"] + [f"wordy{i}" for i in range(58)]
+    )  # 60 alpha words, 2 stopwords, mean len in band
+    short = "tiny doc here"  # fails word-count band
+    numeric = " ".join(["the", "and"] + ["12345"] * 58)  # alpha share 2/60
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],  # ids avoid the %5/%7 decoration branches
+            "text": [good, short, numeric],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(good), len(short), len(numeric)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in T.doc_gopher_rules(spark, str(tmp_path)).collect()}
+    assert out[1]["keep"] is True and out[1]["n_stopwords"] == 2
+    assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
+    assert out[3]["ok_alpha_words"] is False
+    assert abs(out[3]["frac_alpha_words"] - 2 / 60) < 1e-6
+
+
+def test_gopher_rules_line_decorations(spark, tmp_path):
+    from meteaudata_spark.ext import textstats as T
+
+    base = " ".join(f"w{i}" for i in range(50))
+    pd.DataFrame(
+        {
+            "doc_id": [7, 10],  # %7 -> bullets, %5 -> ellipsis lines
+            "text": [base, base],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [len(base)] * 2,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in T.doc_gopher_rules(spark, str(tmp_path)).collect()}
+    assert abs(out[7]["frac_bullet_lines"] - 3 / 4) < 1e-6
+    assert out[7]["frac_ellipsis_lines"] == 0.0
+    assert abs(out[10]["frac_ellipsis_lines"] - 2 / 3) < 1e-6
+    assert out[10]["ok_ellipsis_lines"] is False  # 2/3 > 0.3
+
+
+# ----------------------------------------------------------------------
+# SemDeDup
+# ----------------------------------------------------------------------
+def test_semdedup_matches_brute_force_within_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n, dim, thr = 140, 64, 0.2
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[137] = vecs[3]  # planted exact dup, likely same cluster
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": [v.tolist() for v in vecs], "label": 0}
+        )
+    )
+    out = {r["drop_id"]: r for r in SS.semdedup(d, threshold=thr).collect()}
+
+    # brute-force replica: integer-quantized assignment + pairwise cosine
+    q = np.round(vecs.astype(np.float64) * (2**20)).astype(np.int64)
+    cent_ids = list(range(100, 116))
+    dists = ((q[:, None, :] - q[None, cent_ids, :]) ** 2).sum(axis=2)
+    assign = dists.argmin(axis=1)  # ties break to lower centroid via argmin
+    nrm = np.sqrt((vecs.astype(np.float64) ** 2).sum(axis=1))
+    expected = {}
+    for b in range(n):
+        keeps = [
+            a
+            for a in range(b)
+            if assign[a] == assign[b]
+            and round(float(vecs[a].astype(np.float64) @ vecs[b].astype(np.float64)) / (nrm[a] * nrm[b]), 6) >= thr
+        ]
+        if keeps:
+            expected[b] = min(keeps)
+    assert {k: v["keep_id"] for k, v in out.items()} == expected
+    assert 137 in expected  # the planted dup was actually exercised
+
+
+def test_semdedup_never_compares_across_clusters(spark):
+    import numpy as np
+
+    # two orthogonal bundles, each glued to its own centroid; cross-pairs
+    # have cosine 0 anyway, but the assertion is on pair provenance
+    rng = np.random.default_rng(7)
+    base_a = np.zeros(64, np.float32); base_a[0] = 1.0
+    base_b = np.zeros(64, np.float32); base_b[1] = 1.0
+    rows = []
+    for i in range(100):
+        rows.append((i, (base_a if i % 2 == 0 else base_b) + 0.001 * rng.normal(size=64).astype(np.float32)))
+    for cid in range(100, 116):
+        if cid == 100:
+            v = base_a
+        elif cid == 101:
+            v = base_b
+        else:
+            # park the other 14 centroids far away so no corpus vector
+            # can land on them
+            v = np.zeros(64, np.float32)
+            v[cid - 100] = 5.0
+        rows.append((cid, v + 0.001 * rng.normal(size=64).astype(np.float32)))
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows], "embedding": [np.asarray(r[1], np.float32).tolist() for r in rows], "label": 0}
+        )
+    )
+    out = SS.semdedup(d, threshold=0.9).collect()
+    assert len(out) > 0
+    cents = {r["centroid_id"] for r in out}
+    assert cents <= {100, 101}  # bundle A -> 100, bundle B -> its nearest B-centroid
