@@ -294,10 +294,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_payload(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: real PPM / WAV parsers above, the
-    deterministic FAKE codec for plumbing tests, and a clear
-    ``NotImplementedError`` for formats that need external decode
-    libraries this container doesn't ship (JPEG/MP4/...)."""
+    """Dispatch on magic bytes: real PPM / PNG / JPEG / WAV / MP4
+    parsers, the deterministic FAKE codec for plumbing tests, and a
+    clear ``NotImplementedError`` for bitstreams that need external
+    decoder libraries this container doesn't ship (H.264/H.265)."""
     if payload.startswith(FAKE_MAGIC):
         return np.frombuffer(payload[len(FAKE_MAGIC):], dtype=np.uint8)
     if payload.startswith(b"P6"):
@@ -310,10 +310,15 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload).reshape(-1)
     if payload[:4] == b"RIFF":
         return decode_audio(payload)[0]
+    if payload[4:8] == b"ftyp":
+        from meteaudata_spark.ext.mp4 import decode_mp4
+
+        frames, _fps = decode_mp4(payload)
+        return np.concatenate([f.reshape(-1) for f in frames])
     raise NotImplementedError(
-        "No decoder for this format: video containers (MP4/AVI) need "
+        "No decoder for this format: H.264/H.265 bitstreams need "
         "external libs this environment doesn't ship; PPM/PNG/JPEG/WAV/"
-        "FAKE payloads are the decodable formats."
+        "MJPEG-AVI/MJPEG-MP4/FAKE payloads are the decodable formats."
     )
 
 
@@ -414,11 +419,12 @@ def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampler: one output row per kept frame per video asset
     (the 1→N explode shape of frame extraction).
 
-    RIFF/AVI payloads go through the REAL container parser
-    (``ext/avi.py`` — MJPEG or DIB frames) and each kept frame is
-    re-emitted as a standalone baseline JPEG, decodable by
-    ``_decode_payload`` downstream.  FAKE-codec payloads keep the stub
-    slicing path so plumbing tests stay cheap."""
+    RIFF/AVI and ISO-BMFF/MP4 payloads go through the REAL container
+    parsers (``ext/avi.py`` — MJPEG or DIB frames; ``ext/mp4.py`` —
+    MJPEG sample tables) and each kept frame is re-emitted as a
+    standalone baseline JPEG, decodable by ``_decode_payload``
+    downstream.  FAKE-codec payloads keep the stub slicing path so
+    plumbing tests stay cheap."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -437,8 +443,15 @@ def sample_video_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
                 if row["modality"] != "video":
                     continue
                 payload = bytes(row["payload"])
+                container = None
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    frames, _fps = avimod.decode_avi(payload)
+                    container = avimod.decode_avi
+                elif payload[4:8] == b"ftyp":
+                    from meteaudata_spark.ext import mp4 as mp4mod
+
+                    container = mp4mod.decode_mp4
+                if container is not None:
+                    frames, _fps = container(payload)
                     for f in range(0, len(frames), every_n):
                         rows["asset_id"].append(row["asset_id"])
                         rows["frame_no"].append(f)

@@ -44,8 +44,15 @@ def test_video_frame_sampling(spark, assets):
 
 
 def test_undecodable_format_raises(spark):
+    # unknown magic (gzip) -> explicit NotImplementedError
     with pytest.raises(NotImplementedError):
-        multimodal._decode_payload(b"\x00\x00\x00\x18ftypmp42")  # MP4
+        multimodal._decode_payload(b"\x1f\x8b\x08\x00unknown-format")
+    # MP4 now routes to the real ISO BMFF parser: a bare truncated
+    # header is a malformed container, not an unsupported format
+    with pytest.raises(ValueError):
+        multimodal._decode_payload(b"\x00\x00\x00\x18ftypmp42")
+    # ... and an H.264 sample entry inside a well-formed container is
+    # the unsupported-bitstream case (exercised in tests/test_mp4.py)
 
 
 def test_ppm_round_trip():
