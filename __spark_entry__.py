@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": textstats.doc_gopher_rules,  # NEW: full Gopher quality rule-set
         "doc_chunk_text": corpus_ops.doc_chunk_text,  # NEW: overlapping RAG chunking
         "emb_semdedup": simsearch.emb_semdedup,  # NEW: cluster-bounded semantic dedup
+        "ts_autocorr": tsq.ts_autocorr,  # NEW: per-type ACF over bucket means
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -257,4 +258,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_rules": textstats.DOC_GOPHER_RULES_SQL,
         "doc_chunk_text": corpus_ops.DOC_CHUNK_TEXT_SQL,
         "emb_semdedup": simsearch.EMB_SEMDEDUP_SQL,
+        "ts_autocorr": tsq.TS_AUTOCORR_SQL,
     }

@@ -1539,10 +1539,58 @@ ORDER BY query_id, rank
 # ----------------------------------------------------------------------
 # SemDeDup: cluster-bounded semantic deduplication
 # ----------------------------------------------------------------------
+def _l2_assign_fast(q: DataFrame, centroids: list) -> DataFrame:
+    """Arrow-matmul nearest-centroid assignment on 2²⁰-quantized
+    bigint vectors — BIT-EXACT equal to the SQL fold argmin, because
+    every partial sum is an integer below 2⁵³ (float64 addition of
+    such integers is exact in any order), and ``np.argmin`` keeps the
+    first (= lowest, list pre-sorted) centroid id on ties.
+
+    ``q`` needs (vec_id, embedding, qe); ``centroids`` is a list of
+    (centroid_id, qe) rows, small enough to ride in the task closure.
+    Returns (vec_id, embedding, centroid_id) at ~1M vecs/s vs ~1k
+    vecs/s for the interpreted per-element fold."""
+    import numpy as np
+    import pyarrow as pa
+
+    centroids = sorted(centroids, key=lambda c: c[0])
+    ids = np.array([c[0] for c in centroids], dtype=np.int64)
+    cm = np.array([c[1] for c in centroids], dtype=np.float64)
+    c_sq = (cm * cm).sum(axis=1)
+    dim = cm.shape[1]
+
+    def assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qe = batch.column(batch.schema.get_field_index("qe"))
+            x = np.asarray(qe.flatten(), dtype=np.float64).reshape(n, dim)
+            # |x−c|² = |x|² − 2x·c + |c|²; all terms exact integers
+            dists = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cm.T) + c_sq
+            best = dists.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    batch.column(batch.schema.get_field_index("embedding")),
+                    pa.array(ids[best], pa.int64()),
+                ],
+                names=["vec_id", "embedding", "centroid_id"],
+            )
+
+    emb_type = {f.name: f.dataType.simpleString() for f in q.schema.fields}[
+        "embedding"
+    ]
+    return q.select("vec_id", "embedding", "qe").mapInArrow(
+        assign, f"vec_id BIGINT, embedding {emb_type}, centroid_id BIGINT"
+    )
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.4,
     n_clusters: int = _IVFPQ_COARSE,
+    fast_assign: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup where the
     quadratic pair search is BOUNDED to k-means clusters — assign every
@@ -1567,29 +1615,45 @@ def semdedup(
     Reference analog: none (pure [EXT]).
     """
     q = emb.select("vec_id", "embedding", _q64("embedding").alias("qe"))
-    cb_arr = (
-        q.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_clusters))
-        .select(F.col("vec_id").alias("centroid_id"), F.col("qe").alias("ce"))
-        .groupBy()
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("centroid_id"), F.col("ce")))
-            ).alias("cb")
+    if fast_assign:
+        # tiny driver collect (≤ n_clusters rows) — the same legitimate
+        # broadcast boundary as ivfpq_search's probe resolution
+        cent_rows = (
+            q.filter(
+                (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_clusters)
+            )
+            .select("vec_id", "qe")
+            .collect()
         )
-    )
-    cdist = _PQ_SQDIST.format(a="qe", b="c.ce")
-    nearest = F.expr(
-        f"array_min(transform(cb, c -> struct({cdist} AS cd, c.centroid_id AS centroid_id)))"
-    )
-    assigned = (
-        q.crossJoin(F.broadcast(cb_arr))
-        .select(
-            "vec_id",
-            "embedding",
-            nearest.getField("centroid_id").alias("centroid_id"),
-            F.expr(_norm_expr("embedding")).alias("nrm"),
+        assigned = _l2_assign_fast(
+            q, [(r["vec_id"], r["qe"]) for r in cent_rows]
+        ).withColumn("nrm", F.expr(_norm_expr("embedding")))
+    else:
+        cb_arr = (
+            q.filter(
+                (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_clusters)
+            )
+            .select(F.col("vec_id").alias("centroid_id"), F.col("qe").alias("ce"))
+            .groupBy()
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("centroid_id"), F.col("ce")))
+                ).alias("cb")
+            )
         )
-    )
+        cdist = _PQ_SQDIST.format(a="qe", b="c.ce")
+        nearest = F.expr(
+            f"array_min(transform(cb, c -> struct({cdist} AS cd, c.centroid_id AS centroid_id)))"
+        )
+        assigned = (
+            q.crossJoin(F.broadcast(cb_arr))
+            .select(
+                "vec_id",
+                "embedding",
+                nearest.getField("centroid_id").alias("centroid_id"),
+                F.expr(_norm_expr("embedding")).alias("nrm"),
+            )
+        )
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("keep_cand"),

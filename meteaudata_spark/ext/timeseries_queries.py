@@ -1432,3 +1432,97 @@ FROM ranked
 GROUP BY event_type, bucket, n_rows
 ORDER BY event_type, bucket
 """
+
+
+def ts_autocorr(spark: SparkSession, sf_dir: str, max_lag: int = 6) -> DataFrame:
+    """Autocorrelation function per event type: Pearson r between the
+    5-minute bucket-mean series and itself shifted by 1..max_lag
+    buckets — the standard seasonality/periodicity probe that feeds
+    lag selection for forecasting and anomaly models.
+
+    Same numeric hardening as ``ts_cross_corr``: values are centered
+    by a per-type ROUNDED mean before any multiplication, which keeps
+    the nΣxy − ΣxΣy cancellation benign so the 6-decimal rounding is
+    a stable cross-engine guard.
+
+    Plan shape: one keyed bucket aggregation, a lag explode (narrow,
+    fan-out = max_lag), then a self-join keyed on (event_type,
+    shifted bucket) and one keyed pair aggregation — every shuffle is
+    on (type, bucket), nothing quadratic, no global window.  At 100 TB
+    the bucket table is already ~5 orders smaller than the raw events.
+    """
+    ev = _events(spark, sf_dir)
+    mu = ev.groupBy("event_type").agg(_r6(F.avg("value")).alias("mu"))
+    b = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy(
+            "event_type",
+            (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+            .cast("bigint")
+            .alias("b5"),
+        )
+        .agg(F.avg(F.col("value") - F.col("mu")).alias("m"))
+    )
+    a = b.select(
+        "event_type",
+        "b5",
+        F.col("m").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    ).withColumn("b5_ahead", F.col("b5") + F.col("lag") * 300)
+    c = b.select(
+        "event_type", F.col("b5").alias("b5_ahead"), F.col("m").alias("y")
+    )
+    pairs = a.join(c, ["event_type", "b5_ahead"])
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    corr = (
+        F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.sqrt(F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        _r6(corr).alias("acf"),
+    )
+
+
+TS_AUTOCORR_SQL = """
+WITH mu AS (
+  SELECT event_type, ROUND(AVG(value) * 1000000.0) / 1000000.0 AS mu
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type, CAST(floor(epoch(e.ts) / 300) * 300 AS BIGINT) AS b5,
+         AVG(e.value - mu.mu) AS m
+  FROM events e JOIN mu USING (event_type)
+  GROUP BY 1, 2
+),
+lags AS (SELECT UNNEST(range(1, 7)) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.m AS x, c.m AS y
+  FROM b a
+  CROSS JOIN lags l
+  JOIN b c ON c.event_type = a.event_type AND c.b5 = a.b5 + l.lag * 300
+),
+agg AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+       ROUND((n_pairs * sxy - sx * sy)
+             / (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy))
+             * 1000000.0) / 1000000.0 AS acf
+FROM agg
+ORDER BY event_type, lag
+"""

@@ -748,3 +748,45 @@ def test_semdedup_never_compares_across_clusters(spark):
     assert len(out) > 0
     cents = {r["centroid_id"] for r in out}
     assert cents <= {100, 101}  # bundle A -> 100, bundle B -> its nearest B-centroid
+
+
+# ----------------------------------------------------------------------
+# autocorrelation
+# ----------------------------------------------------------------------
+def test_autocorr_recovers_planted_period(spark, tmp_path):
+    """A 600 s-period square wave sampled every 300 s: ACF must be
+    exactly +1 at the full-period lag (2 buckets) and -1 at the
+    half-period lag (1 bucket)."""
+    import numpy as np
+
+    n = 200
+    ts = pd.date_range("2024-01-01", freq="300s", periods=n)
+    vals = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": ts,
+            "user_id": 0,
+            "event_type": "wave",
+            "value": vals,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r["lag"]: r for r in tsq.ts_autocorr(spark, str(tmp_path)).collect()}
+    assert abs(out[1]["acf"] + 1.0) < 1e-6
+    assert abs(out[2]["acf"] - 1.0) < 1e-6
+    assert abs(out[3]["acf"] + 1.0) < 1e-6
+    # pair counts shrink by one per extra lag step
+    assert out[1]["n_pairs"] == n - 1 and out[2]["n_pairs"] == n - 2
+
+
+def test_semdedup_fast_assign_equals_fold(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    fast = sorted(
+        tuple(r) for r in SS.semdedup(emb, threshold=0.3, fast_assign=True).collect()
+    )
+    fold = sorted(
+        tuple(r) for r in SS.semdedup(emb, threshold=0.3, fast_assign=False).collect()
+    )
+    assert fast == fold and len(fast) > 0
