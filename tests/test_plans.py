@@ -247,3 +247,44 @@ def test_seasonal_decompose_broadcasts_profile(spark):
     joins = inspect.join_strategies(df)
     assert "BroadcastHashJoin" in joins, joins
     assert "SortMergeJoin" not in joins, joins
+
+
+def test_gopher_rules_is_map_only(spark):
+    # the rule battery is one narrow projection: no exchanges at all
+    df = textstats.doc_gopher_rules(spark, SF)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+    cols = inspect.scan_columns(df)
+    assert "source" not in cols and "lang" not in cols
+
+
+def test_chunk_text_is_map_only(spark):
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_chunk_text(spark, SF)
+    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+    # only doc_id + text may be read
+    assert inspect.scan_columns(df) <= {"doc_id", "text"}
+
+
+def test_semdedup_shuffles_on_cluster_only(spark):
+    from meteaudata_spark.ext import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = simsearch.semdedup(emb)
+    joins = inspect.join_strategies(df)
+    # within-cluster self-join + final pair agg; nothing quadratic
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+    # assignment is the Arrow map stage: the corpus must not shuffle
+    # before the centroid_id join keys exist
+    assert inspect.exchange_count(df) <= 4, inspect.formatted_plan(df)
+
+
+def test_autocorr_no_global_window(spark):
+    df = tsq.ts_autocorr(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # every window/sort is keyed; a single-partition exchange would be
+    # the 100 TB regression
+    assert "SinglePartition" not in plan, plan
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
