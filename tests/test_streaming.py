@@ -195,3 +195,40 @@ def test_stream_interval_join_click_to_impression(spark, tmp_path):
     # click@10:05 matches impression@10:00 (within 10min); click@10:45
     # matches nothing (both impressions too old)
     assert got["ad"].tolist() == ["x"]
+
+
+def test_chunk_text_works_unchanged_on_streams(spark, tmp_path):
+    """RAG chunking is a pure narrow projection (split → sequence →
+    explode → slice), so the SAME operator runs on a streaming frame
+    with no streaming-specific code — pin that property and the
+    batch/stream row equality."""
+    from meteaudata_spark.ext.corpus_ops import chunk_text
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [" ".join(f"d{i}w{j}" for j in range(5 + (i * 7) % 90)) for i in range(40)],
+        }
+    )
+    path = str(tmp_path / "docs_src")
+    spark.createDataFrame(pdf).write.parquet(path)
+    batch_df = spark.read.parquet(path)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = chunk_text(stream, window=16, stride=11)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunks_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.table("chunks_stream").collect()
+    )
+    want = sorted(
+        tuple(r) for r in chunk_text(batch_df, window=16, stride=11).collect()
+    )
+    assert got == want and len(got) > 40
