@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_text": corpus_ops.doc_chunk_text,  # NEW: overlapping RAG chunking
         "emb_semdedup": simsearch.emb_semdedup,  # NEW: cluster-bounded semantic dedup
         "ts_autocorr": tsq.ts_autocorr,  # NEW: per-type ACF over bucket means
+        "ts_ewma": tsq.ts_ewma,  # NEW: EWMA smoothing, recursive-CTE oracle
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -259,4 +260,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk_text": corpus_ops.DOC_CHUNK_TEXT_SQL,
         "emb_semdedup": simsearch.EMB_SEMDEDUP_SQL,
         "ts_autocorr": tsq.TS_AUTOCORR_SQL,
+        "ts_ewma": tsq.TS_EWMA_SQL,
     }

@@ -1526,3 +1526,60 @@ SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
 FROM agg
 ORDER BY event_type, lag
 """
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.25) -> DataFrame:
+    """EWMA smoothing as an oracle-gated query: per-type exponential
+    moving average over the 5-minute bucket-mean series — the
+    reference's SMOOTHING operator (pandas ``ewm(adjust=False)``)
+    driven through the distributed kernel.
+
+    Determinism: bucket means are 6-decimal rounded BEFORE the
+    recurrence, and both engines then evaluate the identical float
+    expression e_t = (1−α)·e_{t−1} + α·x_t over the identical ordered
+    inputs (pandas' adjust=False inner loop is exactly this fused
+    form), so the trajectories match bit-for-bit.  α=0.25 keeps 1−α
+    exactly representable.  Plan: one keyed bucket agg, then the
+    per-key ``applyInPandas`` recurrence (parallel across types,
+    sequential within one — inherent to EWMA; the chunk+carry
+    decomposition in ``kernels.ewma_distributed`` is the
+    one-giant-series path)."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(_r6(F.avg("value")).alias("value"))
+    sm = kernels.ewma(
+        b, alpha=alpha, ts_col="b5", val_col="value",
+        partition_cols=["event_type"],
+    )
+    return sm.select(
+        "event_type", "b5", _r6(F.col("value")).alias("ewma")
+    )
+
+
+TS_EWMA_SQL = """
+WITH RECURSIVE b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         ROUND(AVG(value) * 1000000.0) / 1000000.0 AS m
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, b5, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b5) AS rn
+  FROM b
+),
+rec AS (
+  SELECT event_type, b5, m, rn, m AS e
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.b5, s.m, s.rn,
+         (1 - 0.25) * r.e + 0.25 * s.m
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, b5, ROUND(e * 1000000.0) / 1000000.0 AS ewma
+FROM rec
+ORDER BY event_type, b5
+"""
