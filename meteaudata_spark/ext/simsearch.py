@@ -1591,6 +1591,7 @@ def semdedup(
     threshold: float = 0.4,
     n_clusters: int = _IVFPQ_COARSE,
     fast_assign: bool = True,
+    exact_prededup: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup where the
     quadratic pair search is BOUNDED to k-means clusters — assign every
@@ -1605,9 +1606,14 @@ def semdedup(
     float ties); the self-join shuffles on centroid_id only, so the
     all-pairs cost is Σ|cluster|², never n² — exactly the SemDeDup
     trick.  Cosine verification reuses the double-precision dot both
-    engines evaluate identically.  Skew note: a degenerate corpus that
-    collapses into one cluster degrades to the quadratic case; cap
-    cluster size upstream (split hot centroids) for adversarial inputs.
+    engines evaluate identically.  Skew note: ``exact_prededup=True``
+    collapses exact-duplicate mass linearly (one representative per
+    distinct vector) before the quadratic stage — the adversarial
+    all-identical corpus then costs O(n) instead of O(n²) with the
+    same drop/keep sets; remaining hot clusters of DISTINCT vectors
+    are the algorithm's real work (raise ``n_clusters``).  The gate
+    runs ``exact_prededup=False`` so the oracle replays plain
+    semantics.
 
     Centroids are the fixed deterministic sample (vec_id 100..115, the
     same convention as IVF/IVF-PQ) so the gate is reproducible; real
@@ -1654,6 +1660,33 @@ def semdedup(
                 F.expr(_norm_expr("embedding")).alias("nrm"),
             )
         )
+    member_drops = None
+    if exact_prededup:
+        # SKEW HARDENING: collapse exact-duplicate mass LINEARLY before
+        # the quadratic stage.  A corpus of N identical vectors would
+        # otherwise put all N rows into one cluster and the pair join
+        # would do N²/2 work; grouping by the vector itself keeps one
+        # representative (lowest id) per distinct vector, so the pair
+        # stage sees each distinct vector once.  Drop/keep SETS are
+        # unchanged (identical vectors are ≥ any τ of each other by
+        # definition); per-row n_matches/max_cos diagnostics refer to
+        # the collapsed graph.
+        w_rep = Window.partitionBy("centroid_id", "embedding")
+        tagged = assigned.withColumn("rep_id", F.min("vec_id").over(w_rep))
+        member_drops = (
+            tagged.filter(F.col("vec_id") != F.col("rep_id"))
+            .groupBy(
+                F.col("vec_id").alias("drop_id"),
+                "centroid_id",
+                F.col("rep_id").alias("keep_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_matches"),  # always 1
+                F.lit(1.0).alias("max_cos"),
+            )
+            .select("drop_id", "keep_id", "centroid_id", "n_matches", "max_cos")
+        )
+        assigned = tagged.filter(F.col("vec_id") == F.col("rep_id")).drop("rep_id")
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("keep_cand"),
@@ -1675,11 +1708,14 @@ def semdedup(
         .select("centroid_id", "keep_cand", "drop_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs.groupBy("drop_id", "centroid_id").agg(
+    out = pairs.groupBy("drop_id", "centroid_id").agg(
         F.min("keep_cand").alias("keep_id"),
         F.count(F.lit(1)).alias("n_matches"),
         F.max("cosine").alias("max_cos"),
     ).select("drop_id", "keep_id", "centroid_id", "n_matches", "max_cos")
+    if member_drops is not None:
+        out = out.unionByName(member_drops)
+    return out
 
 
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

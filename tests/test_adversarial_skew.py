@@ -70,3 +70,56 @@ def test_segment_dedup_survives_identical_corpus(spark):
     assert agg["docs"] == n
     assert agg["kept"] == 2  # only doc 0's two segments survive
     assert dt < BUDGET_S, f"hot-segment dedup took {dt:.0f}s"
+
+
+def test_semdedup_prededup_collapses_identical_corpus(spark):
+    """Adversarial: 5000 byte-identical vectors all land in ONE
+    cluster.  exact_prededup must make the job linear (one
+    representative reaches the pair stage) and drop everything but
+    vec 0 with keep_id 0."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.ext.simsearch import semdedup
+
+    v = np.arange(64, dtype=np.float32) / 64.0
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(5000), "embedding": [v.tolist()] * 5000, "label": 0}
+        )
+    )
+    t0 = time.perf_counter()
+    out = semdedup(d, threshold=0.9, exact_prededup=True).collect()
+    dt = time.perf_counter() - t0
+    assert dt < 60, f"adversarial corpus took {dt:.0f}s"
+    assert len(out) == 4999
+    assert all(r["keep_id"] == 0 and r["max_cos"] == 1.0 for r in out)
+    assert {r["drop_id"] for r in out} == set(range(1, 5000))
+
+
+def test_semdedup_prededup_same_drop_set_on_mixed_corpus(spark):
+    """Differential: on a corpus with planted exact dups plus organic
+    near-dups, prededup mode must produce the SAME drop set as plain
+    mode (diagnostic columns may differ)."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.ext.simsearch import semdedup
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(160, 64)).astype(np.float32)
+    for dup, src in ((150, 3), (151, 3), (152, 40), (153, 101)):
+        vecs[dup] = vecs[src]
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(160), "embedding": [x.tolist() for x in vecs], "label": 0}
+        )
+    )
+    plain = {r["drop_id"] for r in semdedup(d, threshold=0.2).collect()}
+    pre = {
+        r["drop_id"]
+        for r in semdedup(d, threshold=0.2, exact_prededup=True).collect()
+    }
+    assert plain == pre and {150, 151, 152, 153} <= pre
