@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": simsearch.emb_semdedup,  # NEW: cluster-bounded semantic dedup
         "ts_autocorr": tsq.ts_autocorr,  # NEW: per-type ACF over bucket means
         "ts_ewma": tsq.ts_ewma,  # NEW: EWMA smoothing, recursive-CTE oracle
+        "ts_winsorize": tsq.ts_winsorize,  # NEW: percentile-fence clipping report
+        "ts_trend_slope": tsq.ts_trend_slope,  # NEW: per-type OLS drift
+        "ts_holt": tsq.ts_holt,  # NEW: Holt level+trend smoothing
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -261,4 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_semdedup": simsearch.EMB_SEMDEDUP_SQL,
         "ts_autocorr": tsq.TS_AUTOCORR_SQL,
         "ts_ewma": tsq.TS_EWMA_SQL,
+        "ts_winsorize": tsq.TS_WINSORIZE_SQL,
+        "ts_trend_slope": tsq.TS_TREND_SLOPE_SQL,
+        "ts_holt": tsq.TS_HOLT_SQL,
     }

@@ -1583,3 +1583,202 @@ SELECT event_type, b5, ROUND(e * 1000000.0) / 1000000.0 AS ewma
 FROM rec
 ORDER BY event_type, b5
 """
+
+
+def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report per event type: exact p01/p99 fences,
+    count of clipped values on each side, and the mean after clipping
+    — the standard outlier-robust preprocessing (FILTERING family).
+
+    The fences come from one exact-percentile agg (per-group sort
+    parallelizes across types; swap in ``approx_percentile`` at
+    100 TB like ``ts_value_percentiles`` documents); the clip pass
+    re-joins the tiny per-type fence table by broadcast, so the big
+    scan stays map-only.  Quantized comparisons keep the clip decision
+    (and hence counts/means) identical across engines."""
+    ev = _events(spark, sf_dir)
+    fences = ev.groupBy("event_type").agg(
+        F.expr("round(percentile(value, 0.01) * 1000000.0) / 1000000.0").alias("lo"),
+        F.expr("round(percentile(value, 0.99) * 1000000.0) / 1000000.0").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.col("value"),
+        F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo")).alias("w"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.first("lo").alias("p01"),
+        F.first("hi").alias("p99"),
+        F.sum((F.col("value") < F.col("lo")).cast("bigint")).alias("n_clipped_low"),
+        F.sum((F.col("value") > F.col("hi")).cast("bigint")).alias("n_clipped_high"),
+        _r6(F.avg("w")).alias("winsorized_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+TS_WINSORIZE_SQL = """
+WITH fences AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.01) * 1000000.0) / 1000000.0 AS lo,
+         ROUND(quantile_cont(value, 0.99) * 1000000.0) / 1000000.0 AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       MIN(f.lo) AS p01,
+       MIN(f.hi) AS p99,
+       CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       ROUND(AVG(GREATEST(LEAST(e.value, f.hi), f.lo)) * 1000000.0) / 1000000.0
+         AS winsorized_mean,
+       COUNT(*) AS n
+FROM events e JOIN fences f USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend: slope and intercept of value over time
+    (units: value per hour) on the 5-minute bucket means — the
+    drift/degradation detector that pairs with the seasonal
+    decomposition.
+
+    Numeric hardening mirrors ``ts_cross_corr``: x is the bucket index
+    RELATIVE to the per-type minimum (small exact integers), y is
+    centered by the rounded per-type mean, so the closed-form sums
+    never suffer catastrophic cancellation and the 6-decimal rounding
+    is a stable cross-engine guard.  Two keyed aggs + one broadcast
+    join; no windows."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(F.avg("value").alias("m"))
+    ctr = b.groupBy("event_type").agg(
+        F.min("b5").alias("b0"), _r6(F.avg("m")).alias("mu")
+    )
+    p = b.join(F.broadcast(ctr), "event_type").select(
+        "event_type",
+        ((F.col("b5") - F.col("b0")) / F.lit(300)).cast("double").alias("x"),
+        (F.col("m") - F.col("mu")).alias("y"),
+        "mu",
+        "b0",
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.first("mu").alias("mu"),
+    )
+    slope = (
+        F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n_buckets") + F.col("mu")
+    return agg.select(
+        "event_type",
+        "n_buckets",
+        # slope per bucket → per hour (×12 five-minute buckets)
+        _r6(slope * 12).alias("slope_per_hour"),
+        _r6(intercept).alias("intercept"),
+    )
+
+
+TS_TREND_SLOPE_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         AVG(value) AS m
+  FROM events GROUP BY 1, 2
+),
+ctr AS (
+  SELECT event_type, MIN(b5) AS b0,
+         ROUND(AVG(m) * 1000000.0) / 1000000.0 AS mu
+  FROM b GROUP BY event_type
+),
+p AS (
+  SELECT b.event_type,
+         CAST((b.b5 - ctr.b0) / 300 AS DOUBLE) AS x,
+         b.m - ctr.mu AS y,
+         ctr.mu
+  FROM b JOIN ctr USING (event_type)
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_buckets,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+         MIN(mu) AS mu
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n_buckets,
+       ROUND(((n_buckets * sxy - sx * sy) / (n_buckets * sxx - sx * sx)) * 12
+             * 1000000.0) / 1000000.0 AS slope_per_hour,
+       ROUND(((sy - ((n_buckets * sxy - sx * sy) / (n_buckets * sxx - sx * sx)) * sx)
+              / n_buckets + mu) * 1000000.0) / 1000000.0 AS intercept
+FROM agg
+ORDER BY event_type
+"""
+
+
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per event
+    type over the 5-minute bucket means — the PREDICTION-family
+    operator one step up from EWMA: the trend state gives one-step
+    forecasts ``l + b``.
+
+    Same determinism recipe as ``ts_ewma``: inputs pre-rounded,
+    α=0.5 / β=0.25 exact binary fractions, and the DuckDB oracle is a
+    recursive CTE evaluating the identical float expressions, so the
+    (level, trend) trajectories match bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(_r6(F.avg("value")).alias("value"))
+    sm = kernels.holt(
+        b, alpha=0.5, beta=0.25, ts_col="b5", val_col="value",
+        partition_cols=["event_type"],
+    )
+    return sm.select(
+        "event_type",
+        "b5",
+        _r6(F.col("__level")).alias("level"),
+        _r6(F.col("__trend")).alias("trend"),
+        _r6(F.col("__level") + F.col("__trend")).alias("forecast_next"),
+    )
+
+
+TS_HOLT_SQL = """
+WITH RECURSIVE b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         ROUND(AVG(value) * 1000000.0) / 1000000.0 AS m
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, b5, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b5) AS rn
+  FROM b
+),
+rec AS (
+  SELECT event_type, b5, m, rn, m AS l, CAST(0.0 AS DOUBLE) AS bt
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.b5, s.m, s.rn,
+         0.5 * s.m + 0.5 * (r.l + r.bt),
+         0.25 * ((0.5 * s.m + 0.5 * (r.l + r.bt)) - r.l) + 0.75 * r.bt
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, b5,
+       ROUND(l * 1000000.0) / 1000000.0 AS level,
+       ROUND(bt * 1000000.0) / 1000000.0 AS trend,
+       ROUND((l + bt) * 1000000.0) / 1000000.0 AS forecast_next
+FROM rec
+ORDER BY event_type, b5
+"""

@@ -753,3 +753,53 @@ def ewma_distributed(
         local.join(F.broadcast(seeds), "__chunk")
         .select(*[c for c in base_cols if c != val_col], out_val.alias(val_col))
     )
+
+
+def holt(
+    df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Holt double-exponential smoothing per key group: level and
+    trend recurrences
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    with l_1 = x_1, b_1 = 0.  Like :func:`ewma` this is a sequential
+    recurrence (the documented applyInPandas exception): parallel
+    across keys, sequential within one.  Pick α, β as exact binary
+    fractions (0.5, 0.25, …) when a cross-engine oracle replays the
+    recurrence — then both engines evaluate identical float ops.
+    Adds ``__level`` and ``__trend`` columns."""
+    pcols = list(partition_cols)
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        xs = pdf[val_col].to_numpy(dtype=float)
+        levels = [0.0] * len(xs)
+        trends = [0.0] * len(xs)
+        if len(xs):
+            levels[0], trends[0] = float(xs[0]), 0.0
+            for i in range(1, len(xs)):
+                prev_l, prev_b = levels[i - 1], trends[i - 1]
+                l_new = alpha * float(xs[i]) + (1 - alpha) * (prev_l + prev_b)
+                trends[i] = beta * (l_new - prev_l) + (1 - beta) * prev_b
+                levels[i] = l_new
+        pdf["__level"] = levels
+        pdf["__trend"] = trends
+        return pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", __level double, __trend double"
+    if pcols:
+        return df.groupBy(*pcols).applyInPandas(lambda p: kernel(p), out_schema)
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda p: kernel(p.drop(columns="__g")), out_schema)
+    )

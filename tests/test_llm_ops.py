@@ -4,6 +4,7 @@ STL-lite seasonal decomposition.  Differential/oracle coverage runs
 via tools/check_correctness.py; these tests pin SEMANTICS on
 hand-built corpora."""
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -790,3 +791,68 @@ def test_semdedup_fast_assign_equals_fold(spark):
         tuple(r) for r in SS.semdedup(emb, threshold=0.3, fast_assign=False).collect()
     )
     assert fast == fold and len(fast) > 0
+
+
+def test_holt_trend_converges_on_linear_ramp(spark, tmp_path):
+    """On a pure linear ramp the Holt trend state must converge to the
+    per-bucket slope and the one-step forecast to the next value."""
+    n = 120
+    ts = pd.date_range("2024-01-01", freq="300s", periods=n)
+    vals = 10.0 + 0.5 * np.arange(n)  # slope 0.5 per bucket
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": ts,
+            "user_id": 0,
+            "event_type": "ramp",
+            "value": vals,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = sorted(
+        tsq.ts_holt(spark, str(tmp_path)).collect(), key=lambda r: r["b5"]
+    )
+    assert abs(rows[-1]["trend"] - 0.5) < 1e-6
+    assert abs(rows[-1]["level"] - vals[-1]) < 1e-3
+    assert abs(rows[-1]["forecast_next"] - (vals[-1] + 0.5)) < 1e-3
+
+
+def test_winsorize_clips_planted_outliers(spark, tmp_path):
+    n = 200
+    ts = pd.date_range("2024-01-01", freq="60s", periods=n)
+    vals = np.ones(n)
+    vals[7] = 1e6   # high outlier
+    vals[13] = -1e6  # low outlier
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": ts,
+            "user_id": 0,
+            "event_type": "w",
+            "value": vals,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    r = tsq.ts_winsorize(spark, str(tmp_path)).collect()[0]
+    assert r["n_clipped_low"] == 1 and r["n_clipped_high"] == 1
+    # 198 ones + two clipped fence values ~1 -> mean ~1
+    assert abs(r["winsorized_mean"] - 1.0) < 0.1
+
+
+def test_trend_slope_recovers_planted_drift(spark, tmp_path):
+    n = 240
+    ts = pd.date_range("2024-01-01", freq="300s", periods=n)
+    vals = 5.0 + 2.4 * np.arange(n) / 12.0  # 2.4 per hour
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": ts,
+            "user_id": 0,
+            "event_type": "drift",
+            "value": vals,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    r = tsq.ts_trend_slope(spark, str(tmp_path)).collect()[0]
+    assert abs(r["slope_per_hour"] - 2.4) < 1e-6
+    assert abs(r["intercept"] - 5.0) < 1e-6
