@@ -821,3 +821,162 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+
+_BM25_QUERY = ["spark", "table", "row", "data", "query"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """BM25 lexical retrieval: score every document against a bag of
+    query terms and return the top-k — the sparse-retrieval
+    counterpart of the embedding ANN stack (``ext/simsearch.py``),
+    i.e. the other half of a hybrid search pipeline.
+
+    Scale shape: one pass over the corpus computes doc lengths and,
+    via an explode filtered to the query terms (fan-out dies
+    immediately), per-(doc, term) term frequencies; document
+    frequencies and avgdl are tiny aggregates broadcast back.  No
+    shuffle touches full text; everything downstream of the scan is
+    keyed by doc_id.
+
+    Determinism: idf is quantized to 6 decimals per term and each
+    (doc, term) partial score to integer micro-units before the sum
+    (the ``doc_bigram_likelihood`` recipe), so the total is
+    order-independent integer math and the oracle hash-matches; the
+    one float transcendental (ln) enters only through the pre-rounded
+    idf.  Ties rank by doc_id."""
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+        F.col("text"),
+    )
+    n_avg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .filter(F.array_contains(terms, F.col("term")))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_avg))
+        .withColumn(
+            "idf_q",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * 1000000.0
+            )
+            / 1000000.0,
+        )
+        .withColumn(
+            "term_micros",
+            F.round(
+                F.col("idf_q")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+            ).cast("bigint"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_micros").alias("micros"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, NO single-partition sort); the rank window then runs over
+    # only the k survivors, which is driver-trivial at any corpus size
+    top = agg.orderBy(F.col("micros").desc(), F.col("doc_id")).limit(k)
+    return top.select(
+        "doc_id",
+        (F.col("micros") / 1000000.0).alias("bm25"),
+        "n_terms_hit",
+        F.row_number()
+        .over(Window.orderBy(F.col("micros").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: BM25 top-20 for a fixed 5-term query."""
+    return bm25_search(_docs(spark, sf_dir), _BM25_QUERY)
+
+
+def _bm25_sql(
+    query_terms: list[str], k: int = 20, k1: float = _BM25_K1, b: float = _BM25_B
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS dl, text
+  FROM documents
+),
+n_avg AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (
+    SELECT doc_id, dl, UNNEST(string_split(text, ' ')) AS term FROM base
+  )
+  WHERE term IN ({terms})
+  GROUP BY doc_id, dl, term
+),
+df_t AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (ROUND(LN((n_avg.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0) * 1000000.0) / 1000000.0)
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / n_avg.avgdl))
+           * 1000000.0
+         ) AS BIGINT) AS term_micros
+  FROM tf JOIN df_t USING (term) CROSS JOIN n_avg
+),
+agg AS (
+  SELECT doc_id, SUM(term_micros) AS micros, COUNT(*) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, micros, n_terms_hit,
+         ROW_NUMBER() OVER (ORDER BY micros DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT doc_id, CAST(micros AS DOUBLE) / 1000000.0 AS bm25,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+DOC_BM25_SQL = _bm25_sql(_BM25_QUERY)

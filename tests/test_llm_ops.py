@@ -856,3 +856,33 @@ def test_trend_slope_recovers_planted_drift(spark, tmp_path):
     r = tsq.ts_trend_slope(spark, str(tmp_path)).collect()[0]
     assert abs(r["slope_per_hour"] - 2.4) < 1e-6
     assert abs(r["intercept"] - 5.0) < 1e-6
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    from meteaudata_spark.ext.textstats import bm25_search
+
+    d = _docs_df(
+        spark,
+        [
+            "spark query spark data spark table",   # doc 0: dense in query terms
+            "row data filler filler filler filler", # doc 1: two terms
+            "nothing relevant here at all today",   # doc 2: zero terms
+            "table " + "filler " * 50,              # doc 3: one term, long doc
+        ],
+    )
+    out = bm25_search(d, ["spark", "table", "row", "data", "query"], k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert by_rank[0]["doc_id"] == 0
+    assert {r["doc_id"] for r in out} == {0, 1, 3}  # zero-hit docs never appear
+    # doc length penalizes: the long one-term doc scores below the
+    # short two-term doc
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[1] > scores[3]
+    assert all(r["bm25"] > 0 for r in out)
+
+
+def test_bm25_rejects_empty_query(spark):
+    from meteaudata_spark.ext.textstats import bm25_search
+
+    with pytest.raises(ValueError):
+        bm25_search(_docs_df(spark, ["x"]), [])

@@ -288,3 +288,13 @@ def test_autocorr_no_global_window(spark):
     assert "SinglePartition" not in plan, plan
     joins = inspect.join_strategies(df)
     assert "CartesianProduct" not in joins
+
+
+def test_bm25_no_global_sort_for_topk(spark):
+    df = textstats.doc_bm25_search(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # top-k must be TakeOrderedAndProject (per-partition heaps), and
+    # the only single-partition stage is the k-row rank window
+    assert "TakeOrderedAndProject" in plan, plan
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
