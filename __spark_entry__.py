@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_trend_slope": tsq.ts_trend_slope,  # NEW: per-type OLS drift
         "ts_holt": tsq.ts_holt,  # NEW: Holt level+trend smoothing
         "doc_bm25_search": textstats.doc_bm25_search,  # NEW: BM25 lexical retrieval
+        "doc_hybrid_search": textstats.doc_hybrid_search,  # NEW: RRF fusion of BM25 + cosine
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -269,4 +270,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_trend_slope": tsq.TS_TREND_SLOPE_SQL,
         "ts_holt": tsq.TS_HOLT_SQL,
         "doc_bm25_search": textstats.DOC_BM25_SQL,
+        "doc_hybrid_search": textstats.DOC_HYBRID_SQL,
     }

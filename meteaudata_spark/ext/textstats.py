@@ -980,3 +980,106 @@ ORDER BY rank
 
 
 DOC_BM25_SQL = _bm25_sql(_BM25_QUERY)
+
+
+def hybrid_search_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers (Cormack et al. 2009):
+    rrf(d) = Σ_r 1/(c + rank_r(d)) over the rankers that returned d —
+    the standard way hybrid search merges BM25 with embedding ANN
+    without score calibration.
+
+    Inputs are (doc_id, rank) frames (extra columns ignored).  Both
+    ranker outputs are top-k-sized, so the fusion is a join of two
+    TINY relations — driver-trivial at any corpus scale; all the heavy
+    lifting happened inside the rankers.  Scores are exact integer
+    nano-units of 1/(c+rank) (rank ≤ k ≤ thousands, so round() is
+    exact and order-independent), keeping the oracle hash-stable.
+    Ties rank by doc_id."""
+    from pyspark.sql import Window
+
+    lex = lexical.select("doc_id", F.col("rank").alias("r1"))
+    sem = semantic.select("doc_id", F.col("rank").alias("r2"))
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_nanos",
+            F.coalesce(
+                F.round(1e9 / (F.lit(c) + F.col("r1"))).cast("bigint"), F.lit(0)
+            )
+            + F.coalesce(
+                F.round(1e9 / (F.lit(c) + F.col("r2"))).cast("bigint"), F.lit(0)
+            ),
+        )
+        .withColumn("in_lexical", F.col("r1").isNotNull())
+        .withColumn("in_semantic", F.col("r2").isNotNull())
+    )
+    top = fused.orderBy(F.col("rrf_nanos").desc(), F.col("doc_id")).limit(k)
+    return top.select(
+        "doc_id",
+        (F.col("rrf_nanos") / 1e9).alias("rrf_score"),
+        "in_lexical",
+        "in_semantic",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_nanos").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: fuse BM25 top-20 (fixed 5-term query) with the
+    exact-cosine top-20 neighbors of document 0's embedding — the
+    end-to-end hybrid retrieval composition over BOTH modality
+    stacks."""
+    from meteaudata_spark.ext import simsearch
+
+    lex = doc_bm25_search(spark, sf_dir)
+    sem = (
+        simsearch.emb_cosine_topk(spark, sf_dir, n_queries=1, k=20)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return hybrid_search_rrf(lex, sem, k=10)
+
+
+def _hybrid_sql() -> str:
+    from meteaudata_spark.ext import simsearch
+
+    bm25 = _bm25_sql(_BM25_QUERY).strip()
+    bm25 = bm25[: bm25.rindex("ORDER BY")]
+    cos = simsearch.EMB_COSINE_TOPK_SQL.strip()
+    cos = cos.replace("WHERE vec_id < 10", "WHERE vec_id < 1")
+    cos = cos.replace("WHERE rank <= 5", "WHERE rank <= 20")
+    cos = cos[: cos.rindex("ORDER BY")]
+    return f"""
+WITH lex AS (
+{bm25}
+),
+sem AS (
+{cos}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+         COALESCE(CAST(round(1e9 / (60 + l.rank)) AS BIGINT), 0)
+         + COALESCE(CAST(round(1e9 / (60 + s.rank)) AS BIGINT), 0) AS rrf_nanos,
+         l.rank IS NOT NULL AS in_lexical,
+         s.rank IS NOT NULL AS in_semantic
+  FROM lex l FULL OUTER JOIN sem s ON s.vec_id = l.doc_id
+),
+ranked AS (
+  SELECT doc_id, rrf_nanos, in_lexical, in_semantic,
+         ROW_NUMBER() OVER (ORDER BY rrf_nanos DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT doc_id, CAST(rrf_nanos AS DOUBLE) / 1e9 AS rrf_score,
+       in_lexical, in_semantic, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+DOC_HYBRID_SQL = _hybrid_sql()

@@ -886,3 +886,25 @@ def test_bm25_rejects_empty_query(spark):
 
     with pytest.raises(ValueError):
         bm25_search(_docs_df(spark, ["x"]), [])
+
+
+def test_hybrid_rrf_prefers_docs_in_both_rankers(spark):
+    from meteaudata_spark.ext.textstats import hybrid_search_rrf
+
+    lex = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12], "rank": [1, 2, 3]})
+    )
+    sem = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [12, 13, 14], "rank": [1, 2, 3]})
+    )
+    out = sorted(
+        hybrid_search_rrf(lex, sem, k=10).collect(), key=lambda r: r["rank"]
+    )
+    # doc 12 (rank 3 lexical + rank 1 semantic) beats every single-
+    # ranker doc, including both rank-1s
+    assert out[0]["doc_id"] == 12
+    assert out[0]["in_lexical"] and out[0]["in_semantic"]
+    assert abs(out[0]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-6
+    # singles ordered by their own rank; 11 (lex rank 2) and 13 (sem
+    # rank 2) score identically (1/62) and tie-break by doc_id
+    assert [r["doc_id"] for r in out] == [12, 10, 11, 13, 14]
