@@ -177,8 +177,33 @@ def smoke_mp4_codec(n_videos=200, frames=12, hw=(48, 64)):
     print(f"  -> {n_videos * frames / dt:,.0f} frames/s (single-core; scales per-task)", flush=True)
 
 
+def smoke_bm25(spark, n_docs=2_000_000, words=120):
+    from meteaudata_spark.ext.textstats import bm25_search
+
+    d = _synth_docs(spark, n_docs, words).withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(1000)) == 0,
+            F.concat(F.lit("spark table row data query "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+    def run():
+        out = bm25_search(
+            d, ["spark", "table", "row", "data", "query"], k=20
+        ).collect()
+        assert len(out) == 20
+        # planted 5-term docs must own the top ranks
+        assert all(r["doc_id"] % 1000 == 0 for r in out), out[:5]
+        assert all(r["n_terms_hit"] == 5 for r in out)
+        return f"top-20 of {n_docs:,} docs, all planted hits"
+
+    dt = _timed(f"bm25 {n_docs:,} docs x {words}w", run)
+    print(f"  -> {n_docs / dt:,.0f} docs/s", flush=True)
+
+
 if __name__ == "__main__":
-    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4"]
+    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4", "bm25"]
     spark = get_spark("scale-smoke-r6c")
     spark.sparkContext.setLogLevel("ERROR")
     if "chunk" in steps:
@@ -189,3 +214,5 @@ if __name__ == "__main__":
         smoke_semdedup(spark)
     if "mp4" in steps:
         smoke_mp4_codec()
+    if "bm25" in steps:
+        smoke_bm25(spark)
