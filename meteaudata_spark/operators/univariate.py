@@ -473,3 +473,45 @@ def detect_outliers(
         )
         outputs.append((out, [step]))
     return outputs
+
+
+def double_exponential_smoothing(
+    input_series: list[TimeSeries],
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    *args: Any,
+    **kwargs: Any,
+) -> list[tuple[TimeSeries, list[ProcessingStep]]]:
+    """Holt double-exponential smoothing (ProcessingType.SMOOTHING):
+    the level state becomes the output series; the trend state rides
+    along in the step parameters' description of the method.  See
+    ``kernels.holt`` for the recurrence and the exact-binary-fraction
+    determinism note.  PREDICTION use: the one-step forecast is
+    level + trend — pair with ``predict_previous_point`` semantics by
+    shifting downstream."""
+    step = _make_step(
+        ProcessingType.SMOOTHING,
+        f"Holt double-exponential smoothing with alpha={alpha}, beta={beta}",
+        "double_exponential_smoothing",
+        "HOLT",
+        [ts.name for ts in input_series],
+        Parameters(alpha=alpha, beta=beta),
+        func=double_exponential_smoothing,
+    )
+    from pyspark.sql import functions as F
+
+    outputs = []
+    for ts in input_series:
+        _require_time_index(ts)
+        sm = kernels.holt(ts.df, alpha=alpha, beta=beta)
+        out_df = sm.select(
+            "timestamp", F.col("__level").alias("value")
+        )
+        out = TimeSeries(
+            df=out_df,
+            index_metadata=ts.index_metadata.model_copy(deep=True),
+            values_dtype="float64",
+            name=_out_name(ts, step.suffix),
+        )
+        outputs.append((out, [step]))
+    return outputs

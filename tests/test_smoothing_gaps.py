@@ -175,3 +175,36 @@ def test_exponential_smoothing_distributed_path(spark, provenance):
     got = sig.time_series["ED#1_EWMA#1"].to_pandas()
     ref = ser.ewm(alpha=0.4, adjust=False, ignore_na=True).mean()
     assert np.allclose(got.values, ref.values, equal_nan=True)
+
+
+def test_double_exponential_smoothing_signal_api(spark, provenance):
+    """Holt through the lineage layer: level trajectory matches the
+    hand recurrence, suffix/versioning follow the naming grammar."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators.univariate import (
+        double_exponential_smoothing,
+    )
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=80)
+    vals = 3.0 + 0.2 * np.arange(80)  # linear ramp
+    ser = pd.Series(vals, index=idx, name="RAW")
+    sig = Signal(input_data=ser, name="H", units="x", provenance=provenance, spark=spark)
+    sig.process(["H#1_RAW#1"], double_exponential_smoothing, alpha=0.5, beta=0.25)
+    got = sig.time_series["H#1_HOLT#1"].to_pandas()
+
+    l, b = vals[0], 0.0
+    ref = [l]
+    for x in vals[1:]:
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (l_new - l) + 0.75 * b
+        l = l_new
+        ref.append(l)
+    assert np.allclose(got.values, np.array(ref))
+    # on a ramp the level converges to the data
+    assert abs(got.values[-1] - vals[-1]) < 0.05
+    step = sig.time_series["H#1_HOLT#1"].processing_steps[-1]
+    assert step.suffix == "HOLT"
+    assert step.parameters.alpha == 0.5
