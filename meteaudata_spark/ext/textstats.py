@@ -1083,3 +1083,133 @@ ORDER BY rank
 
 
 DOC_HYBRID_SQL = _hybrid_sql()
+
+
+_BM25_BUCKETS = 64
+
+
+def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = _BM25_BUCKETS) -> None:
+    """Persist a BM25 inverted index: build-once/serve-many, the
+    lexical mirror of ``simsearch.build_ivfpq_index``.
+
+    Layout:
+      ``{path}/postings`` — (term, doc_id, tf, dl) partitioned by
+        ``bucket = pmod(xxhash64(term), n_buckets)``: a query touches
+        only its terms' buckets, so serving reads ``q/n_buckets`` of
+        the postings DIRECTORIES, not a full corpus scan;
+      ``{path}/terms``    — (bucket, term, df), same partitioning;
+      ``{path}/meta``     — one row (n_docs, avgdl).
+
+    The build is the same one corpus pass as ``bm25_search`` minus the
+    query filter (every term becomes a posting).  At 100 TB the write
+    shuffles on (bucket) — raise ``n_buckets`` so each partition stays
+    executor-sized."""
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+        F.col("text"),
+    )
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    tf = (
+        base.select(
+            "doc_id", "dl", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    tf.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    (
+        tf.groupBy("bucket", "term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
+
+
+def bm25_index_search(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    n_buckets: int = _BM25_BUCKETS,
+) -> DataFrame:
+    """Serve a BM25 query from a persisted index: resolve the query
+    terms' buckets (tiny driver-side hash, the same legitimate
+    boundary as IVF-PQ probe resolution), then scan ONLY those
+    postings partitions (directory-level pruning, plan-asserted in
+    tests).  Scoring math is identical to ``bm25_search`` — equality
+    is pinned by test."""
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "term string"
+            )
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        }
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.array_contains(terms, F.col("term")))
+    )
+    df_t = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.array_contains(terms, F.col("term")))
+        .select("term", "df")
+    )
+    meta = spark.read.parquet(f"{path}/meta")
+    scored = (
+        post.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(meta))
+        .withColumn(
+            "idf_q",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * 1000000.0
+            )
+            / 1000000.0,
+        )
+        .withColumn(
+            "term_micros",
+            F.round(
+                F.col("idf_q")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+            ).cast("bigint"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_micros").alias("micros"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    top = agg.orderBy(F.col("micros").desc(), F.col("doc_id")).limit(k)
+    return top.select(
+        "doc_id",
+        (F.col("micros") / 1000000.0).alias("bm25"),
+        "n_terms_hit",
+        F.row_number()
+        .over(Window.orderBy(F.col("micros").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank"),
+    )

@@ -908,3 +908,40 @@ def test_hybrid_rrf_prefers_docs_in_both_rankers(spark):
     # singles ordered by their own rank; 11 (lex rank 2) and 13 (sem
     # rank 2) score identically (1/62) and tie-break by doc_id
     assert [r["doc_id"] for r in out] == [12, 10, 11, 13, 14]
+
+
+def test_bm25_persisted_index_matches_inmemory(spark, tmp_path):
+    from meteaudata_spark.ext.textstats import (
+        _BM25_QUERY,
+        bm25_search,
+        build_bm25_index,
+        bm25_index_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx)
+    served = sorted(
+        tuple(r) for r in bm25_index_search(spark, idx, _BM25_QUERY).collect()
+    )
+    direct = sorted(tuple(r) for r in bm25_search(docs, _BM25_QUERY).collect())
+    assert served == direct and len(served) == 20
+
+
+def test_bm25_index_prunes_unqueried_buckets(spark, tmp_path):
+    import re
+
+    from meteaudata_spark.ext.textstats import (
+        build_bm25_index,
+        bm25_index_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx)
+    out = bm25_index_search(spark, idx, ["spark"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert pf, plan[:2000]
