@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from meteaudata_spark.ext import (
     corpus_ops,
     dedup,
+    graph,
     multimodal,
     relational,
     simsearch,
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt": tsq.ts_holt,  # NEW: Holt level+trend smoothing
         "doc_bm25_search": textstats.doc_bm25_search,  # NEW: BM25 lexical retrieval
         "doc_hybrid_search": textstats.doc_hybrid_search,  # NEW: RRF fusion of BM25 + cosine
+        "doc_domain_pagerank": graph.doc_domain_pagerank,  # NEW: quantized PageRank over the domain graph
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -271,4 +273,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_holt": tsq.TS_HOLT_SQL,
         "doc_bm25_search": textstats.DOC_BM25_SQL,
         "doc_hybrid_search": textstats.DOC_HYBRID_SQL,
+        "doc_domain_pagerank": graph.DOC_DOMAIN_PAGERANK_SQL,
     }

@@ -1,0 +1,189 @@
+"""Link-graph analytics over document URLs ([EXT]): PageRank for
+domain authority — the classic web-corpus curation signal (quality
+weighting, crawl prioritization, spam down-ranking).
+
+Engine-deterministic by construction: per-iteration contributions are
+quantized to integer nano-units before the sum (order-independent
+integer math — the ``doc_bigram_likelihood`` recipe applied to an
+iterative algorithm), and the damping update re-quantizes, so an
+unrolled SQL replay of the same iterations hash-matches bit-for-bit.
+
+Scale shape: each iteration is one keyed join (ranks ⋈ edges on src)
+plus one keyed aggregation on dst — the textbook distributed PageRank;
+edge weights and out-degrees are precomputed once.  Plan growth across
+iterations is bounded with ``localCheckpoint`` (same policy as
+``dedup_clusters``).  Dangling mass (nodes without outlinks) goes to
+the teleport term only — the simplified variant; the oracle replays
+the identical formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_Q = 1_000_000_000  # nano-unit quantizer for rank contributions
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over a weighted edge list (src, dst, weight).
+
+    Returns (node, rank) with ranks quantized to 9 decimals each
+    iteration.  ``iterations`` is fixed-count (no convergence test) so
+    the computation is replayable by an unrolled SQL oracle."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar driver boundary, O(1)
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    e = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+    ).localCheckpoint()
+
+    base = float(1.0 - damping) / n_nodes
+    ranks = nodes.select(
+        "node", (F.round(F.lit(1.0 / n_nodes) * _Q) / _Q).alias("rank")
+    )
+    for i in range(iterations):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") * F.col("share") * _Q)
+                .cast("bigint")
+                .alias("c_nanos"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c_nanos").alias("in_nanos"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.round(
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * (F.coalesce(F.col("in_nanos"), F.lit(0)) / _Q)
+                        )
+                        * _Q
+                    )
+                    / _Q
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def doc_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: PageRank over the decorated-URL domain graph.
+
+    Each doc contributes one (site domain → ref domain) edge — the
+    same deterministic decoration as ``doc_url_stats`` — aggregated to
+    a weighted domain graph, then 5 quantized PageRank iterations.
+    Returns (domain, rank, in_degree, out_degree) ranked."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        d.select(
+            F.concat(
+                F.lit("site"),
+                F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                F.lit(".example.org"),
+            ).alias("src"),
+            F.concat(
+                F.lit("ref"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+                F.lit(".example.net"),
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    pr = pagerank(edges, iterations=5)
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    return (
+        pr.join(in_deg, "node", "left")
+        .join(out_deg, "node", "left")
+        .select(
+            F.col("node").alias("domain"),
+            "rank",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+    )
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB replay of ``doc_domain_pagerank``
+    (recursive CTEs can't aggregate in the recursive term, and the
+    iteration count is fixed anyway)."""
+    prev = "r0"
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+c{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(round(r.rank * e.share * 1000000000.0) AS BIGINT)) AS in_nanos
+  FROM {prev} r JOIN e ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         round(((1 - {damping}) / (SELECT cnt FROM nn)
+                + {damping} * (COALESCE(c.in_nanos, 0) / 1000000000.0))
+               * 1000000000.0) / 1000000000.0 AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS src,
+         'ref'  || CAST(doc_id % 3 AS VARCHAR) || '.example.net' AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM documents GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+e AS (
+  SELECT src, dst, weight / SUM(weight) OVER (PARTITION BY src) AS share
+  FROM edges
+),
+r0 AS (
+  SELECT node, round((1.0 / (SELECT cnt FROM nn)) * 1000000000.0) / 1000000000.0 AS rank
+  FROM nodes
+),{",".join(steps)}
+SELECT n.node AS domain, r.rank,
+       COALESCE(i.in_degree, 0) AS in_degree,
+       COALESCE(o.out_degree, 0) AS out_degree
+FROM nodes n
+JOIN {prev} r ON r.node = n.node
+LEFT JOIN (SELECT dst AS node, COUNT(*) AS in_degree FROM edges GROUP BY dst) i
+  ON i.node = n.node
+LEFT JOIN (SELECT src AS node, COUNT(*) AS out_degree FROM edges GROUP BY src) o
+  ON o.node = n.node
+ORDER BY domain
+"""
+
+
+DOC_DOMAIN_PAGERANK_SQL = _pagerank_sql()

@@ -945,3 +945,54 @@ def test_bm25_index_prunes_unqueried_buckets(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     pf = re.findall(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
     assert pf, plan[:2000]
+
+
+# ----------------------------------------------------------------------
+# PageRank
+# ----------------------------------------------------------------------
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from meteaudata_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": ["a", "a", "b", "c", "d"],
+                "dst": ["b", "c", "c", "a", "c"],
+                "weight": [1.0, 2.0, 1.0, 1.0, 1.0],
+            }
+        )
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+
+    # replica with the same nano-quantization at every step
+    nodes = ["a", "b", "c", "d"]
+    share = {("a", "b"): 1 / 3, ("a", "c"): 2 / 3, ("b", "c"): 1.0,
+             ("c", "a"): 1.0, ("d", "c"): 1.0}
+    import math
+
+    Q = 1_000_000_000
+    half_up = lambda x: math.floor(x + 0.5)  # Spark/DuckDB round, not banker's
+    r = {n: half_up((1 / 4) * Q) / Q for n in nodes}
+    for _ in range(5):
+        innan = {n: 0 for n in nodes}
+        for (s, d), sh in share.items():
+            innan[d] += half_up(r[s] * sh * Q)
+        r = {
+            n: half_up((0.15 / 4 + 0.85 * (innan[n] / Q)) * Q) / Q
+            for n in nodes
+        }
+    assert got == r
+    # c has the most (and heaviest) in-links: it must dominate
+    assert got["c"] == max(got.values())
+    # d has no in-links: teleport-only rank
+    assert abs(got["d"] - 0.15 / 4) < 1e-9
+
+
+def test_pagerank_rejects_negative_iterations(spark):
+    from meteaudata_spark.ext.graph import pagerank
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": ["a"], "dst": ["b"], "weight": [1.0]})
+    )
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=-1)
