@@ -202,8 +202,37 @@ def smoke_bm25(spark, n_docs=2_000_000, words=120):
     print(f"  -> {n_docs / dt:,.0f} docs/s", flush=True)
 
 
+def smoke_pagerank(spark, n_nodes=1_000_000, out_deg=10, iters=5):
+    """1M-node / 10M-edge synthetic graph through 5 quantized
+    PageRank iterations — the iterative keyed-join shape at scale."""
+    from meteaudata_spark.ext.graph import pagerank
+
+    edges = (
+        spark.range(n_nodes * out_deg)
+        .select(
+            (F.col("id") % n_nodes).alias("src"),
+            F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+
+    def run():
+        pr = pagerank(edges, iterations=iters)
+        agg = pr.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rank").alias("mass")
+        ).collect()[0]
+        assert agg["n"] >= n_nodes
+        # teleport + damped mass stays near 1; the half-up nano
+        # quantization adds ~n_nodes*0.5e-9 per iteration upward bias
+        assert 0.5 < agg["mass"] <= 1.01, agg
+        return f"{agg['n']:,} nodes, total mass {agg['mass']:.4f}"
+
+    dt = _timed(f"pagerank {n_nodes:,} nodes x {out_deg} out-edges, {iters} iters", run)
+    print(f"  -> {n_nodes * out_deg * iters / dt:,.0f} edge-visits/s", flush=True)
+
+
 if __name__ == "__main__":
-    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4", "bm25"]
+    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4", "bm25", "pagerank"]
     spark = get_spark("scale-smoke-r6c")
     spark.sparkContext.setLogLevel("ERROR")
     if "chunk" in steps:
@@ -216,3 +245,5 @@ if __name__ == "__main__":
         smoke_mp4_codec()
     if "bm25" in steps:
         smoke_bm25(spark)
+    if "pagerank" in steps:
+        smoke_pagerank(spark)
