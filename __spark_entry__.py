@@ -42,10 +42,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed in round 6, (2b) the 14 operators ADDED in round 6
     (never driver-verified; all green on the local gate replica at
     sf0.01), (3) the remainder — verified in round 5 or by this
-    round's local 96/96 run.  Round-7 rotation: move the past-cap
-    dedup/textstats/emb/ts block back under the cap and push (1)+(2b)
-    out.  Everything past 50 still runs in bench and in
-    tests/test_ext.py's run-all test."""
+    round's local full-gate runs (104/104 mid-round + every later
+    addition checked at sf0.001/0.01/0.1 individually).
+    Round-7 rotation: put FIRST the 11 operators added after this
+    round's cap filled (doc_gopher_rules .. doc_domain_pagerank — the
+    block right below the cap marker, never driver-verified), then
+    the long-green dedup/textstats/emb/ts block; push (1)+(2b) out.
+    Everything past 50 still runs in bench and in tests/test_ext.py's
+    run-all test."""
     return {
         # --- (1) past the cap in r5 (last green r4): rotate back in ---
         "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot

@@ -298,3 +298,16 @@ def test_bm25_no_global_sort_for_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     joins = inspect.join_strategies(df)
     assert "CartesianProduct" not in joins
+
+
+def test_pagerank_iterations_stay_keyed(spark):
+    from meteaudata_spark.ext.graph import doc_domain_pagerank
+
+    df = doc_domain_pagerank(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+    plan = inspect.formatted_plan(df)
+    # every shuffle is keyed on node/src/dst; no global single-partition
+    # stage anywhere in the iteration chain
+    assert "SinglePartition" not in plan, plan
