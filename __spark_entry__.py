@@ -44,8 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.01), (3) the remainder — verified in round 5 or by this
     round's local full-gate runs (104/104 mid-round + every later
     addition checked at sf0.001/0.01/0.1 individually).
-    Round-7 rotation: put FIRST the 11 operators added after this
-    round's cap filled (doc_gopher_rules .. doc_domain_pagerank — the
+    Round-7 rotation: put FIRST the operators added after this
+    round's cap filled (doc_gopher_rules .. ts_completeness — the
     block right below the cap marker, never driver-verified), then
     the long-green dedup/textstats/emb/ts block; push (1)+(2b) out.
     Everything past 50 still runs in bench and in tests/test_ext.py's
@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": textstats.doc_bm25_search,  # NEW: BM25 lexical retrieval
         "doc_hybrid_search": textstats.doc_hybrid_search,  # NEW: RRF fusion of BM25 + cosine
         "doc_domain_pagerank": graph.doc_domain_pagerank,  # NEW: quantized PageRank over the domain graph
+        "ts_weighted_average": tsq.ts_weighted_average,  # NEW: flow-weighted composite mean
+        "ts_completeness": tsq.ts_completeness,  # NEW: sensor-QA completeness report
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -278,4 +280,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_search": textstats.DOC_BM25_SQL,
         "doc_hybrid_search": textstats.DOC_HYBRID_SQL,
         "doc_domain_pagerank": graph.DOC_DOMAIN_PAGERANK_SQL,
+        "ts_weighted_average": tsq.TS_WEIGHTED_AVG_SQL,
+        "ts_completeness": tsq.TS_COMPLETENESS_SQL,
     }

@@ -1782,3 +1782,128 @@ SELECT event_type, b5,
 FROM rec
 ORDER BY event_type, b5
 """
+
+
+def ts_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-weighted composite averaging — the wastewater-domain
+    aggregate the reference's field (modelEAU) lives on: a
+    concentration-like series averaged per day WEIGHTED by a
+    flow-like series, on aligned 5-minute buckets.  Here 'view'
+    events play the concentration and 'click' events the flow
+    (value magnitudes are arbitrary; weights are shifted positive).
+
+    Numerics: weights quantized to 6 decimals after the bucket mean,
+    the weighted sum built from integer micro-unit products (exact,
+    order-independent), division at the end — hash-stable.  Plan:
+    two keyed bucket aggs → bucket-aligned inner join (keyed) → one
+    daily agg.  No windows, no broadcast of anything big."""
+    ev = _events(spark, sf_dir)
+    b5 = (
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5")
+    )
+    conc = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(b5)
+        .agg(_r6(F.avg("value")).alias("c"))
+    )
+    flow = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(b5)
+        # shift to strictly positive so it behaves like a flow
+        .agg(_r6(F.avg("value") + 100.0).alias("q"))
+    )
+    j = conc.join(flow, "b5").select(
+        (F.floor(F.col("b5") / 86400) * 86400).cast("bigint").alias("day"),
+        F.round(F.col("c") * F.col("q") * 1000000.0).cast("bigint").alias("cq_micros"),
+        F.round(F.col("q") * 1000000.0).cast("bigint").alias("q_micros"),
+    )
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        _r6(F.sum("cq_micros") / F.sum("q_micros")).alias("flow_weighted_mean"),
+        _r6(F.sum("q_micros") / 1000000.0).alias("total_flow"),
+    )
+
+
+TS_WEIGHTED_AVG_SQL = """
+WITH conc AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         ROUND(AVG(value) * 1000000.0) / 1000000.0 AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+flow AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         ROUND((AVG(value) + 100.0) * 1000000.0) / 1000000.0 AS q
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+j AS (
+  SELECT CAST(floor(conc.b5 / 86400) * 86400 AS BIGINT) AS day,
+         CAST(round(conc.c * flow.q * 1000000.0) AS BIGINT) AS cq_micros,
+         CAST(round(flow.q * 1000000.0) AS BIGINT) AS q_micros
+  FROM conc JOIN flow USING (b5)
+)
+SELECT day, COUNT(*) AS n_buckets,
+       ROUND(CAST(SUM(cq_micros) AS DOUBLE) / SUM(q_micros) * 1000000.0) / 1000000.0
+         AS flow_weighted_mean,
+       ROUND(SUM(q_micros) / 1000000.0 * 1000000.0) / 1000000.0 AS total_flow
+FROM j
+GROUP BY day
+ORDER BY day
+"""
+
+
+def ts_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness report per (event_type, day): samples
+    received vs the 5-minute-grid expectation, the share of grid
+    buckets covered, and the longest intra-day gap — the sensor-QA
+    table every monitoring deployment publishes.
+
+    One bucket agg + one day agg; the gap maximum runs as a keyed
+    window lag per (type, day).  First/last days are reported against
+    the full-day grid (288 buckets) like real QA reports do —
+    deployment boundaries read as incomplete days by design."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(F.count(F.lit(1)).alias("n_samples"))
+    day = (F.floor(F.col("b5") / 86400) * 86400).cast("bigint").alias("day")
+    w = Window.partitionBy("event_type", "day").orderBy("b5")
+    gaps = b.select("event_type", "b5", "n_samples", day).withColumn(
+        "gap_s", F.col("b5") - F.lag("b5").over(w)
+    )
+    return gaps.groupBy("event_type", "day").agg(
+        F.sum("n_samples").alias("n_samples"),
+        F.count(F.lit(1)).alias("n_buckets_covered"),
+        _r6(F.count(F.lit(1)) / F.lit(288.0)).alias("grid_coverage"),
+        F.max("gap_s").alias("max_gap_seconds"),
+    )
+
+
+TS_COMPLETENESS_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         COUNT(*) AS n_samples
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, b5, n_samples,
+         CAST(floor(b5 / 86400) * 86400 AS BIGINT) AS day,
+         b5 - LAG(b5) OVER (
+           PARTITION BY event_type, CAST(floor(b5 / 86400) * 86400 AS BIGINT)
+           ORDER BY b5
+         ) AS gap_s
+  FROM b
+)
+SELECT event_type, day,
+       CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+       COUNT(*) AS n_buckets_covered,
+       ROUND(COUNT(*) / 288.0 * 1000000.0) / 1000000.0 AS grid_coverage,
+       MAX(gap_s) AS max_gap_seconds
+FROM g
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
