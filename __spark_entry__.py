@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_pagerank": graph.doc_domain_pagerank,  # NEW: quantized PageRank over the domain graph
         "ts_weighted_average": tsq.ts_weighted_average,  # NEW: flow-weighted composite mean
         "ts_completeness": tsq.ts_completeness,  # NEW: sensor-QA completeness report
+        "customer_scd2": relational.customer_scd2,  # NEW: SCD Type-2 dimension merge
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -282,4 +283,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_pagerank": graph.DOC_DOMAIN_PAGERANK_SQL,
         "ts_weighted_average": tsq.TS_WEIGHTED_AVG_SQL,
         "ts_completeness": tsq.TS_COMPLETENESS_SQL,
+        "customer_scd2": relational.CUSTOMER_SCD2_SQL,
     }

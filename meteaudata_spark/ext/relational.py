@@ -1245,3 +1245,143 @@ WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_pos
 GROUP BY n.n_name
 ORDER BY n.n_name
 """
+
+
+# ----------------------------------------------------------------------
+# SCD Type-2 merge (warehouse dimension maintenance)
+# ----------------------------------------------------------------------
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply an update batch to a
+    current dimension snapshot, closing out changed rows and inserting
+    new versions with validity intervals.
+
+    ``dim`` rows are the current version (valid_from assumed open
+    history start); ``updates`` carries the same schema.  A row counts
+    as CHANGED when any tracked column differs; unchanged updates are
+    no-ops.  Output adds (valid_from, valid_to, is_current):
+      * unchanged current rows         → (start, null, true)
+      * changed rows' old version      → (start, effective, false)
+      * changed rows' new version      → (effective, null, true)
+      * brand-new keys                 → (effective, null, true)
+
+    Plan shape: one keyed join dim⋈updates plus unions — every shuffle
+    on the dimension key; at 100 TB this is the standard merge shape
+    (and the reason warehouses bucket their dimensions by key).
+    """
+    cols = dim.columns
+    start = F.lit("1970-01-01").cast("date")
+    eff = F.lit(effective).cast("date")
+    u = updates.select(*cols)
+    joined = dim.alias("d").join(
+        u.alias("u"),
+        [F.col(f"d.{k}") == F.col(f"u.{k}") for k in key_cols],
+        "full_outer",
+    )
+    changed = None
+    for c in tracked_cols:
+        ne = ~F.col(f"d.{c}").eqNullSafe(F.col(f"u.{c}"))
+        changed = ne if changed is None else (changed | ne)
+    has_d = F.col(f"d.{key_cols[0]}").isNotNull()
+    has_u = F.col(f"u.{key_cols[0]}").isNotNull()
+
+    def _side(side: str, valid_from, valid_to, current):
+        return [
+            *[F.col(f"{side}.{c}").alias(c) for c in cols],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            current.alias("is_current"),
+        ]
+
+    unchanged = joined.filter(has_d & (~has_u | ~changed)).select(
+        *_side("d", start, F.lit(None).cast("date"), F.lit(True))
+    )
+    closed = joined.filter(has_d & has_u & changed).select(
+        *_side("d", start, eff, F.lit(False))
+    )
+    new_version = joined.filter(has_u & (~has_d | changed)).select(
+        *_side("u", eff, F.lit(None).cast("date"), F.lit(True))
+    )
+    return unchanged.unionByName(closed).unionByName(new_version)
+
+
+def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: apply a deterministic update batch to the customer
+    dimension — every 10th customer gets +100.00 balance and a new
+    market segment, every 37th appears as a brand-new key — and emit
+    the SCD2 version table."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = c.filter(F.pmod(F.col("c_custkey"), F.lit(10)) == 0).select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(c_acctbal + 100.00 AS DECIMAL(18,2))").alias("c_acctbal"),
+        F.lit("MOVED").alias("c_mktsegment"),
+    )
+    new_keys = c.filter(F.pmod(F.col("c_custkey"), F.lit(37)) == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        F.expr("CAST(0.00 AS DECIMAL(18,2))").alias("c_acctbal"),
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    out = scd2_merge(
+        c,
+        updates.unionByName(new_keys),
+        key_cols=["c_custkey"],
+        tracked_cols=["c_acctbal", "c_mktsegment"],
+        effective="2024-06-01",
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
+
+
+CUSTOMER_SCD2_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+),
+upd AS (
+  SELECT c_custkey, c_name,
+         CAST(c_acctbal + 100.00 AS DECIMAL(18,2)) AS c_acctbal,
+         'MOVED' AS c_mktsegment
+  FROM c WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW-' || c_name,
+         CAST(0.00 AS DECIMAL(18,2)), 'FRESH'
+  FROM c WHERE c_custkey % 37 = 0
+),
+j AS (
+  SELECT d.c_custkey AS d_key, d.c_name AS d_name, d.c_acctbal AS d_bal,
+         d.c_mktsegment AS d_seg,
+         u.c_custkey AS u_key, u.c_name AS u_name, u.c_acctbal AS u_bal,
+         u.c_mktsegment AS u_seg,
+         (NOT (d.c_acctbal IS NOT DISTINCT FROM u.c_acctbal)
+          OR NOT (d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment)) AS changed
+  FROM c d FULL OUTER JOIN upd u ON u.c_custkey = d.c_custkey
+)
+SELECT d_key AS c_custkey, d_name AS c_name,
+       CAST(d_bal AS DOUBLE) AS c_acctbal, d_seg AS c_mktsegment,
+       '1970-01-01' AS valid_from, NULL AS valid_to, TRUE AS is_current
+FROM j WHERE d_key IS NOT NULL AND (u_key IS NULL OR NOT changed)
+UNION ALL
+SELECT d_key, d_name, CAST(d_bal AS DOUBLE), d_seg,
+       '1970-01-01', '2024-06-01', FALSE
+FROM j WHERE d_key IS NOT NULL AND u_key IS NOT NULL AND changed
+UNION ALL
+SELECT u_key, u_name, CAST(u_bal AS DOUBLE), u_seg,
+       '2024-06-01', NULL, TRUE
+FROM j WHERE u_key IS NOT NULL AND (d_key IS NULL OR changed)
+ORDER BY c_custkey, valid_from
+"""

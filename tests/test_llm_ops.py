@@ -996,3 +996,39 @@ def test_pagerank_rejects_negative_iterations(spark):
     )
     with pytest.raises(ValueError):
         pagerank(e, iterations=-1)
+
+
+# ----------------------------------------------------------------------
+# SCD2 merge
+# ----------------------------------------------------------------------
+def test_scd2_merge_versions(spark):
+    from meteaudata_spark.ext.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 3], "city": ["a", "b", "c"], "tier": [1, 1, 2]}
+        )
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 3, 4],
+                "city": ["b", "c2", "d"],  # 2 unchanged, 3 changed, 4 new
+                "tier": [1, 2, 3],
+            }
+        )
+    )
+    out = scd2_merge(dim, updates, ["k"], ["city", "tier"], "2024-06-01")
+    rows = sorted(
+        ((r["k"], r["city"], str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]), r["is_current"]) for r in out.collect())
+    )
+    assert rows == [
+        (1, "a", "1970-01-01", None, True),    # untouched
+        (2, "b", "1970-01-01", None, True),    # update was a no-op
+        (3, "c", "1970-01-01", "2024-06-01", False),  # closed out
+        (3, "c2", "2024-06-01", None, True),   # new version
+        (4, "d", "2024-06-01", None, True),    # brand-new key
+    ]
+    # exactly one current row per key
+    cur = [r for r in rows if r[4]]
+    assert len({r[0] for r in cur}) == len(cur) == 4

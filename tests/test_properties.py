@@ -371,3 +371,32 @@ def test_jpeg_decode_deterministic_and_bounded(h, w, quality, seed):
     assert out.shape == arr.shape
     assert (decode_jpeg(payload) == out).all()  # bit-deterministic
     assert out.dtype == np.uint8  # clamped into range by contract
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij-/.", min_size=1, max_size=30),
+            st.binary(min_size=0, max_size=400),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_round_trip_any_payload(records):
+    """WARC writer → record walk is lossless for ANY payload bytes —
+    including payloads containing record-header lookalikes, CRLFs, and
+    gzip magic."""
+    from meteaudata_spark.sources.warc import _gunzip_members, _split_records, write_warc
+
+    recs = [
+        {"target_uri": f"https://x/{i}-{uri}", "payload": body}
+        for i, (uri, body) in enumerate(records)
+    ]
+    raw = _gunzip_members(write_warc(recs))
+    got = list(_split_records(raw))
+    assert len(got) == len(recs)
+    for (headers, block), rec in zip(got, recs):
+        assert headers["warc-target-uri"] == rec["target_uri"]
+        assert block.endswith(rec["payload"])
