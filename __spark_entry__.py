@@ -23,6 +23,7 @@ from meteaudata_spark.ext import (
     sketches,
     textstats,
 )
+from meteaudata_spark.ext import rangejoin
 from meteaudata_spark.ext import timeseries_queries as tsq
 
 
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_weighted_average": tsq.ts_weighted_average,  # NEW: flow-weighted composite mean
         "ts_completeness": tsq.ts_completeness,  # NEW: sensor-QA completeness report
         "customer_scd2": relational.customer_scd2,  # NEW: SCD Type-2 dimension merge
+        "ts_range_join": rangejoin.ts_range_join,  # NEW: bucketed point-in-interval join
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -284,4 +286,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_weighted_average": tsq.TS_WEIGHTED_AVG_SQL,
         "ts_completeness": tsq.TS_COMPLETENESS_SQL,
         "customer_scd2": relational.CUSTOMER_SCD2_SQL,
+        "ts_range_join": rangejoin.TS_RANGE_JOIN_SQL,
     }

@@ -1032,3 +1032,65 @@ def test_scd2_merge_versions(spark):
     # exactly one current row per key
     cur = [r for r in rows if r[4]]
     assert len({r[0] for r in cur}) == len(cur) == 4
+
+
+# ----------------------------------------------------------------------
+# range join
+# ----------------------------------------------------------------------
+def test_range_join_matches_naive_between(spark):
+    from meteaudata_spark.ext.rangejoin import range_join
+
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": range(300), "ts": rng.integers(0, 100_000, 300)})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iid": range(40),
+                "start": (starts := rng.integers(0, 95_000, 40)),
+                "end": starts + rng.integers(0, 20_000, 40),  # spans >> bucket
+            }
+        )
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, iv, ts_col="ts", start_col="start", end_col="end",
+            bucket_seconds=1000,
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+    )
+    assert got == want and len(got) > 100
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from meteaudata_spark.ext.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "ts": [100, 999_999]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"iid": [7], "start": [50], "end": [150]})
+    )
+    rows = {r["pid"]: r for r in range_join(
+        pts, iv, ts_col="ts", start_col="start", end_col="end", how="left"
+    ).collect()}
+    assert rows[1]["iid"] == 7
+    assert rows[2]["iid"] is None
+
+
+def test_range_join_rejects_bad_knobs(spark):
+    from meteaudata_spark.ext.rangejoin import range_join
+
+    d = spark.createDataFrame(pd.DataFrame({"ts": [1]}))
+    i = spark.createDataFrame(pd.DataFrame({"start": [0], "end": [2]}))
+    with pytest.raises(ValueError):
+        range_join(d, i, how="outer")
+    with pytest.raises(ValueError):
+        range_join(d, i, bucket_seconds=0)

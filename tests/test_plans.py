@@ -311,3 +311,14 @@ def test_pagerank_iterations_stay_keyed(spark):
     # every shuffle is keyed on node/src/dst; no global single-partition
     # stage anywhere in the iteration chain
     assert "SinglePartition" not in plan, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from meteaudata_spark.ext.rangejoin import ts_range_join
+
+    df = ts_range_join(spark, SF)
+    joins = inspect.join_strategies(df)
+    # the whole point: the BETWEEN predicate must NOT plan as a
+    # nested-loop/cartesian — the bucket equi-join carries it
+    assert "BroadcastNestedLoopJoin" not in joins, joins
+    assert "CartesianProduct" not in joins, joins
