@@ -231,8 +231,37 @@ def smoke_pagerank(spark, n_nodes=1_000_000, out_deg=10, iters=5):
     print(f"  -> {n_nodes * out_deg * iters / dt:,.0f} edge-visits/s", flush=True)
 
 
+def smoke_range_join(spark, n_points=10_000_000, n_intervals=10_000):
+    """10M points x 10k one-hour intervals through the bucketed range
+    join — the shape a nested loop cannot survive."""
+    from meteaudata_spark.ext.rangejoin import range_join
+
+    pts = spark.range(n_points).select(
+        F.col("id").alias("pid"),
+        (F.pmod(F.xxhash64("id"), F.lit(36_000_000))).alias("ts"),
+    )
+    iv = spark.range(n_intervals).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 3600).alias("start"),
+        (F.col("id") * 3600 + 3599).alias("end"),
+    )
+
+    def run():
+        out = range_join(
+            pts, iv, ts_col="ts", start_col="start", end_col="end",
+            bucket_seconds=3600,
+        )
+        n = out.count()
+        # intervals tile the whole ts range -> every point matches once
+        assert n == n_points, n
+        return f"{n:,} matched pairs"
+
+    dt = _timed(f"range_join {n_points:,} pts x {n_intervals:,} intervals", run)
+    print(f"  -> {n_points / dt:,.0f} points/s", flush=True)
+
+
 if __name__ == "__main__":
-    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4", "bm25", "pagerank"]
+    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4", "bm25", "pagerank", "rangejoin"]
     spark = get_spark("scale-smoke-r6c")
     spark.sparkContext.setLogLevel("ERROR")
     if "chunk" in steps:
@@ -247,3 +276,5 @@ if __name__ == "__main__":
         smoke_bm25(spark)
     if "pagerank" in steps:
         smoke_pagerank(spark)
+    if "rangejoin" in steps:
+        smoke_range_join(spark)
