@@ -42,8 +42,13 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # pin the union+distinct shuffle once: nodes is re-read every
+        # iteration (the teleport join) and again by count() below
+        .localCheckpoint()
     )
     n_nodes = nodes.count()  # scalar driver boundary, O(1)
+    if n_nodes == 0:
+        raise ValueError("edges is empty: no nodes to rank")
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     e = edges.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")

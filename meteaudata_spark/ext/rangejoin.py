@@ -52,6 +52,11 @@ def range_join(
         raise ValueError("bucket_seconds must be positive")
     pcols = list(partition_cols)
     b = F.lit(bucket_seconds)
+    # surrogate row id BEFORE any exchange: both the matched branch and
+    # the left-variant anti branch share this scan-stage projection, so
+    # ids line up (and NULL-valued point columns can't confuse the anti
+    # join the way whole-row equality would)
+    points = points.withColumn("__rj_id", F.monotonically_increasing_id())
     p = points.withColumn(
         "__bucket", F.floor(epoch_seconds(F.col(ts_col)) / b).cast("bigint")
     )
@@ -73,17 +78,15 @@ def range_join(
         .drop("__bucket")
     )
     if how == "inner":
-        return joined
+        return joined.drop("__rj_id")
     ikeys = [c for c in intervals.columns if c not in pcols]
     matched = joined
     unmatched = points.join(
-        matched.select(*points.columns).distinct(),
-        points.columns,
-        "left_anti",
+        matched.select("__rj_id").distinct(), "__rj_id", "left_anti"
     )
     for c in ikeys:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__rj_id")
 
 
 def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -879,6 +879,19 @@ def bm25_search(
     df_t = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
+    return _bm25_score_topk(tf, df_t, n_avg, k, k1, b)
+
+
+def _bm25_score_topk(
+    tf: DataFrame, df_t: DataFrame, n_avg: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared scoring/ranking tail of the in-memory and persisted-index
+    BM25 paths: (doc_id, dl, term, tf) ⋈ broadcast df/avgdl →
+    micro-unit term scores → per-doc sums → distributed top-k.  One
+    implementation so the equality contract between both paths can't
+    silently diverge."""
+    from pyspark.sql import Window
+
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(n_avg))
@@ -1119,15 +1132,24 @@ def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = _BM25_BUCKETS)
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        # the explode+groupBy is the expensive stage: persist it so the
+        # postings write and the terms aggregation don't each rescan
+        # the corpus
+        .persist()
     )
-    tf.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
-    (
-        tf.groupBy("bucket", "term")
-        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/terms")
-    )
+    try:
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/postings"
+        )
+        (
+            tf.groupBy("bucket", "term")
+            .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/terms")
+        )
+    finally:
+        tf.unpersist()
 
 
 def bm25_index_search(
@@ -1143,10 +1165,8 @@ def bm25_index_search(
     terms' buckets (tiny driver-side hash, the same legitimate
     boundary as IVF-PQ probe resolution), then scan ONLY those
     postings partitions (directory-level pruning, plan-asserted in
-    tests).  Scoring math is identical to ``bm25_search`` — equality
-    is pinned by test."""
-    from pyspark.sql import Window
-
+    tests).  Scoring math is shared with ``bm25_search``
+    (``_bm25_score_topk``) — equality is pinned by test."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     buckets = sorted(
@@ -1172,44 +1192,6 @@ def bm25_index_search(
         .select("term", "df")
     )
     meta = spark.read.parquet(f"{path}/meta")
-    scored = (
-        post.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(meta))
-        .withColumn(
-            "idf_q",
-            F.round(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * 1000000.0
-            )
-            / 1000000.0,
-        )
-        .withColumn(
-            "term_micros",
-            F.round(
-                F.col("idf_q")
-                * (F.col("tf") * (k1 + 1))
-                / (
-                    F.col("tf")
-                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-                * 1000000.0
-            ).cast("bigint"),
-        )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("term_micros").alias("micros"),
-        F.count(F.lit(1)).alias("n_terms_hit"),
-    )
-    top = agg.orderBy(F.col("micros").desc(), F.col("doc_id")).limit(k)
-    return top.select(
-        "doc_id",
-        (F.col("micros") / 1000000.0).alias("bm25"),
-        "n_terms_hit",
-        F.row_number()
-        .over(Window.orderBy(F.col("micros").desc(), F.col("doc_id")))
-        .cast("bigint")
-        .alias("rank"),
+    return _bm25_score_topk(
+        post.select("doc_id", "dl", "term", "tf"), df_t, meta, k, k1, b
     )

@@ -15,8 +15,10 @@ multi-member loop.
 
 Scale shape: parallelism is per FILE (binaryFile gives one row per
 file) — exactly how crawl corpora ship (thousands of ~1 GB segment
-files); a single file parses streamingly record-by-record inside one
-task with O(record) memory.  Downstream, the emitted (url, text)
+files); a single file decompresses
+member-by-member and emits rows in bounded batches — O(record) task
+memory for the per-record-member crawl layout (plus the compressed
+file bytes the binaryFile source hands over).  Downstream, the emitted (url, text)
 table feeds the existing corpus operators (gopher rules, dedup,
 contamination, chunking) unchanged.
 """
@@ -37,21 +39,28 @@ WARC_SCHEMA = (
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the Common Crawl record
-    layout) — or return the input unchanged if it isn't gzip."""
+def _iter_decompressed(data: bytes):
+    """Yield decompressed gzip MEMBERS one at a time (the Common Crawl
+    layout stores each record as its own member, so peak memory is one
+    record, not the whole file) — or the input unchanged if it isn't
+    gzip."""
     if data[:2] != b"\x1f\x8b":
-        return data
-    out = []
+        yield data
+        return
     pos = 0
     while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data[pos:]))
+        yield d.decompress(data[pos:])
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
         pos += consumed
-    return b"".join(out)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Whole-buffer convenience wrapper over :func:`_iter_decompressed`
+    (tests / small fixtures)."""
+    return b"".join(_iter_decompressed(data))
 
 
 def _split_records(data: bytes):
@@ -121,49 +130,72 @@ def html_to_text(payload: bytes) -> str:
     return re.sub(r"\s+", " ", txt.decode("utf-8", "replace")).strip()
 
 
+_COLS = (
+    "warc_file", "record_id", "warc_type", "target_uri",
+    "warc_date", "content_type", "http_status", "payload", "text",
+)
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple = ("response",),
     extract_text: bool = True,
+    batch_records: int = 256,
 ) -> DataFrame:
     """WARC files at ``path`` → one row per selected record:
     (warc_file, record_id, warc_type, target_uri, warc_date,
-    content_type, http_status, payload, text)."""
+    content_type, http_status, payload, text).
+
+    Memory per task: the COMPRESSED file bytes (the ``binaryFile``
+    source contract) plus one decompressed gzip member at a time and
+    at most ``batch_records`` parsed rows — for the Common Crawl
+    per-record-member layout that is O(record), for a whole-file-gzip
+    WARC it is O(decompressed file) for the member (unavoidable
+    without a seekable source)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     want = tuple(t.lower() for t in record_types)
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in _COLS}
+
+        def flush():
+            out = pd.DataFrame({k: rows[k] for k in _COLS})
+            for k in _COLS:
+                rows[k] = []
+            return out
+
         for pdf in it:
-            rows = {
-                k: []
-                for k in (
-                    "warc_file", "record_id", "warc_type", "target_uri",
-                    "warc_date", "content_type", "http_status", "payload",
-                    "text",
-                )
-            }
             for _, row in pdf.iterrows():
-                data = _gunzip_members(bytes(row["content"]))
-                for headers, block in _split_records(data):
-                    wtype = headers.get("warc-type", "")
-                    if want and wtype.lower() not in want:
-                        continue
-                    status, ctype, payload = _split_http(block)
-                    rows["warc_file"].append(row["path"])
-                    rows["record_id"].append(headers.get("warc-record-id", ""))
-                    rows["warc_type"].append(wtype)
-                    rows["target_uri"].append(headers.get("warc-target-uri", ""))
-                    rows["warc_date"].append(headers.get("warc-date", ""))
-                    rows["content_type"].append(
-                        ctype or headers.get("content-type", "")
-                    )
-                    rows["http_status"].append(status)
-                    rows["payload"].append(payload)
-                    rows["text"].append(
-                        html_to_text(payload) if extract_text else ""
-                    )
-            yield pd.DataFrame(rows)
+                # records never span gzip members (each CC record is
+                # its own member; a whole-file gzip is one member)
+                for member in _iter_decompressed(bytes(row["content"])):
+                    for headers, block in _split_records(member):
+                        wtype = headers.get("warc-type", "")
+                        if want and wtype.lower() not in want:
+                            continue
+                        status, ctype, payload = _split_http(block)
+                        rows["warc_file"].append(row["path"])
+                        rows["record_id"].append(
+                            headers.get("warc-record-id", "")
+                        )
+                        rows["warc_type"].append(wtype)
+                        rows["target_uri"].append(
+                            headers.get("warc-target-uri", "")
+                        )
+                        rows["warc_date"].append(headers.get("warc-date", ""))
+                        rows["content_type"].append(
+                            ctype or headers.get("content-type", "")
+                        )
+                        rows["http_status"].append(status)
+                        rows["payload"].append(payload)
+                        rows["text"].append(
+                            html_to_text(payload) if extract_text else ""
+                        )
+                        if len(rows["warc_file"]) >= batch_records:
+                            yield flush()
+        if rows["warc_file"]:
+            yield flush()
 
     return files.mapInPandas(parse, WARC_SCHEMA)
 

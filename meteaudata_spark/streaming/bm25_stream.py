@@ -31,12 +31,28 @@ def bm25_query_stats(
     """Freeze the scoring stats for a query from a persisted BM25
     index: {term: df} plus n_docs and avgdl.  Tiny driver-side reads
     (the terms table rows for ≤ a handful of query terms)."""
+    from meteaudata_spark.ext.textstats import _BM25_BUCKETS
+
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     terms = F.array(*[F.lit(t) for t in query_terms])
+    # prune to the query terms' bucket partitions exactly like the
+    # serving path — without this the stats freeze scans every bucket
+    # directory of the terms table
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "term string"
+            )
+            .select(F.pmod(F.xxhash64("term"), F.lit(_BM25_BUCKETS)).alias("b"))
+            .collect()
+        }
+    )
     df_rows = (
         spark.read.parquet(f"{index_path}/terms")
+        .filter(F.col("bucket").isin(buckets))
         .filter(F.array_contains(terms, F.col("term")))
         .select("term", "df")
         .collect()

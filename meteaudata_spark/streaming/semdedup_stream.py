@@ -83,9 +83,13 @@ def _update_cluster(
     else:
         rep_ids, reps = [], []
     rows = {k: [] for k in ("vec_id", "centroid_id", "rep_id", "cosine")}
-    for pdf in pdfs:
-        # deterministic arrival order within the micro-batch
-        order = pdf.sort_values("vec_id")
+    # deterministic arrival order within the micro-batch: the iterator
+    # yields ARROW-CHUNK-sized frames whose boundaries depend on the
+    # shuffle, so the sort must run over the concatenated group, not
+    # per chunk
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        order = pd.concat(chunks, ignore_index=True).sort_values("vec_id")
         for vec_id, emb in zip(order["vec_id"], order["embedding"]):
             x = np.asarray(emb, dtype=np.float64)
             xn = x / max(float(np.linalg.norm(x)), 1e-300)

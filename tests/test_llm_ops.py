@@ -1094,3 +1094,23 @@ def test_range_join_rejects_bad_knobs(spark):
         range_join(d, i, how="outer")
     with pytest.raises(ValueError):
         range_join(d, i, bucket_seconds=0)
+
+
+def test_range_join_left_null_point_columns_not_duplicated(spark):
+    """Regression: a matched point carrying a NULL column must not ALSO
+    surface as an unmatched row (the anti join must be null-safe)."""
+    from meteaudata_spark.ext.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1], "ts": [100], "tag": [None]}).astype(
+            {"tag": "object"}
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"iid": [7], "start": [50], "end": [150]})
+    )
+    rows = range_join(
+        pts, iv, ts_col="ts", start_col="start", end_col="end", how="left"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["iid"] == 7
