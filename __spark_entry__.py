@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_completeness": tsq.ts_completeness,  # NEW: sensor-QA completeness report
         "customer_scd2": relational.customer_scd2,  # NEW: SCD Type-2 dimension merge
         "ts_range_join": rangejoin.ts_range_join,  # NEW: bucketed point-in-interval join
+        "ts_control_chart": tsq.ts_control_chart,  # NEW: Shewhart x-bar SPC limits
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -287,4 +288,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_completeness": tsq.TS_COMPLETENESS_SQL,
         "customer_scd2": relational.CUSTOMER_SCD2_SQL,
         "ts_range_join": rangejoin.TS_RANGE_JOIN_SQL,
+        "ts_control_chart": tsq.TS_CONTROL_CHART_SQL,
     }

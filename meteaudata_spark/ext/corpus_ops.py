@@ -617,6 +617,10 @@ def chunk_text(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # a stride beyond the window SKIPS words (and can emit empty
+        # trailing chunks) — never what chunking-for-retrieval means
+        raise ValueError("stride must be <= window for gapless coverage")
     words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_words = F.size(words)
     # ceil((n - window) / stride) extra chunks beyond the first

@@ -1907,3 +1907,96 @@ FROM g
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart x̄ control chart per event type: center line and ±3σ
+    control limits computed from the 5-minute bucket means, then every
+    bucket classified (in-control / above UCL / below LCL) — the SPC
+    fault-detection staple that complements the IQR and seasonal
+    detectors.
+
+    Determinism: the center/limits derive from COUNT/SUM aggregates
+    with the usual centered arithmetic (mean subtracted before the
+    square sum, like ``ts_cross_corr``) and are 6-decimal rounded
+    before the comparison, so the flag decisions replay exactly.
+    Plan: one keyed bucket agg, one per-type stats agg broadcast back,
+    one map-side classification — no windows."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(F.avg("value").alias("m"))
+    mu0 = b.groupBy("event_type").agg(_r6(F.avg("m")).alias("mu0"))
+    stats = (
+        b.join(F.broadcast(mu0), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("mu0").alias("center"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("m") - F.col("mu0")) * (F.col("m") - F.col("mu0"))).alias("ss"),
+        )
+        .select(
+            "event_type",
+            "center",
+            "n_buckets",
+            _r6(F.sqrt(F.col("ss") / (F.col("n_buckets") - 1))).alias("sigma"),
+        )
+    )
+    flagged = (
+        b.join(F.broadcast(stats), "event_type")
+        .withColumn("ucl", _r6(F.col("center") + 3 * F.col("sigma")))
+        .withColumn("lcl", _r6(F.col("center") - 3 * F.col("sigma")))
+        .withColumn("m_r", _r6(F.col("m")))
+        .withColumn(
+            "status",
+            F.when(F.col("m_r") > F.col("ucl"), "above_ucl")
+            .when(F.col("m_r") < F.col("lcl"), "below_lcl")
+            .otherwise("in_control"),
+        )
+    )
+    return flagged.groupBy("event_type", "status").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.first("center").alias("center"),
+        F.first("ucl").alias("ucl"),
+        F.first("lcl").alias("lcl"),
+    )
+
+
+TS_CONTROL_CHART_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         AVG(value) AS m
+  FROM events GROUP BY 1, 2
+),
+mu0 AS (
+  SELECT event_type, ROUND(AVG(m) * 1000000.0) / 1000000.0 AS mu0
+  FROM b GROUP BY event_type
+),
+stats AS (
+  SELECT b.event_type, MIN(mu0.mu0) AS center, COUNT(*) AS n_buckets,
+         ROUND(sqrt(SUM((b.m - mu0.mu0) * (b.m - mu0.mu0)) / (COUNT(*) - 1))
+               * 1000000.0) / 1000000.0 AS sigma
+  FROM b JOIN mu0 USING (event_type)
+  GROUP BY b.event_type
+),
+flagged AS (
+  SELECT b.event_type,
+         ROUND((s.center + 3 * s.sigma) * 1000000.0) / 1000000.0 AS ucl,
+         ROUND((s.center - 3 * s.sigma) * 1000000.0) / 1000000.0 AS lcl,
+         s.center,
+         CASE
+           WHEN ROUND(b.m * 1000000.0) / 1000000.0 > ROUND((s.center + 3 * s.sigma) * 1000000.0) / 1000000.0 THEN 'above_ucl'
+           WHEN ROUND(b.m * 1000000.0) / 1000000.0 < ROUND((s.center - 3 * s.sigma) * 1000000.0) / 1000000.0 THEN 'below_lcl'
+           ELSE 'in_control'
+         END AS status
+  FROM b JOIN stats s USING (event_type)
+)
+SELECT event_type, status, COUNT(*) AS n_buckets,
+       MIN(center) AS center, MIN(ucl) AS ucl, MIN(lcl) AS lcl
+FROM flagged
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -632,6 +632,8 @@ def test_chunk_text_rejects_bad_knobs(spark):
         C.chunk_text(d, window=0)
     with pytest.raises(ValueError):
         C.chunk_text(d, stride=-1)
+    with pytest.raises(ValueError):
+        C.chunk_text(d, window=4, stride=5)  # gaps skip words
 
 
 # ----------------------------------------------------------------------
@@ -1114,3 +1116,22 @@ def test_range_join_left_null_point_columns_not_duplicated(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["iid"] == 7
+
+
+def test_control_chart_flags_planted_excursions(spark, tmp_path):
+    n = 300
+    ts = pd.date_range("2024-01-01", freq="300s", periods=n)
+    vals = np.ones(n)
+    vals[50] = 50.0    # above UCL
+    vals[120] = -50.0  # below LCL
+    pd.DataFrame(
+        {
+            "event_id": range(n), "ts": ts, "user_id": 0,
+            "event_type": "spc", "value": vals, "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = {r["status"]: r for r in tsq.ts_control_chart(spark, str(tmp_path)).collect()}
+    assert out["above_ucl"]["n_buckets"] == 1
+    assert out["below_lcl"]["n_buckets"] == 1
+    assert out["in_control"]["n_buckets"] == n - 2
+    assert out["in_control"]["lcl"] < 1.0 < out["in_control"]["ucl"]

@@ -400,3 +400,47 @@ def test_warc_round_trip_any_payload(records):
     for (headers, block), rec in zip(got, recs):
         assert headers["warc-target-uri"] == rec["target_uri"]
         assert block.endswith(rec["payload"])
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.data(),
+    st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=8),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_text_invariants_any_window_stride(spark, window, data, lens):
+    stride = data.draw(__import__("hypothesis").strategies.integers(1, window))
+    """For ANY window/stride: every word appears in some chunk, chunk
+    ids are dense from 0, no chunk exceeds the window, and coverage
+    follows the closed-form chunk count."""
+    import math
+
+    import pandas as pd
+
+    from meteaudata_spark.ext.corpus_ops import chunk_text
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(lens)),
+            "text": [" ".join(f"d{j}w{i}" for i in range(n)) for j, n in enumerate(lens)],
+        }
+    )
+    rows = chunk_text(
+        spark.createDataFrame(docs), window=window, stride=stride
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for j, n in enumerate(lens):
+        n_words = n if n > 0 else 1  # split('') -> ['']
+        expect_chunks = 1 + math.ceil(max(n_words - window, 0) / stride)
+        chunks = sorted(by_doc[j], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(expect_chunks))
+        assert all(c["n_chunk_words"] <= window for c in chunks)
+        covered = {w for c in chunks for w in c["chunk_text"].split(" ") if w}
+        expected = {f"d{j}w{i}" for i in range(n)}
+        assert covered >= expected
