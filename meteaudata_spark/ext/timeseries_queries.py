@@ -2000,3 +2000,82 @@ FROM flagged
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level behavioral statistics: the per-SESSION rollup the
+    sessionizer's per-user summary skips — duration, size, and the
+    corpus-level distribution (count, mean duration, p90 duration,
+    mean events/session, single-event-session share).
+
+    Plan: the same lag + running-sum session labeling as
+    ``ts_sessionize`` (one keyed window per user), a per-(user,
+    session) agg, then one global summary row — keyed shuffles only;
+    the percentile is exact (swap ``approx_percentile`` at 100 TB as
+    elsewhere)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    labeled = (
+        ev.withColumn(
+            "__new_session",
+            F.when(
+                epoch_seconds(F.col("ts"))
+                - F.lag(epoch_seconds(F.col("ts"))).over(w)
+                > 1800.0,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__session_no",
+            F.sum("__new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per_session = labeled.groupBy("user_id", "__session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(epoch_seconds(F.col("ts"))) - F.min(epoch_seconds(F.col("ts")))
+        ).alias("duration_s"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        _r6(F.avg("duration_s")).alias("mean_duration_s"),
+        F.expr(
+            "round(percentile(duration_s, 0.9) * 1000000.0) / 1000000.0"
+        ).alias("p90_duration_s"),
+        _r6(F.avg("n_events")).alias("mean_events_per_session"),
+        _r6(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("single_event_share"),
+    )
+
+
+TS_SESSION_STATS_SQL = """
+WITH labeled AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_no
+  FROM labeled
+),
+per_session AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events,
+         MAX(epoch(ts)) - MIN(epoch(ts)) AS duration_s
+  FROM numbered GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       ROUND(AVG(duration_s) * 1000000.0) / 1000000.0 AS mean_duration_s,
+       ROUND(quantile_cont(duration_s, 0.9) * 1000000.0) / 1000000.0 AS p90_duration_s,
+       ROUND(AVG(CAST(n_events AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_events_per_session,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS single_event_share
+FROM per_session
+"""

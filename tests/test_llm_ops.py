@@ -1135,3 +1135,30 @@ def test_control_chart_flags_planted_excursions(spark, tmp_path):
     assert out["below_lcl"]["n_buckets"] == 1
     assert out["in_control"]["n_buckets"] == n - 2
     assert out["in_control"]["lcl"] < 1.0 < out["in_control"]["ucl"]
+
+
+def test_session_stats_hand_corpus(spark, tmp_path):
+    """Two users, known session structure: user A has two sessions
+    (3 events then a 40-min gap then 1 event); user B one 2-event
+    session."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:10:00", 1),
+        (2, "2024-01-01 00:20:00", 1),             # A session 1: 1200 s
+        (3, "2024-01-01 01:00:00", 1),             # A session 2: single
+        (4, "2024-01-01 00:00:00", 2), (5, "2024-01-01 00:05:00", 2),  # B: 300 s
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": "x",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    r = tsq.ts_session_stats(spark, str(tmp_path)).collect()[0]
+    assert r["n_sessions"] == 3
+    assert abs(r["mean_duration_s"] - (1200 + 0 + 300) / 3) < 1e-6
+    assert abs(r["mean_events_per_session"] - 2.0) < 1e-6
+    assert abs(r["single_event_share"] - 1 / 3) < 1e-6
