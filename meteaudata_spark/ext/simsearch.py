@@ -337,16 +337,47 @@ def lsh_near_pairs(
     n_tables: Optional[int] = None,
     n_planes: Optional[int] = None,
     n_vectors: Optional[int] = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Core distributed near-pair mining over any (vec_id, label,
     embedding) DataFrame — see ``emb_lsh_near_pairs`` for plan notes
     and ``lsh_bucketize`` for the ``n_planes`` occupancy auto-derive
     and knobs.  Split out so the scale smoke can drive it with
-    executor-side synthetic vectors."""
+    executor-side synthetic vectors.
+
+    ``multiprobe``: also probe every Hamming-1 neighbor bucket (one
+    flipped hyperplane sign) — candidates whose signatures differ in
+    exactly one plane of a table now meet too, buying back the recall
+    that extra planes cost WITHOUT adding tables.  Cost: the probe
+    side of the self-join fans out ×(n_planes+1); flipping on one
+    side only is sufficient and keeps the pair stream from double-
+    expanding.  The precision contract is unchanged (exact cosine
+    verify).  The oracle gate stays single-probe (fixed literals)."""
+    n_tables = _LSH_TABLES if n_tables is None else n_tables
+    if n_planes is None:
+        if n_vectors is None:
+            n_vectors = emb.count()
+        n_planes = derive_lsh_planes(n_vectors)
     buckets = lsh_bucketize(
         emb, n_tables=n_tables, n_planes=n_planes, n_vectors=n_vectors
     )
-    left = buckets.select("table", "bucket", F.col("vec_id").alias("vec_a"))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        left = buckets.select(
+            "table",
+            F.explode(probes).alias("bucket"),
+            F.col("vec_id").alias("vec_a"),
+        )
+    else:
+        left = buckets.select(
+            "table", "bucket", F.col("vec_id").alias("vec_a")
+        )
     right = buckets.select("table", "bucket", F.col("vec_id").alias("vec_b"))
     cand = (
         left.join(right, ["table", "bucket"])

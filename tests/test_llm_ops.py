@@ -1162,3 +1162,38 @@ def test_session_stats_hand_corpus(spark, tmp_path):
     assert abs(r["mean_duration_s"] - (1200 + 0 + 300) / 3) < 1e-6
     assert abs(r["mean_events_per_session"] - 2.0) < 1e-6
     assert abs(r["single_event_share"] - 1 / 3) < 1e-6
+
+
+def test_lsh_multiprobe_recall_superset(spark):
+    """Hamming-1 multi-probe must verify a SUPERSET of the
+    single-probe pairs at identical planes/tables — and on a
+    plane-heavy configuration (high precision, low recall) it
+    recovers pairs single-probe misses."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(120, 64)).astype(np.float32)
+    # plant 30 near-dup partners (small perturbations of the first 30)
+    partners = base[:30] + 0.15 * rng.normal(size=(30, 64)).astype(np.float32)
+    vecs = np.vstack([base, partners])
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [v.tolist() for v in vecs],
+                "label": 0,
+            }
+        )
+    )
+    kw = dict(threshold=0.6, n_tables=2, n_planes=12)
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in SS.lsh_near_pairs(d, **kw).collect()
+    }
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in SS.lsh_near_pairs(d, multiprobe=True, **kw).collect()
+    }
+    assert multi >= single
+    # at 12 planes / 2 tables the exact-bucket recall is poor; the
+    # Hamming-1 probes must strictly add verified pairs (seeded, so
+    # this is deterministic)
+    assert len(multi) > len(single), (len(single), len(multi))
