@@ -46,8 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round's local full-gate runs (104/104 mid-round + every later
     addition checked at sf0.001/0.01/0.1 individually).
     Round-7 rotation: put FIRST the operators added after this
-    round's cap filled (doc_gopher_rules .. ts_completeness — the
-    block right below the cap marker, never driver-verified), then
+    round's cap filled (the whole block right below the cap marker,
+    doc_gopher_rules .. ts_session_stats — never driver-verified), then
     the long-green dedup/textstats/emb/ts block; push (1)+(2b) out.
     Everything past 50 still runs in bench and in tests/test_ext.py's
     run-all test."""
