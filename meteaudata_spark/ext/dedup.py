@@ -864,3 +864,87 @@ FROM ranked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# quality-aware survivor selection
+# ----------------------------------------------------------------------
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decisions: within every near-dup cluster
+    keep the HIGHEST-quality document (not the lowest id — real
+    pipelines keep the best copy of boilerplate-heavy near-dups).
+
+    Composition of the cluster finder (``dedup_clusters`` over the
+    MinHash pairs) with the quality scorer
+    (``textstats.doc_quality_score``): one keyed join, one
+    per-cluster argmax (max_by with doc_id tiebreak for determinism).
+    Returns one row per cluster: survivor, its quality, the cluster
+    size, and how many docs the decision drops.
+    Reference analog: none (pure [EXT])."""
+    from meteaudata_spark.ext import textstats
+
+    clusters = doc_dedup_clusters(spark, sf_dir)
+    quality = textstats.doc_quality_score(spark, sf_dir)
+    j = clusters.join(quality, "doc_id")
+    # deterministic argmax: order by (quality desc, doc_id asc)
+    best = F.expr(
+        "max_by(struct(doc_id, quality_score), "
+        "struct(quality_score, -doc_id))"
+    )
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            best.getField("doc_id").alias("keep_doc_id"),
+            _r6q(best.getField("quality_score")).alias("keep_quality"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+
+
+def _r6q(col):
+    return F.round(col * F.lit(1000000.0), 0) / F.lit(1000000.0)
+
+
+def _dedup_keep_best_sql() -> str:
+    clusters = _dedup_clusters_sql().strip()
+    clusters = clusters[: clusters.rindex("ORDER BY")]
+    # quality score inline (same formula as DOC_QUALITY_SQL)
+    return f"""
+WITH comp_rows AS (
+{clusters}
+),
+q AS (
+  SELECT doc_id,
+         ROUND(
+           LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+           + (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / LEN(string_split(text, ' '))) * 0.4
+           + (CASE WHEN (CAST(LENGTH(text) AS DOUBLE) - LEN(string_split(text, ' ')) + 1)
+                        / LEN(string_split(text, ' ')) BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.2,
+         6) AS quality_score
+  FROM documents
+),
+j AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score
+  FROM comp_rows c JOIN q USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, doc_id, quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_score DESC, doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM j
+)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       ROUND(quality_score * 1000000.0) / 1000000.0 AS keep_quality,
+       cluster_size, cluster_size - 1 AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+DOC_DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()

@@ -1197,3 +1197,30 @@ def test_lsh_multiprobe_recall_superset(spark):
     # Hamming-1 probes must strictly add verified pairs (seeded, so
     # this is deterministic)
     assert len(multi) > len(single), (len(single), len(multi))
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    """The survivor of each cluster must be its quality argmax (doc_id
+    tiebreak), cross-checked against the cluster and quality tables."""
+    from meteaudata_spark.ext import textstats
+    from meteaudata_spark.ext.dedup import doc_dedup_clusters, doc_dedup_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in doc_dedup_clusters(spark, sf).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in textstats.doc_quality_score(spark, sf).collect()
+    }
+    out = {r["cluster_id"]: r for r in doc_dedup_keep_best(spark, sf).collect()}
+    assert len(out) > 0
+    by_cluster = {}
+    for doc, cl in clusters.items():
+        by_cluster.setdefault(cl, []).append(doc)
+    for cl, members in by_cluster.items():
+        want = min(members, key=lambda d: (-quality[d], d))
+        assert out[cl]["keep_doc_id"] == want
+        assert out[cl]["cluster_size"] == len(members)
+        assert out[cl]["n_dropped"] == len(members) - 1
