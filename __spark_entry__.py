@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_control_chart": tsq.ts_control_chart,  # NEW: Shewhart x-bar SPC limits
         "ts_session_stats": tsq.ts_session_stats,  # NEW: per-session duration/size rollup
         "doc_dedup_keep_best": dedup.doc_dedup_keep_best,  # NEW: quality-argmax cluster survivor
+        "doc_split_leakage": corpus_ops.doc_split_leakage,  # NEW: near-dup cross-split contamination audit
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -293,4 +294,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_control_chart": tsq.TS_CONTROL_CHART_SQL,
         "ts_session_stats": tsq.TS_SESSION_STATS_SQL,
         "doc_dedup_keep_best": dedup.DOC_DEDUP_KEEP_BEST_SQL,
+        "doc_split_leakage": corpus_ops.DOC_SPLIT_LEAKAGE_SQL,
     }

@@ -669,3 +669,82 @@ SELECT doc_id,
 FROM spread
 ORDER BY doc_id, chunk_id
 """
+
+
+# ----------------------------------------------------------------------
+# split-leakage audit
+# ----------------------------------------------------------------------
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup split-leakage audit: MinHash near-dup pairs whose
+    members landed in DIFFERENT train/valid/test splits — each such
+    pair is silent train→eval contamination that a doc-level split
+    cannot see (the reason production pipelines split by CLUSTER, not
+    by document).  Returns the per-(split_a, split_b) leak matrix plus
+    the lowest-id example pair for triage.
+
+    Composition: the minhash pair miner ⋈ the hash-split assignment on
+    each side — two keyed joins against the (tiny) pair list; the
+    corpus itself is scanned only by the split projection.
+    Reference analog: none (pure [EXT])."""
+    from meteaudata_spark.ext import dedup
+
+    pairs = dedup.doc_minhash_lsh_pairs(spark, sf_dir)
+    splits = doc_hash_split(spark, sf_dir).select("doc_id", "split")
+    j = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return j.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_leaking_pairs"),
+        F.min("doc_a").alias("example_doc_a"),
+        F.min("doc_b").alias("example_doc_b"),
+    )
+
+
+def _split_leakage_sql() -> str:
+    from meteaudata_spark.ext import dedup
+
+    inner = dedup._minhash_sql().strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    h = _H60_DUCK.format(col="'split:' || CAST(doc_id AS VARCHAR)")
+    split_expr = (
+        f"CASE WHEN {h} % 100 < 80 THEN 'train' "
+        f"WHEN {h} % 100 < 90 THEN 'validation' "
+        "ELSE 'test' END"
+    )
+    return f"""
+WITH pairs AS (
+SELECT doc_a, doc_b FROM (
+{inner}
+) t
+),
+splits AS (
+  SELECT doc_id, {split_expr} AS split FROM documents
+),
+j AS (
+  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+)
+SELECT split_a, split_b, COUNT(*) AS n_leaking_pairs,
+       MIN(doc_a) AS example_doc_a, MIN(doc_b) AS example_doc_b
+FROM j
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+DOC_SPLIT_LEAKAGE_SQL = _split_leakage_sql()

@@ -1224,3 +1224,27 @@ def test_dedup_keep_best_picks_highest_quality(spark):
         assert out[cl]["keep_doc_id"] == want
         assert out[cl]["cluster_size"] == len(members)
         assert out[cl]["n_dropped"] == len(members) - 1
+
+
+def test_split_leakage_matrix_consistent_with_sources(spark):
+    """Every reported leaking pair must be a real minhash pair whose
+    members carry different split labels; totals must reconcile."""
+    from meteaudata_spark.ext.corpus_ops import doc_hash_split, doc_split_leakage
+    from meteaudata_spark.ext.dedup import doc_minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    splits = {r["doc_id"]: r["split"] for r in doc_hash_split(spark, sf).collect()}
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in doc_minhash_lsh_pairs(spark, sf).collect()
+    ]
+    expected = {}
+    for a, b in pairs:
+        if splits[a] != splits[b]:
+            key = (splits[a], splits[b])
+            expected[key] = expected.get(key, 0) + 1
+    got = {
+        (r["split_a"], r["split_b"]): r["n_leaking_pairs"]
+        for r in doc_split_leakage(spark, sf).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == sum(expected.values())
