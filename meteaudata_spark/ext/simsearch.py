@@ -1800,3 +1800,75 @@ ORDER BY drop_id
 
 
 EMB_SEMDEDUP_SQL = _semdedup_sql()
+
+
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class query: per-query
+    recall@5 of the IVF search against the exact cosine top-5, plus
+    the macro average — the metric every ANN deployment monitors,
+    expressed as the same two operators it evaluates joined on
+    (query, neighbor).
+
+    Both rankers are deterministic (fixed centroids / rounded-cosine
+    tie-breaks), so the recall numbers are engine-exact and the oracle
+    composes the two rankers' SQL verbatim.  Composition cost: two
+    top-k relations of 50 rows each — the evaluation itself is free
+    at any corpus scale; the rankers do the work."""
+    exact = emb_cosine_topk(spark, sf_dir, n_queries=10, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = emb_ivf_topk(spark, sf_dir, n_queries=10, k=5).select(
+        F.col("query_id").alias("q2"), F.col("vec_id").alias("v2")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("q2")) & (F.col("vec_id") == F.col("v2")),
+        "left",
+    )
+    per_query = hit.groupBy("query_id").agg(
+        (F.sum(F.when(F.col("v2").isNotNull(), 1).otherwise(0)) / F.lit(5.0)).alias(
+            "recall_at_5"
+        )
+    )
+    return per_query.groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall_at_5") * 1000000.0).cast("bigint").alias(
+            "macro_recall_micros"
+        ),
+        F.round(F.min("recall_at_5") * 1000000.0).cast("bigint").alias(
+            "worst_recall_micros"
+        ),
+    )
+
+
+def _ann_recall_sql() -> str:
+    exact = EMB_COSINE_TOPK_SQL.strip()
+    exact = exact[: exact.rindex("ORDER BY")]
+    approx = EMB_IVF_TOPK_SQL.strip()
+    approx = approx[: approx.rindex("ORDER BY")]
+    return f"""
+WITH exact_tk AS (
+{exact}
+),
+approx_tk AS (
+{approx}
+),
+hit AS (
+  SELECT e.query_id, e.vec_id,
+         CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+  FROM exact_tk e
+  LEFT JOIN approx_tk a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+),
+per_query AS (
+  SELECT query_id, SUM(is_hit) / 5.0 AS recall_at_5
+  FROM hit GROUP BY query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(round(AVG(recall_at_5) * 1000000.0) AS BIGINT) AS macro_recall_micros,
+       CAST(round(MIN(recall_at_5) * 1000000.0) AS BIGINT) AS worst_recall_micros
+FROM per_query
+"""
+
+
+EMB_ANN_RECALL_SQL = _ann_recall_sql()
