@@ -90,3 +90,81 @@ def stream_running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("last", DoubleType()), StructField("seeded", LongType())]
+)
+
+
+def stream_ewma_state(
+    stream_df: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key EWMA carried across micro-batches on the EXECUTABLE
+    stateful API (``applyInPandasWithState``) — the runtime
+    counterpart of ``transform_state.stream_ewma``, whose
+    ``transformWithState`` protocol needs protobuf this environment
+    lacks.  Identical recurrence to ``kernels.ewma``
+    (e = (1−α)·e + α·x, seed = first value), one double of state per
+    key; events sort by ``ts_col`` inside each micro-batch (the
+    group's chunks are CONCATENATED first — per-chunk sorting would
+    be order-unstable, the pitfall the semantic dedup stream
+    documents).  Emits every event with its smoothed value (append)."""
+
+    def update(key, pdfs, state):
+        if state.exists:
+            last, seeded = state.get
+        else:
+            last, seeded = 0.0, 0
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            out_ts, out_v, out_e = [], [], []
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                v = float(v)
+                if not seeded:
+                    last, seeded = v, 1
+                else:
+                    last = (1 - alpha) * last + alpha * v
+                out_ts.append(int(ts))
+                out_v.append(v)
+                out_e.append(last)
+            state.update((last, seeded))
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "ts": out_ts,
+                    "value": out_v,
+                    "ewma": out_e,
+                }
+            )
+        else:
+            state.update((last, seeded))
+
+    from pyspark.sql import functions as F
+
+    renamed = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(val_col).cast("double").alias("value"),
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -94,3 +94,75 @@ def test_stream_hll_matches_batch(spark, tmp_path):
         # last emitted row per key = cumulative estimate
         final_est = rows.iloc[-1]["hll_distinct"]
         assert final_est == batch[key], (key, final_est, batch[key])
+
+
+def test_stream_ewma_state_matches_batch_kernel(spark, tmp_path):
+    """The executable stateful EWMA must reproduce kernels.ewma
+    trajectories exactly, with state carrying across micro-batches."""
+    import os
+    import shutil
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.operators import kernels
+    from meteaudata_spark.streaming.stateful import stream_ewma_state
+
+    rng = np.random.default_rng(21)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a" if i % 2 else "b" for i in range(n)],
+            "ts": np.arange(n, dtype=np.int64),
+            "value": rng.standard_normal(n),
+        }
+    )
+    # two micro-batches with increasing mtimes: state must carry over
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for bi, part in enumerate((pdf.iloc[: n // 2], pdf.iloc[n // 2 :])):
+        staging = str(tmp_path / f"stage{bi}")
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(staging)
+        f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
+        dst = f"{src}/{bi}.parquet"
+        shutil.copy(f"{staging}/{f}", dst)
+        os.utime(dst, (now - 300 + bi * 60,) * 2)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        stream_ewma_state(stream, alpha=0.25)
+        .writeStream.format("memory")
+        .queryName("ewma_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ewma_state")
+        .orderBy("key", "ts")
+        .toPandas()
+    )
+
+    batch = (
+        kernels.ewma(
+            spark.createDataFrame(pdf).select(
+                "event_type", F.col("ts").alias("timestamp"), "value"
+            ),
+            alpha=0.25,
+            partition_cols=["event_type"],
+        )
+        .orderBy("event_type", "timestamp")
+        .toPandas()
+    )
+    assert len(got) == n
+    assert np.allclose(got["ewma"].to_numpy(), batch["value"].to_numpy())
