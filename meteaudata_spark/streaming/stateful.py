@@ -168,3 +168,83 @@ def stream_ewma_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HOLT_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_next", DoubleType()),
+    ]
+)
+
+_HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("seeded", LongType()),
+    ]
+)
+
+
+def stream_holt_state(
+    stream_df: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing carried across
+    micro-batches — the ONLINE FORECASTER: every arriving event emits
+    its smoothed level, trend, and one-step forecast (level + trend),
+    with two doubles of state per key.  Identical recurrence to
+    ``kernels.holt`` (l₁ = x₁, b₁ = 0), same chunk-concat order
+    stability as ``stream_ewma_state``."""
+
+    def update(key, pdfs, state):
+        if state.exists:
+            level, trend, seeded = state.get
+        else:
+            level, trend, seeded = 0.0, 0.0, 0
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            rows = {k: [] for k in ("ts", "value", "level", "trend")}
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                v = float(v)
+                if not seeded:
+                    level, trend, seeded = v, 0.0, 1
+                else:
+                    prev_l = level
+                    level = alpha * v + (1 - alpha) * (level + trend)
+                    trend = beta * (level - prev_l) + (1 - beta) * trend
+                rows["ts"].append(int(ts))
+                rows["value"].append(v)
+                rows["level"].append(level)
+                rows["trend"].append(trend)
+            state.update((level, trend, seeded))
+            out = pd.DataFrame(rows)
+            out.insert(0, "key", key[0])
+            out["forecast_next"] = out["level"] + out["trend"]
+            yield out
+        else:
+            state.update((level, trend, seeded))
+
+    from pyspark.sql import functions as F
+
+    renamed = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(val_col).cast("double").alias("value"),
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -166,3 +166,71 @@ def test_stream_ewma_state_matches_batch_kernel(spark, tmp_path):
     )
     assert len(got) == n
     assert np.allclose(got["ewma"].to_numpy(), batch["value"].to_numpy())
+
+
+def test_stream_holt_state_matches_batch_kernel(spark, tmp_path):
+    """Online Holt must equal the batch kernel's (level, trend)
+    trajectory with state carried across micro-batches."""
+    import os
+    import shutil
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.operators import kernels
+    from meteaudata_spark.streaming.stateful import stream_holt_state
+
+    n = 160
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["r"] * n,
+            "ts": np.arange(n, dtype=np.int64),
+            "value": 2.0 + 0.3 * np.arange(n) + np.sin(np.arange(n) / 5),
+        }
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for bi, part in enumerate((pdf.iloc[: n // 2], pdf.iloc[n // 2 :])):
+        staging = str(tmp_path / f"stage{bi}")
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(staging)
+        f = next(x for x in os.listdir(staging) if x.endswith(".parquet"))
+        shutil.copy(f"{staging}/{f}", f"{src}/{bi}.parquet")
+        os.utime(f"{src}/{bi}.parquet", (now - 300 + bi * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        stream_holt_state(stream, alpha=0.5, beta=0.25)
+        .writeStream.format("memory")
+        .queryName("holt_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("holt_state").orderBy("ts").toPandas()
+
+    batch = (
+        kernels.holt(
+            spark.createDataFrame(pdf).select(
+                "event_type", F.col("ts").alias("timestamp"), "value"
+            ),
+            alpha=0.5,
+            beta=0.25,
+            partition_cols=["event_type"],
+        )
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    assert len(got) == n
+    assert np.allclose(got["level"].to_numpy(), batch["__level"].to_numpy())
+    assert np.allclose(got["trend"].to_numpy(), batch["__trend"].to_numpy())
+    # the trend tracks the ramp slope within the sine term's ±0.2
+    # derivative envelope
+    assert abs(got["trend"].iloc[-1] - 0.3) < 0.25
