@@ -260,8 +260,42 @@ def smoke_range_join(spark, n_points=10_000_000, n_intervals=10_000):
     print(f"  -> {n_points / dt:,.0f} points/s", flush=True)
 
 
+def smoke_bm25_index(spark, n_docs=1_000_000, words=60):
+    """Build the persisted inverted index over 1M docs (the persist()
+    fix means ONE explode+groupBy pass feeds both writes), then serve
+    a query from it."""
+    import tempfile
+
+    from meteaudata_spark.ext.textstats import bm25_index_search, build_bm25_index
+
+    d = _synth_docs(spark, n_docs, words).withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(1000)) == 0,
+            F.concat(F.lit("spark table row data query "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    idx = tempfile.mkdtemp() + "/bm25"
+
+    def build():
+        build_bm25_index(d, idx)
+        return "postings + terms + meta written"
+
+    dt = _timed(f"bm25 index build {n_docs:,} docs x {words}w", build)
+    print(f"  -> {n_docs / dt:,.0f} docs/s indexed", flush=True)
+
+    def serve():
+        out = bm25_index_search(
+            spark, idx, ["spark", "table", "row", "data", "query"], k=20
+        ).collect()
+        assert len(out) == 20 and all(r["doc_id"] % 1000 == 0 for r in out)
+        return "top-20 all planted hits"
+
+    dt2 = _timed("bm25 index serve (5-term query)", serve)
+
+
 if __name__ == "__main__":
-    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4", "bm25", "pagerank", "rangejoin"]
+    steps = sys.argv[1:] or ["chunk", "gopher", "semdedup", "mp4", "bm25", "pagerank", "rangejoin", "bm25index"]
     spark = get_spark("scale-smoke-r6c")
     spark.sparkContext.setLogLevel("ERROR")
     if "chunk" in steps:
@@ -278,3 +312,5 @@ if __name__ == "__main__":
         smoke_pagerank(spark)
     if "rangejoin" in steps:
         smoke_range_join(spark)
+    if "bm25index" in steps:
+        smoke_bm25_index(spark)
