@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_best": dedup.doc_dedup_keep_best,  # NEW: quality-argmax cluster survivor
         "doc_split_leakage": corpus_ops.doc_split_leakage,  # NEW: near-dup cross-split contamination audit
         "emb_ann_recall": simsearch.emb_ann_recall,  # NEW: recall@5 of IVF vs exact, as a query
+        "ts_forecast_eval": tsq.ts_forecast_eval,  # NEW: Holt-vs-naive one-step backtest
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -297,4 +298,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_keep_best": dedup.DOC_DEDUP_KEEP_BEST_SQL,
         "doc_split_leakage": corpus_ops.DOC_SPLIT_LEAKAGE_SQL,
         "emb_ann_recall": simsearch.EMB_ANN_RECALL_SQL,
+        "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
     }

@@ -2079,3 +2079,93 @@ SELECT COUNT(*) AS n_sessions,
        ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS single_event_share
 FROM per_session
 """
+
+
+def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest as a query: per type, the mean absolute error
+    of the Holt ONE-STEP forecast (level+trend at t predicting the
+    bucket mean at t+1) against the naive last-value forecast — the
+    MASE-style ratio every forecasting deployment monitors (<1 means
+    the model beats persistence).
+
+    Reuses the exact `ts_holt` recurrence (same α/β, same rounded
+    inputs, so the oracle extends the same recursive CTE with a LEAD
+    comparison); absolute errors quantized to integer micros before
+    the sums, ratio at the end."""
+    h = ts_holt(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("b5")
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(_r6(F.avg("value")).alias("m"))
+    hb = h.join(b, ["event_type", "b5"])
+    nxt = hb.withColumn("actual_next", F.lead("m").over(w)).filter(
+        F.col("actual_next").isNotNull()
+    )
+    err = nxt.select(
+        "event_type",
+        F.round(F.abs(F.col("forecast_next") - F.col("actual_next")) * 1000000.0)
+        .cast("bigint")
+        .alias("holt_err_micros"),
+        F.round(F.abs(F.col("m") - F.col("actual_next")) * 1000000.0)
+        .cast("bigint")
+        .alias("naive_err_micros"),
+    )
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        (F.sum("holt_err_micros") / 1000000.0).alias("holt_mae_sum"),
+        (F.sum("naive_err_micros") / 1000000.0).alias("naive_mae_sum"),
+        _r6(
+            F.sum("holt_err_micros") / F.sum("naive_err_micros")
+        ).alias("mase_ratio"),
+    )
+
+
+TS_FORECAST_EVAL_SQL = """
+WITH RECURSIVE b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         ROUND(AVG(value) * 1000000.0) / 1000000.0 AS m
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, b5, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b5) AS rn
+  FROM b
+),
+rec AS (
+  SELECT event_type, b5, m, rn, m AS l, CAST(0.0 AS DOUBLE) AS bt
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.b5, s.m, s.rn,
+         0.5 * s.m + 0.5 * (r.l + r.bt),
+         0.25 * ((0.5 * s.m + 0.5 * (r.l + r.bt)) - r.l) + 0.75 * r.bt
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+),
+h AS (
+  SELECT event_type, b5, m,
+         ROUND(l * 1000000.0) / 1000000.0 AS level,
+         ROUND((l + bt) * 1000000.0) / 1000000.0 AS forecast_next
+  FROM rec
+),
+nxt AS (
+  SELECT event_type, forecast_next, m,
+         LEAD(m) OVER (PARTITION BY event_type ORDER BY b5) AS actual_next
+  FROM h
+),
+err AS (
+  SELECT event_type,
+         CAST(round(ABS(forecast_next - actual_next) * 1000000.0) AS BIGINT) AS holt_err_micros,
+         CAST(round(ABS(m - actual_next) * 1000000.0) AS BIGINT) AS naive_err_micros
+  FROM nxt WHERE actual_next IS NOT NULL
+)
+SELECT event_type, COUNT(*) AS n_forecasts,
+       SUM(holt_err_micros) / 1000000.0 AS holt_mae_sum,
+       SUM(naive_err_micros) / 1000000.0 AS naive_mae_sum,
+       ROUND(CAST(SUM(holt_err_micros) AS DOUBLE) / SUM(naive_err_micros) * 1000000.0) / 1000000.0 AS mase_ratio
+FROM err
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1248,3 +1248,21 @@ def test_split_leakage_matrix_consistent_with_sources(spark):
     }
     assert got == expected
     assert sum(got.values()) == sum(expected.values())
+
+
+def test_forecast_eval_holt_beats_naive_on_ramp(spark, tmp_path):
+    """On a linear ramp Holt's one-step forecast is near-perfect while
+    the naive last-value forecast is off by one slope step every time:
+    the MASE-style ratio must be well below 1."""
+    n = 240
+    ts = pd.date_range("2024-01-01", freq="300s", periods=n)
+    vals = 10.0 + 0.5 * np.arange(n)
+    pd.DataFrame(
+        {
+            "event_id": range(n), "ts": ts, "user_id": 0,
+            "event_type": "ramp", "value": vals, "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    r = tsq.ts_forecast_eval(spark, str(tmp_path)).collect()[0]
+    assert r["n_forecasts"] == n - 1
+    assert r["mase_ratio"] < 0.5, r
