@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakage": corpus_ops.doc_split_leakage,  # NEW: near-dup cross-split contamination audit
         "emb_ann_recall": simsearch.emb_ann_recall,  # NEW: recall@5 of IVF vs exact, as a query
         "ts_forecast_eval": tsq.ts_forecast_eval,  # NEW: Holt-vs-naive one-step backtest
+        "ts_weekly_profile": tsq.ts_weekly_profile,  # NEW: dow-hour seasonal heatmap table
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -299,4 +300,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_leakage": corpus_ops.DOC_SPLIT_LEAKAGE_SQL,
         "emb_ann_recall": simsearch.EMB_ANN_RECALL_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
+        "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
     }

@@ -2169,3 +2169,43 @@ FROM err
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def ts_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal profile per type: mean/min/max value and sample
+    count per (day-of-week, hour) cell — the heatmap table behind
+    every monitoring dashboard's "when does this metric move" view
+    (and the seasonal baseline the anomaly detectors difference
+    against).
+
+    Day-of-week comes from pure epoch arithmetic
+    (floor(epoch/86400 + 4) % 7, 0 = Sunday; 1970-01-01 was a
+    Thursday) instead of engine date functions, whose numbering
+    conventions differ between Spark (1 = Sunday) and DuckDB
+    (0 = Sunday).  One keyed hash-agg; embarrassingly parallel."""
+    ev = _events(spark, sf_dir)
+    es = epoch_seconds(F.col("ts"))
+    return ev.groupBy(
+        "event_type",
+        (F.pmod(F.floor(es / 86400) + 4, F.lit(7))).cast("bigint").alias("dow"),
+        (F.pmod(F.floor(es / 3600), F.lit(24))).cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.avg("value")).alias("mean_value"),
+        _r6(F.min("value")).alias("min_value"),
+        _r6(F.max("value")).alias("max_value"),
+    )
+
+
+TS_WEEKLY_PROFILE_SQL = """
+SELECT event_type,
+       CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS BIGINT) AS dow,
+       CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS BIGINT) AS hour,
+       COUNT(*) AS n,
+       ROUND(AVG(value) * 1000000.0) / 1000000.0 AS mean_value,
+       ROUND(MIN(value) * 1000000.0) / 1000000.0 AS min_value,
+       ROUND(MAX(value) * 1000000.0) / 1000000.0 AS max_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

@@ -1266,3 +1266,18 @@ def test_forecast_eval_holt_beats_naive_on_ramp(spark, tmp_path):
     r = tsq.ts_forecast_eval(spark, str(tmp_path)).collect()[0]
     assert r["n_forecasts"] == n - 1
     assert r["mase_ratio"] < 0.5, r
+
+
+def test_weekly_profile_dow_arithmetic(spark, tmp_path):
+    """1970-01-01 is a Thursday: epoch 0 must land in dow=4, and a
+    +3-day shift in dow=0 (Sunday)."""
+    ts = pd.to_datetime(["1970-01-01 05:00:00", "1970-01-04 23:00:00"])
+    pd.DataFrame(
+        {
+            "event_id": [0, 1], "ts": ts, "user_id": 0,
+            "event_type": "w", "value": [1.0, 2.0], "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = {(r["dow"], r["hour"]): r for r in tsq.ts_weekly_profile(spark, str(tmp_path)).collect()}
+    assert (4, 5) in rows and rows[(4, 5)]["mean_value"] == 1.0   # Thursday
+    assert (0, 23) in rows and rows[(0, 23)]["mean_value"] == 2.0  # Sunday
