@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": simsearch.emb_ann_recall,  # NEW: recall@5 of IVF vs exact, as a query
         "ts_forecast_eval": tsq.ts_forecast_eval,  # NEW: Holt-vs-naive one-step backtest
         "ts_weekly_profile": tsq.ts_weekly_profile,  # NEW: dow-hour seasonal heatmap table
+        "doc_ngram_novelty": textstats.doc_ngram_novelty,  # NEW: corpus novelty curve
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
         "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
@@ -301,4 +302,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_recall": simsearch.EMB_ANN_RECALL_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
+        "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,
     }

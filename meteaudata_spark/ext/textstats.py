@@ -1195,3 +1195,69 @@ def bm25_index_search(
     return _bm25_score_topk(
         post.select("doc_id", "dl", "term", "tf"), df_t, meta, k, k1, b
     )
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Corpus novelty curve: per document, the share of its word
+    3-grams that NO earlier document (lower doc_id = earlier
+    ingestion) contains — the diversity signal that collapses as a
+    crawl starts re-reading itself, and the per-doc counterpart of
+    segment dedup's first-occurrence rule.
+
+    One explode → one (gram → min doc_id) keyed agg → join back →
+    per-doc rollup; every shuffle keyed on the gram or the doc id.
+    Duplicate grams inside one doc count once (novelty is about
+    distinct content)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)), "
+                    f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+                )
+            )
+        ).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first_seen, "gram")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        ).alias("n_novel"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1))
+            * 1000000.0
+        ).cast("bigint").alias("novelty_micros"),
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             range(1, GREATEST(LEN(string_split(text, ' ')) - 2, 0) + 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           )) AS gram
+    FROM documents
+  )
+),
+first_seen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(round(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS novelty_micros
+FROM grams g JOIN first_seen f USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""

@@ -1281,3 +1281,23 @@ def test_weekly_profile_dow_arithmetic(spark, tmp_path):
     rows = {(r["dow"], r["hour"]): r for r in tsq.ts_weekly_profile(spark, str(tmp_path)).collect()}
     assert (4, 5) in rows and rows[(4, 5)]["mean_value"] == 1.0   # Thursday
     assert (0, 23) in rows and rows[(0, 23)]["mean_value"] == 2.0  # Sunday
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark, tmp_path):
+    texts = [
+        "a b c d e",            # doc 0: all 3 grams novel
+        "a b c x y z",          # doc 1: shares 'a b c' with doc 0
+        "a b c d e",            # doc 2: exact repeat -> zero novelty
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(3), "text": texts, "lang": "en",
+            "source": "t", "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from meteaudata_spark.ext.textstats import doc_ngram_novelty
+
+    out = {r["doc_id"]: r for r in doc_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert out[0]["n_novel"] == out[0]["n_grams"] == 3
+    assert out[1]["n_grams"] == 4 and out[1]["n_novel"] == 3  # 'a b c' seen
+    assert out[2]["n_novel"] == 0 and out[2]["novelty_micros"] == 0
