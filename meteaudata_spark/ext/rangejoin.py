@@ -57,6 +57,12 @@ def range_join(
     # ids line up (and NULL-valued point columns can't confuse the anti
     # join the way whole-row equality would)
     points = points.withColumn("__rj_id", F.monotonically_increasing_id())
+    if how == "left":
+        # the matched and anti branches are two executions of this
+        # lineage; if an upstream shuffle recomputes with a different
+        # row order, monotonically_increasing_id would disagree between
+        # them — pin the ids by truncating lineage at the id assignment
+        points = points.localCheckpoint(eager=False)
     p = points.withColumn(
         "__bucket", F.floor(epoch_seconds(F.col(ts_col)) / b).cast("bigint")
     )

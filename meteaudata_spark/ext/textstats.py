@@ -1111,7 +1111,10 @@ def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = _BM25_BUCKETS)
         only its terms' buckets, so serving reads ``q/n_buckets`` of
         the postings DIRECTORIES, not a full corpus scan;
       ``{path}/terms``    — (bucket, term, df), same partitioning;
-      ``{path}/meta``     — one row (n_docs, avgdl).
+      ``{path}/meta``     — one row (n_docs, avgdl, n_buckets); the
+        bucket count is persisted so serving never has to guess it —
+        pruning with the wrong modulus reads the wrong partitions and
+        silently returns empty stats.
 
     The build is the same one corpus pass as ``bm25_search`` minus the
     query filter (every term becomes a posting).  At 100 TB the write
@@ -1124,7 +1127,9 @@ def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = _BM25_BUCKETS)
     )
     base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).withColumn("n_buckets", F.lit(n_buckets).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
     tf = (
         base.select(
             "doc_id", "dl", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -1159,16 +1164,23 @@ def bm25_index_search(
     k: int = 20,
     k1: float = _BM25_K1,
     b: float = _BM25_B,
-    n_buckets: int = _BM25_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Serve a BM25 query from a persisted index: resolve the query
     terms' buckets (tiny driver-side hash, the same legitimate
     boundary as IVF-PQ probe resolution), then scan ONLY those
     postings partitions (directory-level pruning, plan-asserted in
     tests).  Scoring math is shared with ``bm25_search``
-    (``_bm25_score_topk``) — equality is pinned by test."""
+    (``_bm25_score_topk``) — equality is pinned by test.
+
+    ``n_buckets`` defaults to the value persisted in the index meta
+    (pruning with a different modulus than the build would read the
+    wrong partitions and silently score nothing)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    meta = spark.read.parquet(f"{path}/meta")
+    if n_buckets is None:
+        n_buckets = _index_n_buckets(meta)
     buckets = sorted(
         {
             r["b"]
@@ -1191,10 +1203,23 @@ def bm25_index_search(
         .filter(F.array_contains(terms, F.col("term")))
         .select("term", "df")
     )
-    meta = spark.read.parquet(f"{path}/meta")
     return _bm25_score_topk(
-        post.select("doc_id", "dl", "term", "tf"), df_t, meta, k, k1, b
+        post.select("doc_id", "dl", "term", "tf"),
+        df_t,
+        meta.select("n_docs", "avgdl"),
+        k,
+        k1,
+        b,
     )
+
+
+def _index_n_buckets(meta: DataFrame) -> int:
+    """Bucket count persisted in a BM25 index's meta table; falls back
+    to the build-time default for indexes written before the column
+    existed."""
+    if "n_buckets" in meta.columns:
+        return int(meta.select("n_buckets").collect()[0][0])
+    return _BM25_BUCKETS
 
 
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -1204,25 +1229,38 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame
     crawl starts re-reading itself, and the per-doc counterpart of
     segment dedup's first-occurrence rule.
 
-    One explode → one (gram → min doc_id) keyed agg → join back →
-    per-doc rollup; every shuffle keyed on the gram or the doc id.
+    One explode → one (gram-keyed) window min → per-doc rollup: the
+    gram relation is scanned ONCE (the agg+join-back shape scanned the
+    explode twice); both shuffles are keyed (gram, then doc_id).
     Duplicate grams inside one doc count once (novelty is about
-    distinct content)."""
+    distinct content).
+
+    Short-doc guard: ``sequence(1, size - 2)`` in Spark is DESCENDING
+    ``[1, 0]`` when the upper bound is 0 (sequence(1,0) != empty) and
+    the resulting ``slice(words, 0, n)`` throws
+    INVALID_PARAMETER_VALUE.START — so documents with fewer than ``n``
+    words are gated to an empty gram array (matching DuckDB's
+    ``range(1, ...)``, which IS empty), and explode drops them from
+    the output entirely."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
     grams = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)), "
-                    f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+                    f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
+                    f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+                    f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')) "
+                    f"ELSE CAST(array() AS array<string>) END"
                 )
             )
         ).alias("gram"),
     )
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    j = grams.join(first_seen, "gram")
+    j = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
+    )
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(

@@ -2199,8 +2199,8 @@ def ts_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TS_WEEKLY_PROFILE_SQL = """
 SELECT event_type,
-       CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS BIGINT) AS dow,
-       CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS BIGINT) AS hour,
+       CAST((((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7) + 7) % 7 AS BIGINT) AS dow,
+       CAST(((CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) + 24) % 24 AS BIGINT) AS hour,
        COUNT(*) AS n,
        ROUND(AVG(value) * 1000000.0) / 1000000.0 AS mean_value,
        ROUND(MIN(value) * 1000000.0) / 1000000.0 AS min_value,

@@ -26,16 +26,27 @@ from meteaudata_spark.ext.textstats import _BM25_B, _BM25_K1
 
 
 def bm25_query_stats(
-    spark: SparkSession, index_path: str, query_terms: list[str]
+    spark: SparkSession,
+    index_path: str,
+    query_terms: list[str],
+    n_buckets: int | None = None,
 ) -> dict:
     """Freeze the scoring stats for a query from a persisted BM25
     index: {term: df} plus n_docs and avgdl.  Tiny driver-side reads
-    (the terms table rows for ≤ a handful of query terms)."""
-    from meteaudata_spark.ext.textstats import _BM25_BUCKETS
+    (the terms table rows for ≤ a handful of query terms).
+
+    ``n_buckets`` defaults to the value persisted in the index meta
+    (``build_bm25_index`` writes it); pruning with a modulus other
+    than the build's would read the wrong partitions, find no term
+    rows, and every query term would silently score as absent."""
+    from meteaudata_spark.ext.textstats import _index_n_buckets
 
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta_df = spark.read.parquet(f"{index_path}/meta")
+    if n_buckets is None:
+        n_buckets = _index_n_buckets(meta_df)
+    meta = meta_df.collect()[0]
     terms = F.array(*[F.lit(t) for t in query_terms])
     # prune to the query terms' bucket partitions exactly like the
     # serving path — without this the stats freeze scans every bucket
@@ -46,7 +57,7 @@ def bm25_query_stats(
             for r in spark.createDataFrame(
                 [(t,) for t in query_terms], "term string"
             )
-            .select(F.pmod(F.xxhash64("term"), F.lit(_BM25_BUCKETS)).alias("b"))
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
             .collect()
         }
     )

@@ -119,10 +119,13 @@ def stream_ewma_state(
     ``transformWithState`` protocol needs protobuf this environment
     lacks.  Identical recurrence to ``kernels.ewma``
     (e = (1−α)·e + α·x, seed = first value), one double of state per
-    key; events sort by ``ts_col`` inside each micro-batch (the
-    group's chunks are CONCATENATED first — per-chunk sorting would
-    be order-unstable, the pitfall the semantic dedup stream
-    documents).  Emits every event with its smoothed value (append)."""
+    key; events sort by ``(ts_col, value)`` inside each micro-batch
+    (the group's chunks are CONCATENATED first — per-chunk sorting
+    would be order-unstable, the pitfall the semantic dedup stream
+    documents; the value tiebreak makes same-timestamp events
+    deterministic where a ts-only sort would keep shuffle-dependent
+    arrival order).  Emits every event with its smoothed value
+    (append)."""
 
     def update(key, pdfs, state):
         if state.exists:
@@ -131,7 +134,9 @@ def stream_ewma_state(
             last, seeded = 0.0, 0
         chunks = [p for p in pdfs if len(p)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "value"], kind="mergesort"
+            )
             out_ts, out_v, out_e = [], [], []
             for ts, v in zip(pdf["ts"], pdf["value"]):
                 v = float(v)
@@ -212,7 +217,9 @@ def stream_holt_state(
             level, trend, seeded = 0.0, 0.0, 0
         chunks = [p for p in pdfs if len(p)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "value"], kind="mergesort"
+            )
             rows = {k: [] for k in ("ts", "value", "level", "trend")}
             for ts, v in zip(pdf["ts"], pdf["value"]):
                 v = float(v)
