@@ -37,45 +37,121 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering policy: the driver's oracle gate checks only the FIRST
     50 entries, so entries are ranked by verification urgency —
-    (1) queries with no driver oracle row since round 4 (the
-    ts/relational block that sat past the cap while round 5 verified
-    the dedup/simsearch block), (2) queries whose implementation
-    changed in round 6, (2b) the 14 operators ADDED in round 6
-    (never driver-verified; all green on the local gate replica at
-    sf0.01), (3) the remainder — verified in round 5 or by this
-    round's local full-gate runs (104/104 mid-round + every later
-    addition checked at sf0.001/0.01/0.1 individually).
-    Round-7 rotation: put FIRST the operators added after this
-    round's cap filled (the whole block right below the cap marker,
-    doc_gopher_rules .. ts_session_stats — never driver-verified), then
-    the long-green dedup/textstats/emb/ts block; push (1)+(2b) out.
-    Everything past 50 still runs in bench and in tests/test_ext.py's
-    run-all test."""
+    round-7 rotation:
+    (1) the 23 operators added in round 6 AFTER the cap filled
+        (doc_gopher_rules .. doc_ngram_novelty) — never
+        driver-verified (all green on the local gate replica at
+        sf0.01 in rounds 6 and 7; doc_ngram_novelty additionally
+        rewritten this round: short-doc guard + single-scan window);
+    (2) the 4 relational shapes ADDED this round (Q2/Q11/Q16/Q20
+        analogs — new, never driver-verified);
+    (3) 23 stalest previously-green queries (last driver-green in
+        round 5: the core ts/relational/dedup parity block).
+    Everything past 50 was driver-green in round 5 or 6 and still
+    runs in bench and in tests/test_ext.py's run-all test."""
     return {
-        # --- (1) past the cap in r5 (last green r4): rotate back in ---
-        "ts_daily_pivot": tsq.ts_daily_pivot,              # long→wide pivot
-        "ts_value_percentiles": tsq.ts_value_percentiles,  # exact quantiles (approx_percentile = scale path)
-        "ts_daily_delta": tsq.ts_daily_delta,              # agg → lag window (aggregate-first ordering)
+        # --- (1) round-6 post-cap block: never driver-verified ---
+        "doc_gopher_rules": textstats.doc_gopher_rules,
+        "doc_chunk_text": corpus_ops.doc_chunk_text,
+        "emb_semdedup": simsearch.emb_semdedup,
+        "ts_autocorr": tsq.ts_autocorr,
+        "ts_ewma": tsq.ts_ewma,
+        "ts_winsorize": tsq.ts_winsorize,
+        "ts_trend_slope": tsq.ts_trend_slope,
+        "ts_holt": tsq.ts_holt,
+        "doc_bm25_search": textstats.doc_bm25_search,
+        "doc_hybrid_search": textstats.doc_hybrid_search,
+        "doc_domain_pagerank": graph.doc_domain_pagerank,
+        "ts_weighted_average": tsq.ts_weighted_average,
+        "ts_completeness": tsq.ts_completeness,
+        "customer_scd2": relational.customer_scd2,
+        "ts_range_join": rangejoin.ts_range_join,
+        "ts_control_chart": tsq.ts_control_chart,
+        "ts_session_stats": tsq.ts_session_stats,
+        "doc_dedup_keep_best": dedup.doc_dedup_keep_best,
+        "doc_split_leakage": corpus_ops.doc_split_leakage,
+        "emb_ann_recall": simsearch.emb_ann_recall,
+        "ts_forecast_eval": tsq.ts_forecast_eval,
+        "ts_weekly_profile": tsq.ts_weekly_profile,  # oracle pmod fix r7
+        "doc_ngram_novelty": textstats.doc_ngram_novelty,  # short-doc guard + 1-scan r7
+        # --- (2) new this round: Q2/Q11/Q16/Q20 analogs ---
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_parts": relational.q11_important_parts,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q20_potential_promotions": relational.q20_potential_promotions,
+        # --- (3) stalest previously-green (last driver row: round 5) ---
+        "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
+        "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
+        "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
+        "ts_replace_ranges": tsq.ts_replace_ranges,        # P2 masked update
+        "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
+        "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
+        "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
+        "ts_daily_stats": tsq.ts_daily_stats,              # A1 generalization
+        "ts_rolling_mean": tsq.ts_rolling_mean,            # SMOOTHING at scale
+        "ts_outlier_rate": tsq.ts_outlier_rate,            # IQR fences
+        "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
+        "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
+        "ts_multires_rollup": tsq.ts_multires_rollup,
+        "ts_cusum_changepoint": tsq.ts_cusum_changepoint,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q8_market_share": relational.q8_market_share,
+        "q9_type_profit": relational.q9_type_profit,
+        "q21_sole_late_shipper": relational.q21_sole_late_shipper,
+        "q22_wealthy_inactive": relational.q22_wealthy_inactive_customers,
+        "doc_exact_dedup": dedup.doc_exact_dedup,
+        "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,
+        "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,
+        "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
+        # ---------------- past the 50-cap from here ----------------
+        # (driver-green in round 5)
+        "doc_simhash": dedup.doc_simhash,
+        "doc_simhash_near_pairs": dedup.doc_simhash_near_pairs,
+        "doc_embedding_dups": dedup.doc_embedding_dups,
+        "doc_dedup_clusters": dedup.doc_dedup_clusters,
+        "doc_text_stats": textstats.doc_text_stats,
+        "doc_lang_id": textstats.doc_lang_id,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "doc_quality_score": textstats.doc_quality_score,
+        "doc_top_tokens_per_lang": textstats.doc_top_tokens_per_lang,
+        "doc_tfidf_top_terms": textstats.doc_tfidf_top_terms,
+        "doc_bpe_token_count": textstats.doc_bpe_token_count,
+        "doc_clean_text": textstats.doc_clean_text,
+        "doc_repetition_score": textstats.doc_repetition_score,
+        "doc_pipeline_clean_dedup": textstats.doc_pipeline_clean_dedup,
+        "doc_hash_split": corpus_ops.doc_hash_split,
+        "doc_stratified_sample": corpus_ops.doc_stratified_sample,
+        "doc_contamination": corpus_ops.doc_contamination,
+        "doc_pii_scrub": corpus_ops.doc_pii_scrub,
+        "doc_hll_shingles": sketches.doc_hll_shingles,
+        "doc_cms_heavy_hitters": sketches.doc_cms_heavy_hitters,
+        "emb_cosine_topk": simsearch.emb_cosine_topk,
+        "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
+        "emb_ivf_topk": simsearch.emb_ivf_topk,
+        # (driver-green in round 6)
+        "ts_daily_pivot": tsq.ts_daily_pivot,
+        "ts_value_percentiles": tsq.ts_value_percentiles,
+        "ts_daily_delta": tsq.ts_daily_delta,
         "ts_seasonal_deviation": tsq.ts_seasonal_deviation,
-        "ts_robust_zscore": tsq.ts_robust_zscore,  # quantile-based anomaly flags
-        "ts_cross_corr": tsq.ts_cross_corr,  # pairwise Pearson on aligned buckets
-        "ts_asof_next_order": tsq.ts_asof_next_order,  # forward as-of with tolerance
-        "ts_cumulative_volume": tsq.ts_cumulative_volume,  # running-total window
-        "ts_funnel_conversion": tsq.ts_funnel_conversion,  # sequential pattern funnel
-        "ts_retention_cohorts": tsq.ts_retention_cohorts,  # cohort retention rollup
-        "ts_event_transitions": tsq.ts_event_transitions,  # Markov bigram matrix
+        "ts_robust_zscore": tsq.ts_robust_zscore,
+        "ts_cross_corr": tsq.ts_cross_corr,
+        "ts_asof_next_order": tsq.ts_asof_next_order,
+        "ts_cumulative_volume": tsq.ts_cumulative_volume,
+        "ts_funnel_conversion": tsq.ts_funnel_conversion,
+        "ts_retention_cohorts": tsq.ts_retention_cohorts,
+        "ts_event_transitions": tsq.ts_event_transitions,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_supplier_volume": relational.q5_supplier_volume,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "brand_revenue_share": relational.brand_revenue_share,
-        "revenue_rollup": relational.revenue_rollup,       # grouping sets
-        "q6_revenue_delta": relational.q6_revenue_delta,   # pure pushdown+sum
-        "q4_late_orders": relational.q4_late_orders,       # semi join + EXISTS
+        "revenue_rollup": relational.revenue_rollup,
+        "q6_revenue_delta": relational.q6_revenue_delta,
+        "q4_late_orders": relational.q4_late_orders,
         "q12_ship_delay_buckets": relational.q12_ship_delay_buckets,
-        "q14_promo_revenue_share": relational.q14_promo_revenue_share,  # broadcast dim, conditional agg
-        "customers_without_orders": relational.customers_without_orders,  # anti join
-        "suppliers_with_returns": relational.suppliers_with_returns,      # semi join
-        "top_orders_per_customer": relational.top_orders_per_customer,    # ranking window
+        "q14_promo_revenue_share": relational.q14_promo_revenue_share,
+        "customers_without_orders": relational.customers_without_orders,
+        "suppliers_with_returns": relational.suppliers_with_returns,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         "active_building_customers": relational.active_building_customers,
         "q7_nation_volume": relational.q7_nation_volume,
         "q10_returned_items": relational.q10_returned_items,
@@ -85,100 +161,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_or_predicate_revenue": relational.q19_or_predicate_revenue,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
         "q15_top_supplier": relational.q15_top_supplier,
-        # --- (2) implementation changed this round ---
-        "customer_revenue_quartiles": relational.customer_revenue_quartiles,  # global_rank NULL routing
-        "emb_lsh_near_pairs": simsearch.emb_lsh_near_pairs,  # knob validation + pinned gate literals
-        "emb_kmeans": simsearch.emb_kmeans_refine,  # Arrow-matmul assignment swap
-        "mm_codec_stats": multimodal.mm_codec_stats,  # bounded PPM header parse
-        "mm_png_stats": multimodal.mm_png_stats,  # NEW: stdlib-zlib PNG codec round-trip
-        # --- (2b) brand-new this round: never oracle-verified by the driver ---
-        "doc_segment_dedup": dedup.doc_segment_dedup,  # NEW: C4-style sub-document dedup
-        "doc_pack_sequences": corpus_ops.doc_pack_sequences,  # NEW: context-window packing
-        "doc_contamination_bloom": corpus_ops.doc_contamination_bloom,  # NEW: Bloom decontamination scale path
-        "ts_seasonal_decompose": tsq.ts_seasonal_decompose,  # NEW: STL-lite trend/seasonal/residual
-        "emb_pq_codes": simsearch.emb_pq_codes,  # NEW: product-quantization codes
-        "emb_pq_topk": simsearch.emb_pq_topk,  # NEW: PQ asymmetric-distance ANN
-        "emb_ivfpq_topk": simsearch.emb_ivfpq_topk,  # NEW: IVF-PQ (coarse lists + residual PQ)
-        "doc_bigram_likelihood": textstats.doc_bigram_likelihood,  # NEW: bigram-LM fluency score
-        "ts_quantile_sketch": sketches.ts_quantile_sketch,  # NEW: mergeable histogram quantiles
-        "doc_domain_mixture": corpus_ops.doc_domain_mixture,  # NEW: weighted data mixing
-        "ts_seasonal_anomaly": tsq.ts_seasonal_anomaly,  # NEW: fences on decomposition residuals
-        "ts_m4_downsample": tsq.ts_m4_downsample,  # NEW: visually-lossless plot downsampling
-        "doc_url_stats": textstats.doc_url_stats,  # NEW: URL extraction + domain ranking
-        # --- (3) rotation slice of the recently-verified remainder ---
-        # ---------------- past the 50-cap from here ----------------
-        # (added after the cap filled; first in line for the round-7
-        # rotation — all green on the local gate replica at sf0.01)
-        "doc_gopher_rules": textstats.doc_gopher_rules,  # NEW: full Gopher quality rule-set
-        "doc_chunk_text": corpus_ops.doc_chunk_text,  # NEW: overlapping RAG chunking
-        "emb_semdedup": simsearch.emb_semdedup,  # NEW: cluster-bounded semantic dedup
-        "ts_autocorr": tsq.ts_autocorr,  # NEW: per-type ACF over bucket means
-        "ts_ewma": tsq.ts_ewma,  # NEW: EWMA smoothing, recursive-CTE oracle
-        "ts_winsorize": tsq.ts_winsorize,  # NEW: percentile-fence clipping report
-        "ts_trend_slope": tsq.ts_trend_slope,  # NEW: per-type OLS drift
-        "ts_holt": tsq.ts_holt,  # NEW: Holt level+trend smoothing
-        "doc_bm25_search": textstats.doc_bm25_search,  # NEW: BM25 lexical retrieval
-        "doc_hybrid_search": textstats.doc_hybrid_search,  # NEW: RRF fusion of BM25 + cosine
-        "doc_domain_pagerank": graph.doc_domain_pagerank,  # NEW: quantized PageRank over the domain graph
-        "ts_weighted_average": tsq.ts_weighted_average,  # NEW: flow-weighted composite mean
-        "ts_completeness": tsq.ts_completeness,  # NEW: sensor-QA completeness report
-        "customer_scd2": relational.customer_scd2,  # NEW: SCD Type-2 dimension merge
-        "ts_range_join": rangejoin.ts_range_join,  # NEW: bucketed point-in-interval join
-        "ts_control_chart": tsq.ts_control_chart,  # NEW: Shewhart x-bar SPC limits
-        "ts_session_stats": tsq.ts_session_stats,  # NEW: per-session duration/size rollup
-        "doc_dedup_keep_best": dedup.doc_dedup_keep_best,  # NEW: quality-argmax cluster survivor
-        "doc_split_leakage": corpus_ops.doc_split_leakage,  # NEW: near-dup cross-split contamination audit
-        "emb_ann_recall": simsearch.emb_ann_recall,  # NEW: recall@5 of IVF vs exact, as a query
-        "ts_forecast_eval": tsq.ts_forecast_eval,  # NEW: Holt-vs-naive one-step backtest
-        "ts_weekly_profile": tsq.ts_weekly_profile,  # NEW: dow-hour seasonal heatmap table
-        "doc_ngram_novelty": textstats.doc_ngram_novelty,  # NEW: corpus novelty curve
-        "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
-        "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
-        "ts_aligned_average": tsq.ts_aligned_average,      # J1+A2 align + mean
-        "ts_sessionize": tsq.ts_sessionize,                # §2.8 stateful sessions (batch)
-        "ts_detect_gaps": tsq.ts_detect_gaps,              # FAULT_DETECTION at scale
-        "ts_locf_gapfill": tsq.ts_locf_gapfill,            # resample + LOCF forward fill
-        "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,  # postings-cap path
-        # (all green in r5's CORRECTNESS run or this round's local gate)
-        "ts_replace_ranges": tsq.ts_replace_ranges,        # P2 masked update
-        "ts_daily_stats": tsq.ts_daily_stats,              # A1 generalization
-        "ts_rolling_mean": tsq.ts_rolling_mean,            # SMOOTHING at scale
-        "ts_outlier_rate": tsq.ts_outlier_rate,            # IQR fences (quantiles, not stddev)
-        "ts_asof_last_order": tsq.ts_asof_last_order,      # §2.3 as-of join
-        "events_json_stats": tsq.events_json_stats,        # §2.12 semi-structured props
-        "ts_multires_rollup": tsq.ts_multires_rollup,  # 5min→1h→1d continuous aggregate
-        "ts_cusum_changepoint": tsq.ts_cusum_changepoint,  # integer-exact CUSUM argmax
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q8_market_share": relational.q8_market_share,
-        "q9_type_profit": relational.q9_type_profit,
-        "q21_sole_late_shipper": relational.q21_sole_late_shipper,
-        "q22_wealthy_inactive": relational.q22_wealthy_inactive_customers,
-        "doc_exact_dedup": dedup.doc_exact_dedup,
-        "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
-        "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,
-        "doc_simhash": dedup.doc_simhash,
-        "doc_simhash_near_pairs": dedup.doc_simhash_near_pairs,  # pigeonhole block join
-        "doc_embedding_dups": dedup.doc_embedding_dups,
-        "doc_dedup_clusters": dedup.doc_dedup_clusters,  # connected components over near-dup pairs
-        "doc_text_stats": textstats.doc_text_stats,
-        "doc_lang_id": textstats.doc_lang_id,
-        "doc_fingerprint": textstats.doc_fingerprint,
-        "doc_quality_score": textstats.doc_quality_score,
-        "doc_top_tokens_per_lang": textstats.doc_top_tokens_per_lang,
-        "doc_tfidf_top_terms": textstats.doc_tfidf_top_terms,  # rational tf-idf ranking
-        "doc_bpe_token_count": textstats.doc_bpe_token_count,
-        "doc_clean_text": textstats.doc_clean_text,
-        "doc_repetition_score": textstats.doc_repetition_score,
-        "doc_pipeline_clean_dedup": textstats.doc_pipeline_clean_dedup,  # scrub → filter → dedup, one DAG
-        "doc_hash_split": corpus_ops.doc_hash_split,
-        "doc_stratified_sample": corpus_ops.doc_stratified_sample,
-        "doc_contamination": corpus_ops.doc_contamination,
-        "doc_pii_scrub": corpus_ops.doc_pii_scrub,
-        "doc_hll_shingles": sketches.doc_hll_shingles,  # deterministic cross-engine HyperLogLog
-        "doc_cms_heavy_hitters": sketches.doc_cms_heavy_hitters,  # count-min sketch vs exact
-        "emb_cosine_topk": simsearch.emb_cosine_topk,
-        "emb_avg_norm_by_label": simsearch.emb_avg_norm_by_label,
-        "emb_ivf_topk": simsearch.emb_ivf_topk,
+        "customer_revenue_quartiles": relational.customer_revenue_quartiles,
+        "emb_lsh_near_pairs": simsearch.emb_lsh_near_pairs,
+        "emb_kmeans": simsearch.emb_kmeans_refine,
+        "mm_codec_stats": multimodal.mm_codec_stats,
+        "mm_png_stats": multimodal.mm_png_stats,
+        "doc_segment_dedup": dedup.doc_segment_dedup,
+        "doc_pack_sequences": corpus_ops.doc_pack_sequences,
+        "doc_contamination_bloom": corpus_ops.doc_contamination_bloom,
+        "ts_seasonal_decompose": tsq.ts_seasonal_decompose,
+        "emb_pq_codes": simsearch.emb_pq_codes,
+        "emb_pq_topk": simsearch.emb_pq_topk,
+        "emb_ivfpq_topk": simsearch.emb_ivfpq_topk,
+        "doc_bigram_likelihood": textstats.doc_bigram_likelihood,
+        "ts_quantile_sketch": sketches.ts_quantile_sketch,
+        "doc_domain_mixture": corpus_ops.doc_domain_mixture,
+        "ts_seasonal_anomaly": tsq.ts_seasonal_anomaly,
+        "ts_m4_downsample": tsq.ts_m4_downsample,
+        "doc_url_stats": textstats.doc_url_stats,
     }
 
 
@@ -236,6 +236,10 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": relational.Q15_TOP_SUPPLIER_SQL,
         "q21_sole_late_shipper": relational.Q21_SOLE_LATE_SHIPPER_SQL,
         "q22_wealthy_inactive": relational.Q22_WEALTHY_INACTIVE_SQL,
+        "q2_min_cost_supplier": relational.Q2_MIN_COST_SUPPLIER_SQL,
+        "q11_important_parts": relational.Q11_IMPORTANT_PARTS_SQL,
+        "q16_supplier_part_counts": relational.Q16_SUPPLIER_PART_COUNTS_SQL,
+        "q20_potential_promotions": relational.Q20_POTENTIAL_PROMOTIONS_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_ngram_jaccard_capped": dedup.DOC_NGRAM_JACCARD_CAPPED_SQL,

@@ -1385,3 +1385,260 @@ SELECT u_key, u_name, CAST(u_bal AS DOUBLE), u_seg,
 FROM j WHERE u_key IS NOT NULL AND (d_key IS NULL OR changed)
 ORDER BY c_custkey, valid_from
 """
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style correlated-min lookup: for each STANDARD part of size
+    <= 15, every EUROPE supplier whose cheapest line price on it
+    equals the REGIONAL minimum for that part (reference shape:
+    TPC-H Q2's correlated scalar subquery over partsupp; here the
+    part↔supplier cost relation is derived from lineitem since the
+    schema has no partsupp).
+
+    Shape notes: the correlated subquery decorrelates into (a) one
+    keyed agg per (part, supplier), (b) a per-part min re-agg, (c) an
+    equi-join back on (part, min_cost) — all three shuffles share the
+    l_partkey prefix.  Dimensions (part, supplier⋈nation⋈region) are
+    broadcast; ties keep ALL min-cost suppliers (Q2 semantics), which
+    is deterministic without any window."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    per_ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+    )
+    # min_cost shares per_ps's lineage (a self-join): rename its columns
+    # so the join condition is unambiguous
+    min_cost = (
+        per_ps.groupBy("p_partkey")
+        .agg(F.min("cost").alias("min_cost"))
+        .select(F.col("p_partkey").alias("mc_partkey"), "min_cost")
+    )
+    return (
+        per_ps.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "n_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+Q2_MIN_COST_SUPPLIER_SQL = """
+WITH sup AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+),
+per_ps AS (
+  SELECT p.p_partkey, sup.s_suppkey, sup.s_name, sup.s_acctbal, sup.n_name,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+             AND p.p_type = 'STANDARD' AND p.p_size <= 15
+  JOIN sup ON l.l_suppkey = sup.s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+),
+min_cost AS (
+  SELECT p_partkey, MIN(cost) AS min_cost FROM per_ps GROUP BY 1
+)
+SELECT pp.p_partkey, pp.s_suppkey, pp.s_name,
+       CAST(pp.s_acctbal AS DOUBLE) AS s_acctbal, pp.n_name,
+       CAST(pp.cost AS DOUBLE) AS supply_cost
+FROM per_ps pp
+JOIN min_cost m ON pp.p_partkey = m.p_partkey AND pp.cost = m.min_cost
+ORDER BY pp.p_partkey, pp.s_suppkey
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-style important-stock scan: parts whose inventory value
+    held by AFRICA-region suppliers exceeds 2× the mean per-part value
+    of that region (reference shape: TPC-H Q11's HAVING-over-scalar-
+    subquery; the fixed-fraction threshold is replaced by a
+    mean-relative one so the result survives scale factors).
+
+    The scalar subquery decorrelates into a 1-row aggregate broadcast
+    (the legitimate scalar-broadcast crossJoin pattern).  The
+    threshold compare is kept in exact arithmetic —
+    ``value · n_parts > 2 · total`` with DECIMAL sums and integer
+    counts — so the two engines can't disagree on a boundary part."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    val = F.sum(_dec("l_extendedprice") * _dec("l_quantity"))
+    per_part = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(val.alias("value"))
+    )
+    totals = per_part.agg(
+        F.sum("value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("value") * F.col("n_parts")
+            > F.lit(2).cast("decimal(18,2)") * F.col("total_value")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+    )
+
+
+Q11_IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS DECIMAL(18,2))) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 0
+  GROUP BY 1
+),
+totals AS (
+  SELECT SUM(value) AS total_value, COUNT(*) AS n_parts FROM per_part
+)
+SELECT p.l_partkey AS p_partkey, CAST(p.value AS DOUBLE) AS part_value
+FROM per_part p, totals t
+WHERE p.value * t.n_parts > CAST(2 AS DECIMAL(18,2)) * t.total_value
+ORDER BY p_partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier diversity report: distinct supplier count
+    per (brand, type, size) for parts outside one brand/type family,
+    EXCLUDING suppliers with a negative account balance (the analog of
+    Q16's complaints NOT IN subquery — decorrelated to a broadcast
+    LEFT ANTI join, never a per-row lookup).
+
+    The part↔supplier relation is recovered from lineitem; distinct
+    counting rides the same (brand, type, size) shuffle as the final
+    group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+    )
+    return ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+Q16_SUPPLIER_PART_COUNTS_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q20_potential_promotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-style nested semi-join chain: suppliers who moved an
+    outsized volume of 'small …' parts — (supplier, part) pairs whose
+    shipped quantity exceeds 1.25× the mean pair volume, distilled to
+    distinct suppliers, then semi-joined back to the supplier
+    dimension (reference shape: Q20's availqty > ½·shipped correlated
+    chain over partsupp).
+
+    Exactness: l_quantity values are integers held in doubles, so the
+    SUMs are exact; the threshold compare multiplies through
+    (``qty · n_pairs > 1.25 · total_qty``) keeping every operand
+    exactly representable.  The supplier dimension is the probe side
+    of a broadcast LEFT SEMI join — no fact-side shuffle beyond the
+    one keyed agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    totals = pairs.agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    heavy = (
+        pairs.crossJoin(F.broadcast(totals))
+        .filter(F.col("qty") * F.col("n_pairs") > 1.25 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+Q20_POTENTIAL_PROMOTIONS_SQL = """
+WITH pairs AS (
+  SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT SUM(qty) AS total_qty, COUNT(*) AS n_pairs FROM pairs
+),
+heavy AS (
+  SELECT DISTINCT p.l_suppkey
+  FROM pairs p, totals t
+  WHERE p.qty * t.n_pairs > 1.25 * t.total_qty
+)
+SELECT s.s_suppkey, s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY s.s_suppkey
+"""

@@ -105,3 +105,59 @@ def test_stats_require_nonempty_query(spark, tmp_path):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
         stream_bm25_score(df, [], {"n_docs": 1, "avgdl": 1, "df": {}})
+
+
+def test_nondefault_bucket_count_read_from_meta(spark, tmp_path):
+    """An index built with a non-default n_buckets must serve correctly
+    WITHOUT the caller restating the bucket count: the build persists
+    it in meta and both the stats freeze and the index search read it
+    back.  (Pruning with the wrong modulus reads the wrong partitions
+    and silently scores every term as absent.)"""
+    from meteaudata_spark.ext.textstats import (
+        bm25_index_search,
+        bm25_search,
+        build_bm25_index,
+    )
+    from meteaudata_spark.streaming.bm25_stream import (
+        bm25_query_stats,
+        stream_bm25_score,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": [
+                    "spark engine for data",
+                    "pandas data frame",
+                    "spark spark streaming",
+                    "nothing relevant here",
+                ],
+            }
+        )
+    )
+    idx = str(tmp_path / "bm25_nb7")
+    build_bm25_index(docs, idx, n_buckets=7)
+    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert meta["n_buckets"] == 7
+
+    query = ["spark", "data"]
+    batch = {
+        r["doc_id"]: (r["bm25"], r["n_terms_hit"])
+        for r in bm25_search(docs, query, k=100).collect()
+    }
+    served = {
+        r["doc_id"]: (r["bm25"], r["n_terms_hit"])
+        for r in bm25_index_search(spark, idx, query, k=100).collect()
+    }
+    assert served == batch and len(served) == 3
+
+    stats = bm25_query_stats(spark, idx, query)
+    assert set(stats["df"]) == {"spark", "data"}
+    scored = {
+        r["doc_id"]: (r["bm25"], r["n_terms_hit"])
+        for r in stream_bm25_score(
+            docs.select("doc_id", "text"), query, stats
+        ).collect()
+    }
+    assert scored == batch

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from meteaudata_spark.ext import corpus_ops as C
+from meteaudata_spark.ext import relational
 from meteaudata_spark.ext import simsearch as SS
 from meteaudata_spark.ext import timeseries_queries as tsq
 from meteaudata_spark.ext.dedup import segment_dedup
@@ -1301,3 +1302,167 @@ def test_ngram_novelty_first_doc_fully_novel(spark, tmp_path):
     assert out[0]["n_novel"] == out[0]["n_grams"] == 3
     assert out[1]["n_grams"] == 4 and out[1]["n_novel"] == 3  # 'a b c' seen
     assert out[2]["n_novel"] == 0 and out[2]["novelty_micros"] == 0
+
+
+def test_ngram_novelty_short_docs_yield_no_grams(spark, tmp_path):
+    """Docs with fewer than n words must be DROPPED, not crash:
+    sequence(1, size-2) in Spark is a descending [1, 0] when the bound
+    is 0 and the resulting slice(words, 0, 3) throws — the CASE guard
+    gates them to an empty gram array, matching DuckDB's empty
+    range(1, ...)."""
+    texts = ["solo", "two words", "a b c d"]  # only doc 2 has 3-grams
+    pd.DataFrame(
+        {
+            "doc_id": range(3), "text": texts, "lang": "en",
+            "source": "t", "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from meteaudata_spark.ext.textstats import doc_ngram_novelty
+
+    out = {r["doc_id"]: r for r in doc_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert set(out) == {2}
+    assert out[2]["n_grams"] == out[2]["n_novel"] == 2
+
+
+def test_ngram_novelty_oracle_agrees_on_short_docs(spark, tmp_path):
+    """Differential: Spark and the DuckDB oracle produce identical rows
+    on a corpus containing sub-n-gram documents."""
+    import duckdb
+
+    texts = ["x", "p q", "a b c d e", "a b c", "q"]
+    pd.DataFrame(
+        {
+            "doc_id": range(5), "text": texts, "lang": "en",
+            "source": "t", "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from meteaudata_spark.ext.textstats import (
+        DOC_NGRAM_NOVELTY_SQL,
+        doc_ngram_novelty,
+    )
+
+    got = (
+        doc_ngram_novelty(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.execute(DOC_NGRAM_NOVELTY_SQL).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [2, 3]
+    for c in ("n_grams", "n_novel", "novelty_micros"):
+        assert got[c].tolist() == want[c].astype(int).tolist(), c
+
+
+def test_weekly_profile_oracle_agrees_pre_epoch(spark, tmp_path):
+    """Pre-1970 timestamps have NEGATIVE epochs: Spark's pmod is always
+    non-negative, so the SQL oracle must mirror it with the
+    ((x % m) + m) % m form or the engines diverge on historical data."""
+    import duckdb
+
+    ts = pd.to_datetime(
+        ["1969-12-30 22:00:00", "1969-12-31 05:00:00", "1970-01-02 07:00:00"]
+    )
+    pd.DataFrame(
+        {
+            "event_id": range(3), "ts": ts, "user_id": 0,
+            "event_type": "w", "value": [1.0, 2.0, 3.0], "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = (
+        tsq.ts_weekly_profile(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["event_type", "dow", "hour"])
+        .reset_index(drop=True)
+    )
+    assert (got["dow"] >= 0).all() and (got["hour"] >= 0).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute(tsq.TS_WEEKLY_PROFILE_SQL).df()
+    assert got["dow"].tolist() == want["dow"].astype(int).tolist()
+    assert got["hour"].tolist() == want["hour"].astype(int).tolist()
+    assert got["mean_value"].tolist() == want["mean_value"].tolist()
+
+
+def _write_star_fixture(tmp_path):
+    """Tiny star schema exercising the Q2/Q11/Q16/Q20 analog shapes."""
+    pd.DataFrame({"r_regionkey": [0, 1], "r_name": ["AFRICA", "EUROPE"]}).to_parquet(
+        tmp_path / "region.parquet"
+    )
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["N0", "N1"], "n_regionkey": [0, 1]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3],
+            "s_name": ["S1", "S2", "S3"],
+            "s_nationkey": [1, 1, 0],
+            "s_acctbal": [100.0, -5.0, 50.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "p_partkey": [10, 11],
+            "p_name": ["small ring", "red bolt"],
+            "p_brand": ["Brand#2", "Brand#3"],
+            "p_type": ["STANDARD", "PROMO"],
+            "p_size": [4, 9],
+            "p_retailprice": [10.0, 20.0],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3],
+            "l_partkey": [10, 10, 10, 11],
+            "l_suppkey": [1, 2, 3, 1],
+            "l_linenumber": [1, 2, 1, 1],
+            "l_quantity": [5.0, 30.0, 2.0, 1.0],
+            "l_extendedprice": [100.0, 80.0, 120.0, 40.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+            "l_tax": [0.0] * 4,
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            "l_shipdate": pd.to_datetime(["1995-01-01"] * 4),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+
+def test_q2_min_cost_supplier_keeps_all_regional_minima(spark, tmp_path):
+    _write_star_fixture(tmp_path)
+    rows = relational.q2_min_cost_supplier(spark, str(tmp_path)).collect()
+    # part 10 (STANDARD, size 4): EUROPE suppliers are 1 (min price 100)
+    # and 2 (min price 80) -> supplier 2 holds the regional min; part 11
+    # is PROMO and excluded
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["p_partkey"], r["s_suppkey"], r["supply_cost"]) == (10, 2, 80.0)
+
+
+def test_q11_important_parts_mean_relative_threshold(spark, tmp_path):
+    _write_star_fixture(tmp_path)
+    # AFRICA (region 0) suppliers: only supplier 3 -> part 10 value
+    # 120*2 = 240; a single part can't exceed 2x the mean of itself
+    rows = relational.q11_important_parts(spark, str(tmp_path)).collect()
+    assert rows == []
+
+
+def test_q16_excludes_negative_balance_suppliers(spark, tmp_path):
+    _write_star_fixture(tmp_path)
+    rows = {
+        (r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+        for r in relational.q16_supplier_part_counts(spark, str(tmp_path)).collect()
+    }
+    # part 10: suppliers {1, 2, 3} minus supplier 2 (negative balance) = 2;
+    # part 11 is PROMO -> excluded
+    assert rows == {("Brand#2", "STANDARD", 4): 2}
+
+
+def test_q20_volume_threshold_semi_join(spark, tmp_path):
+    _write_star_fixture(tmp_path)
+    rows = {r["s_suppkey"] for r in relational.q20_potential_promotions(spark, str(tmp_path)).collect()}
+    # 'small%' part 10 pairs: (s1, 35? no: s1 has qty 5), (s2, 30), (s3, 2)
+    # total 37, n_pairs 3 -> threshold qty*3 > 1.25*37=46.25 -> s2 (90) only
+    assert rows == {2}
