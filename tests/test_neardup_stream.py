@@ -100,3 +100,32 @@ def test_stream_near_dup_validates_bands():
 
     with pytest.raises(ValueError):
         stream_near_dup_candidates(None, num_hashes=10, bands=4)
+
+
+def test_vectorized_batch_signatures_match_reference():
+    """The numpy segment-min hot path must be bit-identical to the
+    per-doc reference across edge shapes: empty text, sub-shingle
+    docs, repeated texts, and unicode."""
+    from meteaudata_spark.streaming.neardup_stream import (
+        _band_signatures,
+        _band_signatures_batch,
+    )
+
+    texts = [
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact repeat
+        "héllo wörld ünïcode shingles here now",
+        " ".join(f"w{i % 7}" for i in range(50)),  # repeated shingles
+    ]
+    got = _band_signatures_batch(texts, 16, 4, 3)
+    want = [_band_signatures(t, 16, 4, 3) for t in texts]
+    assert got == want
+    assert _band_signatures_batch([], 16, 4, 3) == []
+    # non-default knobs
+    got2 = _band_signatures_batch(texts, 12, 6, 2)
+    want2 = [_band_signatures(t, 12, 6, 2) for t in texts]
+    assert got2 == want2
