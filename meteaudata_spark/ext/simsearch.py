@@ -177,6 +177,48 @@ def derive_lsh_planes(n_vectors: int) -> int:
         return _LSH_PLANES
     derived = math.ceil(math.log2(n_vectors / _LSH_TARGET_OCCUPANCY))
     return max(_LSH_PLANES, min(_LSH_MAX_PLANES, derived))
+
+
+_LSH_PAIRGEN_OCCUPANCY = 4  # two-tier target: pair-gen cost ∝ T·n·occ
+_LSH_MAX_TABLES = 32
+
+
+def derive_lsh_params(n_vectors: int) -> tuple[int, int]:
+    """Two-tier knob-less sizing: derive the TABLE count together with
+    the plane count so the fully-automatic path keeps the single-tier
+    derive's recall while pushing occupancy down to ~4/bucket, where
+    the quadratic pair generation is ~6× cheaper (SCALE.md round-5/6:
+    explicit 18 planes ran 34 s at 1M vectors vs 223 s for the
+    occupancy-32 auto-derive).
+
+    Method: planes for occupancy ≈ ``_LSH_PAIRGEN_OCCUPANCY``; then
+    tables sized to match the RECALL of the occupancy-32 reference
+    config at cosine 0.9 — per-table collision is ``c^planes`` with
+    ``c = 1 − θ/π``, so ``T = ⌈log(1−R*) / log(1−c^planes)⌉`` holds
+    ``R* = 1 − (1 − c^ref_planes)^8`` while the extra planes shrink
+    buckets.  Tables cost linear bucketize fan-out; occupancy costs
+    quadratic pair generation — the trade is strictly favorable above
+    the floor.  Small corpora (where the occupancy-32 derive already
+    sits at the gate floor) keep the exact gate literals so omitted-
+    knob buckets stay byte-identical to the oracle's."""
+    import math
+
+    ref_planes = derive_lsh_planes(n_vectors)
+    if ref_planes == _LSH_PLANES:
+        return _LSH_TABLES, _LSH_PLANES
+    planes = max(
+        ref_planes,
+        min(
+            _LSH_MAX_PLANES,
+            math.ceil(math.log2(n_vectors / _LSH_PAIRGEN_OCCUPANCY)),
+        ),
+    )
+    c = 1.0 - math.acos(0.9) / math.pi
+    r_target = 1.0 - (1.0 - c**ref_planes) ** _LSH_TABLES
+    tables = math.ceil(
+        math.log(1.0 - r_target) / math.log(1.0 - c**planes)
+    )
+    return max(_LSH_TABLES, min(_LSH_MAX_TABLES, tables)), planes
 _LSH_DIM = 64
 _LSH_W = _plane_weights(_LSH_TABLES, _LSH_PLANES, _LSH_DIM)
 
@@ -237,10 +279,16 @@ def lsh_bucketize(
     import numpy as np
     import pyarrow as pa
 
+    if n_tables is None and n_planes is None:
+        # fully knob-less: two-tier derive (tables + planes together)
+        if n_vectors is None:
+            n_vectors = emb.count()
+        n_tables, n_planes = derive_lsh_params(n_vectors)
     n_tables = _LSH_TABLES if n_tables is None else n_tables
     if n_tables <= 0:
         raise ValueError(f"n_tables must be positive, got {n_tables}")
     if n_planes is None:
+        # tables pinned by the caller: conservative single-tier derive
         if n_vectors is None:
             n_vectors = emb.count()
         n_planes = derive_lsh_planes(n_vectors)
@@ -353,6 +401,10 @@ def lsh_near_pairs(
     side only is sufficient and keeps the pair stream from double-
     expanding.  The precision contract is unchanged (exact cosine
     verify).  The oracle gate stays single-probe (fixed literals)."""
+    if n_tables is None and n_planes is None:
+        if n_vectors is None:
+            n_vectors = emb.count()
+        n_tables, n_planes = derive_lsh_params(n_vectors)
     n_tables = _LSH_TABLES if n_tables is None else n_tables
     if n_planes is None:
         if n_vectors is None:

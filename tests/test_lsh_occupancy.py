@@ -63,3 +63,50 @@ def test_near_pairs_n_vectors_skips_count(spark):
     assert sorted(map(tuple, with_hint.collect())) == sorted(
         map(tuple, counted.collect())
     )
+
+
+def test_two_tier_derive_params():
+    from meteaudata_spark.ext.simsearch import (
+        _LSH_MAX_TABLES,
+        _LSH_PAIRGEN_OCCUPANCY,
+        derive_lsh_params,
+    )
+
+    # small corpora: exact gate literals (byte-identical oracle buckets)
+    assert derive_lsh_params(0) == (_LSH_TABLES, _LSH_PLANES)
+    assert derive_lsh_params(500) == (_LSH_TABLES, _LSH_PLANES)
+    # 1M vectors: occupancy ~4 (18 planes), recall bought back with
+    # tables (13 ≈ the closed-form match of the occupancy-32 recall)
+    t, p = derive_lsh_params(1_000_000)
+    assert p == 18 and 1_000_000 / 2**p <= _LSH_PAIRGEN_OCCUPANCY
+    assert _LSH_TABLES < t <= _LSH_MAX_TABLES
+    # 10M: planes deepen, table count stays bounded
+    t10, p10 = derive_lsh_params(10_000_000)
+    assert p10 > p and _LSH_TABLES < t10 <= _LSH_MAX_TABLES
+    # recall at cosine 0.9 must not drop below the single-tier config
+    import math
+
+    c = 1.0 - math.acos(0.9) / math.pi
+    for n in (1_000_000, 10_000_000):
+        tt, pp = derive_lsh_params(n)
+        ref = derive_lsh_planes(n)
+        r_ref = 1.0 - (1.0 - c**ref) ** _LSH_TABLES
+        r_new = 1.0 - (1.0 - c**pp) ** tt
+        assert r_new >= r_ref - 1e-9, (n, r_new, r_ref)
+
+
+def test_knobless_bucketize_uses_two_tier(spark):
+    from meteaudata_spark.ext.simsearch import derive_lsh_params
+
+    # a synthetic corpus big enough to clear the gate floor: the
+    # knob-less path must emit derive_lsh_params' table count
+    n = 10_000
+    emb = spark.range(n).selectExpr(
+        "id as vec_id",
+        "0 as label",
+        f"transform(sequence(1, {simsearch._LSH_DIM}), "
+        "i -> cast(sin(xxhash64(id, i)) as double)) as embedding",
+    )
+    t_exp, _ = derive_lsh_params(n)
+    tables = lsh_bucketize(emb, n_vectors=n).select("table").distinct().count()
+    assert tables == t_exp > _LSH_TABLES
