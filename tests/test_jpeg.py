@@ -134,3 +134,44 @@ def test_jpeg_assets_through_spark_pipeline(spark):
     expected = [decode_jpeg(r[2]).astype(float).mean() for r in rows]
     got = feats["mean_byte"].astype(float).to_numpy()
     assert np.allclose(got, expected, atol=1e-6)
+
+
+def test_lut_decoder_byte_identical_to_reference():
+    """The vectorized-huffman path must reproduce the per-bit oracle
+    decoder EXACTLY (same integer entropy decode, same matmul order in
+    the batched IDCT) across sampling modes and restart intervals."""
+    from meteaudata_spark.ext.jpeg import (
+        _decode_jpeg_lut,
+        _decode_jpeg_reference,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, sub, ri, q in [
+        (64, 64, False, 0, 90),
+        (48, 80, True, 0, 85),
+        (33, 57, True, 4, 70),
+        (8, 8, False, 0, 95),
+        (17, 23, True, 2, 30),
+    ]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (128 + 100 * np.sin(xx / 7.0) * np.cos(yy / 5.0)).astype(int)
+        arr = np.clip(
+            base[..., None] + rng.integers(-30, 30, (h, w, 3)), 0, 255
+        ).astype(np.uint8)
+        payload = encode_jpeg(arr, quality=q, subsample=sub, restart_interval=ri)
+        assert np.array_equal(
+            _decode_jpeg_reference(payload), _decode_jpeg_lut(payload)
+        ), (h, w, sub, ri, q)
+
+
+def test_decode_accel_seam():
+    """Default decode routes through the seam (PIL absent here → LUT
+    path); explicit modes select implementations; junk modes raise."""
+    from meteaudata_spark.ext.jpeg import _decode_jpeg_lut
+
+    arr = np.full((16, 16, 3), 127, np.uint8)
+    p = encode_jpeg(arr, quality=90)
+    assert np.array_equal(decode_jpeg(p), _decode_jpeg_lut(p))
+    assert np.array_equal(decode_jpeg(p, accel="reference"), decode_jpeg(p, accel="lut"))
+    with pytest.raises(ValueError):
+        decode_jpeg(p, accel="turbo")
