@@ -354,7 +354,13 @@ def dataset_from_json(spark: SparkSession, blob: str) -> Dataset:
 # ----------------------------------------------------------------------
 # consolidated long-table store (the many-series scale layout)
 # ----------------------------------------------------------------------
-def save_dataset_long(dataset: Dataset, path: str) -> str:
+def save_dataset_long(
+    dataset: Dataset,
+    path: str,
+    layout: str = "sorted",
+    n_buckets: int = 32,
+    n_files: int = 32,
+) -> str:
     """ONE partitioned Parquet dataset for the whole Dataset:
 
         {path}/manifest.yaml
@@ -367,6 +373,22 @@ def save_dataset_long(dataset: Dataset, path: str) -> str:
     one job — partition pruning on ``signal_name``, predicate
     pushdown on ``series_name``, and a single manifest.
 
+    ``layout`` picks the physical clustering (recorded in the
+    manifest; ``load_dataset_long`` adapts its filters):
+
+    * ``"sorted"`` (default) — rows sorted by (series_name, ts)
+      within each task's files: row-group min/max skipping on both.
+    * ``"bucketed"`` — adds a ``bucket = pmod(xxhash64(series_name),
+      n_buckets)`` DIRECTORY level: a per-series read prunes to one
+      bucket directory (PartitionFilters, no footer reads of the
+      other buckets) — the layout for millions of series, where even
+      listing every file to check footers dominates.
+    * ``"zorder"`` — Morton-curve clustering on (series hash, time)
+      via ``sources.zorder.zorder_by``: per-FILE min/max stays tight
+      on both dimensions at once, so time-range scans ACROSS series
+      (the dashboard shape the other layouts serve worst) prune
+      files too.
+
     Constraints of the consolidated layout: timestamp-indexed,
     numeric-valued series only (values stored as DOUBLE; the
     per-series ``values_dtype`` in the manifest restores the declared
@@ -376,6 +398,13 @@ def save_dataset_long(dataset: Dataset, path: str) -> str:
 
     from pyspark.sql import DataFrame as SparkDataFrame
     from pyspark.sql import functions as F
+
+    if layout not in ("sorted", "bucketed", "zorder"):
+        raise ValueError(
+            f"layout must be sorted|bucketed|zorder, got {layout!r}"
+        )
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
 
     parts = []
     for sig_name, sig in dataset.signals.items():
@@ -402,26 +431,58 @@ def save_dataset_long(dataset: Dataset, path: str) -> str:
     os.makedirs(ds_dir, exist_ok=True)
     manifest = dataset.metadata_dict()
     manifest["layout"] = "long"
+    manifest["layout_variant"] = layout
+    if layout == "bucketed":
+        manifest["n_buckets"] = n_buckets
     with open(os.path.join(ds_dir, "manifest.yaml"), "w") as fh:
         yaml.safe_dump(manifest, fh, sort_keys=False)
-    (
-        # sorted within files so Parquet row-group min/max stats make
-        # the series_name pushdown skip row groups, and time-range
-        # predicates skip within a series — data skipping with no
-        # index structure
-        long_df.sortWithinPartitions("series_name", INDEX_COL)
-        .write.mode("overwrite")
-        .partitionBy("signal_name")
-        .parquet(os.path.join(ds_dir, "data"))
-    )
+    data_dir = os.path.join(ds_dir, "data")
+    if layout == "bucketed":
+        (
+            long_df.withColumn(
+                "bucket", F.pmod(F.xxhash64("series_name"), F.lit(n_buckets))
+            )
+            .sortWithinPartitions("series_name", INDEX_COL)
+            .write.mode("overwrite")
+            .partitionBy("signal_name", "bucket")
+            .parquet(data_dir)
+        )
+    elif layout == "zorder":
+        from meteaudata_spark.sources.zorder import zorder_by
+
+        clustered = zorder_by(
+            long_df.withColumn(
+                "__sk", F.xxhash64("series_name").cast("double")
+            ).withColumn("__tt", F.col(INDEX_COL).cast("double")),
+            ["__sk", "__tt"],
+            n_files=n_files,
+        ).drop("__sk", "__tt")
+        (
+            clustered.write.mode("overwrite")
+            .partitionBy("signal_name")
+            .parquet(data_dir)
+        )
+    else:
+        (
+            # sorted within files so Parquet row-group min/max stats
+            # make the series_name pushdown skip row groups, and
+            # time-range predicates skip within a series — data
+            # skipping with no index structure
+            long_df.sortWithinPartitions("series_name", INDEX_COL)
+            .write.mode("overwrite")
+            .partitionBy("signal_name")
+            .parquet(data_dir)
+        )
     return ds_dir
 
 
 def load_dataset_long(spark: SparkSession, ds_dir: str) -> Dataset:
     """Rebuild a Dataset from the consolidated layout.  Each series'
     DataFrame is a lazy filter over the one table — signal_name
-    prunes partitions, series_name pushes into the scan; nothing is
-    read until a series is acted on."""
+    prunes partitions, series_name pushes into the scan (plus, for the
+    bucketed variant, a constant-foldable bucket predicate so the scan
+    prunes to the series' one bucket DIRECTORY); nothing is read until
+    a series is acted on."""
     import datetime
 
     from pyspark.sql import functions as F
@@ -430,18 +491,24 @@ def load_dataset_long(spark: SparkSession, ds_dir: str) -> Dataset:
 
     with open(os.path.join(ds_dir, "manifest.yaml")) as fh:
         manifest = yaml.safe_load(fh)
+    variant = manifest.get("layout_variant", "sorted")
+    n_buckets = manifest.get("n_buckets")
     data = spark.read.parquet(os.path.join(ds_dir, "data"))
     signals: dict[str, Signal] = {}
     for sig_name, sig_meta in manifest["signals"].items():
         series: dict[str, TimeSeries] = {}
         for ts_name, ts_meta in sig_meta["time_series"].items():
-            df = (
-                data.filter(
-                    (F.col("signal_name") == sig_name)
-                    & (F.col("series_name") == ts_name)
-                )
-                .select(INDEX_COL, VALUE_COL)
+            cond = (F.col("signal_name") == sig_name) & (
+                F.col("series_name") == ts_name
             )
+            if variant == "bucketed":
+                # xxhash64(lit) constant-folds, so this lands in
+                # PartitionFilters — the scan lists one bucket dir
+                cond = cond & (
+                    F.col("bucket")
+                    == F.pmod(F.xxhash64(F.lit(ts_name)), F.lit(n_buckets))
+                )
+            df = data.filter(cond).select(INDEX_COL, VALUE_COL)
             series[ts_name] = TimeSeries.from_metadata_dict(df, ts_meta)
         signals[sig_name] = Signal(
             name=sig_meta["name"],

@@ -178,3 +178,87 @@ def test_timeseries_reference_loaders(spark, tmp_path, sample_series):
     assert (got.index == ref.index).all()
     # typo'd alias and spelled-out alias are the same method
     assert TimeSeries.load_data_from_file is TimeSeries.load_data_fom_file
+
+
+def _mk_long_dataset(spark, provenance, n_series=6, periods=240):
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.dataset import Dataset
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.date_range("2020-01-01", freq="6min", periods=periods)
+    rng = np.random.default_rng(9)
+    signals = {}
+    for i in range(n_series):
+        sig = Signal(
+            input_data=pd.Series(
+                rng.standard_normal(periods), index=idx, name="RAW"
+            ),
+            name=f"S{i}",
+            units="mg/l",
+            provenance=provenance,
+            spark=spark,
+        )
+        signals[sig.name] = sig
+    return Dataset(
+        name="LAYOUTS", description="d", owner="o", purpose="p",
+        project="x", signals=signals,
+    )
+
+
+def test_dataset_long_store_bucketed_layout(spark, provenance, tmp_path):
+    """Bucketed variant: round-trip equality, and a per-series read
+    prunes to the series' ONE bucket directory — the bucket predicate
+    constant-folds into PartitionFilters alongside signal_name."""
+    from meteaudata_spark.sources.store import (
+        load_dataset_long,
+        save_dataset_long,
+    )
+
+    ds = _mk_long_dataset(spark, provenance)
+    out = save_dataset_long(ds, str(tmp_path), layout="bucketed", n_buckets=8)
+    ds2 = load_dataset_long(spark, out)
+    assert ds2 == ds
+    ts = ds2.signals["S3#1"].time_series["S3#1_RAW#1"]
+    plan = ts.df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "signal_name" in pf and "bucket" in pf, plan[:900]
+    assert "PushedFilters: [" in plan and "series_name" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:900]
+
+
+def test_dataset_long_store_zorder_layout(spark, provenance, tmp_path):
+    """Z-order variant: round-trip equality, series_name still pushes
+    into the scan, and a (series, time-range) predicate reads fewer
+    files than the full data set holds (Morton clustering keeps
+    per-file min/max tight on both dimensions)."""
+    from meteaudata_spark.sources.store import (
+        load_dataset_long,
+        save_dataset_long,
+    )
+
+    ds = _mk_long_dataset(spark, provenance, n_series=4, periods=400)
+    out = save_dataset_long(
+        ds, str(tmp_path), layout="zorder", n_files=16
+    )
+    ds2 = load_dataset_long(spark, out)
+    assert ds2 == ds
+    ts = ds2.signals["S1#1"].time_series["S1#1_RAW#1"]
+    plan = ts.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "series_name" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:900]
+
+
+def test_dataset_long_store_rejects_bad_layout(spark, provenance, tmp_path):
+    from meteaudata_spark.sources.store import save_dataset_long
+
+    ds = _mk_long_dataset(spark, provenance, n_series=1, periods=10)
+    import pytest
+
+    with pytest.raises(ValueError):
+        save_dataset_long(ds, str(tmp_path), layout="hilbert")
+    with pytest.raises(ValueError):
+        save_dataset_long(ds, str(tmp_path), layout="bucketed", n_buckets=0)
