@@ -678,9 +678,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     own and its neighbors' labels; converged when no label changes.
 
     Scale shape: the edge list (near-dup pairs) is tiny relative to
-    the corpus by construction, and each round is one join + one
-    groupBy on it — O(E) per round, rounds = component diameter
-    (near-dup clusters are shallow).  ``localCheckpoint`` truncates
+    the corpus by construction, and each round is one neighbor-min
+    join + one POINTER JUMP (relabel through the label's own label,
+    doubling propagation distance) — O(E + V) per round, rounds =
+    O(log diameter), so even adversarial chain-shaped components
+    (templated documents each near-duplicating the next revision)
+    converge inside the iteration cap.  ``localCheckpoint`` truncates
     the growing plan so round N doesn't replay rounds 1..N-1, the
     standard Spark iterative-algorithm pattern (GraphX/GraphFrames do
     the equivalent internally).  Driver-side state is one integer
@@ -707,14 +710,29 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # carry the previous label through the checkpoint so the
         # convergence check is a filter-count on already-materialized
         # data — one job per iteration instead of two (join + count)
+        stepped = labels.join(nl, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+            F.col("lbl").alias("__prev"),
+        )
+        # pointer jump: a label is itself a node of the component, so
+        # relabeling through ITS label doubles the distance a minimum
+        # travels per round — chain components converge in O(log D)
+        jump = stepped.select(
+            F.col("node").alias("__jnode"), F.col("lbl").alias("__jlbl")
+        )
         new_labels = (
-            labels.join(nl, "node", "left")
+            stepped.join(
+                jump, stepped["lbl"] == jump["__jnode"], "left"
+            )
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
-                    "lbl"
-                ),
-                F.col("lbl").alias("__prev"),
+                F.least(
+                    F.col("lbl"), F.coalesce("__jlbl", F.col("lbl"))
+                ).alias("lbl"),
+                "__prev",
             )
             .localCheckpoint()
         )

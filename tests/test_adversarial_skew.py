@@ -123,3 +123,72 @@ def test_semdedup_prededup_same_drop_set_on_mixed_corpus(spark):
         for r in semdedup(d, threshold=0.2, exact_prededup=True).collect()
     }
     assert plain == pre and {150, 151, 152, 153} <= pre
+
+
+def test_segment_dedup_survives_power_law_lengths(spark):
+    """Power-law document lengths: one 100k-word giant, a long tail of
+    tiny docs.  The giant's explode fans one input row into ~12k
+    segment rows (task skew on the explode side) and its segments all
+    hash to first-occurrence windows shared with the tail.  Assert
+    completion within budget and the exact first-occurrence
+    arithmetic."""
+    from meteaudata_spark.ext.dedup import segment_dedup
+
+    n_tail = 50_000
+    seg_words = 8
+    # giant doc 0: words w0..w99999 -> 12500 distinct segments;
+    # tail doc i repeats the giant's i-th segment exactly
+    giant = " ".join(f"w{i}" for i in range(100_000))
+    tail = spark.range(1, n_tail + 1).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    ((F.col("id") - 1) % 12_500) * seg_words + w,
+                )
+                for w in range(seg_words)
+            ],
+        ).alias("text"),
+    )
+    d = spark.createDataFrame([(0, giant)], "doc_id long, text string").unionByName(
+        tail
+    )
+    t0 = time.perf_counter()
+    out = segment_dedup(d, seg_words=seg_words)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    dt = time.perf_counter() - t0
+    assert rows[0]["n_kept"] == 12_500  # giant owns every segment
+    tail_kept = sum(rows[i]["n_kept"] for i in range(1, n_tail + 1))
+    assert tail_kept == 0  # every tail doc repeats a giant segment
+    assert dt < BUDGET_S, f"power-law segment dedup took {dt:.0f}s"
+
+
+def test_dedup_clusters_survive_one_giant_component(spark):
+    """One hub vertex with 100k spokes (the hot-key shape for the
+    label-propagation join) plus a 30-node chain: the hub's join key
+    carries the whole edge list.  Assert the exact component labels,
+    convergence within the iteration cap, and the wall budget."""
+    from meteaudata_spark.ext.dedup import dedup_clusters
+
+    n_spokes = 100_000
+    star = spark.range(1, n_spokes + 1).select(
+        F.lit(0).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    chain_base = 10_000_000
+    chain = spark.range(30).select(
+        (F.col("id") + chain_base).alias("doc_a"),
+        (F.col("id") + chain_base + 1).alias("doc_b"),
+    )
+    t0 = time.perf_counter()
+    out = dedup_clusters(star.unionByName(chain))
+    agg = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("cluster_size").alias("sz")
+    ).collect()
+    dt = time.perf_counter() - t0
+    by_id = {r["cluster_id"]: r for r in agg}
+    assert set(by_id) == {0, chain_base}
+    assert by_id[0]["n"] == by_id[0]["sz"] == n_spokes + 1
+    assert by_id[chain_base]["n"] == by_id[chain_base]["sz"] == 31
+    assert dt < BUDGET_S, f"giant-component clustering took {dt:.0f}s"
