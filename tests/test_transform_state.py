@@ -35,9 +35,19 @@ def test_stream_ewma_plan_builds(spark, tmp_path):
     assert out.schema == EWMA_OUTPUT_SCHEMA
 
 
-@pytest.mark.skipif(
-    not has_transform_with_state_runtime(),
-    reason="transformWithState worker runtime (protobuf) not in this env",
+@pytest.mark.xfail(
+    condition=not has_transform_with_state_runtime(),
+    reason=(
+        "transformWithStateInPandas needs google.protobuf for the "
+        "Python-worker state-server protocol; this container has no "
+        "protobuf and no network to fetch it (verified round 7: pip "
+        "download fails with no route to the index). The EXECUTABLE "
+        "twin of this operator is stateful.stream_ewma_state "
+        "(applyInPandasWithState), differential-tested in "
+        "test_stateful_streaming.py; this test runs wherever the "
+        "runtime exists."
+    ),
+    run=False,
 )
 def test_stream_ewma_matches_pandas(spark, tmp_path):
     spark.conf.set(
