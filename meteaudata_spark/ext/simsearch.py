@@ -179,28 +179,32 @@ def derive_lsh_planes(n_vectors: int) -> int:
     return max(_LSH_PLANES, min(_LSH_MAX_PLANES, derived))
 
 
-_LSH_PAIRGEN_OCCUPANCY = 4  # two-tier target: pair-gen cost ∝ T·n·occ
+_LSH_PAIRGEN_OCCUPANCY = 1  # two-tier target: candidates ∝ T·n·occ
 _LSH_MAX_TABLES = 32
 
 
 def derive_lsh_params(n_vectors: int) -> tuple[int, int]:
     """Two-tier knob-less sizing: derive the TABLE count together with
     the plane count so the fully-automatic path keeps the single-tier
-    derive's recall while pushing occupancy down to ~4/bucket, where
-    the quadratic pair generation is ~6× cheaper (SCALE.md round-5/6:
-    explicit 18 planes ran 34 s at 1M vectors vs 223 s for the
-    occupancy-32 auto-derive).
+    derive's recall while pushing expected occupancy to ~1/bucket.
+
+    Why occupancy ~1: candidate volume (and with it the exact-cosine
+    VERIFY stage, the measured dominant cost — 62M candidate pairs at
+    1M random vectors under occupancy 4) is ``T · n · occupancy / 2``,
+    and on a random corpus nearly every candidate is a false positive
+    that different tables do NOT share, so ``distinct()`` can't save
+    the verify.  Occupancy is the exponential knob (×2 per plane
+    removed); tables only cost LINEAR map-only bucketize fan-out.
 
     Method: planes for occupancy ≈ ``_LSH_PAIRGEN_OCCUPANCY``; then
     tables sized to match the RECALL of the occupancy-32 reference
     config at cosine 0.9 — per-table collision is ``c^planes`` with
     ``c = 1 − θ/π``, so ``T = ⌈log(1−R*) / log(1−c^planes)⌉`` holds
     ``R* = 1 − (1 − c^ref_planes)^8`` while the extra planes shrink
-    buckets.  Tables cost linear bucketize fan-out; occupancy costs
-    quadratic pair generation — the trade is strictly favorable above
-    the floor.  Small corpora (where the occupancy-32 derive already
-    sits at the gate floor) keep the exact gate literals so omitted-
-    knob buckets stay byte-identical to the oracle's."""
+    buckets (capped at ``_LSH_MAX_TABLES``).  Small corpora (where
+    the occupancy-32 derive already sits at the gate floor) keep the
+    exact gate literals so omitted-knob buckets stay byte-identical
+    to the oracle's."""
     import math
 
     ref_planes = derive_lsh_planes(n_vectors)

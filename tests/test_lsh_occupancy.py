@@ -75,10 +75,11 @@ def test_two_tier_derive_params():
     # small corpora: exact gate literals (byte-identical oracle buckets)
     assert derive_lsh_params(0) == (_LSH_TABLES, _LSH_PLANES)
     assert derive_lsh_params(500) == (_LSH_TABLES, _LSH_PLANES)
-    # 1M vectors: occupancy ~4 (18 planes), recall bought back with
-    # tables (13 ≈ the closed-form match of the occupancy-32 recall)
+    # 1M vectors: occupancy ~1 (20 planes; candidates = T*n*occ/2 is
+    # the verify-stage cost), recall bought back with tables (the
+    # closed-form match of the occupancy-32 recall at cosine 0.9)
     t, p = derive_lsh_params(1_000_000)
-    assert p == 18 and 1_000_000 / 2**p <= _LSH_PAIRGEN_OCCUPANCY
+    assert p == 20 and 1_000_000 / 2**p <= _LSH_PAIRGEN_OCCUPANCY
     assert _LSH_TABLES < t <= _LSH_MAX_TABLES
     # 10M: planes deepen, table count stays bounded
     t10, p10 = derive_lsh_params(10_000_000)
