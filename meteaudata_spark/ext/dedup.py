@@ -700,7 +700,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nl = (
             sym.join(labels, sym["dst"] == labels["node"])
             .select(F.col("src").alias("node"), F.col("lbl"))
@@ -719,23 +719,24 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         # pointer jump: a label is itself a node of the component, so
         # relabeling through ITS label doubles the distance a minimum
-        # travels per round — chain components converge in O(log D)
-        jump = stepped.select(
-            F.col("node").alias("__jnode"), F.col("lbl").alias("__jlbl")
-        )
-        new_labels = (
-            stepped.join(
-                jump, stepped["lbl"] == jump["__jnode"], "left"
+        # travels per round — chain components converge in O(log D).
+        # Skipped in round 0: every label is still its own node there,
+        # so the jump is an identity join (shallow gate-sized clusters
+        # pay one less shuffle; deep chains lose nothing asymptotic).
+        if it > 0:
+            jump = stepped.select(
+                F.col("node").alias("__jnode"), F.col("lbl").alias("__jlbl")
             )
-            .select(
+            stepped = stepped.join(
+                jump, stepped["lbl"] == jump["__jnode"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("lbl"), F.coalesce("__jlbl", F.col("lbl"))
                 ).alias("lbl"),
                 "__prev",
             )
-            .localCheckpoint()
-        )
+        new_labels = stepped.localCheckpoint()
         changed = new_labels.filter(F.col("lbl") != F.col("__prev")).count()
         labels = new_labels.drop("__prev")
         if changed == 0:
