@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": relational.q11_important_parts,
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "q20_potential_promotions": relational.q20_potential_promotions,
+        "doc_substring_spans": dedup.doc_substring_spans,  # NEW r7: ExactSubstr-style span dedup
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -102,9 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs,
         "doc_ngram_jaccard_capped": dedup.doc_ngram_jaccard_capped,
-        "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
         # ---------------- past the 50-cap from here ----------------
         # (driver-green in round 5)
+        "doc_ngram_jaccard_pairs": dedup.doc_ngram_jaccard_pairs,
         "doc_simhash": dedup.doc_simhash,
         "doc_simhash_near_pairs": dedup.doc_simhash_near_pairs,
         "doc_embedding_dups": dedup.doc_embedding_dups,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": relational.Q11_IMPORTANT_PARTS_SQL,
         "q16_supplier_part_counts": relational.Q16_SUPPLIER_PART_COUNTS_SQL,
         "q20_potential_promotions": relational.Q20_POTENTIAL_PROMOTIONS_SQL,
+        "doc_substring_spans": dedup.DOC_SUBSTRING_SPANS_SQL,
         "doc_exact_dedup": dedup.DOC_EXACT_DEDUP_SQL,
         "doc_ngram_jaccard_pairs": dedup.DOC_NGRAM_JACCARD_SQL,
         "doc_ngram_jaccard_capped": dedup.DOC_NGRAM_JACCARD_CAPPED_SQL,

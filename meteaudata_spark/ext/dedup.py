@@ -967,3 +967,148 @@ ORDER BY cluster_id
 
 
 DOC_DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()
+
+
+def doc_substring_spans(
+    spark: SparkSession, sf_dir: str, n_words: int = 8
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING detection (the sub-document
+    counterpart of ``segment_dedup``, and the distributed K-gram
+    approximation of suffix-array ExactSubstr dedup): for every
+    document, find the spans of ≥ ``n_words`` consecutive words whose
+    content already occurred EARLIER in the corpus — earlier meaning a
+    lexicographically smaller (doc_id, position), so repetitions
+    *within* one document count too — and merge overlapping gram hits
+    into maximal spans.
+
+    Plan: positional gram explode (short-doc guarded) → first-
+    occurrence window min on a packed (doc_id, pos) key, ONE scan like
+    ``doc_ngram_novelty`` → per-doc gaps-and-islands span merge (two
+    doc-keyed windows) → per-doc rollup left-joined back so clean
+    documents report zeros.  Every shuffle is keyed on the gram or the
+    doc id; nothing is quadratic — hot grams cost one window group,
+    not a pair fan-out.
+
+    Output: (doc_id, n_words, n_dup_spans, dup_words, dup_micros) —
+    the per-doc duplicated-text budget a span-scrubbing pass would
+    remove."""
+    from pyspark.sql import Window
+
+    k = n_words
+    d = _docs(spark, sf_dir)
+    nd = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {k} THEN "
+                f"transform(sequence(1, size(split(text, ' ')) - {k - 1}), "
+                f"i -> struct(i AS pos, "
+                f"array_join(slice(split(text, ' '), i, {k}), ' ') AS gram)) "
+                f"ELSE CAST(array() AS array<struct<pos:int, gram:string>>) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    # packed (doc_id, pos) orders occurrences globally; pos < 2^20
+    # (the packing bound; a million-word doc needs a wider shift)
+    key = F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    dup = (
+        grams.withColumn(
+            "first_key", F.min(key).over(Window.partitionBy("gram"))
+        )
+        .filter(key != F.col("first_key"))
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+            ).otherwise(0)
+        ).over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_words"),
+    )
+    return (
+        nd.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).cast("bigint").alias("dup_words"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0))
+                / F.col("n_words").cast("double")
+                * 1000000.0
+            ).cast("bigint").alias("dup_micros"),
+        )
+    )
+
+
+DOC_SUBSTRING_SPANS_SQL = """
+WITH ge AS (
+  SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             range(1, GREATEST(LEN(string_split(text, ' ')) - 7, 0) + 1),
+             i -> struct_pack(pos := i,
+                    gram := array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 7), ' '))
+           )) AS s
+    FROM documents
+  )
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           doc_id * 1048576 + pos AS key,
+           MIN(doc_id * 1048576 + pos) OVER (PARTITION BY gram) AS first_key
+    FROM ge
+  ) WHERE key <> first_key
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           CASE WHEN MAX(pos + 7) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR pos > MAX(pos + 7) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) + 1
+           THEN 1 ELSE 0 END AS newi
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS dup_words
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+       CAST(round(COALESCE(p.dup_words, 0)
+                  / CAST(LEN(string_split(d.text, ' ')) AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS dup_micros
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -1466,3 +1466,75 @@ def test_q20_volume_threshold_semi_join(spark, tmp_path):
     # 'small%' part 10 pairs: (s1, 35? no: s1 has qty 5), (s2, 30), (s3, 2)
     # total 37, n_pairs 3 -> threshold qty*3 > 1.25*37=46.25 -> s2 (90) only
     assert rows == {2}
+
+
+def test_substring_spans_detects_and_merges(spark, tmp_path):
+    """ExactSubstr-style span semantics: a doc that copies an earlier
+    doc's 10-word run reports ONE merged span (the three overlapping
+    8-gram hits coalesce), within-doc repetition counts as duplicate,
+    and clean/short docs report zeros."""
+    base_words = [f"w{i}" for i in range(30)]
+    copied = " ".join(base_words[5:15])  # 10-word run from doc 0
+    texts = [
+        " ".join(base_words),                      # doc 0: source
+        "unique opening words here " + copied,     # doc 1: one copied run
+        "all fresh content " + " ".join(f"x{i}" for i in range(20)),  # doc 2
+        "tiny doc",                                # doc 3: < 8 words
+        " ".join(f"r{i % 8}" for i in range(32)),  # doc 4: self-repeating
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(5), "text": texts, "lang": "en",
+            "source": "t", "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from meteaudata_spark.ext.dedup import doc_substring_spans
+
+    out = {r["doc_id"]: r for r in doc_substring_spans(spark, str(tmp_path)).collect()}
+    assert len(out) == 5
+    # doc 0 is the first occurrence of everything it contains
+    assert out[0]["n_dup_spans"] == 0 and out[0]["dup_words"] == 0
+    # doc 1: grams at positions 5,6,7 (the 10-word copy) merge to ONE
+    # span covering exactly those 10 words
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_words"] == 10
+    # clean + short docs: zeros
+    assert out[2]["dup_words"] == 0 and out[3]["dup_words"] == 0
+    # doc 4 repeats an 8-word period: grams at positions 1..8 are each
+    # phase's first occurrence, every later gram (9..25) duplicates an
+    # earlier position IN THE SAME DOC -> one span covering words 9..32
+    assert out[4]["n_dup_spans"] == 1
+    assert out[4]["dup_words"] == 24
+
+
+def test_substring_spans_oracle_agrees(spark, tmp_path):
+    import duckdb
+
+    texts = [
+        " ".join(f"a{i}" for i in range(20)),
+        "zz " + " ".join(f"a{i}" for i in range(8)) + " qq "
+        + " ".join(f"a{i}" for i in range(10, 18)),
+        "short one",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(3), "text": texts, "lang": "en",
+            "source": "t", "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from meteaudata_spark.ext.dedup import (
+        DOC_SUBSTRING_SPANS_SQL,
+        doc_substring_spans,
+    )
+
+    got = (
+        doc_substring_spans(spark, str(tmp_path))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.execute(DOC_SUBSTRING_SPANS_SQL).df()
+    for c in ("doc_id", "n_words", "n_dup_spans", "dup_words", "dup_micros"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
