@@ -1,0 +1,139 @@
+"""Streaming segment-level (C4-style) dedup: the online twin of
+``ext/dedup.segment_dedup`` — as documents arrive, each fixed-width
+word segment survives only on its FIRST arrival anywhere in the
+stream so far; later occurrences (boilerplate, re-crawls, templated
+spans) are dropped at ingestion time.
+
+Same sharded-state architecture as the near-dup detector
+(``neardup_stream``): segments hash into ≤ ``state_shards``
+``applyInPandasWithState`` groups, each holding the set of segment
+hashes it has seen (one int64 per distinct segment).  Per micro-batch
+the work is one narrow explode + one keyed shuffle; the per-group
+Python/state-store overhead amortizes across the hundreds of segments
+per shard instead of being paid per segment.
+
+Output is the KEPT (doc_id, seg_idx, segment) rows — the deduplicated
+corpus in exploded form; consumers reassemble per doc downstream
+(sort by seg_idx, join with spaces), which stays out of the stateful
+stage because a document's segments scatter across shards.
+
+Arrival order is the tiebreak: within one micro-batch, rows sort by
+(doc_id, seg_idx) inside each shard, so a single-batch replay of a
+static corpus reproduces the batch operator's lowest-(doc_id,
+seg_idx)-wins keep set exactly (differential-tested).  Across
+micro-batches, earlier arrival wins — the streaming semantics.
+
+State is bounded by DISTINCT SEGMENT cardinality (8 bytes each);
+``ttl_minutes`` expires shards idle past the TTL for bounded windows
+over unbounded streams (the same trade as the near-dup detector; an
+expired segment re-admits its next occurrence).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_KEPT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("segment", StringType()),
+    ]
+)
+
+_SEEN_STATE_SCHEMA = StructType(
+    [StructField("hashes", ArrayType(LongType()))]
+)
+
+
+def _make_seen_update(ttl_minutes: int | None):
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        chunks = [p for p in pdfs if len(p)]
+        rows = {"doc_id": [], "seg_idx": [], "segment": []}
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["doc_id", "seg_idx"], kind="mergesort"
+            )
+            for doc_id, seg_idx, segment, h in zip(
+                pdf["doc_id"], pdf["seg_idx"], pdf["segment"], pdf["h"]
+            ):
+                h = int(h)
+                if h in seen:
+                    continue
+                seen.add(h)
+                rows["doc_id"].append(int(doc_id))
+                rows["seg_idx"].append(int(seg_idx))
+                rows["segment"].append(segment)
+        if seen:
+            state.update((list(seen),))
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60_000)
+        elif state.exists:
+            state.remove()
+        if rows["doc_id"]:
+            yield pd.DataFrame(rows)
+
+    return update
+
+
+def stream_segment_dedup(
+    stream_df: DataFrame,
+    seg_words: int = 8,
+    state_shards: int = 4096,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """(doc_id, text) stream → kept (doc_id, seg_idx, segment) rows;
+    see module docstring for semantics and scale shape."""
+    if seg_words <= 0:
+        raise ValueError("seg_words must be positive")
+    if state_shards <= 0:
+        raise ValueError("state_shards must be positive")
+    w = seg_words
+    segs = (
+        stream_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.split(F.col("text"), " ").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(__toks) / {w}.0) as int) - 1), "
+                    f"i -> concat_ws(' ', slice(__toks, i * {w} + 1, {w})))"
+                )
+            ).alias("seg_idx", "segment"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            "segment",
+            F.xxhash64("segment").alias("h"),
+            F.pmod(F.xxhash64("segment"), F.lit(state_shards)).alias("shard"),
+        )
+    )
+    return segs.groupBy("shard").applyInPandasWithState(
+        _make_seen_update(ttl_minutes),
+        outputStructType=_KEPT_SCHEMA,
+        stateStructType=_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
