@@ -1112,3 +1112,90 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def substring_scrub(
+    d: DataFrame,
+    n_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTION to ``doc_substring_spans``'s report: rewrite each
+    document with its duplicate substrings removed — every word inside
+    a ≥ ``n_words`` span whose content occurred at an earlier
+    (doc_id, position) is dropped, first occurrences survive verbatim.
+
+    Plan: the span detection is the same one-scan gram window +
+    islands merge; the scrub side explodes words with positions and
+    LEFT-joins them to the (few, per-doc) spans on the doc key with a
+    BETWEEN post-filter — per-word fan-out is bounded by spans-per-doc
+    — then reassembles with an order-preserving sorted collect.
+    Documents with no duplicate spans pass through character-exact.
+
+    Output: (doc_id, n_words, n_dropped, scrubbed_text)."""
+    from pyspark.sql import Window
+
+    k = n_words
+    grams = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+                f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+                f"i -> struct(i AS pos, "
+                f"array_join(slice(split({text_col}, ' '), i, {k}), ' ') AS gram)) "
+                f"ELSE CAST(array() AS array<struct<pos:int, gram:string>>) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    key = F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    dup = (
+        grams.withColumn(
+            "first_key", F.min(key).over(Window.partitionBy("gram"))
+        )
+        .filter(key != F.col("first_key"))
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+                ).otherwise(0)
+            ).over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e"))
+        .select(F.col("doc_id").alias("s_doc"), "s", "e")
+    )
+    words = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    marked = (
+        words.join(
+            spans,
+            (words["doc_id"] == spans["s_doc"])
+            & (words["pos"] >= spans["s"])
+            & (words["pos"] <= spans["e"]),
+            "left",
+        )
+        .groupBy("doc_id", "pos", "word")
+        .agg(F.max(F.col("s").isNotNull().cast("int")).alias("covered"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("covered").cast("bigint").alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(pos, covered, word))), "
+                "s -> s.covered = 0), s -> s.word)"
+            ),
+        ).alias("scrubbed_text"),
+    )

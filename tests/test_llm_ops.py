@@ -1538,3 +1538,38 @@ def test_substring_spans_oracle_agrees(spark, tmp_path):
     want = con.execute(DOC_SUBSTRING_SPANS_SQL).df()
     for c in ("doc_id", "n_words", "n_dup_spans", "dup_words", "dup_micros"):
         assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+
+
+def test_substring_scrub_removes_exactly_the_spans(spark, tmp_path):
+    """The scrub action drops precisely the words doc_substring_spans
+    reports (dup_words == n_dropped) and leaves clean docs
+    character-exact."""
+    base_words = [f"w{i}" for i in range(30)]
+    copied = " ".join(base_words[5:15])
+    texts = [
+        " ".join(base_words),
+        "unique opening words here " + copied + " trailing bits",
+        "fresh " + " ".join(f"x{i}" for i in range(12)),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(3), "text": texts, "lang": "en",
+            "source": "t", "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from meteaudata_spark.ext.dedup import (
+        doc_substring_spans,
+        substring_scrub,
+    )
+
+    d = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    spans = {r["doc_id"]: r for r in doc_substring_spans(spark, str(tmp_path)).collect()}
+    out = {r["doc_id"]: r for r in substring_scrub(d).collect()}
+    for i in range(3):
+        assert out[i]["n_dropped"] == spans[i]["dup_words"], i
+    # doc 0 and 2 are untouched
+    assert out[0]["scrubbed_text"] == texts[0]
+    assert out[2]["scrubbed_text"] == texts[2]
+    # doc 1 loses exactly the copied 10-word run
+    expect = "unique opening words here trailing bits"
+    assert out[1]["scrubbed_text"] == expect
