@@ -670,3 +670,84 @@ def embed_assets(assets: DataFrame, dim: int = 64) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, out_schema)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("rms_micros", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("zcr_micros", LongType()),
+    ]
+)
+
+
+def audio_features(
+    assets: DataFrame, frame_ms: int = 25, hop_ms: int = 10
+) -> DataFrame:
+    """Frame-level audio feature extraction over PCM16 WAV payloads —
+    the FEATURE step of the audio pipeline, after ``decode_audio``:
+    per asset, duration, frame count, mean frame RMS (full-scale
+    micro-units, 1.0 = int16 max), absolute peak, and mean
+    zero-crossing rate (crossings per sample, micro-units — a pure
+    tone at f Hz reads ≈ 2f/rate).
+
+    Vectorized end-to-end: the decoded sample vector frames through a
+    zero-copy stride view, RMS/ZCR reduce per frame in one numpy pass.
+    Non-audio payloads are skipped (the mapInPandas batch just emits
+    fewer rows).  Deterministic: int16 in, fixed expression shapes,
+    micro-unit rounding out."""
+    if frame_ms <= 0 or hop_ms <= 0:
+        raise ValueError("frame_ms and hop_ms must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "sample_rate", "n_samples", "duration_ms",
+                "n_frames", "rms_micros", "peak", "zcr_micros",
+            )}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                if not p.startswith(b"RIFF"):
+                    continue
+                samples, rate = decode_audio(p)
+                x = samples.astype(np.float64)
+                n = len(x)
+                flen = max(1, rate * frame_ms // 1000)
+                hop = max(1, rate * hop_ms // 1000)
+                if n >= flen:
+                    n_frames = 1 + (n - flen) // hop
+                    idx = (
+                        np.arange(flen)[None, :]
+                        + hop * np.arange(n_frames)[:, None]
+                    )
+                    frames = x[idx]
+                else:
+                    n_frames = 1
+                    frames = x[None, :]
+                rms = float(
+                    np.mean(np.sqrt(np.mean(frames**2, axis=1))) / 32767.0
+                )
+                signs = np.signbit(x)
+                zcr = (
+                    float(np.count_nonzero(signs[1:] != signs[:-1])) / n
+                    if n > 1
+                    else 0.0
+                )
+                rows["asset_id"].append(int(asset_id))
+                rows["sample_rate"].append(int(rate))
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(round(n * 1000 / rate))
+                rows["n_frames"].append(int(n_frames))
+                rows["rms_micros"].append(round(rms * 1_000_000))
+                rows["peak"].append(int(np.max(np.abs(samples))) if n else 0)
+                rows["zcr_micros"].append(round(zcr * 1_000_000))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, AUDIO_FEATURE_SCHEMA
+    )

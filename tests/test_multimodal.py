@@ -267,3 +267,51 @@ def test_resize_real_formats_roundtrip(spark):
     expected = multimodal._resize_nn(arr, 6, 4)
     assert (multimodal._decode_rgb(bytes(out["payload"].iloc[0])) == expected).all()
     assert (multimodal._decode_rgb(bytes(out["payload"].iloc[1])) == expected).all()
+
+
+def test_audio_features_pure_tone_and_silence(spark):
+    """Closed-form checks: a full-scale 440 Hz tone reads RMS ≈ 1/√2
+    and ZCR ≈ 2·440/rate; silence reads zeros; non-audio payloads are
+    skipped."""
+    import numpy as np
+
+    from meteaudata_spark.ext.multimodal import (
+        audio_features,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rate = 16000
+    t = np.arange(rate)  # 1 second
+    tone = np.round(32767 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    silence = np.zeros(rate, dtype=np.int16)
+    img = encode_ppm(np.zeros((8, 8, 3), dtype=np.uint8))
+    assets = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(encode_wav(tone, rate))),
+            (1, "audio", bytearray(encode_wav(silence, rate))),
+            (2, "image", bytearray(img)),
+        ],
+        "asset_id long, modality string, payload binary",
+    )
+    out = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    assert set(out) == {0, 1}  # image skipped
+    tone_r = out[0]
+    assert tone_r["duration_ms"] == 1000 and tone_r["sample_rate"] == rate
+    assert abs(tone_r["rms_micros"] - round(1_000_000 / np.sqrt(2))) < 20_000
+    # 440 Hz -> 880 crossings/s -> zcr 880/16000 = 0.055
+    assert abs(tone_r["zcr_micros"] - 55_000) < 2_000
+    assert tone_r["peak"] == 32767
+    sil = out[1]
+    assert sil["rms_micros"] == 0 and sil["zcr_micros"] == 0 and sil["peak"] == 0
+
+
+def test_audio_features_validates_knobs(spark):
+    import pytest
+
+    from meteaudata_spark.ext.multimodal import audio_features
+
+    d = spark.createDataFrame([(1, "audio", bytearray(b"RIFF"))],
+                              "asset_id long, modality string, payload binary")
+    with pytest.raises(ValueError):
+        audio_features(d, frame_ms=0)
