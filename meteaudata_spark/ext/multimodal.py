@@ -322,7 +322,76 @@ def _decode_payload(payload: bytes) -> np.ndarray:
     )
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def _detect_format(payload: bytes) -> str:
+    """Magic-byte sniff shared by the decoders and the health triage."""
+    if payload.startswith(FAKE_MAGIC):
+        return "fake"
+    if payload.startswith(b"P6"):
+        return "ppm"
+    if payload.startswith(PNG_MAGIC):
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    if payload[:4] == b"RIFF":
+        return "wav"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] in (b"\x00\x00\x00\x01", b"\x00\x00\x01\x67"):
+        return "h264-annexb"
+    return "unknown"
+
+
+DECODE_HEALTH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("detected_format", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("decodable", StringType()),  # 'ok' | 'error'
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decode_health(assets: DataFrame) -> DataFrame:
+    """Corpus triage: classify every payload by magic bytes and
+    ATTEMPT the decode, reporting ok/error per asset instead of
+    failing the job — the pass a real crawl corpus needs before any
+    expensive feature extraction, because undecodable payloads
+    (unsupported codecs, truncation, bit rot) are a fact of 100 TB
+    inputs.  Quarantine = ``filter(decodable = 'error')``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "modality", "detected_format", "n_bytes",
+                "decodable", "error",
+            )}
+            for asset_id, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                rows["asset_id"].append(int(asset_id))
+                rows["modality"].append(modality)
+                rows["detected_format"].append(_detect_format(p))
+                rows["n_bytes"].append(len(p))
+                try:
+                    _decode_payload(p)
+                    rows["decodable"].append("ok")
+                    rows["error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — triage, not control flow
+                    rows["decodable"].append("error")
+                    rows["error"].append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        batches, DECODE_HEALTH_SCHEMA
+    )
+
+
+def extract_features(assets: DataFrame, decode_errors: str = "raise") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` streams Arrow record batches through Python; each
@@ -330,23 +399,38 @@ def extract_features(assets: DataFrame) -> DataFrame:
     time.  At scale, batch size is governed by
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` and partitioning
     of the asset table (size partitions so a batch of decoded frames
-    fits executor memory)."""
+    fits executor memory).
+
+    ``decode_errors``: ``'raise'`` fails the job on the first
+    undecodable payload (the debugging default); ``'skip'`` drops such
+    assets from the output — pair with ``decode_health`` to account
+    for what was skipped (silent-cap rule: the skip set is always
+    recoverable as the health report's error rows)."""
+    if decode_errors not in ("raise", "skip"):
+        raise ValueError("decode_errors must be 'raise' or 'skip'")
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_decode_payload(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "payload_sha": [
-                        hashlib.sha256(p).hexdigest() for p in pdf["payload"]
-                    ],
-                    "mean_byte": [f"{d.mean():.4f}" for d in decoded],
-                }
-            )
+            rows = {k: [] for k in (
+                "asset_id", "modality", "n_bytes", "payload_sha", "mean_byte",
+            )}
+            for asset_id, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                try:
+                    d = _decode_payload(p)
+                except Exception:
+                    if decode_errors == "raise":
+                        raise
+                    continue
+                rows["asset_id"].append(int(asset_id))
+                rows["modality"].append(modality)
+                rows["n_bytes"].append(len(p))
+                rows["payload_sha"].append(hashlib.sha256(p).hexdigest())
+                rows["mean_byte"].append(f"{d.mean():.4f}")
+            yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
 

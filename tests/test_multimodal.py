@@ -315,3 +315,47 @@ def test_audio_features_validates_knobs(spark):
                               "asset_id long, modality string, payload binary")
     with pytest.raises(ValueError):
         audio_features(d, frame_ms=0)
+
+
+def test_decode_health_triage_and_skip_mode(spark):
+    """Undecodable payloads (e.g. H.264 bitstreams) are a fact of real
+    corpora: decode_health reports them per asset instead of failing,
+    and extract_features(decode_errors='skip') drops exactly those
+    assets while 'raise' keeps the debugging default."""
+    import numpy as np
+    import pytest
+
+    from meteaudata_spark.ext.multimodal import (
+        decode_health,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+    )
+
+    good_img = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    good_wav = encode_wav(np.zeros(100, dtype=np.int16), 8000)
+    h264 = b"\x00\x00\x00\x01\x67\x42\x00\x1e" + b"\x55" * 64
+    junk = b"\x13\x37" * 20
+    assets = spark.createDataFrame(
+        [
+            (0, "image", bytearray(good_img)),
+            (1, "audio", bytearray(good_wav)),
+            (2, "video", bytearray(h264)),
+            (3, "image", bytearray(junk)),
+        ],
+        "asset_id long, modality string, payload binary",
+    )
+    health = {r["asset_id"]: r for r in decode_health(assets).collect()}
+    assert health[0]["decodable"] == "ok" and health[0]["detected_format"] == "ppm"
+    assert health[1]["decodable"] == "ok" and health[1]["detected_format"] == "wav"
+    assert health[2]["decodable"] == "error"
+    assert health[2]["detected_format"] == "h264-annexb"
+    assert "NotImplementedError" in health[2]["error"]
+    assert health[3]["decodable"] == "error" and health[3]["detected_format"] == "unknown"
+
+    kept = extract_features(assets, decode_errors="skip").collect()
+    assert {r["asset_id"] for r in kept} == {0, 1}
+    with pytest.raises(Exception):
+        extract_features(assets, decode_errors="raise").collect()
+    with pytest.raises(ValueError):
+        extract_features(assets, decode_errors="quarantine")
