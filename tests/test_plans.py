@@ -322,3 +322,56 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     # nested-loop/cartesian — the bucket equi-join carries it
     assert "BroadcastNestedLoopJoin" not in joins, joins
     assert "CartesianProduct" not in joins, joins
+
+
+def test_q2_broadcasts_dims_and_stays_equi(spark):
+    from meteaudata_spark.ext import relational as R
+
+    df = R.q2_min_cost_supplier(spark, SF)
+    joins = inspect.join_strategies(df)
+    # part + supplier(+nation+region) broadcast onto the fact scan;
+    # the decorrelated min join may be either strategy but never a
+    # nested loop / cartesian
+    assert joins.count("BroadcastHashJoin") >= 2, joins
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+
+
+def test_q11_scalar_subquery_is_broadcast(spark):
+    from meteaudata_spark.ext import relational as R
+
+    df = R.q11_important_parts(spark, SF)
+    joins = inspect.join_strategies(df)
+    # the 1-row totals ride a broadcast, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in joins or joins.count("BroadcastHashJoin") >= 1, joins
+    assert "CartesianProduct" not in joins
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    from meteaudata_spark.ext import relational as R
+
+    plan = inspect.formatted_plan(R.q16_supplier_part_counts(spark, SF))
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan[:1200]
+
+
+def test_q20_semi_join_is_broadcast(spark):
+    from meteaudata_spark.ext import relational as R
+
+    plan = inspect.formatted_plan(R.q20_potential_promotions(spark, SF))
+    assert "LeftSemi" in plan, plan[:1200]
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_shuffles_stay_keyed(spark):
+    from meteaudata_spark.ext import dedup as dd
+
+    df = dd.doc_substring_spans(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # no pair fan-out anywhere: gram window + doc windows + rollup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the scan only needs doc_id + text
+    cols = inspect.scan_columns(df)
+    assert "source" not in cols and "lang" not in cols
