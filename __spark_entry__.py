@@ -23,7 +23,7 @@ from meteaudata_spark.ext import (
     sketches,
     textstats,
 )
-from meteaudata_spark.ext import rangejoin
+from meteaudata_spark.ext import profile, rangejoin
 from meteaudata_spark.ext import timeseries_queries as tsq
 
 
@@ -43,10 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver-verified (all green on the local gate replica at
         sf0.01 in rounds 6 and 7; doc_ngram_novelty additionally
         rewritten this round: short-doc guard + single-scan window);
-    (2) the 4 relational shapes ADDED this round (Q2/Q11/Q16/Q20
-        analogs — new, never driver-verified);
-    (3) 23 stalest previously-green queries (last driver-green in
-        round 5: the core ts/relational/dedup parity block).
+    (2) the 10 operators ADDED this round (Q2/Q11/Q16/Q20 analogs,
+        substring spans, Matryoshka recall, rolling correlation,
+        DSIR weights, lineitem profile — new, never driver-verified);
+    (3) the stalest previously-green queries (last driver-green in
+        round 5: the core ts/relational/dedup parity block); the tail
+        of this block past the 50-cap re-certifies in round 8.
     Everything past 50 was driver-green in round 5 or 6 and still
     runs in bench and in tests/test_ext.py's run-all test."""
     return {
@@ -80,6 +82,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": relational.q16_supplier_part_counts,
         "q20_potential_promotions": relational.q20_potential_promotions,
         "doc_substring_spans": dedup.doc_substring_spans,  # NEW r7: ExactSubstr-style span dedup
+        "emb_matryoshka_recall": simsearch.emb_matryoshka_recall,  # NEW r7
+        "ts_rolling_corr": tsq.ts_rolling_corr,  # NEW r7
+        "doc_dsir_weights": textstats.doc_dsir_weights,  # NEW r7
+        "lineitem_profile": profile.lineitem_profile,  # NEW r7
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -306,6 +312,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_keep_best": dedup.DOC_DEDUP_KEEP_BEST_SQL,
         "doc_split_leakage": corpus_ops.DOC_SPLIT_LEAKAGE_SQL,
         "emb_ann_recall": simsearch.EMB_ANN_RECALL_SQL,
+        "emb_matryoshka_recall": simsearch.EMB_MATRYOSHKA_RECALL_SQL,
+        "ts_rolling_corr": tsq.TS_ROLLING_CORR_SQL,
+        "doc_dsir_weights": textstats.DOC_DSIR_SQL,
+        "lineitem_profile": profile.LINEITEM_PROFILE_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
         "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,

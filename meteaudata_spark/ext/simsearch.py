@@ -1928,3 +1928,122 @@ FROM per_query
 
 
 EMB_ANN_RECALL_SQL = _ann_recall_sql()
+
+
+def matryoshka_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, prefix_dims: int = 32
+) -> DataFrame:
+    """Exact top-k cosine neighbors computed on only the FIRST
+    ``prefix_dims`` entries of each embedding — the serving shape of
+    Matryoshka representation learning (Kusupati et al. 2022), where
+    a prefix of the vector is itself a usable lower-cost embedding.
+
+    Same broadcast + rounded-cosine + vec_id-tiebreak determinism
+    contract as ``emb_cosine_topk``; the truncation is a zero-copy
+    ``slice`` inside the row, so the plan is identical (broadcast
+    join, no shuffle of the corpus side)."""
+    t = emb.select(
+        "vec_id", F.slice("embedding", 1, prefix_dims).alias("te")
+    ).withColumn("nrm", F.expr(_norm_expr("te")))
+    q = t.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("te").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = t.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="qe", b="te")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    ranked = pairs.select("query_id", "vec_id", cos.alias("cosine")).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("query_id", "vec_id")
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: recall@5 of half-dimension (32 of 64) truncated
+    cosine search against the full-dimension exact top-5 — the
+    evaluation that decides whether a Matryoshka prefix is good
+    enough to serve.  Same evaluation-as-query shape as
+    ``emb_ann_recall``: the join touches two 50-row relations, so the
+    evaluation is free at any corpus scale."""
+    exact = emb_cosine_topk(spark, sf_dir, n_queries=10, k=5).select(
+        "query_id", "vec_id"
+    )
+    trunc = matryoshka_topk(_emb(spark, sf_dir), 10, 5, 32).select(
+        F.col("query_id").alias("q2"), F.col("vec_id").alias("v2")
+    )
+    hit = exact.join(
+        trunc,
+        (F.col("query_id") == F.col("q2")) & (F.col("vec_id") == F.col("v2")),
+        "left",
+    )
+    per_query = hit.groupBy("query_id").agg(
+        (
+            F.sum(F.when(F.col("v2").isNotNull(), 1).otherwise(0)) / F.lit(5.0)
+        ).alias("recall_at_5")
+    )
+    return per_query.groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall_at_5") * 1000000.0)
+        .cast("bigint")
+        .alias("macro_recall_micros"),
+        F.round(F.min("recall_at_5") * 1000000.0)
+        .cast("bigint")
+        .alias("worst_recall_micros"),
+    )
+
+
+def _matryoshka_sql() -> str:
+    exact = EMB_COSINE_TOPK_SQL.strip()
+    exact = exact[: exact.rindex("ORDER BY")]
+    return f"""
+WITH exact_tk AS (
+{exact}
+),
+tq AS (
+  SELECT vec_id AS query_id, embedding[1:32] AS qe FROM embeddings WHERE vec_id < 10
+),
+tpairs AS (
+  SELECT tq.query_id, e.vec_id,
+         ROUND(
+           list_aggregate(list_transform(generate_series(1, LEN(tq.qe)),
+             i -> CAST(tq.qe[i] AS DOUBLE) * CAST(e.embedding[1:32][i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(tq.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(e.embedding[1:32], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+         6) AS cosine
+  FROM embeddings e CROSS JOIN tq
+  WHERE e.vec_id <> tq.query_id
+),
+tranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM tpairs
+),
+trunc_tk AS (
+  SELECT query_id, vec_id FROM tranked WHERE rank <= 5
+),
+hit AS (
+  SELECT e.query_id, e.vec_id,
+         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+  FROM exact_tk e
+  LEFT JOIN trunc_tk t
+    ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+),
+per_query AS (
+  SELECT query_id, SUM(is_hit) / 5.0 AS recall_at_5
+  FROM hit GROUP BY query_id
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(round(AVG(recall_at_5) * 1000000.0) AS BIGINT) AS macro_recall_micros,
+       CAST(round(MIN(recall_at_5) * 1000000.0) AS BIGINT) AS worst_recall_micros
+FROM per_query
+"""
+
+
+EMB_MATRYOSHKA_RECALL_SQL = _matryoshka_sql()

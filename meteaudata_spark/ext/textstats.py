@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from meteaudata_spark.ext.dedup import _h60
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1298,4 +1300,120 @@ SELECT g.doc_id,
 FROM grams g JOIN first_seen f USING (gram)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
+"""
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its tokens are under a TARGET
+    distribution than under the raw-corpus distribution, using
+    hashed unigram features — the weight that drives
+    importance-resampling a web crawl toward a curated domain.
+
+    w(doc) = Σ_tokens llr(bucket(token)),
+    llr(b) = ln((c_target(b)+1)/(N_target+B)) − ln((c_raw(b)+1)/(N_raw+B))
+
+    Determinism: per-bucket llr is pre-rounded to integer micro-units
+    (the BM25 idf recipe — ln of identical integer ratios agrees
+    across engines), so each doc's weight is an order-independent
+    bigint sum.  Scale: bucket counts come from ONE pass over the
+    token explode (count + conditional count); the llr table is
+    ``n_buckets`` rows broadcast to a map-side join; the per-doc sum
+    is one keyed aggregation — no all-pairs, no driver loop.
+    Feature hashing is the cross-engine ``_h60`` md5 hash."""
+    toks = docs.select(
+        "doc_id",
+        target_filter.alias("__is_target"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucketed = toks.select(
+        "doc_id",
+        "__is_target",
+        F.pmod(_h60(F.col("token")), F.lit(n_buckets)).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = counts.groupBy().agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_tgt") + 1.0)
+                    / (F.col("n_tgt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("c_raw") + 1.0)
+                    / (F.col("n_raw") + F.lit(float(n_buckets)))
+                )
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("llr_micros"),
+    )
+    return (
+        bucketed.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr_micros").alias("dsir_micros"),
+        )
+    )
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: DSIR importance weights with English documents as
+    the target domain (the lang-ID column stands in for the curated
+    target corpus)."""
+    d = _docs(spark, sf_dir)
+    return dsir_weights(d, F.col("lang") == "en").orderBy("doc_id")
+
+
+_H60_TOK = "CAST(CONCAT('0x', SUBSTR(md5(token), 1, 15)) AS BIGINT)"
+
+DOC_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target, token
+  FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+),
+bucketed AS (
+  SELECT doc_id, is_target,
+         (({_H60_TOK} % 256) + 256) % 256 AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT bucket, COUNT(*) AS c_raw,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+  FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM counts
+),
+llr AS (
+  SELECT bucket,
+         CAST(ROUND(
+           (ln((c_tgt + 1.0) / (n_tgt + 256.0))
+            - ln((c_raw + 1.0) / (n_raw + 256.0))) * 1000000.0
+         ) AS BIGINT) AS llr_micros
+  FROM counts CROSS JOIN totals
+)
+SELECT b.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(l.llr_micros) AS BIGINT) AS dsir_micros
+FROM bucketed b JOIN llr l USING (bucket)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
 """

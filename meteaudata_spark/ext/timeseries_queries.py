@@ -2209,3 +2209,114 @@ FROM events
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the
+    'click' and 'view' event series over aligned DAILY bucket
+    means — the co-movement monitor behind "are these two sensors
+    still tracking each other?" dashboards (reference domain: paired
+    wastewater sensors, types.py's multi-signal datasets).
+
+    Scale/determinism design:
+    - bucket means are quantized to integer MILLIS before any window
+      arithmetic, so every windowed sum (Σx, Σxy, Σx², …) is exact
+      bigint math — order-independent, hence cross-engine hashable
+      (560e3² · 7 ≪ 2⁶³, no overflow at the data's value range);
+    - the rolling window is an offset EXPLODE (7 slim rows per
+      aligned day) + keyed re-aggregation on the anchor bucket —
+      a keyed shuffle of an already-aggregated bounded-domain
+      relation, NOT a single-partition global window, so the plan
+      stays parallel at any raw-event scale;
+    - only complete windows (n = 7) whose anchor is itself an
+      aligned bucket are emitted, sidestepping edge-semantics
+      divergence; corr guards zero variance to NULL explicitly."""
+    ev = _events(spark, sf_dir)
+    b = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400).alias("b5"),
+        )
+        .agg(
+            F.round(F.avg("value") * 1000.0).cast("bigint").alias("vm")
+        )
+    )
+    x = b.filter(F.col("event_type") == "click").select(
+        "b5", F.col("vm").alias("xm")
+    )
+    y = b.filter(F.col("event_type") == "view").select(
+        "b5", F.col("vm").alias("ym")
+    )
+    aligned = x.join(y, "b5")
+    contrib = aligned.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "b5",
+        "xm",
+        "ym",
+    ).select(
+        (F.col("b5") + F.col("off") * 86400).alias("anchor"), "xm", "ym"
+    )
+    w = contrib.groupBy("anchor").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).alias("syy"),
+    )
+    full = w.filter(F.col("n") == 7).join(
+        aligned.select(F.col("b5").alias("anchor")), "anchor"
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    corr = F.when(
+        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+    ).otherwise(
+        _r6(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+    )
+    return full.select(
+        F.col("anchor").alias("b5"), corr.alias("rolling_corr")
+    ).orderBy("b5")
+
+
+TS_ROLLING_CORR_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS b5,
+         CAST(ROUND(AVG(value) * 1000.0) AS BIGINT) AS vm
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2
+),
+aligned AS (
+  SELECT x.b5, x.vm AS xm, y.vm AS ym
+  FROM (SELECT b5, vm FROM b WHERE event_type = 'click') x
+  JOIN (SELECT b5, vm FROM b WHERE event_type = 'view') y USING (b5)
+),
+contrib AS (
+  SELECT a.b5 + 86400 * off.o AS anchor, a.xm, a.ym
+  FROM aligned a
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS o) off
+),
+w AS (
+  SELECT anchor, COUNT(*) AS n,
+         SUM(xm) AS sx, SUM(ym) AS sy, SUM(xm * ym) AS sxy,
+         SUM(xm * xm) AS sxx, SUM(ym * ym) AS syy
+  FROM contrib GROUP BY anchor
+)
+SELECT w.anchor AS b5,
+       CASE WHEN (w.n * w.sxx - w.sx * w.sx) = 0
+              OR (w.n * w.syy - w.sy * w.sy) = 0 THEN NULL
+            ELSE ROUND(CAST(w.n * w.sxy - w.sx * w.sy AS DOUBLE)
+                       / (sqrt(CAST(w.n * w.sxx - w.sx * w.sx AS DOUBLE))
+                          * sqrt(CAST(w.n * w.syy - w.sy * w.sy AS DOUBLE)))
+                       * 1000000.0) / 1000000.0
+       END AS rolling_corr
+FROM w
+JOIN aligned a ON a.b5 = w.anchor
+WHERE w.n = 7
+ORDER BY b5
+"""

@@ -1,0 +1,112 @@
+"""Semantics tests for the round-7 additions: DSIR weights, the
+column profiler, Matryoshka recall, and rolling correlation."""
+
+from pyspark.sql import functions as F
+
+from meteaudata_spark.ext.profile import profile_table
+from meteaudata_spark.ext.simsearch import matryoshka_topk
+from meteaudata_spark.ext.textstats import dsir_weights
+
+
+def test_dsir_separates_target_vocabulary(spark):
+    # target docs use vocabulary A, raw-only docs vocabulary B; a new
+    # doc written in A must outweigh one written in B
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(f"tgt{j}" for j in range(10)), "en"))
+    for i in range(40, 80):
+        rows.append((i, " ".join(f"bg{j}" for j in range(10)), "de"))
+    # probes: same length, not in the target set themselves
+    rows.append((100, " ".join(f"tgt{j}" for j in range(10)), "de"))
+    rows.append((101, " ".join(f"bg{j}" for j in range(10)), "de"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r["dsir_micros"]
+        for r in dsir_weights(d, F.col("lang") == "en").collect()
+    }
+    assert w[100] > w[101]
+    # weights are per-token sums: doubling the doc doubles the weight
+    d2 = spark.createDataFrame(
+        [(200, " ".join(f"tgt{j}" for j in range(10) for _ in range(2)), "de")],
+        "doc_id long, text string, lang string",
+    )
+    w2 = dsir_weights(d.union(d2), F.col("lang") == "en").collect()
+    by_id = {r["doc_id"]: r for r in w2}
+    assert by_id[200]["n_tokens"] == 20
+
+
+def test_profile_table_counts(spark):
+    d = spark.createDataFrame(
+        [
+            (1, None, "a"),
+            (2, 5.0, "b"),
+            (3, 5.0, None),
+            (4, 7.5, "a"),
+        ],
+        "k long, v double, s string",
+    )
+    out = {
+        r["column_name"]: r
+        for r in profile_table(
+            d, [("k", "num"), ("v", "num"), ("s", "str")]
+        ).collect()
+    }
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 0
+    assert out["k"]["n_distinct"] == 4
+    assert out["v"]["n_null"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["min_num"] == 5.0 and out["v"]["max_num"] == 7.5
+    assert out["v"]["min_str"] is None
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["min_num"] is None
+
+
+def test_matryoshka_prefix_ranking(spark):
+    # vectors that agree on the first half but diverge on the second:
+    # truncated search must rank by prefix similarity only
+    def vec(front, back):
+        return [float(front)] * 4 + [float(back)] * 4
+
+    rows = [
+        (0, vec(1, 0)),  # query
+        (1, vec(1, 9)),  # same prefix, wild suffix → truncated rank 1
+        (2, vec(0.5, 0)),  # weaker prefix
+        (3, vec(-1, 0)),  # opposite prefix
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = matryoshka_topk(d, n_queries=1, k=3, prefix_dims=4).collect()
+    order = [r["vec_id"] for r in sorted(got, key=lambda r: r["vec_id"])]
+    assert set(order) == {1, 2, 3}
+    # rank order: cosine on prefix — vec 1 has cosine 1.0 (identical
+    # direction), vec 2 cosine 1.0 too (same direction scaled) → tie
+    # broken by vec_id; vec 3 is -1
+    ranked = matryoshka_topk(d, 1, 3, 4).collect()
+    assert len(ranked) == 3
+
+
+def test_rolling_corr_planted(spark, tmp_path):
+    # click and view move in lockstep → rolling corr must be 1.0
+    import shutil
+
+    sf = str(tmp_path)
+    ev = spark.range(2 * 40 * 24).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,"
+            "cast(((id div 2) div 24) as int),cast(((id div 2) % 24) as int),0,0)"
+        ).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.when((F.col("id") % 2) == 0, "click").otherwise("view").alias(
+            "event_type"
+        ),
+        (F.floor(F.col("id") / 2) % 97).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(f"{sf}/events.parquet")
+    from meteaudata_spark.ext.timeseries_queries import ts_rolling_corr
+
+    out = ts_rolling_corr(spark, sf).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r["rolling_corr"] - 1.0) < 1e-9, r
+    shutil.rmtree(f"{sf}/events.parquet")
