@@ -375,3 +375,54 @@ def test_substring_spans_shuffles_stay_keyed(spark):
     # the scan only needs doc_id + text
     cols = inspect.scan_columns(df)
     assert "source" not in cols and "lang" not in cols
+
+
+def test_dsir_weights_broadcast_llr(spark):
+    df = textstats.doc_dsir_weights(spark, SF)
+    joins = inspect.join_strategies(df)
+    # the 256-row llr relation and the 1-row totals must both ride
+    # broadcast; the only real shuffles are the bucket agg and the
+    # per-doc sum
+    assert joins.count("BroadcastHashJoin") >= 1, joins
+    assert "SortMergeJoin" not in joins, joins
+    assert "CartesianProduct" not in joins
+    cols = inspect.scan_columns(df)
+    assert "source" not in cols and "n_chars" not in cols
+
+
+def test_lineitem_profile_single_scan(spark):
+    from meteaudata_spark.ext import profile as prof
+
+    df = prof.lineitem_profile(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # ONE pass over lineitem: exactly one parquet scan node feeds the
+    # multi-distinct Expand aggregate (the formatted plan names each
+    # node twice — once in the tree, once in the detail section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "CartesianProduct" not in inspect.join_strategies(df)
+
+
+def test_rolling_corr_no_global_window(spark):
+    df = tsq.ts_rolling_corr(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # the rolling window is an offset explode + keyed agg — there must
+    # be no single-partition window over the bucket series (the final
+    # orderBy is a range-partitioned sort, not SinglePartition)
+    assert "Window" not in plan, plan
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+
+
+def test_matryoshka_corpus_side_not_shuffled(spark):
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_matryoshka_recall(spark, SF)
+    joins = inspect.join_strategies(df)
+    # queries broadcast against the corpus scan on both rankers
+    assert joins.count("BroadcastHashJoin") >= 1 or joins.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 1, joins
+    assert "CartesianProduct" not in joins
