@@ -835,3 +835,222 @@ def audio_features(
     return assets.select("asset_id", "payload").mapInPandas(
         batches, AUDIO_FEATURE_SCHEMA
     )
+
+
+def image_ahash_blocks(assets: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) of each image payload, emitted as
+    four 16-bit block integers ``h0..h3`` — the perceptual fingerprint
+    that makes IMAGE near-dup mining a join problem.
+
+    The hash: decode the payload with the real codec dispatch, take
+    the integer channel-sum luma of each pixel of the 8×8 raster, and
+    set bit i iff ``64·luma_i > Σ luma`` (the all-integer form of
+    "above the mean", exact on both engines).  Emitting 16-bit blocks
+    instead of one 64-bit word keeps every value far from signed
+    overflow AND doubles as the SimHash-style pigeonhole key: two
+    hashes within Hamming distance 3 MUST agree on at least one of
+    the 4 blocks, so candidate pairs come from a keyed equi-join on
+    (block_idx, block_value) — never an all-pairs scan.
+
+    Input: (asset_id bigint, payload binary).  Decode runs inside
+    Arrow-batched ``mapInPandas`` (shuffle-free narrow map)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "h0": [], "h1": [], "h2": [], "h3": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload))
+                if arr.ndim == 3:
+                    luma = arr.astype(np.int64).sum(axis=2).reshape(-1)
+                else:
+                    luma = arr.astype(np.int64).reshape(-1) * 3
+                total = int(luma.sum())
+                bits = (64 * luma > total).astype(np.int64)
+                out["asset_id"].append(asset_id)
+                for k in range(4):
+                    blk = int(
+                        (bits[16 * k : 16 * k + 16] << np.arange(16)).sum()
+                    )
+                    out[f"h{k}"].append(blk)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        batches, "asset_id bigint, h0 bigint, h1 bigint, h2 bigint, h3 bigint"
+    )
+
+
+def image_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from aHash blocks: pigeonhole
+    equi-join on any equal 16-bit block (guaranteed complete for
+    Hamming ≤ 3 with 4 blocks), then exact Hamming verification.
+    Same candidate-never-all-pairs contract as the SimHash text
+    miner."""
+    blocks = hashes.select(
+        "asset_id",
+        "h0",
+        "h1",
+        "h2",
+        "h3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk_idx"), F.col(f"h{k}").alias("blk")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "h0", "h1", "h2", "h3", "b.blk_idx", "b.blk")
+    left = blocks.select(
+        F.col("asset_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(4)],
+        "blk_idx",
+        "blk",
+    )
+    right = blocks.select(
+        F.col("asset_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(4)],
+        "blk_idx",
+        "blk",
+    )
+    cand = (
+        left.join(right, ["blk_idx", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            *[F.col(f"a{k}") for k in range(4)],
+            *[F.col(f"b{k}") for k in range(4)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))
+        )
+        for k in range(4)
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: perceptual-hash image near-dup mining end to end —
+    deterministic 8×8 RGB PPM assets from ``md5(text)`` (every
+    ``doc_id % 10 == 7`` re-uses its predecessor's digest, and the
+    ``doc_id % 20 == 17`` half additionally perturbs the first byte by
+    +3, so the corpus contains planted exact-hash and near-hash
+    twins), real ``encode_ppm`` → ``_decode_payload`` codec bytes in
+    the loop, aHash blocks, pigeonhole candidate join, exact Hamming
+    verify ≤ 3.  The DuckDB oracle replays the hash arithmetic from
+    the digest hex, so codec, hash, and miner are all value-checked."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", F.md5("text").alias("m"))
+    src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("sid"),
+        (F.col("doc_id") % 20 == 17).alias("perturb"),
+    )
+    withm = src.join(
+        base.select(F.col("doc_id").alias("sid"), "m"), "sid"
+    ).select("doc_id", "m", "perturb")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, m, perturb in zip(
+                pdf["doc_id"], pdf["m"], pdf["perturb"]
+            ):
+                raw = bytearray(bytes.fromhex(m))
+                if perturb:
+                    raw[0] = (raw[0] + 3) % 256
+                arr = np.frombuffer(bytes(raw) * 12, dtype=np.uint8).reshape(
+                    8, 8, 3
+                )
+                ids.append(doc_id)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = withm.mapInPandas(build, "asset_id bigint, payload binary")
+    return image_neardup_pairs(image_ahash_blocks(assets), max_hamming=3)
+
+
+def _mm_image_neardup_sql() -> str:
+    # blocks h0..h3 replayed from the digest hex: luma_i = sum of the
+    # 3 cycled digest bytes of pixel i; bit i set iff 64·luma_i > Σ
+    hk = ",\n         ".join(
+        "CAST(list_aggregate(list_transform(generate_series(0, 15), "
+        f"i -> CASE WHEN 64 * luma[{16 * k} + i + 1] > total "
+        "THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) "
+        f"AS h{k}"
+        for k in range(4)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+),
+src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS sid,
+         doc_id % 20 = 17 AS perturb
+  FROM documents
+),
+dg AS (
+  SELECT s.doc_id, b.m, s.perturb FROM src s JOIN b ON b.doc_id = s.sid
+),
+bl AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16),
+           i -> CAST(CONCAT('0x', SUBSTR(m, 2*i - 1, 2)) AS BIGINT)) AS raw,
+         perturb
+  FROM dg
+),
+pb AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16),
+           i -> CASE WHEN i = 1 AND perturb THEN (raw[1] + 3) % 256
+                ELSE raw[i] END) AS bytes
+  FROM bl
+),
+px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           i -> bytes[((3*i) % 16) + 1] + bytes[((3*i + 1) % 16) + 1]
+                + bytes[((3*i + 2) % 16) + 1]) AS luma
+  FROM pb
+),
+tot AS (
+  SELECT doc_id, luma, list_aggregate(luma, 'sum') AS total FROM px
+),
+hs AS (
+  SELECT doc_id,
+         {hk}
+  FROM tot
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.h0 AS a0, a.h1 AS a1, a.h2 AS a2, a.h3 AS a3,
+         b.h0 AS b0, b.h1 AS b1, b.h2 AS b2, b.h3 AS b3
+  FROM hs a JOIN hs b
+    ON a.doc_id < b.doc_id
+   AND (a.h0 = b.h0 OR a.h1 = b.h1 OR a.h2 = b.h2 OR a.h3 = b.h3)
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+            + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+      + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+MM_IMAGE_NEARDUP_SQL = _mm_image_neardup_sql()

@@ -359,3 +359,68 @@ def test_decode_health_triage_and_skip_mode(spark):
         extract_features(assets, decode_errors="raise").collect()
     with pytest.raises(ValueError):
         extract_features(assets, decode_errors="quarantine")
+
+
+def test_image_ahash_planted_neardups(spark):
+    """Exact-copy payloads give Hamming 0; a mildly perturbed copy is
+    found iff its true Hamming ≤ 3 — verified against a numpy replica
+    of the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.ext.multimodal import (
+        encode_ppm,
+        image_ahash_blocks,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    payloads = []
+    base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payloads.append((0, encode_ppm(base)))
+    payloads.append((1, encode_ppm(base.copy())))  # exact twin
+    pert = base.copy()
+    pert[0, 0, 0] = (int(pert[0, 0, 0]) + 3) % 256  # near twin
+    payloads.append((2, encode_ppm(pert)))
+    for i in range(3, 40):  # unrelated noise images
+        payloads.append(
+            (i, encode_ppm(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(payloads, columns=["asset_id", "payload"])
+    )
+    hashes = image_ahash_blocks(df)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+    def ahash_bits(arr):
+        luma = arr.astype(np.int64).sum(axis=2).reshape(-1)
+        return (64 * luma > luma.sum()).astype(np.int64)
+
+    true_h = int(np.sum(ahash_bits(base) != ahash_bits(pert)))
+    if true_h <= 3:
+        assert pairs[(0, 2)] == true_h
+    else:
+        assert (0, 2) not in pairs
+    # spark hashes equal the numpy replica bit-for-bit
+    got = {r["asset_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in hashes.collect()}
+    bits = ahash_bits(base)
+    expect = tuple(
+        int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+        for k in range(4)
+    )
+    assert got[0] == expect
+
+
+def test_image_neardup_plan_no_cartesian(spark):
+    from meteaudata_spark.ext.multimodal import mm_image_neardup
+    from meteaudata_spark.plans import inspect
+
+    df = mm_image_neardup(spark, "/root/testdata/sf0.001")
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in joins, joins
