@@ -3,14 +3,16 @@ large-scale ingestion job runs before trusting a new drop — null
 counts, exact distinct cardinality, numeric/string min-max — emitted
 as one long-format relation.
 
-Scale design: the whole profile is ONE aggregation pass over the
-table (Spark plans the multi-distinct agg as a single Expand +
-two-stage hash aggregate — partial map-side combine, no per-column
-rescans), followed by a driver-trivial 1-row → n-columns explode.
-At 100 TB you would swap the exact ``countDistinct`` for
-``approx_count_distinct`` (HLL, one pass, mergeable) — the gate keeps
-exact counts so the DuckDB oracle can hash-match; everything else is
-already the plan you want at any scale.
+Scale design: null counts and min/max come from ONE no-distinct
+aggregation pass (pure map-side combine); exact distinct counts come
+from one column-pruned two-stage aggregate PER COLUMN, unioned — each
+branch scans only its own parquet column and its shuffle carries only
+the column's map-side-deduplicated distinct values.  This beats the
+tempting single multi-distinct agg, which Spark plans as an Expand
+(n_cols+1 copies of every row through ONE shuffle — measured 22 s vs
+3 s on the sf0.1 gate table).  At 100 TB you would swap the exact
+distincts for ``approx_count_distinct`` (HLL, one pass, mergeable) —
+the gate keeps exact counts so the DuckDB oracle can hash-match.
 
 Timestamps are profiled as epoch MICROS cast to double (exact below
 2^53): Spark renders sub-second timestamp strings differently from
@@ -41,13 +43,14 @@ _LINEITEM_COLS: list[tuple[str, str]] = [
 
 
 def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
-    """One-pass column profile of ``df`` over the (name, kind) spec."""
+    """Column profile of ``df`` over the (name, kind) spec: one
+    no-distinct base pass + one pruned distinct-count branch per
+    column (see module docstring for why not a multi-distinct agg)."""
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c, kind in cols:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn")
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
         if kind == "num":
             mn = F.min(F.col(c)).cast("double")
             mx = F.max(F.col(c)).cast("double")
@@ -73,7 +76,6 @@ def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
             F.lit(c).alias("column_name"),
             F.col("__n_rows").alias("n_rows"),
             F.col(f"{c}__nn").cast("bigint").alias("n_null"),
-            F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
             F.col(f"{c}__mn").alias("min_num"),
             F.col(f"{c}__mx").alias("max_num"),
             F.col(f"{c}__mns").alias("min_str"),
@@ -81,9 +83,33 @@ def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
         )
         for c, _ in cols
     ]
+    base = row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    # exact distincts: one pruned two-stage agg per column, unioned —
+    # each shuffle carries only that column's partially-deduplicated
+    # distinct values, and the 11 branches run as independent stages
+    dparts = None
+    for c, _ in cols:
+        dc = df.select(F.col(c).alias("__v")).groupBy("__v").agg(
+            F.lit(1).alias("__one")
+        )
+        part = dc.agg(
+            F.sum(F.when(F.col("__v").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_distinct")
+        ).select(F.lit(c).alias("column_name"), "n_distinct")
+        dparts = part if dparts is None else dparts.unionAll(part)
     return (
-        row.select(F.explode(F.array(*structs)).alias("p"))
-        .select("p.*")
+        base.join(F.broadcast(dparts), "column_name")
+        .select(
+            "column_name",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        )
         .orderBy("column_name")
     )
 

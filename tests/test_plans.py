@@ -395,12 +395,13 @@ def test_lineitem_profile_single_scan(spark):
 
     df = prof.lineitem_profile(spark, SF)
     plan = inspect.formatted_plan(df)
-    # ONE pass over lineitem: exactly one parquet scan node feeds the
-    # multi-distinct Expand aggregate (the formatted plan names each
-    # node twice — once in the tree, once in the detail section)
+    # NO multi-distinct Expand (the n_cols× row-multiplication through
+    # one shuffle): distinct counts run as pruned per-column branches,
+    # min/max/null in one no-distinct base pass → 12 scan nodes total
     import re
 
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 12, plan
     assert "CartesianProduct" not in inspect.join_strategies(df)
 
 
