@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": textstats.doc_dsir_weights,  # NEW r7
         "lineitem_profile": profile.lineitem_profile,  # NEW r7
         "mm_image_neardup": multimodal.mm_image_neardup,  # NEW r7
+        "doc_bm25_ndcg": textstats.doc_bm25_ndcg,  # NEW r7
+        "ts_latest_state": tsq.ts_latest_state,  # NEW r7
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -318,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_weights": textstats.DOC_DSIR_SQL,
         "lineitem_profile": profile.LINEITEM_PROFILE_SQL,
         "mm_image_neardup": multimodal.MM_IMAGE_NEARDUP_SQL,
+        "doc_bm25_ndcg": textstats.DOC_BM25_NDCG_SQL,
+        "ts_latest_state": tsq.TS_LATEST_STATE_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
         "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,

@@ -1417,3 +1417,131 @@ FROM bucketed b JOIN llr l USING (bucket)
 GROUP BY b.doc_id
 ORDER BY b.doc_id
 """
+
+
+# nDCG@20 rank discounts as integer micro-units of 1/log2(rank+1),
+# precomputed once so BOTH engines consume identical literals and the
+# whole evaluation is exact integer arithmetic.
+_NDCG_DISCOUNTS = [
+    1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465,
+    301030, 289065, 278943, 270238, 262650, 255958, 250000, 244651,
+    239812, 235409, 231378, 227670,
+]
+
+
+def doc_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: nDCG@20 of the BM25 ranker against a graded
+    relevance standard — the third leg of the evaluation-as-query
+    family (ANN recall, Matryoshka recall, now ranking quality).
+
+    Relevance grade = number of distinct query terms a document
+    contains (0–5, space-boundary matched) — deterministic from the
+    corpus, so both engines derive identical grades.  DCG uses the
+    precomputed integer discount table; the ideal ranking is the
+    corpus-wide top-20 grades (distributed TakeOrderedAndProject,
+    never a global sort).  Output: one row (dcg/idcg/ndcg micros).
+
+    Scale: the ranker does the heavy work; grading is one narrow
+    projection over the corpus and the evaluation joins a 20-row
+    relation against it."""
+    d = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    grade = sum(
+        F.when(padded.like(f"% {t} %"), 1).otherwise(0) for t in _BM25_QUERY
+    ).cast("bigint")
+    graded = d.select("doc_id", grade.alias("grade"))
+
+    from pyspark.sql import Window
+
+    disc = F.array(*[F.lit(v) for v in _NDCG_DISCOUNTS])
+    retrieved = bm25_search(d, _BM25_QUERY, k=20).select("doc_id", "rank")
+    dcg = (
+        retrieved.join(graded, "doc_id")
+        .select(
+            (
+                F.col("grade") * F.element_at(disc, F.col("rank").cast("int"))
+            ).alias("g")
+        )
+        .agg(F.sum("g").cast("bigint").alias("dcg_micros"))
+    )
+    ideal = (
+        graded.orderBy(F.col("grade").desc(), F.col("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("grade").desc(), F.col("doc_id"))
+            ),
+        )
+        .select(
+            (
+                F.col("grade") * F.element_at(disc, F.col("rank").cast("int"))
+            ).alias("g")
+        )
+        .agg(F.sum("g").cast("bigint").alias("idcg_micros"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            "dcg_micros",
+            "idcg_micros",
+            F.when(F.col("idcg_micros") == 0, None)
+            .otherwise(
+                F.round(
+                    F.col("dcg_micros")
+                    / F.col("idcg_micros")
+                    * 1000000.0
+                )
+            )
+            .cast("bigint")
+            .alias("ndcg_micros"),
+        )
+    )
+
+
+def _ndcg_sql() -> str:
+    bm25 = _bm25_sql(_BM25_QUERY, k=20).strip()
+    bm25 = bm25[: bm25.rindex("ORDER BY")]
+    likes = " + ".join(
+        f"CASE WHEN ' ' || text || ' ' LIKE '% {t} %' THEN 1 ELSE 0 END"
+        for t in _BM25_QUERY
+    )
+    disc_list = ", ".join(str(v) for v in _NDCG_DISCOUNTS)
+    return f"""
+WITH retrieved AS (
+{bm25}
+),
+graded AS (
+  SELECT doc_id, CAST({likes} AS BIGINT) AS grade FROM documents
+),
+disc AS (
+  SELECT [{disc_list}] AS d
+),
+dcg AS (
+  SELECT CAST(SUM(g.grade * disc.d[CAST(r.rank AS INT)]) AS BIGINT)
+           AS dcg_micros
+  FROM retrieved r JOIN graded g USING (doc_id) CROSS JOIN disc
+),
+ideal_ranked AS (
+  SELECT grade,
+         ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id) AS rank
+  FROM graded
+  ORDER BY grade DESC, doc_id
+  LIMIT 20
+),
+idcg AS (
+  SELECT CAST(SUM(grade * disc.d[CAST(rank AS INT)]) AS BIGINT)
+           AS idcg_micros
+  FROM ideal_ranked CROSS JOIN disc
+)
+SELECT dcg_micros, idcg_micros,
+       CASE WHEN idcg_micros = 0 THEN NULL
+            ELSE CAST(ROUND(CAST(dcg_micros AS DOUBLE)
+                            / CAST(idcg_micros AS DOUBLE)
+                            * 1000000.0) AS BIGINT)
+       END AS ndcg_micros
+FROM dcg CROSS JOIN idcg
+"""
+
+
+DOC_BM25_NDCG_SQL = _ndcg_sql()

@@ -2320,3 +2320,48 @@ JOIN aligned a ON a.b5 = w.anchor
 WHERE w.n = 7
 ORDER BY b5
 """
+
+
+def ts_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-state compaction: the most recent event per
+    (user_id, event_type) key — the "current value" view every
+    change-capture pipeline maintains (upsert-by-latest).
+
+    One keyed ``max_by``-shaped aggregation: the struct-max trick
+    carries the full payload through a single shuffle with map-side
+    partial combine — no row_number window, no sort, no second scan.
+    Ties on ts resolve to the highest event_id (struct comparison),
+    deterministic on both engines."""
+    ev = _events(spark, sf_dir)
+    pick = F.max(
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.col("value"),
+        )
+    ).alias("p")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(pick)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.ts").alias("ts"),
+            F.col("p.value").alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+TS_LATEST_STATE_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+"""

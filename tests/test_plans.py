@@ -427,3 +427,20 @@ def test_matryoshka_corpus_side_not_shuffled(spark):
         "BroadcastNestedLoopJoin"
     ) >= 1, joins
     assert "CartesianProduct" not in joins
+
+
+def test_latest_state_is_one_keyed_agg(spark):
+    df = tsq.ts_latest_state(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # struct-max compaction: no window, no row_number — one partial +
+    # one final hash aggregate around a single keyed exchange
+    assert "Window" not in plan, plan
+    assert inspect.exchange_count(df) <= 2, plan
+
+
+def test_ndcg_ideal_is_take_ordered(spark):
+    df = textstats.doc_bm25_ndcg(spark, SF)
+    plan = inspect.formatted_plan(df)
+    # both the retrieved and ideal top-20 must be per-partition heaps
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in inspect.join_strategies(df)

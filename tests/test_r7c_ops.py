@@ -110,3 +110,60 @@ def test_rolling_corr_planted(spark, tmp_path):
     for r in out:
         assert abs(r["rolling_corr"] - 1.0) < 1e-9, r
     shutil.rmtree(f"{sf}/events.parquet")
+
+
+def test_latest_state_picks_max_ts_then_id(spark, tmp_path):
+    import shutil
+
+    sf = str(tmp_path)
+    rows = [
+        (1, "2024-01-01 10:00:00", 5, "click", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 5, "click", 2.0, "{}"),  # latest ts
+        (3, "2024-01-01 11:00:00", 5, "view", 3.0, "{}"),
+        (4, "2024-01-01 11:00:00", 5, "view", 4.0, "{}"),  # ts tie → id 4
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.parquet(f"{sf}/events.parquet")
+    from meteaudata_spark.ext.timeseries_queries import ts_latest_state
+
+    out = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in ts_latest_state(spark, sf).collect()
+    }
+    assert out[(5, "click")] == 2
+    assert out[(5, "view")] == 4
+    shutil.rmtree(f"{sf}/events.parquet")
+
+
+def test_ndcg_perfect_ranking_is_one(spark, tmp_path):
+    import shutil
+
+    sf = str(tmp_path)
+    # corpus where exactly 20 docs contain all 5 query terms many
+    # times and everything else contains none: BM25's top-20 == the
+    # ideal top-20 → nDCG must be exactly 1.0 (1e6 micros)
+    q = "spark table row data query"
+    rows = [(i, (q + " ") * 3 + f"filler{i}", "en", "s", 10) for i in range(20)]
+    rows += [
+        (i, f"unrelated text body {i} nothing here", "en", "s", 10)
+        for i in range(20, 200)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    from meteaudata_spark.ext.textstats import doc_bm25_ndcg
+
+    r = doc_bm25_ndcg(spark, sf).collect()[0]
+    assert r["ndcg_micros"] == 1000000, r
+    assert r["dcg_micros"] == r["idcg_micros"] > 0
+    shutil.rmtree(f"{sf}/documents.parquet")
