@@ -2365,3 +2365,70 @@ SELECT user_id, event_type, event_id, ts, value
 FROM ranked WHERE rn = 1
 ORDER BY user_id, event_type
 """
+
+
+def rollup_partials(ev: DataFrame) -> DataFrame:
+    """Mergeable 5-minute partial aggregates: (event_type, b5,
+    sum_micros, n).  Values are quantized to integer micros BEFORE
+    summing, so partials are exactly associative — merging any
+    partition of the data reproduces the single-pass result bit for
+    bit (the property incremental view maintenance needs)."""
+    return ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("b5"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000.0).cast("bigint")).alias(
+            "sum_micros"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def merge_partials(*parts: DataFrame) -> DataFrame:
+    """Combine partial-aggregate tables (same schema as
+    ``rollup_partials``) into one: union + keyed re-sum.  This is the
+    nightly "base ⊕ delta" merge of an incrementally-maintained
+    rollup — the base table is never rescanned from raw events."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionAll(p)
+    return merged.groupBy("event_type", "b5").agg(
+        F.sum("sum_micros").alias("sum_micros"), F.sum("n").alias("n")
+    )
+
+
+def ts_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: incremental rollup maintenance — the corpus is
+    split at a fixed cutoff into a "historical base" and a "new
+    delta", each reduced to mergeable partials independently, then
+    merged.  By partial associativity the result EQUALS the direct
+    single-pass rollup (the oracle computes the direct form), which
+    is exactly the invariant that lets a 100 TB pipeline maintain its
+    rollups by touching only new data.
+
+    Scale shape: each partial is one keyed aggregation with map-side
+    combine over its (pruned, pushed-down) time slice; the merge
+    shuffles only bucket rows, never raw events."""
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    base = rollup_partials(ev.filter(F.col("ts") < cutoff))
+    delta = rollup_partials(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_partials(base, delta)
+    return merged.select(
+        "event_type",
+        "b5",
+        "n",
+        _r6(F.col("sum_micros") / F.col("n") / 1000000.0).alias("avg_value"),
+    ).orderBy("event_type", "b5")
+
+
+TS_INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000.0 * 1000000.0) / 1000000.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, b5
+"""

@@ -167,3 +167,38 @@ def test_ndcg_perfect_ranking_is_one(spark, tmp_path):
     assert r["ndcg_micros"] == 1000000, r
     assert r["dcg_micros"] == r["idcg_micros"] > 0
     shutil.rmtree(f"{sf}/documents.parquet")
+
+
+def test_rollup_partials_are_associative(spark, tmp_path):
+    # merging ANY partition of the events equals the single pass —
+    # the invariant incremental maintenance rests on
+    import shutil
+
+    from meteaudata_spark.ext.timeseries_queries import (
+        merge_partials,
+        rollup_partials,
+    )
+
+    sf = str(tmp_path)
+    ev = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01' + make_interval(0,0,0,0,0,cast(id % 1440 as int),0)"
+        ).alias("ts"),
+        (F.col("id") % 11).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") % 37 / 7.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(f"{sf}/events.parquet")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    direct = rollup_partials(ev)
+    three_way = merge_partials(
+        rollup_partials(ev.filter(F.col("event_id") % 3 == 0)),
+        rollup_partials(ev.filter(F.col("event_id") % 3 == 1)),
+        rollup_partials(ev.filter(F.col("event_id") % 3 == 2)),
+    )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, three_way.collect()))
+    assert a == b
+    shutil.rmtree(f"{sf}/events.parquet")
