@@ -2047,3 +2047,136 @@ FROM per_query
 
 
 EMB_MATRYOSHKA_RECALL_SQL = _matryoshka_sql()
+
+
+def emb_pca_power(
+    spark: SparkSession, sf_dir: str, n_iter: int = 3
+) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    DISTRIBUTED power iteration with an exact cross-engine replay —
+    the linear-algebra primitive behind whitening, drift monitoring,
+    and spectral diagnostics, expressed the PageRank way: every
+    iteration's numbers are exact integers, so the DuckDB oracle
+    unrolls the same three steps and hash-matches bit for bit.
+
+    Per iteration (all quantized):
+      dot_i = Σ_j xq_ij · vq_j          (bigint, exact)
+      u_j   = Σ_i xq_ij · dot_i         (keyed agg over posexplode)
+      vq'   = round(u / ‖u‖ · 1000)     (‖u‖ in double — exact inputs)
+
+    Scale shape: the corpus never moves — each iteration is one
+    broadcast of the 64-number direction, one narrow dot projection,
+    one posexplode + keyed aggregation on dim (64 keys, map-side
+    combine).  A production variant would fuse the two inner steps
+    into an Arrow-matmul map (``kmeans_assign_fast``'s recipe); the
+    relational form is kept here for the exact oracle.  Overflow
+    head-room: |xq| ≤ 1000, |vq| ≤ 1000 → |u_j| < 6.4e7·n, double-
+    exact below n ≈ 1.4e8 vectors; rescale xq for more."""
+    emb = _emb(spark, sf_dir)
+    xq = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    v = spark.range(1).select(
+        F.expr("array_repeat(CAST(1000 AS BIGINT), 64)").alias("vq"),
+        F.lit(0.0).alias("nrm"),
+    )
+    for _ in range(n_iter):
+        dots = xq.crossJoin(F.broadcast(v.select("vq"))).select(
+            "xq",
+            F.expr(
+                "aggregate(zip_with(xq, vq, (x, w) -> x * w), "
+                "CAST(0 AS BIGINT), (a, b) -> a + b)"
+            ).alias("dot"),
+        )
+        u = (
+            dots.select(F.posexplode("xq").alias("j", "x"), "dot")
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("dot")).alias("u"))
+        )
+        v = (
+            u.groupBy()
+            .agg(
+                F.sort_array(F.collect_list(F.struct("j", "u"))).alias("s")
+            )
+            .select(F.expr("transform(s, e -> e.u)").alias("u_arr"))
+            .select(
+                "u_arr",
+                F.expr(
+                    "sqrt(aggregate(u_arr, CAST(0.0 AS DOUBLE), "
+                    "(a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+                ).alias("nrm"),
+            )
+            .select(
+                F.expr(
+                    "transform(u_arr, y -> CAST(round(CAST(y AS DOUBLE) / nrm"
+                    " * 1000) AS BIGINT))"
+                ).alias("vq"),
+                "nrm",
+            )
+        )
+    return v.select(
+        F.posexplode("vq").alias("dim", "loading_q"),
+        F.round("nrm").cast("bigint").alias("growth_q"),
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"), "loading_q", "growth_q"
+    ).orderBy("dim")
+
+
+def _pca_power_sql(n_iter: int = 3) -> str:
+    parts = [
+        """xq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS xq
+  FROM embeddings
+),
+v0 AS (
+  SELECT list_transform(generate_series(1, 64),
+                        k -> CAST(1000 AS BIGINT)) AS vq
+)"""
+    ]
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT x.xq,
+         list_aggregate(list_transform(generate_series(1, 64),
+           k -> x.xq[k] * p.vq[k]), 'sum') AS dot
+  FROM xq x CROSS JOIN {prev} p
+),
+u{t} AS (
+  SELECT g.j, CAST(SUM(d.xq[g.j] * d.dot) AS BIGINT) AS u
+  FROM d{t} d CROSS JOIN generate_series(1, 64) AS g(j)
+  GROUP BY g.j
+),
+a{t} AS (
+  SELECT list(u ORDER BY j) AS u_arr FROM u{t}
+),
+n{t} AS (
+  SELECT u_arr,
+         sqrt(list_aggregate(list_transform(u_arr,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
+  FROM a{t}
+),
+v{t} AS (
+  SELECT list_transform(u_arr,
+           y -> CAST(ROUND(CAST(y AS DOUBLE) / nrm * 1000) AS BIGINT)) AS vq,
+         nrm
+  FROM n{t}
+)"""
+        )
+        prev = f"v{t}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT g.k - 1 AS dim, v.vq[g.k] AS loading_q,
+       CAST(ROUND(v.nrm) AS BIGINT) AS growth_q
+FROM {prev} v CROSS JOIN generate_series(1, 64) AS g(k)
+ORDER BY dim
+"""
+
+
+EMB_PCA_POWER_SQL = _pca_power_sql()

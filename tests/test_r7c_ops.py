@@ -202,3 +202,53 @@ def test_rollup_partials_are_associative(spark, tmp_path):
     b = sorted(map(tuple, three_way.collect()))
     assert a == b
     shutil.rmtree(f"{sf}/events.parquet")
+
+
+def test_pca_power_finds_planted_direction(spark, tmp_path):
+    import shutil
+
+    import numpy as np
+
+    sf = str(tmp_path)
+    rng = np.random.default_rng(3)
+    # variance concentrated on dim 5 (±0.5), noise 0.01 elsewhere
+    n = 400
+    x = rng.normal(0, 0.01, (n, 64))
+    x[:, 5] += rng.choice([-0.5, 0.5], size=n)
+    rows = [(i, [float(v) for v in x[i]], 0) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    from meteaudata_spark.ext.simsearch import emb_pca_power
+
+    out = {r["dim"]: r["loading_q"] for r in emb_pca_power(spark, sf).collect()}
+    top = max(out, key=lambda d: abs(out[d]))
+    assert top == 5, out
+    assert abs(out[5]) > 900  # near-unit loading on the planted axis
+
+    # numpy replica of the exact quantized recurrence
+    xq = np.round(
+        np.asarray(
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .orderBy("vec_id")
+            .select("embedding")
+            .toPandas()["embedding"]
+            .tolist(),
+            dtype=np.float64,
+        )
+        * 1000
+    ).astype(np.int64)
+    vq = np.full(64, 1000, dtype=np.int64)
+    for _ in range(3):
+        dot = xq @ vq
+        u = xq.T @ dot
+        nrm = np.sqrt(np.sum(u.astype(np.float64) ** 2))
+        # replicate Spark/DuckDB round-half-up for positive and
+        # negative values: round() in both engines is half-away-0
+        scaled = u.astype(np.float64) / nrm * 1000
+        vq = np.where(
+            scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+        ).astype(np.int64)
+    assert [out[d] for d in range(64)] == vq.tolist()
+    shutil.rmtree(f"{sf}/embeddings.parquet")
