@@ -1,0 +1,63 @@
+"""Small-file compaction (sources/compact.py): fewer files, identical
+data, accurate stats, and range-compaction keeps per-file min/max
+clustering for pruning."""
+
+from pyspark.sql import functions as F
+
+from meteaudata_spark.sources.compact import (
+    compact_parquet,
+    small_file_report,
+)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    # 64 tiny files
+    spark.range(100_000).select(
+        "id", (F.col("id") % 97).alias("v")
+    ).repartition(64).write.parquet(src)
+
+    rep = small_file_report(spark, src, threshold_mb=1)
+    assert rep["n_files"] == 64
+    assert rep["n_small"] == 64 and rep["small_share"] == 1.0
+
+    stats = compact_parquet(spark, src, out, target_file_mb=128)
+    assert stats.files_before == 64
+    assert stats.files_after < 8
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
+    assert stats.bytes_after > 0
+
+
+def test_range_compaction_keeps_minmax_tight(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    src = str(tmp_path / "frag2")
+    out = str(tmp_path / "byrange")
+    # keyed data scattered round-robin across many files → every file
+    # spans the whole key range before compaction
+    spark.range(200_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("payload")
+    ).repartition(32).write.parquet(src)
+
+    compact_parquet(spark, src, out, target_file_mb=1, range_cols=["k"])
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, f))
+        mn = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        mx = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append((mx - mn) / 1000.0)
+    assert len(spans) >= 2
+    # range-partitioned files each cover a narrow slice of k
+    assert sorted(spans)[len(spans) // 2] < 0.6, spans
