@@ -2432,3 +2432,86 @@ FROM events
 GROUP BY 1, 2
 ORDER BY event_type, b5
 """
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 24-slot daily seasonal)
+    per event type over HOURLY bucket means — the seasonality-aware
+    forecaster that completes the prediction family (EWMA → Holt →
+    Holt-Winters), sized for the diurnal cycles the reference's
+    monitoring domain lives on.
+
+    Same exact-replay contract as ``ts_holt``: pre-rounded inputs,
+    α=0.25 / β=0.125 / γ=0.25 exact binary fractions, zero-initialized
+    seasonal state, and a DuckDB recursive CTE that carries the
+    24-slot seasonal state as a LIST column and evaluates the
+    identical float expressions — trajectories hash-match
+    bit-for-bit.  Scale: parallel across keys, sequential within one
+    (the documented applyInPandas recurrence exception); a single
+    giant series would chunk like ``ewma_distributed``."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 3600) * 3600)
+        .cast("bigint")
+        .alias("b1h"),
+    ).agg(_r6(F.avg("value")).alias("value"))
+    sm = kernels.holt_winters(
+        b,
+        m=24,
+        alpha=0.25,
+        beta=0.125,
+        gamma=0.25,
+        ts_col="b1h",
+        val_col="value",
+        partition_cols=["event_type"],
+    )
+    return sm.select(
+        "event_type",
+        "b1h",
+        _r6(F.col("__level")).alias("level"),
+        _r6(F.col("__trend")).alias("trend"),
+        _r6(F.col("__seasonal")).alias("seasonal"),
+        _r6(F.col("__forecast_next")).alias("forecast_next"),
+    ).orderBy("event_type", "b1h")
+
+
+TS_HOLT_WINTERS_SQL = """
+WITH RECURSIVE b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b1h,
+         ROUND(AVG(value) * 1000000.0) / 1000000.0 AS m
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, b1h, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b1h) AS rn
+  FROM b
+),
+rec AS (
+  SELECT event_type, b1h, m, rn,
+         m AS l, CAST(0.0 AS DOUBLE) AS bt, CAST(0.0 AS DOUBLE) AS st,
+         list_transform(generate_series(1, 24),
+                        k -> CAST(0.0 AS DOUBLE)) AS S
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.b1h, s.m, s.rn,
+         0.25 * (s.m - r.S[((s.rn - 1) % 24) + 1]) + 0.75 * (r.l + r.bt),
+         0.125 * ((0.25 * (s.m - r.S[((s.rn - 1) % 24) + 1])
+                   + 0.75 * (r.l + r.bt)) - r.l) + 0.875 * r.bt,
+         0.25 * (s.m - r.l - r.bt) + 0.75 * r.S[((s.rn - 1) % 24) + 1],
+         list_transform(generate_series(1, 24),
+           k -> CASE WHEN k = ((s.rn - 1) % 24) + 1
+                THEN 0.25 * (s.m - r.l - r.bt)
+                     + 0.75 * r.S[((s.rn - 1) % 24) + 1]
+                ELSE r.S[k] END)
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, b1h,
+       ROUND(l * 1000000.0) / 1000000.0 AS level,
+       ROUND(bt * 1000000.0) / 1000000.0 AS trend,
+       ROUND(st * 1000000.0) / 1000000.0 AS seasonal,
+       ROUND((l + bt + S[(rn % 24) + 1]) * 1000000.0) / 1000000.0
+         AS forecast_next
+FROM rec
+ORDER BY event_type, b1h
+"""

@@ -803,3 +803,75 @@ def holt(
         .groupBy("__g")
         .applyInPandas(lambda p: kernel(p.drop(columns="__g")), out_schema)
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    m: int = 24,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.25,
+    ts_col: str = "timestamp",
+    val_col: str = "value",
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Additive Holt-Winters triple-exponential smoothing per key
+    group: level, trend, and an m-slot seasonal state
+
+        s_old = S[i mod m]                     (0-initialized)
+        l_t = α·(x_t − s_old) + (1−α)·(l + b)
+        b_t = β·(l_t − l) + (1−β)·b
+        s_t = γ·(x_t − l − b) + (1−γ)·s_old    (previous l, b)
+        S[i mod m] ← s_t
+
+    with l_1 = x_1, b_1 = 0, S ≡ 0 (the fully deterministic cold
+    start — the first season learns the profile from zero).  Like
+    :func:`holt`, sequential within a key / parallel across keys, and
+    α, β, γ must be exact binary fractions when a cross-engine oracle
+    replays the recurrence.  Adds ``__level``, ``__trend``,
+    ``__seasonal``, and ``__forecast_next`` (= l + b + next seasonal
+    slot AFTER the update)."""
+    pcols = list(partition_cols)
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        xs = pdf[val_col].to_numpy(dtype=float)
+        n = len(xs)
+        levels = [0.0] * n
+        trends = [0.0] * n
+        seas = [0.0] * n
+        fcst = [0.0] * n
+        state = [0.0] * m
+        if n:
+            levels[0], trends[0] = float(xs[0]), 0.0
+            seas[0] = 0.0
+            fcst[0] = levels[0] + trends[0] + state[1 % m]
+            for i in range(1, n):
+                prev_l, prev_b = levels[i - 1], trends[i - 1]
+                s_old = state[i % m]
+                l_new = alpha * (float(xs[i]) - s_old) + (1 - alpha) * (
+                    prev_l + prev_b
+                )
+                b_new = beta * (l_new - prev_l) + (1 - beta) * prev_b
+                s_new = gamma * (float(xs[i]) - prev_l - prev_b) + (
+                    1 - gamma
+                ) * s_old
+                state[i % m] = s_new
+                levels[i], trends[i], seas[i] = l_new, b_new, s_new
+                fcst[i] = l_new + b_new + state[(i + 1) % m]
+        pdf["__level"] = levels
+        pdf["__trend"] = trends
+        pdf["__seasonal"] = seas
+        pdf["__forecast_next"] = fcst
+        return pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", __level double, __trend double, __seasonal double, __forecast_next double"
+    if pcols:
+        return df.groupBy(*pcols).applyInPandas(lambda p: kernel(p), out_schema)
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda p: kernel(p.drop(columns="__g")), out_schema)
+    )

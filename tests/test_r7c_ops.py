@@ -252,3 +252,43 @@ def test_pca_power_finds_planted_direction(spark, tmp_path):
         ).astype(np.int64)
     assert [out[d] for d in range(64)] == vq.tolist()
     shutil.rmtree(f"{sf}/embeddings.parquet")
+
+
+def test_holt_winters_learns_diurnal_profile(spark, tmp_path):
+    import shutil
+
+    sf = str(tmp_path)
+    # 10 days of hourly data: value = 100 + 50 on hours 8-16, one
+    # event per hour → after a few seasons the seasonal state must be
+    # clearly positive at peak hours and negative off-peak
+    ev = spark.range(240).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01' + make_interval(0,0,0,"
+            "cast(id div 24 as int),cast(id % 24 as int),0,0)"
+        ).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (
+            100.0
+            + F.when((F.col("id") % 24).between(8, 16), 50.0).otherwise(0.0)
+        ).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(f"{sf}/events.parquet")
+    from meteaudata_spark.ext.timeseries_queries import ts_holt_winters
+
+    rows = ts_holt_winters(spark, sf).collect()
+    last_day = [r for r in rows if r["b1h"] >= rows[-24]["b1h"]]
+    peak = [r["seasonal"] for r in last_day if 8 <= (r["b1h"] // 3600) % 24 <= 16]
+    off = [r["seasonal"] for r in last_day if not 8 <= (r["b1h"] // 3600) % 24 <= 16]
+    assert min(peak) > 10.0, peak
+    assert max(off) < 5.0, off
+    # forecasts in the final season stay near the true signal
+    for r in last_day:
+        hour = (r["b1h"] // 3600) % 24
+        # forecast_next predicts the NEXT hour's value
+        nxt = ((hour + 1) % 24)
+        truth = 150.0 if 8 <= nxt <= 16 else 100.0
+        assert abs(r["forecast_next"] - truth) < 30.0, (hour, r)
+    shutil.rmtree(f"{sf}/events.parquet")
