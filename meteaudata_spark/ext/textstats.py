@@ -1545,3 +1545,179 @@ FROM dcg CROSS JOIN idcg
 
 
 DOC_BM25_NDCG_SQL = _ndcg_sql()
+
+
+_MULTI_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "table", "row", "data", "query"]),
+    (1, ["model", "training", "language", "text"]),
+    (2, ["system", "time", "value", "stream"]),
+]
+
+
+def bm25_multi_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """BM25 for a TABLE of queries at once — the batch serving shape
+    (nightly re-ranking, eval sweeps, alert backfills) where scoring
+    query-by-query would rescan the corpus per query.
+
+    ``queries``: (query_id, term) rows.  ONE corpus pass computes tf
+    for the union of all query terms (the explode dies immediately on
+    the broadcast term-set semi-join); df/avgdl are tiny broadcast
+    aggregates; scores then group by (query_id, doc_id) and rank with
+    a window PARTITIONED BY query_id — keyed top-k, no global sort,
+    corpus scans independent of the query count.
+
+    Same integer micro-unit determinism contract as ``bm25_search``;
+    per-query results equal the single-query ranker on the same
+    terms (differential-tested)."""
+    from pyspark.sql import Window
+
+    terms = queries.select("query_id", "term").distinct()
+    term_set = terms.select("term").distinct()
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+        F.col("text"),
+    )
+    n_avg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .join(F.broadcast(term_set), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(terms), "term")
+        .crossJoin(F.broadcast(n_avg))
+        .withColumn(
+            "idf_q",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * 1000000.0
+            )
+            / 1000000.0,
+        )
+        .withColumn(
+            "term_micros",
+            F.round(
+                F.col("idf_q")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+            ).cast("bigint"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_micros").alias("micros"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("micros").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("micros") / 1000000.0).alias("bm25"),
+            "n_terms_hit",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def doc_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: three fixed queries through the multi-query
+    ranker."""
+    rows = [
+        (qid, t) for qid, ts_ in _MULTI_QUERIES for t in ts_
+    ]
+    q = spark.createDataFrame(rows, "query_id long, term string")
+    return bm25_multi_search(_docs(spark, sf_dir), q, k=10)
+
+
+def _bm25_multi_sql(k: int = 10, k1: float = _BM25_K1, b: float = _BM25_B) -> str:
+    values = ",\n    ".join(
+        f"({qid}, '{t}')" for qid, ts_ in _MULTI_QUERIES for t in ts_
+    )
+    return f"""
+WITH q(query_id, term) AS (
+  VALUES
+    {values}
+),
+base AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS dl, text
+  FROM documents
+),
+n_avg AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (
+    SELECT doc_id, dl, UNNEST(string_split(text, ' ')) AS term FROM base
+  )
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, dl, term
+),
+df_t AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT qq.query_id, tf.doc_id,
+         CAST(ROUND(
+           (ROUND(ln((n_avg.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+                  * 1000000.0) / 1000000.0)
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / n_avg.avgdl))
+           * 1000000.0) AS BIGINT) AS term_micros
+  FROM tf
+  JOIN df_t USING (term)
+  JOIN (SELECT DISTINCT query_id, term FROM q) qq USING (term)
+  CROSS JOIN n_avg
+),
+agg AS (
+  SELECT query_id, doc_id, SUM(term_micros) AS micros,
+         COUNT(*) AS n_terms_hit
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, micros, n_terms_hit,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY micros DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(micros AS DOUBLE) / 1000000.0 AS bm25,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+DOC_BM25_MULTI_SQL = _bm25_multi_sql()

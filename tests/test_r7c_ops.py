@@ -292,3 +292,29 @@ def test_holt_winters_learns_diurnal_profile(spark, tmp_path):
         truth = 150.0 if 8 <= nxt <= 16 else 100.0
         assert abs(r["forecast_next"] - truth) < 30.0, (hour, r)
     shutil.rmtree(f"{sf}/events.parquet")
+
+
+def test_bm25_multi_equals_single_query(spark):
+    from meteaudata_spark.ext.textstats import (
+        _MULTI_QUERIES,
+        bm25_multi_search,
+        bm25_search,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts_ in _MULTI_QUERIES for t in ts_],
+        "query_id long, term string",
+    )
+    multi = bm25_multi_search(docs, q, k=10).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["bm25"], r["n_terms_hit"])
+        )
+    for qid, terms in _MULTI_QUERIES:
+        single = [
+            (r["rank"], r["doc_id"], r["bm25"], r["n_terms_hit"])
+            for r in bm25_search(docs, terms, k=10).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), qid
