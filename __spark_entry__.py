@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_power": simsearch.emb_pca_power,  # NEW r7
         "ts_holt_winters": tsq.ts_holt_winters,  # NEW r7
         "doc_bm25_multi": textstats.doc_bm25_multi,  # NEW r7
+        "doc_group_sample": corpus_ops.doc_group_sample,  # NEW r7
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca_power": simsearch.EMB_PCA_POWER_SQL,
         "ts_holt_winters": tsq.TS_HOLT_WINTERS_SQL,
         "doc_bm25_multi": textstats.DOC_BM25_MULTI_SQL,
+        "doc_group_sample": corpus_ops.DOC_GROUP_SAMPLE_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
         "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,

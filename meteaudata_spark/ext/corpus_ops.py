@@ -748,3 +748,62 @@ ORDER BY 1, 2
 
 
 DOC_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+def group_sample_exact(
+    docs: DataFrame,
+    group_col: str = "lang",
+    k: int = 20,
+    salt: str = "gsv1",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample — the count-exact
+    counterpart of the rate-exact ``hash_split``/``stratified_sample``
+    (a labeling-budget or eval-set draw wants "20 documents per
+    language", not "2% of each").
+
+    Rank within each group by the engine-stable ``_h60`` of the
+    salted doc id and keep the k smallest: membership is a pure
+    function of (salt, doc_id), re-run-stable, and changing k only
+    grows/shrinks the sample monotonically (ranks don't reshuffle).
+    One keyed window per group — no global sort, no driver state."""
+    from pyspark.sql import Window
+
+    h = _h60(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", F.col(group_col).alias("grp"), h.alias("__h"))
+        .withColumn(
+            "smp_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("grp").orderBy(
+                    F.col("__h").asc(), F.col("doc_id").asc()
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("smp_rank") <= k)
+        .select("doc_id", F.col("grp").alias(group_col), "smp_rank")
+        .orderBy(group_col, "smp_rank")
+    )
+
+
+def doc_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: exactly 20 docs per language."""
+    return group_sample_exact(_docs(spark, sf_dir), "lang", 20)
+
+
+DOC_GROUP_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_H60_DUCK.format(col="CONCAT('gsv1:', CAST(doc_id AS VARCHAR))")} AS hh
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS smp_rank
+  FROM h
+)
+SELECT doc_id, lang, CAST(smp_rank AS BIGINT) AS smp_rank
+FROM ranked WHERE smp_rank <= 20
+ORDER BY lang, smp_rank
+"""

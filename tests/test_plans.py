@@ -444,3 +444,23 @@ def test_ndcg_ideal_is_take_ordered(spark):
     # both the retrieved and ideal top-20 must be per-partition heaps
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in inspect.join_strategies(df)
+
+
+def test_bm25_multi_broadcasts_terms_and_keyed_rank(spark):
+    df = textstats.doc_bm25_multi(spark, SF)
+    plan = inspect.formatted_plan(df)
+    joins = inspect.join_strategies(df)
+    assert "SortMergeJoin" not in joins, joins
+    assert "CartesianProduct" not in joins
+    # the rank window is PARTITIONED by query_id (keyed exchange); the
+    # only SinglePartition stage is the 1-row n_avg scalar broadcast
+    assert "hashpartitioning(query_id" in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_group_sample_window_is_keyed(spark):
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_group_sample(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan

@@ -318,3 +318,27 @@ def test_bm25_multi_equals_single_query(spark):
             for r in bm25_search(docs, terms, k=10).collect()
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), qid
+
+
+def test_group_sample_exact_k_and_monotone(spark):
+    from meteaudata_spark.ext.corpus_ops import group_sample_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s20 = group_sample_exact(docs, "lang", 20).collect()
+    per = {}
+    for r in s20:
+        per.setdefault(r["lang"], set()).add(r["doc_id"])
+    # every language has enough docs at sf0.01 → exactly 20 each
+    for lang, ids in per.items():
+        assert len(ids) == 20, (lang, len(ids))
+    # shrinking k keeps a subset (rank stability)
+    s10 = group_sample_exact(docs, "lang", 10).collect()
+    for r in s10:
+        assert r["doc_id"] in per[r["lang"]]
+    # deterministic across runs
+    again = {
+        (r["lang"], r["smp_rank"]): r["doc_id"]
+        for r in group_sample_exact(docs, "lang", 20).collect()
+    }
+    first = {(r["lang"], r["smp_rank"]): r["doc_id"] for r in s20}
+    assert again == first
