@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_winters": tsq.ts_holt_winters,  # NEW r7
         "doc_bm25_multi": textstats.doc_bm25_multi,  # NEW r7
         "doc_group_sample": corpus_ops.doc_group_sample,  # NEW r7
+        "orders_integrity": profile.orders_integrity,  # NEW r7
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_holt_winters": tsq.TS_HOLT_WINTERS_SQL,
         "doc_bm25_multi": textstats.DOC_BM25_MULTI_SQL,
         "doc_group_sample": corpus_ops.DOC_GROUP_SAMPLE_SQL,
+        "orders_integrity": profile.ORDERS_INTEGRITY_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
         "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,

@@ -150,3 +150,77 @@ FROM {table}"""
 
 
 LINEITEM_PROFILE_SQL = _profile_sql("lineitem", _LINEITEM_COLS)
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit: child rows whose key has no match
+    in the parent — the check every warehouse load runs before
+    publishing.  LEFT ANTI join keyed on the FK; Spark broadcasts the
+    parent when small, shuffles both sides keyed otherwise — either
+    way no row leaves the JVM."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+
+
+def orders_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: cross-table integrity report for the star schema —
+    orphan counts for lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer, one row per relationship
+    (all zero on healthy TPC-H data — the oracle proves the CHECK
+    itself, not just the happy count: both engines must agree on the
+    anti-join semantics over every key)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    checks = [
+        ("lineitem.l_orderkey->orders", li, orders, "l_orderkey", "o_orderkey"),
+        ("lineitem.l_partkey->part", li, part, "l_partkey", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, supplier, "l_suppkey", "s_suppkey"),
+        ("orders.o_custkey->customer", orders, customer, "o_custkey", "c_custkey"),
+    ]
+    out = None
+    for name, c, p, ck, pk in checks:
+        row = (
+            fk_orphans(c.select(ck), p.select(pk), ck, pk)
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n_orphans").cast("bigint"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("relationship")
+
+
+ORDERS_INTEGRITY_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+ORDER BY relationship
+"""

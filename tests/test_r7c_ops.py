@@ -342,3 +342,15 @@ def test_group_sample_exact_k_and_monotone(spark):
     }
     first = {(r["lang"], r["smp_rank"]): r["doc_id"] for r in s20}
     assert again == first
+
+
+def test_fk_orphans_finds_planted_violations(spark):
+    from meteaudata_spark.ext.profile import fk_orphans
+
+    parent = spark.createDataFrame([(i,) for i in range(100)], "pk long")
+    child = spark.createDataFrame(
+        [(i % 120,) for i in range(240)], "fk long"
+    )  # fks 100-119 are orphans, 2 rows each
+    got = fk_orphans(child, parent, "fk", "pk")
+    assert got.count() == 40
+    assert got.filter(F.col("fk") < 100).count() == 0
