@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_multi": textstats.doc_bm25_multi,  # NEW r7
         "doc_group_sample": corpus_ops.doc_group_sample,  # NEW r7
         "orders_integrity": profile.orders_integrity,  # NEW r7
+        "doc_quality_deciles": textstats.doc_quality_deciles,  # NEW r7
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_multi": textstats.DOC_BM25_MULTI_SQL,
         "doc_group_sample": corpus_ops.DOC_GROUP_SAMPLE_SQL,
         "orders_integrity": profile.ORDERS_INTEGRITY_SQL,
+        "doc_quality_deciles": textstats.DOC_QUALITY_DECILES_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
         "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,

@@ -1721,3 +1721,117 @@ ORDER BY query_id, rank
 
 
 DOC_BM25_MULTI_SQL = _bm25_multi_sql()
+
+
+def doc_hash_embedding(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Model-free document vectors by feature hashing: bucket every
+    token with the cross-engine hash, count per bucket, L2-normalize —
+    a (doc_id, embedding) table shaped exactly like the
+    ``embeddings`` corpus, so ALL of ``ext/simsearch.py`` (LSH / IVF /
+    PQ / SemDeDup / k-means) runs on plain text with no model in the
+    loop.  The composition test mines planted text near-dups through
+    ``lsh_near_pairs`` on these vectors.
+
+    One explode + one keyed agg; the vector assembly is an in-row
+    sort of at most ``dim`` (bucket, count) pairs."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy(
+        "doc_id", F.pmod(_h60(F.col("token")), F.lit(dim)).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        counts.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("b", "c")).alias("pairs"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), i -> "
+                "CAST(coalesce(element_at(map_from_entries(pairs), i), 0) AS DOUBLE))"
+            ).alias("raw"),
+        )
+    )
+    norm = (
+        "sqrt(aggregate(raw, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"
+    )
+    return dense.select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(
+            f"transform(raw, x -> CAST(x / {norm} AS FLOAT))"
+        ).alias("embedding"),
+        # schema-compatible with the embeddings corpus so the whole
+        # simsearch stack accepts these vectors unchanged
+        F.lit(0).alias("label"),
+    )
+
+
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality distribution report: every document assigned to
+    a quality DECILE by exact global rank, rolled up to 10 rows —
+    the curriculum / threshold-picking table ("drop the bottom 30%",
+    "train on deciles 8-10 first").
+
+    The rank comes from ``operators.rank.global_rank`` — the
+    distributed range-partitioned ranking (percentile bounds
+    broadcast, per-bucket offsets, NO single-partition window), so the
+    decile assignment scales to any corpus.  Decile arithmetic is
+    exact integer: floor((rank-1)·10 / n)."""
+    from meteaudata_spark.operators.rank import global_rank
+
+    scored = doc_quality_score(spark, sf_dir)
+    n = scored.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    ranked = global_rank(
+        scored,
+        "quality_score",
+        ascending=False,
+        tiebreak_cols=["doc_id"],
+        out_col="rank",
+    )
+    with_dec = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "quality_score",
+        # explicit floor: Spark CAST(double→bigint) truncates but
+        # DuckDB CAST rounds-to-nearest — floor() agrees everywhere
+        F.floor((F.col("rank") - 1) * 10 / F.col("__n"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return (
+        with_dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality_score") * 1000000.0)
+            .cast("bigint")
+            .alias("min_score_micros"),
+            F.round(F.max("quality_score") * 1000000.0)
+            .cast("bigint")
+            .alias("max_score_micros"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _quality_deciles_sql() -> str:
+    inner = DOC_QUALITY_SQL.strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH scored AS (
+{inner}
+),
+ranked AS (
+  SELECT doc_id, quality_score,
+         ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS rank,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT CAST(FLOOR((rank - 1) * 10 / n) AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(MIN(quality_score) * 1000000.0) AS BIGINT) AS min_score_micros,
+       CAST(ROUND(MAX(quality_score) * 1000000.0) AS BIGINT) AS max_score_micros
+FROM ranked
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+DOC_QUALITY_DECILES_SQL = _quality_deciles_sql()

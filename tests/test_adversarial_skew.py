@@ -192,3 +192,33 @@ def test_dedup_clusters_survive_one_giant_component(spark):
     assert by_id[0]["n"] == by_id[0]["sz"] == n_spokes + 1
     assert by_id[chain_base]["n"] == by_id[chain_base]["sz"] == 31
     assert dt < BUDGET_S, f"giant-component clustering took {dt:.0f}s"
+
+
+def test_image_neardup_survives_identical_payload_mass(spark):
+    """500 byte-identical images → every row lands on the same four
+    block keys; the miner must finish (AQE skew split) and return the
+    exact closed-form pair count C(500,2), all at Hamming 0."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.ext.multimodal import (
+        encode_ppm,
+        image_ahash_blocks,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    payload = encode_ppm(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    noise = [
+        (500 + i, encode_ppm(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, payload) for i in range(500)] + noise,
+            columns=["asset_id", "payload"],
+        )
+    )
+    pairs = image_neardup_pairs(image_ahash_blocks(df), max_hamming=0)
+    hot = pairs.filter("doc_a < 500 and doc_b < 500")
+    assert hot.count() == 500 * 499 // 2

@@ -354,3 +354,31 @@ def test_fk_orphans_finds_planted_violations(spark):
     got = fk_orphans(child, parent, "fk", "pk")
     assert got.count() == 40
     assert got.filter(F.col("fk") < 100).count() == 0
+
+
+def test_hash_embedding_feeds_lsh_stack(spark):
+    """Text → hashed vectors → the embedding LSH miner finds planted
+    text near-dups (the model-free bridge into ext/simsearch)."""
+    from meteaudata_spark.ext.simsearch import lsh_near_pairs
+    from meteaudata_spark.ext.textstats import doc_hash_embedding
+
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30)))
+        for i in range(200)
+    ]
+    # docs 500+i: copy of doc i with 2 words changed → high cosine
+    near = [
+        (500 + i, base[i][1].rsplit(" ", 2)[0] + " zz1 zz2")
+        for i in range(20)
+    ]
+    d = spark.createDataFrame(base + near, "doc_id long, text string")
+    emb = doc_hash_embedding(d)
+    assert emb.count() == 220
+    pairs = lsh_near_pairs(
+        emb, n_planes=6, n_tables=8, threshold=0.8
+    ).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    recovered = sum(1 for i in range(20) if (i, 500 + i) in found)
+    assert recovered >= 18, recovered
+    # and no cross-pairs between unrelated base docs
+    assert all(b - a == 500 for a, b in found), sorted(found)[:5]
