@@ -43,9 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver-verified (all green on the local gate replica at
         sf0.01 in rounds 6 and 7; doc_ngram_novelty additionally
         rewritten this round: short-doc guard + single-scan window);
-    (2) the 10 operators ADDED this round (Q2/Q11/Q16/Q20 analogs,
-        substring spans, Matryoshka recall, rolling correlation,
-        DSIR weights, lineitem profile — new, never driver-verified);
+    (2) the 20 operators ADDED this round (Q2/Q11/Q16/Q20 analogs,
+        substring spans, Matryoshka recall, rolling correlation, DSIR
+        weights, lineitem profile, image near-dup, BM25 nDCG + multi-
+        query, latest-state, incremental rollup, PCA power, Holt-
+        Winters, group sample, FK integrity, quality deciles, table
+        diff — new, never driver-verified);
     (3) the stalest previously-green queries (last driver-green in
         round 5: the core ts/relational/dedup parity block); the tail
         of this block past the 50-cap re-certifies in round 8.
@@ -96,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_sample": corpus_ops.doc_group_sample,  # NEW r7
         "orders_integrity": profile.orders_integrity,  # NEW r7
         "doc_quality_deciles": textstats.doc_quality_deciles,  # NEW r7
+        "orders_snapshot_diff": relational.orders_snapshot_diff,  # NEW r7
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -336,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_group_sample": corpus_ops.DOC_GROUP_SAMPLE_SQL,
         "orders_integrity": profile.ORDERS_INTEGRITY_SQL,
         "doc_quality_deciles": textstats.DOC_QUALITY_DECILES_SQL,
+        "orders_snapshot_diff": relational.ORDERS_SNAPSHOT_DIFF_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
         "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,

@@ -1642,3 +1642,145 @@ FROM supplier s
 WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
 ORDER BY s.s_suppkey
 """
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` between two versions of
+    a table — the regression check a pipeline runs after a backfill
+    or engine migration ("same keys, same values?").
+
+    One keyed full-outer join; comparison is null-safe (``<=>``)
+    per column so NULL→value edits register as changes.  Output is
+    the slim (key, status) relation plus which columns changed —
+    downstream tooling joins back for payloads."""
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__o_{c}") == F.col(f"__n_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__n_{key_cols[0]}").isNotNull()
+    changed_cols = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}")),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            )
+        ),
+    )
+    status = (
+        F.when(in_old & ~in_new, "removed")
+        .when(~in_old & in_new, "added")
+        .when(changed_cols != "", "changed")
+        .otherwise("unchanged")
+    )
+    keys = [
+        F.coalesce(F.col(f"__o_{c}"), F.col(f"__n_{c}")).alias(c)
+        for c in key_cols
+    ]
+    # column-level detail only applies to keys present on BOTH sides
+    both_changed = F.when(in_old & in_new, changed_cols).otherwise(F.lit(""))
+    return j.select(
+        *keys, status.alias("status"), both_changed.alias("changed_cols")
+    )
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: diff the orders table against a deterministically
+    edited copy — priority bumped on every 10th order (changed),
+    every 17th order dropped (removed), and a shifted-key block
+    re-added (added) — rolled up per (status, changed_cols).  The
+    edits are pure column expressions, so the oracle reproduces the
+    same 'new' relation and the classification must match exactly."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = (
+        orders.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.lit("9-SYNTH")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .unionAll(
+            orders.limit(0)  # schema anchor (no extra rows)
+        )
+    )
+    shifted = orders.filter(F.col("o_orderkey") % 23 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 900000000
+    )
+    new = new.unionAll(shifted)
+    d = table_diff(
+        orders,
+        new,
+        ["o_orderkey"],
+        ["o_orderpriority", "o_totalprice", "o_orderstatus"],
+    )
+    return (
+        d.groupBy("status", "changed_cols")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status", "changed_cols")
+    )
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH new_t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN '9-SYNTH'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 900000000, o_orderpriority, o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 23 = 0
+),
+j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+         o.o_orderpriority AS op, n.o_orderpriority AS np,
+         o.o_totalprice AS ot, n.o_totalprice AS nt,
+         o.o_orderstatus AS os, n.o_orderstatus AS ns
+  FROM orders o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+),
+cls AS (
+  SELECT
+    CASE WHEN ok IS NOT NULL AND nk IS NULL THEN 'removed'
+         WHEN ok IS NULL AND nk IS NOT NULL THEN 'added'
+         WHEN NOT (op IS NOT DISTINCT FROM np)
+           OR NOT (ot IS NOT DISTINCT FROM nt)
+           OR NOT (os IS NOT DISTINCT FROM ns) THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    concat_ws(',',
+      CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+            AND NOT (op IS NOT DISTINCT FROM np) THEN 'o_orderpriority' END,
+      CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+            AND NOT (ot IS NOT DISTINCT FROM nt) THEN 'o_totalprice' END,
+      CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+            AND NOT (os IS NOT DISTINCT FROM ns) THEN 'o_orderstatus' END
+    ) AS changed_cols
+  FROM j
+)
+SELECT status, changed_cols, COUNT(*) AS n
+FROM cls
+GROUP BY 1, 2
+ORDER BY status, changed_cols
+"""

@@ -382,3 +382,25 @@ def test_hash_embedding_feeds_lsh_stack(spark):
     assert recovered >= 18, recovered
     # and no cross-pairs between unrelated base docs
     assert all(b - a == 500 for a, b in found), sorted(found)[:5]
+
+
+def test_table_diff_classification(spark):
+    from meteaudata_spark.ext.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got[1] == ("unchanged", "")
+    assert got[2] == ("changed", "s")
+    assert got[3] == ("changed", "v")  # NULL -> value registers
+    assert got[4] == ("removed", "")
+    assert got[5] == ("added", "")
