@@ -192,3 +192,73 @@ ORDER BY domain
 
 
 DOC_DOMAIN_PAGERANK_SQL = _pagerank_sql()
+
+
+def doc_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling as a query: every document scored by
+    (domain authority × document quality) — the composition a crawler
+    uses to decide what to fetch/refresh first.  Authority is the
+    quantized PageRank of the doc's site domain (7-row broadcast
+    join); quality is ``doc_quality_score``; the table is the exact
+    product in integer micro-units, top-50 by priority via
+    distributed TakeOrderedAndProject.
+
+    Both factors are engine-exact, so the oracle composes the two
+    queries' SQL verbatim and the full rank order hash-matches."""
+    from meteaudata_spark.ext.textstats import doc_quality_score
+
+    pr = doc_domain_pagerank(spark, sf_dir).select(
+        F.col("domain"), F.col("rank")
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.org"),
+        ).alias("domain"),
+    )
+    q = doc_quality_score(spark, sf_dir)
+    joined = d.join(F.broadcast(pr), "domain").join(q, "doc_id")
+    prio = F.round(
+        F.col("rank") * F.col("quality_score") * 1000000.0
+    ).cast("bigint")
+    return (
+        joined.select("doc_id", "domain", prio.alias("priority_micros"))
+        .orderBy(F.col("priority_micros").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+def _crawl_priority_sql() -> str:
+    from meteaudata_spark.ext.textstats import DOC_QUALITY_SQL
+
+    pr = DOC_DOMAIN_PAGERANK_SQL.strip()
+    pr = pr[: pr.rindex("ORDER BY")]
+    qs = DOC_QUALITY_SQL.strip()
+    qs = qs[: qs.rindex("ORDER BY")]
+    return f"""
+WITH pr AS (
+{pr}
+),
+scored AS (
+{qs}
+),
+docs AS (
+  SELECT doc_id,
+         CONCAT('site', CAST(doc_id % 7 AS VARCHAR), '.example.org')
+           AS domain
+  FROM documents
+)
+SELECT d.doc_id, d.domain,
+       CAST(ROUND(p.rank * s.quality_score * 1000000.0) AS BIGINT)
+         AS priority_micros
+FROM docs d
+JOIN pr p ON p.domain = d.domain
+JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY priority_micros DESC, d.doc_id
+LIMIT 50
+"""
+
+
+DOC_CRAWL_PRIORITY_SQL = _crawl_priority_sql()
