@@ -2180,3 +2180,114 @@ ORDER BY dim
 
 
 EMB_PCA_POWER_SQL = _pca_power_sql()
+
+
+def emb_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification evaluation as a query: every vector's label
+    predicted by the majority label of its exact top-5 cosine
+    neighbors, scored against its own label — the standard "are these
+    embeddings linearly useful?" probe, and the third
+    evaluation-as-query after recall and nDCG.
+
+    Majority vote resolves ties by the SMALLEST label (deterministic
+    on both engines).  The exact all-queries ranker is the oracle
+    configuration (corpus-sized broadcast); at production scale the
+    same vote composes over ``ivfpq_topk`` instead — swap the ranker,
+    keep the vote.  The vote itself is a keyed count over 5-row
+    groups."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("label").alias("true_label"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    ranked = pairs.select(
+        "query_id", "true_label", "label", cos.alias("cosine"), "vec_id"
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    votes = (
+        ranked.filter(F.col("rank") <= 5)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pred = votes.withColumn(
+        "vrank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("n").desc(), F.col("label").asc()
+            )
+        ),
+    ).filter(F.col("vrank") == 1)
+    per_label = pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    return per_label.select(
+        F.col("true_label").cast("bigint").alias("true_label"),
+        "n_queries",
+        "n_correct",
+        F.round(F.col("n_correct") * 1000000.0 / F.col("n_queries"))
+        .cast("bigint")
+        .alias("acc_micros"),
+    ).orderBy("true_label")
+
+
+EMB_KNN_ACCURACY_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         e.label AS label, e.vec_id,
+         ROUND(
+           list_aggregate(list_transform(generate_series(1, LEN(q.embedding)),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+           / (q.nrm * e.nrm), 6) AS cosine
+  FROM e q JOIN e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, true_label, label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n
+  FROM ranked WHERE rank <= 5
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, label ASC) AS vrank
+  FROM votes
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(ROUND(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+                  * 1000000.0 / COUNT(*)) AS BIGINT) AS acc_micros
+FROM pred WHERE vrank = 1
+GROUP BY true_label
+ORDER BY true_label
+"""

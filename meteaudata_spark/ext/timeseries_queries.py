@@ -2515,3 +2515,86 @@ SELECT event_type, b1h,
 FROM rec
 ORDER BY event_type, b1h
 """
+
+
+def ts_attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit
+    of credit equally across the same user's clicks in the preceding
+    hour; the output is the per-click credit ledger (how much revenue
+    influence each touch accumulated) — the batch twin of
+    ``streaming/attribution_stream.py``'s pairing.
+
+    Plan: clicks ⋈ purchases is an EQUI join on user_id with the
+    time-range as a post-filter (keyed shuffle, no nested loop —
+    user_id equality carries the join), then two keyed aggs: per
+    purchase (n_touches) and per click (credit sum).  Credit is
+    round(1e6 / n_touches) micro-units per touch — deterministic
+    integer arithmetic on both engines."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    # fractional epoch on BOTH engines: unix_timestamp would truncate
+    # to seconds while DuckDB epoch() keeps micros — a 3600.4 s pair
+    # would diverge at the window boundary
+    pairs = purchases.join(
+        clicks, F.col("cu") == F.col("user_id")
+    ).filter(
+        (F.col("cts") <= F.col("pts"))
+        & (
+            epoch_seconds(F.col("pts")) - epoch_seconds(F.col("cts"))
+            <= 3600.0
+        )
+    )
+    touches = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = pairs.join(touches, "purchase_id").select(
+        "click_id",
+        "purchase_id",
+        F.round(1000000.0 / F.col("n_touches")).cast("bigint").alias(
+            "credit_micros"
+        ),
+    )
+    return (
+        credited.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("credit_micros").alias("credit_micros"),
+        )
+        .orderBy("click_id")
+    )
+
+
+TS_ATTRIBUTION_SQL = """
+WITH clicks AS (
+  SELECT user_id AS cu, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.purchase_id, c.click_id
+  FROM purchases p JOIN clicks c ON c.cu = p.user_id
+  WHERE c.cts <= p.pts AND epoch(p.pts) - epoch(c.cts) <= 3600
+),
+touches AS (
+  SELECT purchase_id, COUNT(*) AS n_touches FROM pairs GROUP BY purchase_id
+)
+SELECT pr.click_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(ROUND(1000000.0 / t.n_touches) AS BIGINT)) AS BIGINT)
+         AS credit_micros
+FROM pairs pr JOIN touches t USING (purchase_id)
+GROUP BY pr.click_id
+ORDER BY pr.click_id
+"""
