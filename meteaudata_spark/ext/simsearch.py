@@ -2182,23 +2182,24 @@ ORDER BY dim
 EMB_PCA_POWER_SQL = _pca_power_sql()
 
 
-def emb_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN classification evaluation as a query: every vector's label
-    predicted by the majority label of its exact top-5 cosine
-    neighbors, scored against its own label — the standard "are these
+def emb_knn_accuracy(
+    spark: SparkSession, sf_dir: str, n_queries: int = 100
+) -> DataFrame:
+    """kNN classification evaluation as a query: each of the first
+    ``n_queries`` vectors' labels predicted by the majority label of
+    its exact top-5 cosine neighbors, scored against its own label — the standard "are these
     embeddings linearly useful?" probe, and the third
     evaluation-as-query after recall and nDCG.
 
     Majority vote resolves ties by the SMALLEST label (deterministic
-    on both engines).  The exact all-queries ranker is the oracle
-    configuration (corpus-sized broadcast); at production scale the
-    same vote composes over ``ivfpq_topk`` instead — swap the ranker,
-    keep the vote.  The vote itself is a keyed count over 5-row
-    groups."""
+    on both engines).  The eval runs on a query SUBSAMPLE (the
+    standard practice — cost is queries × corpus, so evaluating every
+    vector is quadratic); at production scale the same vote composes
+    over ``ivfpq_topk`` instead — swap the ranker, keep the vote."""
     emb = _emb(spark, sf_dir).withColumn(
         "nrm", F.expr(_norm_expr("embedding"))
     )
-    q = emb.select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -2262,7 +2263,8 @@ pairs AS (
            list_aggregate(list_transform(generate_series(1, LEN(q.embedding)),
              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
            / (q.nrm * e.nrm), 6) AS cosine
-  FROM e q JOIN e ON e.vec_id <> q.vec_id
+  FROM (SELECT * FROM e WHERE vec_id < 100) q
+  JOIN e ON e.vec_id <> q.vec_id
 ),
 ranked AS (
   SELECT query_id, true_label, label, vec_id,
