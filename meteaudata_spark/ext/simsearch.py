@@ -2293,3 +2293,105 @@ FROM pred WHERE vrank = 1
 GROUP BY true_label
 ORDER BY true_label
 """
+
+
+def emb_outliers(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 8
+) -> DataFrame:
+    """Embedding outlier report: assign every vector to its nearest
+    centroid on EXACT 2²⁰-quantized integer L2 (the ``emb_kmeans``
+    seeding: vectors 100..100+k as centroids), then flag vectors
+    whose distance exceeds 4× their cluster's mean distance — the
+    drift/garbage detector run before embeddings enter an index
+    (mis-embedded rows, truncated vectors, wrong-model batches all
+    land far from every centroid).
+
+    The flag rule is integer-exact (``dist·n > 4·Σdist`` — no
+    division), so the oracle replays it verbatim.  Gate path keeps
+    the SQL fold; at corpus scale the assignment swaps to the
+    bit-equal Arrow matmul (``_l2_assign_fast``), same recipe as
+    k-means."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", _q64("embedding").alias("qe"))
+    cents = q.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_centroids)
+    ).select(
+        (F.col("vec_id") - 100).alias("centroid_id"),
+        F.col("qe").alias("ce"),
+    )
+    d2 = (
+        "aggregate(zip_with(qe, ce, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", F.expr(d2).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "centroid_id")).alias("p"))
+        .select(
+            "vec_id",
+            F.col("p.centroid_id").alias("centroid_id"),
+            F.col("p.dist").alias("dist"),
+        )
+    )
+    stats = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("sum_dist")
+    )
+    flagged = assigned.join(F.broadcast(stats), "centroid_id").select(
+        "centroid_id",
+        "n",
+        "dist",
+        (F.col("dist") * F.col("n") > 4 * F.col("sum_dist")).alias("is_out"),
+    )
+    return (
+        flagged.groupBy("centroid_id")
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("dist").alias("max_dist"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+EMB_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id - 100 AS centroid_id, qe AS ce
+  FROM q WHERE vec_id >= 100 AND vec_id < 108
+),
+dists AS (
+  SELECT q.vec_id, c.centroid_id,
+         list_aggregate(list_transform(generate_series(1, LEN(q.qe)),
+           i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])), 'sum') AS dist
+  FROM q CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, centroid_id, dist
+  FROM (
+    SELECT vec_id, centroid_id, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, centroid_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT centroid_id, COUNT(*) AS n, SUM(dist) AS sum_dist
+  FROM assigned GROUP BY centroid_id
+)
+SELECT a.centroid_id,
+       s.n AS n_vectors,
+       CAST(SUM(CASE WHEN a.dist * s.n > 4 * s.sum_dist THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(MAX(a.dist) AS BIGINT) AS max_dist
+FROM assigned a JOIN stats s USING (centroid_id)
+GROUP BY a.centroid_id, s.n
+ORDER BY a.centroid_id
+"""

@@ -404,3 +404,28 @@ def test_table_diff_classification(spark):
     assert got[3] == ("changed", "v")  # NULL -> value registers
     assert got[4] == ("removed", "")
     assert got[5] == ("added", "")
+
+
+def test_emb_outliers_flags_planted_garbage(spark, tmp_path):
+    import shutil
+
+    import numpy as np
+
+    sf = str(tmp_path)
+    rng = np.random.default_rng(9)
+    # tight cluster + 5 wild vectors far away
+    n = 300
+    x = rng.normal(0, 0.02, (n, 64)) + 0.3
+    for i in range(5):
+        x[250 + i] = 10.0 + i  # mis-embedded garbage
+    rows = [(i, [float(v) for v in x[i]], 0) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    from meteaudata_spark.ext.simsearch import emb_outliers
+
+    out = emb_outliers(spark, sf).collect()
+    assert sum(r["n_outliers"] for r in out) >= 5
+    assert sum(r["n_vectors"] for r in out) == n
+    shutil.rmtree(f"{sf}/embeddings.parquet")
