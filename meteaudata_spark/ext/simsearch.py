@@ -2307,7 +2307,12 @@ def emb_outliers(
     land far from every centroid).
 
     The flag rule is integer-exact (``dist·n > 4·Σdist`` — no
-    division), so the oracle replays it verbatim.  Gate path keeps
+    division), so the oracle replays it verbatim.  Like every
+    mean-based fence it assumes modest contamination: a cluster whose
+    distance mass is mostly garbage inflates its own threshold (the
+    planted-garbage test documents the masking point; a
+    median-of-distances variant is the robust upgrade if a corpus
+    routinely exceeds ~10% garbage).  Gate path keeps
     the SQL fold; at corpus scale the assignment swaps to the
     bit-equal Arrow matmul (``_l2_assign_fast``), same recipe as
     k-means."""
