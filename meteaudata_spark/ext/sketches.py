@@ -438,3 +438,155 @@ SELECT event_type, q,
 FROM hits
 ORDER BY event_type, q
 """
+
+
+def doc_corpus_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation by HLL REGISTER MERGE — the
+    mergeability property exercised as a query: the two corpus halves
+    (doc_id parity) are sketched independently, the union estimate
+    comes from merging the two register tables (per-bucket max, never
+    re-reading raw data), and the intersection follows by
+    inclusion-exclusion.  This is how overlap between two 100 TB
+    crawls is estimated without co-locating them.
+
+    Exact counts ride along for the error report; the negative-
+    capable inclusion-exclusion estimate is clamped at 0 before the
+    basis-point division so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree."""
+    d = _docs(spark, sf_dir)
+    grams = (
+        _shingles(d, 3)
+        .select(
+            F.when(F.col("doc_id") % 2 == 0, "A").otherwise("B").alias(
+                "split"
+            ),
+            _h60("shingle").alias("h"),
+        )
+        .distinct()
+    )
+    rho = F.when(F.expr(f"h div {_M}") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.expr(f"h div {_M}")))
+    )
+    regs = (
+        grams.select("split", F.pmod(F.col("h"), F.lit(_M)).alias("b"), rho.alias("r"))
+        .groupBy("split", "b")
+        .agg(F.max("r").alias("m"))
+    )
+
+    def estimate(reg_df, keys):
+        per = reg_df.groupBy(*keys).agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("s"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        scaled = F.col("s") + (F.lit(_M) - F.col("nb")) * F.lit(1 << 53)
+        return per.select(
+            *keys,
+            F.floor(F.lit(_NUMER) / scaled.cast("double"))
+            .cast("bigint")
+            .alias("est"),
+        )
+
+    per_split = estimate(regs, ["split"])
+    est_a = per_split.filter(F.col("split") == "A").select(
+        F.col("est").alias("est_a")
+    )
+    est_b = per_split.filter(F.col("split") == "B").select(
+        F.col("est").alias("est_b")
+    )
+    # the merge: per-bucket max across the two register tables
+    merged = regs.groupBy("b").agg(F.max("m").alias("m"))
+    est_u = estimate(merged.select(F.lit(1).alias("g"), "b", "m"), ["g"]).select(
+        F.col("est").alias("est_union")
+    )
+    exact = grams.groupBy().agg(
+        F.countDistinct(F.when(F.col("split") == "A", F.col("h"))).alias(
+            "exact_a"
+        ),
+        F.countDistinct(F.when(F.col("split") == "B", F.col("h"))).alias(
+            "exact_b"
+        ),
+        F.countDistinct("h").alias("exact_union"),
+    )
+    row = (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+    )
+    est_inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    )
+    exact_inter = F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+    return row.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        exact_inter.alias("exact_inter"),
+        "est_union",
+        est_inter.alias("est_inter"),
+        F.expr(
+            "(( exact_a + exact_b - exact_union) * 10000) div exact_union"
+        ).alias("jaccard_exact_bp"),
+        # non-negative integer floor-div on BOTH engines (Spark's
+        # double-cast truncates, DuckDB's rounds — avoid the cast)
+        F.expr(
+            "(greatest(est_a + est_b - est_union, 0) * 10000) div est_union"
+        ).alias("jaccard_est_bp"),
+    )
+
+
+DOC_CORPUS_OVERLAP_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT
+         CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS split,
+         {_H60_SH} AS h
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             generate_series(1, LEN(string_split(text, ' ')) - 2),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )) AS shingle
+    FROM documents
+  )
+),
+rho AS (
+  SELECT split, h % {_M} AS b,
+         CASE WHEN h // {_M} = 0 THEN 53
+              ELSE 53 - LEN(bin(h // {_M})) END AS r
+  FROM grams
+),
+regs AS (SELECT split, b, MAX(r) AS m FROM rho GROUP BY split, b),
+est_split AS (
+  SELECT split,
+         CAST(FLOOR(CAST({_NUMER!r} AS DOUBLE)
+              / CAST(CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+                     + ({_M} - COUNT(*)) * (1::BIGINT << 53) AS DOUBLE))
+           AS BIGINT) AS est
+  FROM regs GROUP BY split
+),
+merged AS (SELECT b, MAX(m) AS m FROM regs GROUP BY b),
+est_u AS (
+  SELECT CAST(FLOOR(CAST({_NUMER!r} AS DOUBLE)
+              / CAST(CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+                     + ({_M} - COUNT(*)) * (1::BIGINT << 53) AS DOUBLE))
+           AS BIGINT) AS est_union
+  FROM merged
+),
+exact AS (
+  SELECT COUNT(DISTINCT CASE WHEN split = 'A' THEN h END) AS exact_a,
+         COUNT(DISTINCT CASE WHEN split = 'B' THEN h END) AS exact_b,
+         COUNT(DISTINCT h) AS exact_union
+  FROM grams
+)
+SELECT e.exact_a, e.exact_b, e.exact_union,
+       e.exact_a + e.exact_b - e.exact_union AS exact_inter,
+       u.est_union,
+       GREATEST(a.est + b.est - u.est_union, 0) AS est_inter,
+       ((e.exact_a + e.exact_b - e.exact_union) * 10000) // e.exact_union
+         AS jaccard_exact_bp,
+       (GREATEST(a.est + b.est - u.est_union, 0) * 10000) // u.est_union
+         AS jaccard_est_bp
+FROM exact e
+CROSS JOIN (SELECT est FROM est_split WHERE split = 'A') a
+CROSS JOIN (SELECT est FROM est_split WHERE split = 'B') b
+CROSS JOIN est_u u
+"""
