@@ -96,3 +96,34 @@ def compact_parquet(
         files_after=len(after),
         bytes_after=sum(sz for _, sz in after),
     )
+
+
+def write_partitioned_by_day(
+    df,
+    path: str,
+    ts_col: str = "ts",
+    max_files_per_partition: int = 4,
+) -> None:
+    """Write an event table laid out for TIME-pruned scans:
+    ``partitionBy(dt)`` directories (Hive-style) with the in-partition
+    file count capped — the ingestion layout that makes "last 7 days"
+    queries read only 7 directories (partition pruning happens at
+    planning time, before any I/O).
+
+    The repartition keys on (dt, hash bucket) so each day writes at
+    most ``max_files_per_partition`` files regardless of upstream
+    parallelism — the alternative (32 tasks × 30 days = 960 tiny
+    files per month) is exactly what ``compact_parquet`` exists to
+    clean up after."""
+    from pyspark.sql import functions as F
+
+    with_dt = df.withColumn("dt", F.to_date(F.col(ts_col)))
+    bucket = F.pmod(
+        F.xxhash64(F.col(ts_col)), F.lit(max_files_per_partition)
+    )
+    (
+        with_dt.repartition(F.col("dt"), bucket)
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )

@@ -61,3 +61,41 @@ def test_range_compaction_keeps_minmax_tight(spark, tmp_path):
     assert len(spans) >= 2
     # range-partitioned files each cover a narrow slice of k
     assert sorted(spans)[len(spans) // 2] < 0.6, spans
+
+
+def test_partitioned_write_prunes_and_caps_files(spark, tmp_path):
+    import os
+
+    from meteaudata_spark.sources.compact import write_partitioned_by_day
+
+    out = str(tmp_path / "bydt")
+    ev = spark.range(50_000).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-02-01' + make_interval(0,0,0,0,0,cast(id % 14400 as int),0)"
+        ).alias("ts"),
+        (F.col("id") % 10).cast("double").alias("value"),
+    )
+    write_partitioned_by_day(ev, out, max_files_per_partition=4)
+
+    days = [d for d in os.listdir(out) if d.startswith("dt=")]
+    assert len(days) == 10  # 14400 minutes = 10 days
+    for d in days:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 4, (d, len(files))
+
+    # partition pruning: a one-day filter plans only that directory
+    from meteaudata_spark.plans import inspect
+
+    one_day = spark.read.parquet(out).filter(F.col("dt") == "2024-02-03")
+    plan = inspect.formatted_plan(one_day)
+    assert "PartitionFilters" in plan
+    # minutes 2880..4319 (day 3) each carry 4 rows: 50000 ids over
+    # 14400 minute slots gives 4 repeats below slot 5000
+    assert one_day.count() == 5_760
+    # row equality with the source
+    assert spark.read.parquet(out).count() == 50_000
