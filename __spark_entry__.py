@@ -43,15 +43,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver-verified (all green on the local gate replica at
         sf0.01 in rounds 6 and 7; doc_ngram_novelty additionally
         rewritten this round: short-doc guard + single-scan window);
-    (2) the 20 operators ADDED this round (Q2/Q11/Q16/Q20 analogs,
+    (2) the 25 operators ADDED this round (Q2/Q11/Q16/Q20 analogs,
         substring spans, Matryoshka recall, rolling correlation, DSIR
         weights, lineitem profile, image near-dup, BM25 nDCG + multi-
         query, latest-state, incremental rollup, PCA power, Holt-
         Winters, group sample, FK integrity, quality deciles, table
-        diff — new, never driver-verified);
-    (3) the stalest previously-green queries (last driver-green in
-        round 5: the core ts/relational/dedup parity block); the tail
-        of this block past the 50-cap re-certifies in round 8.
+        diff, crawl priority, kNN accuracy, attribution, outliers,
+        HLL overlap — new, never driver-verified);
+    (3) two stale anchors (ts_resample_5min / ts_interpolate, last
+        driver-green round 5); the rest of the stale block sits just
+        past the 50-cap and re-certifies in round 8.
     Everything past 50 was driver-green in round 5 or 6 and still
     runs in bench and in tests/test_ext.py's run-all test."""
     return {
