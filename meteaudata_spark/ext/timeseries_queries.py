@@ -2598,3 +2598,74 @@ FROM pairs pr JOIN touches t USING (purchase_id)
 GROUP BY pr.click_id
 ORDER BY pr.click_id
 """
+
+
+def ts_event_trigrams(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Sequential pattern mining: the top-k most frequent 3-step
+    event-type sequences within a user's click-stream (ordered by
+    time, tie-broken by event_id) — the "what do users do next"
+    episode table that extends the pairwise ``ts_event_transitions``.
+
+    One keyed lag window per user (no global window), a hash count
+    per trigram, distributed top-k via TakeOrderedAndProject.  Rank
+    ties resolve lexicographically for engine stability."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = tri.orderBy(
+        F.col("n").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+    ).limit(k)
+    return top.select(
+        "e1",
+        "e2",
+        "e3",
+        "n",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("n").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+            )
+        )
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+TS_EVENT_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+),
+tri AS (
+  SELECT e1, e2, e3, COUNT(*) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT e1, e2, e3, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rank
+  FROM tri
+)
+SELECT e1, e2, e3, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+ORDER BY rank
+"""
