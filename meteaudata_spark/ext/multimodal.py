@@ -1054,3 +1054,147 @@ ORDER BY doc_a, doc_b
 
 
 MM_IMAGE_NEARDUP_SQL = _mm_image_neardup_sql()
+
+
+def video_scene_changes(
+    assets: DataFrame, threshold_millis: int = 80, every_n: int = 1
+) -> DataFrame:
+    """Scene-change detection over video payloads: sample frames with
+    the real container parsers, decode each frame, and flag cuts
+    where the mean absolute per-pixel luma delta between consecutive
+    frames exceeds ``threshold_millis`` (millis of full scale, 0–255
+    → 0–1000) — the shot-boundary step of a video curation pipeline
+    (per-scene dedup, thumbnail picking, clip segmentation).
+
+    Two stages, both scale shapes: the frame explode/decode is the
+    Arrow map ``sample_video_frames`` already uses; the consecutive-
+    frame comparison is a keyed lag window PER ASSET (frames of one
+    video are compared, never across videos).  Decode runs once per
+    frame; the luma reduction is a single numpy pass."""
+    frames = sample_video_frames(assets, every_n=every_n)
+
+    def feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "frame_no": [], "luma_sum": [], "n_px": []}
+            for asset_id, frame_no, payload in zip(
+                pdf["asset_id"], pdf["frame_no"], pdf["frame_payload"]
+            ):
+                try:
+                    arr = _decode_rgb(bytes(payload))
+                except Exception:
+                    continue
+                if arr is None:
+                    continue
+                if arr.ndim == 3:
+                    luma = arr.astype(np.int64).sum(axis=2)
+                    scale = 3
+                else:
+                    luma = arr.astype(np.int64)
+                    scale = 1
+                out["asset_id"].append(asset_id)
+                out["frame_no"].append(int(frame_no))
+                out["luma_sum"].append(int(luma.sum()) // scale)
+                out["n_px"].append(int(luma.size))
+            yield pd.DataFrame(out)
+
+    # per-frame mean luma in millis of full scale; scene cut = |Δ| big
+    stats = frames.mapInPandas(
+        feat, "asset_id bigint, frame_no bigint, luma_sum bigint, n_px bigint"
+    ).select(
+        "asset_id",
+        "frame_no",
+        (F.col("luma_sum") * 1000 / (F.col("n_px") * 255))
+        .cast("bigint")
+        .alias("luma_millis"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_no")
+    return (
+        stats.withColumn("prev", F.lag("luma_millis").over(w))
+        .withColumn(
+            "delta_millis",
+            F.abs(F.col("luma_millis") - F.col("prev")),
+        )
+        .withColumn(
+            "is_cut",
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("delta_millis") > threshold_millis),
+                True,
+            ).otherwise(False),
+        )
+        .select("asset_id", "frame_no", "luma_millis", "delta_millis", "is_cut")
+    )
+
+
+def audio_segments(
+    assets: DataFrame,
+    frame_ms: int = 25,
+    hop_ms: int = 25,
+    silence_rms_micros: int = 10000,
+) -> DataFrame:
+    """Silence/speech segmentation over PCM16 WAV payloads: frame the
+    signal, threshold frame RMS, and merge consecutive same-state
+    frames into segments (gaps-and-islands) — the voice-activity step
+    before transcription or audio dedup.
+
+    Per asset: (segment_no, state, start_ms, end_ms, n_frames).
+    Framing reuses the ``audio_features`` stride-view recipe; the
+    segment merge is a keyed lag + running-sum window per asset."""
+    if frame_ms <= 0 or hop_ms <= 0:
+        raise ValueError("frame_ms and hop_ms must be positive")
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "frame_no": [], "rms_micros": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_audio(bytes(payload))
+                except Exception:
+                    continue
+                flen = max(1, rate * frame_ms // 1000)
+                hop = max(1, rate * hop_ms // 1000)
+                x = samples.astype(np.float64) / 32768.0
+                n = 1 + max(0, (len(x) - flen)) // hop
+                for i in range(n):
+                    fr = x[i * hop : i * hop + flen]
+                    rms = float(np.sqrt(np.mean(fr * fr)))
+                    out["asset_id"].append(asset_id)
+                    out["frame_no"].append(i)
+                    out["rms_micros"].append(int(round(rms * 1e6)))
+            yield pd.DataFrame(out)
+
+    f = assets.mapInPandas(
+        frames, "asset_id bigint, frame_no bigint, rms_micros bigint"
+    ).withColumn(
+        "state",
+        F.when(F.col("rms_micros") < silence_rms_micros, "silence").otherwise(
+            "speech"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_no")
+    seg = f.withColumn(
+        "new_seg",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "segment_no",
+        F.sum("new_seg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        seg.groupBy("asset_id", "segment_no", "state")
+        .agg(
+            (F.min("frame_no") * hop_ms).alias("start_ms"),
+            (F.max("frame_no") * hop_ms + frame_ms).alias("end_ms"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .orderBy("asset_id", "segment_no")
+    )
