@@ -1835,3 +1835,72 @@ ORDER BY decile
 
 
 DOC_QUALITY_DECILES_SQL = _quality_deciles_sql()
+
+
+def doc_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: the stage-by-stage survivor funnel of
+    the clean→quality→dedup pipeline as ONE row — the counts every
+    data-pipeline dashboard plots to catch a stage suddenly eating
+    the corpus (a regex gone greedy, a threshold typo, an upstream
+    duplication event).
+
+    Stages share one scan: raw count, non-empty after scrub, past the
+    length gate, distinct cleaned texts (exact dedup), and the
+    end-to-end retention in basis points (integer floor-div).  All
+    stage predicates are identical to ``doc_pipeline_clean_dedup``'s,
+    so the funnel IS that pipeline's instrumentation, not a
+    re-implementation."""
+    d = _docs(spark, sf_dir)
+    url = r"https?://[^\s]+"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), url, " "),
+                email,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    staged = d.select(cleaned.alias("ct"))
+    return staged.groupBy().agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.length("ct") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonempty"),
+        F.sum(F.when(F.length("ct") >= 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality"),
+        F.countDistinct(F.when(F.length("ct") >= 50, F.col("ct"))).alias(
+            "n_unique"
+        ),
+    ).select(
+        "n_raw",
+        "n_nonempty",
+        "n_quality",
+        "n_unique",
+        F.expr("(n_unique * 10000) div n_raw").alias("retention_bp"),
+    )
+
+
+DOC_PIPELINE_FUNNEL_SQL = r"""
+WITH staged AS (
+  SELECT TRIM(REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(text, 'https?://[^\s]+', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+           '\s+', ' ', 'g')) AS ct
+  FROM documents
+)
+SELECT COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN LENGTH(ct) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonempty,
+       CAST(SUM(CASE WHEN LENGTH(ct) >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       COUNT(DISTINCT CASE WHEN LENGTH(ct) >= 50 THEN ct END) AS n_unique,
+       (COUNT(DISTINCT CASE WHEN LENGTH(ct) >= 50 THEN ct END) * 10000)
+         // COUNT(*) AS retention_bp
+FROM staged
+"""
