@@ -2400,3 +2400,91 @@ FROM assigned a JOIN stats s USING (centroid_id)
 GROUP BY a.centroid_id, s.n
 ORDER BY a.centroid_id
 """
+
+
+def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitoring: split the corpus into two cohorts
+    (vec_id parity — in production, last week vs this week) and
+    report, per label, how far the cohort MEAN vectors moved — the
+    check that catches a silently re-deployed or fine-tuned encoder
+    before stale vectors poison an index.
+
+    Exact arithmetic end to end: per-cohort per-label mean vectors as
+    integer-quantized sums over counts (order-free), the shift as the
+    quantized L2 between the two means, plus each cohort's size.  One
+    keyed aggregation per cohort + a 5-row join."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        _q64("embedding").alias("qe"),
+    )
+    sums = q.groupBy("label", "is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(
+            *[F.sum(F.element_at("qe", i + 1)) for i in range(64)]
+        ).alias("svec"),
+    )
+    a = sums.filter(F.col("is_a")).select(
+        "label", F.col("n").alias("n_a"), F.col("svec").alias("sa")
+    )
+    b = sums.filter(~F.col("is_a")).select(
+        "label", F.col("n").alias("n_b"), F.col("svec").alias("sb")
+    )
+    j = a.join(b, "label")
+    # mean-difference in quantized units: da_i = sa_i/n_a - sb_i/n_b;
+    # exact integers scaled by n_a·n_b: d_i = sa_i·n_b - sb_i·n_a
+    shift = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> x * n_b - y * n_a), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    # normalized shift = sqrt(Σ d_i²) / (n_a·n_b·2^20): mean-vector L2
+    # in original embedding units, 6-dp rounded
+    norm_shift = F.round(
+        F.sqrt(shift)
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double") * 1048576.0)
+        * 1000000.0
+    ).cast("bigint")
+    return j.select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_a",
+        "n_b",
+        norm_shift.alias("mean_shift_micros"),
+    ).orderBy("label")
+
+
+EMB_DRIFT_SQL = """
+WITH q AS (
+  SELECT label, vec_id % 2 = 0 AS is_a,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qe
+  FROM embeddings
+),
+dims AS (
+  SELECT label, is_a, g.i, CAST(SUM(qe[g.i]) AS BIGINT) AS s
+  FROM q CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY label, is_a, g.i
+),
+cnt AS (
+  SELECT label, is_a, COUNT(*) AS n FROM q GROUP BY label, is_a
+),
+sums AS (
+  SELECT d.label, d.is_a, c.n, list(d.s ORDER BY d.i) AS svec
+  FROM dims d JOIN cnt c ON c.label = d.label AND c.is_a = d.is_a
+  GROUP BY d.label, d.is_a, c.n
+),
+j AS (
+  SELECT a.label, a.n AS n_a, b.n AS n_b, a.svec AS sa, b.svec AS sb
+  FROM (SELECT * FROM sums WHERE is_a) a
+  JOIN (SELECT * FROM sums WHERE NOT is_a) b USING (label)
+)
+SELECT CAST(label AS BIGINT) AS label, n_a, n_b,
+       CAST(ROUND(
+         sqrt(list_aggregate(list_transform(generate_series(1, 64),
+           i -> CAST(sa[i] * n_b - sb[i] * n_a AS DOUBLE)
+                * CAST(sa[i] * n_b - sb[i] * n_a AS DOUBLE)), 'sum'))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1048576.0)
+         * 1000000.0) AS BIGINT) AS mean_shift_micros
+FROM j
+ORDER BY label
+"""
