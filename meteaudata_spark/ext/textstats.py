@@ -1904,3 +1904,88 @@ SELECT COUNT(*) AS n_raw,
          // COUNT(*) AS retention_bp
 FROM staged
 """
+
+
+_PAT_URL = r"https?://[^ ]+"
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_NUM = r"[0-9]+"
+
+
+def doc_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language pattern census: URL / email / number-token counts
+    across the corpus — the observability table behind PII triage,
+    boilerplate detection, and "why did the scrubber remove 40% of
+    this crawl" investigations.
+
+    The synthetic corpus carries no URLs/emails, so the gate
+    decorates a deterministic subset (the ``doc_url_stats`` /
+    ``doc_pii_scrub`` pattern: doc_id-derived literals appended in
+    BOTH engines) — the regex path being measured is real.  All
+    counting is JVM-side ``regexp_count`` per row + one keyed agg;
+    patterns avoid dialect-divergent atoms (no ``\\s`` classes, no
+    backrefs) so Java regex and RE2 count identically."""
+    d = _docs(spark, sf_dir)
+    decorated = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" via https://p"),
+                F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+                F.lit(".example.org/x reach me"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com thanks"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    counted = decorated.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(_PAT_URL)).alias("u"),
+        F.regexp_count(F.col("text"), F.lit(_PAT_EMAIL)).alias("e"),
+        F.regexp_count(F.col("text"), F.lit(_PAT_NUM)).alias("n"),
+    )
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("u").cast("bigint").alias("n_urls"),
+            F.sum("e").cast("bigint").alias("n_emails"),
+            F.sum("n").cast("bigint").alias("n_numbers"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_PATTERN_PROFILE_SQL = r"""
+WITH decorated AS (
+  SELECT lang,
+         CASE WHEN doc_id % 3 = 0 THEN
+                text || ' via https://p' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example.org/x reach me'
+              WHEN doc_id % 3 = 1 THEN
+                text || ' mail user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com thanks'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT)
+         AS n_urls,
+       CAST(SUM(LEN(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+         AS n_emails,
+       CAST(SUM(LEN(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+         AS n_numbers
+FROM decorated
+GROUP BY lang
+ORDER BY lang
+"""

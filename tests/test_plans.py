@@ -464,3 +464,27 @@ def test_group_sample_window_is_keyed(spark):
     df = corpus_ops.doc_group_sample(spark, SF)
     plan = inspect.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_event_trigrams_topk_distributed(spark):
+    df = tsq.ts_event_trigrams(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # lead windows are keyed on user_id
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_pipeline_funnel_single_scan(spark):
+    import re
+
+    df = textstats.doc_pipeline_funnel(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_drift_report_no_cartesian(spark):
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_drift_report(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
