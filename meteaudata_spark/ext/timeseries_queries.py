@@ -2391,7 +2391,10 @@ def merge_partials(*parts: DataFrame) -> DataFrame:
     rollup — the base table is never rescanned from raw events."""
     merged = parts[0]
     for p in parts[1:]:
-        merged = merged.unionAll(p)
+        # by NAME: a partial table re-loaded from parquet may carry a
+        # different column order, and positional unionAll would
+        # silently add counts into sums
+        merged = merged.unionByName(p)
     return merged.groupBy("event_type", "b5").agg(
         F.sum("sum_micros").alias("sum_micros"), F.sum("n").alias("n")
     )

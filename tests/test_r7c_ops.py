@@ -432,3 +432,17 @@ def test_emb_outliers_flags_planted_garbage(spark, tmp_path):
     assert sum(r["n_outliers"] for r in out) >= 2
     assert sum(r["n_vectors"] for r in out) == n
     shutil.rmtree(f"{sf}/embeddings.parquet")
+
+
+def test_merge_partials_is_order_insensitive(spark):
+    from meteaudata_spark.ext.timeseries_queries import merge_partials
+
+    a = spark.createDataFrame(
+        [("x", 300, 1000, 2)], "event_type string, b5 long, sum_micros long, n long"
+    )
+    # same data re-loaded with a different column order
+    b = spark.createDataFrame(
+        [(5, 300, "x", 3000)], "n long, b5 long, event_type string, sum_micros long"
+    ).select("n", "b5", "event_type", "sum_micros")
+    out = merge_partials(a, b).collect()[0]
+    assert out["sum_micros"] == 4000 and out["n"] == 7
