@@ -43,16 +43,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver-verified (all green on the local gate replica at
         sf0.01 in rounds 6 and 7; doc_ngram_novelty additionally
         rewritten this round: short-doc guard + single-scan window);
-    (2) the 25 operators ADDED this round (Q2/Q11/Q16/Q20 analogs,
-        substring spans, Matryoshka recall, rolling correlation, DSIR
-        weights, lineitem profile, image near-dup, BM25 nDCG + multi-
-        query, latest-state, incremental rollup, PCA power, Holt-
-        Winters, group sample, FK integrity, quality deciles, table
-        diff, crawl priority, kNN accuracy, attribution, outliers,
-        HLL overlap — new, never driver-verified);
-    (3) two stale anchors (ts_resample_5min / ts_interpolate, last
-        driver-green round 5); the rest of the stale block sits just
-        past the 50-cap and re-certifies in round 8.
+    (2) 27 of the 29 operators ADDED this round (Q2/Q11/Q16/Q20
+        analogs, substring spans, Matryoshka recall, rolling
+        correlation, DSIR weights, lineitem profile, image near-dup,
+        BM25 nDCG + multi-query, latest-state, incremental rollup,
+        PCA power, Holt-Winters, group sample, FK integrity, quality
+        deciles, table diff, crawl priority, kNN accuracy,
+        attribution, outliers, HLL overlap, trigrams, funnel — new,
+        never driver-verified); the LAST TWO additions
+        (emb_drift_report, doc_pattern_profile) landed past the cap
+        and certify in round 8 — both were 3-SF-verified locally,
+        and the whole 147-query surface ran green in one local gate
+        pass;
+    (3) the stale r5/r6 block sits just past the cap and
+        re-certifies in round 8.
     Everything past 50 was driver-green in round 5 or 6 and still
     runs in bench and in tests/test_ext.py's run-all test."""
     return {
