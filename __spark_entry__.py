@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pipeline_funnel": textstats.doc_pipeline_funnel,  # NEW r7
         "emb_drift_report": simsearch.emb_drift_report,  # NEW r7
         "doc_pattern_profile": textstats.doc_pattern_profile,  # NEW r7
+        "ts_anomaly_consensus": tsq.ts_anomaly_consensus,  # NEW r7
         # --- (3) stalest previously-green (last driver row: round 5) ---
         "ts_resample_5min": tsq.ts_resample_5min,          # A1 tumbling mean + spine
         "ts_interpolate": tsq.ts_interpolate,              # W1 linear gap-fill
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pipeline_funnel": textstats.DOC_PIPELINE_FUNNEL_SQL,
         "emb_drift_report": simsearch.EMB_DRIFT_SQL,
         "doc_pattern_profile": textstats.DOC_PATTERN_PROFILE_SQL,
+        "ts_anomaly_consensus": tsq.TS_ANOMALY_CONSENSUS_SQL,
         "ts_forecast_eval": tsq.TS_FORECAST_EVAL_SQL,
         "ts_weekly_profile": tsq.TS_WEEKLY_PROFILE_SQL,
         "doc_ngram_novelty": textstats.DOC_NGRAM_NOVELTY_SQL,

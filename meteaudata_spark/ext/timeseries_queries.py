@@ -2672,3 +2672,140 @@ SELECT e1, e2, e3, n, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 20
 ORDER BY rank
 """
+
+
+def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector ensemble: the three fault detectors the surface
+    already ships (Shewhart 3σ control limits, Tukey IQR fences,
+    robust z-score) voted per 5-minute bucket — consensus flagging is
+    how monitoring deployments cut false-positive pages without
+    losing real faults (a bucket flagged by ≥2 independent rules is
+    worth waking someone up for).
+
+    All three run on the SAME bucket-mean relation (one keyed agg,
+    one scan), their thresholds derive from exact/percentile
+    statistics broadcast back (each recipe identical to its standalone
+    gate query), and every comparison is 6-dp-rounded on both sides —
+    so the vote table is bit-stable.  Emits flagged buckets only."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(F.avg("value").alias("m"))
+    mu0 = b.groupBy("event_type").agg(_r6(F.avg("m")).alias("mu0"))
+    stats = (
+        b.join(F.broadcast(mu0), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("mu0").alias("center"),
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(
+                (F.col("m") - F.col("mu0")) * (F.col("m") - F.col("mu0"))
+            ).alias("ss"),
+        )
+        .select(
+            "event_type",
+            "center",
+            _r6(F.sqrt(F.col("ss") / (F.col("nb") - 1))).alias("sigma"),
+        )
+    )
+    quants = b.groupBy("event_type").agg(
+        F.expr("percentile(m, 0.5)").alias("med"),
+        F.expr("percentile(m, 0.25)").alias("q1"),
+        F.expr("percentile(m, 0.75)").alias("q3"),
+    )
+    j = (
+        b.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(quants), "event_type")
+        .withColumn("m_r", _r6(F.col("m")))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    shewhart = (
+        F.col("m_r") > _r6(F.col("center") + 3 * F.col("sigma"))
+    ) | (F.col("m_r") < _r6(F.col("center") - 3 * F.col("sigma")))
+    tukey = (F.col("m_r") > _r6(F.col("q3") + 1.5 * iqr)) | (
+        F.col("m_r") < _r6(F.col("q1") - 1.5 * iqr)
+    )
+    robust = F.abs(_r6((F.col("m") - F.col("med")) / iqr)) > 2.0
+    out = j.select(
+        "event_type",
+        "b5",
+        "m_r",
+        shewhart.alias("shewhart"),
+        tukey.alias("tukey"),
+        robust.alias("robust_z"),
+    ).withColumn(
+        "votes",
+        (
+            F.col("shewhart").cast("int")
+            + F.col("tukey").cast("int")
+            + F.col("robust_z").cast("int")
+        ).cast("bigint"),
+    )
+    return (
+        out.filter(F.col("votes") >= 1)
+        .select(
+            "event_type",
+            "b5",
+            F.col("m_r").alias("bucket_mean"),
+            "shewhart",
+            "tukey",
+            "robust_z",
+            "votes",
+        )
+        .orderBy("event_type", "b5")
+    )
+
+
+TS_ANOMALY_CONSENSUS_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b5,
+         AVG(value) AS m
+  FROM events GROUP BY 1, 2
+),
+mu0 AS (
+  SELECT event_type, ROUND(AVG(m) * 1000000.0) / 1000000.0 AS mu0
+  FROM b GROUP BY event_type
+),
+stats AS (
+  SELECT b.event_type,
+         MIN(mu0.mu0) AS center,
+         ROUND(sqrt(SUM((b.m - mu0.mu0) * (b.m - mu0.mu0))
+                    / (COUNT(*) - 1)) * 1000000.0) / 1000000.0 AS sigma
+  FROM b JOIN mu0 USING (event_type)
+  GROUP BY b.event_type
+),
+quants AS (
+  SELECT event_type,
+         quantile_cont(m, 0.5)  AS med,
+         quantile_cont(m, 0.25) AS q1,
+         quantile_cont(m, 0.75) AS q3
+  FROM b GROUP BY event_type
+),
+j AS (
+  SELECT b.event_type, b.b5, b.m,
+         ROUND(b.m * 1000000.0) / 1000000.0 AS m_r,
+         s.center, s.sigma, q.med, q.q1, q.q3
+  FROM b JOIN stats s USING (event_type) JOIN quants q USING (event_type)
+),
+flags AS (
+  SELECT event_type, b5, m_r,
+         (m_r > ROUND((center + 3 * sigma) * 1000000.0) / 1000000.0
+          OR m_r < ROUND((center - 3 * sigma) * 1000000.0) / 1000000.0)
+           AS shewhart,
+         (m_r > ROUND((q3 + 1.5 * (q3 - q1)) * 1000000.0) / 1000000.0
+          OR m_r < ROUND((q1 - 1.5 * (q3 - q1)) * 1000000.0) / 1000000.0)
+           AS tukey,
+         ABS(ROUND((m - med) / (q3 - q1) * 1000000.0) / 1000000.0) > 2.0
+           AS robust_z
+  FROM j
+)
+SELECT event_type, b5, m_r AS bucket_mean, shewhart, tukey, robust_z,
+       CAST(CAST(shewhart AS INT) + CAST(tukey AS INT)
+            + CAST(robust_z AS INT) AS BIGINT) AS votes
+FROM flags
+WHERE CAST(shewhart AS INT) + CAST(tukey AS INT) + CAST(robust_z AS INT) >= 1
+ORDER BY event_type, b5
+"""

@@ -446,3 +446,32 @@ def test_merge_partials_is_order_insensitive(spark):
     ).select("n", "b5", "event_type", "sum_micros")
     out = merge_partials(a, b).collect()[0]
     assert out["sum_micros"] == 4000 and out["n"] == 7
+
+
+def test_anomaly_consensus_votes(spark, tmp_path):
+    import shutil
+
+    sf = str(tmp_path)
+    # steady signal + one monster spike bucket: all three detectors
+    # must agree on the spike (votes == 3); mild wiggle stays silent
+    ev = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01' + make_interval(0,0,0,0,0,cast(id * 5 as int),0)"
+        ).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.when(F.col("id") == 777, 10000.0)
+        .otherwise(50.0 + (F.col("id") % 5).cast("double"))
+        .alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(f"{sf}/events.parquet")
+    from meteaudata_spark.ext.timeseries_queries import ts_anomaly_consensus
+
+    out = ts_anomaly_consensus(spark, sf).collect()
+    spike = [r for r in out if r["bucket_mean"] > 1000]
+    assert len(spike) == 1 and spike[0]["votes"] == 3
+    # nothing else reaches consensus
+    assert all(r["votes"] < 2 for r in out if r["bucket_mean"] < 1000)
+    shutil.rmtree(f"{sf}/events.parquet")
