@@ -665,7 +665,13 @@ def ts_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.25)").alias("q1"),
         F.expr("percentile(value, 0.75)").alias("q3"),
     )
-    rz = (F.col("value") - F.col("med")) / (F.col("q3") - F.col("q1"))
+    # zero IQR (a constant type) must yield "no flags", not an ANSI
+    # divide-by-zero job failure
+    rz = F.when(
+        F.col("q3") == F.col("q1"), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("value") - F.col("med")) / (F.col("q3") - F.col("q1"))
+    )
     return (
         ev.join(F.broadcast(quants), "event_type")
         .withColumn("__rz", rz)
@@ -691,7 +697,7 @@ SELECT e.event_id, e.event_type,
        ROUND(e.value * 1000000.0) / 1000000.0 AS value,
        ROUND((e.value - q.med) / (q.q3 - q.q1) * 1000000.0) / 1000000.0 AS robust_z
 FROM events e JOIN q USING (event_type)
-WHERE ABS((e.value - q.med) / (q.q3 - q.q1)) > 2.0
+WHERE q.q3 <> q.q1 AND ABS((e.value - q.med) / (q.q3 - q.q1)) > 2.0
 ORDER BY e.event_id
 """
 
@@ -2708,7 +2714,10 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "center",
-            _r6(F.sqrt(F.col("ss") / (F.col("nb") - 1))).alias("sigma"),
+            # single-bucket type: sigma undefined → 0 (never flags)
+            F.when(F.col("nb") <= 1, F.lit(0.0)).otherwise(
+                _r6(F.sqrt(F.col("ss") / (F.col("nb") - 1)))
+            ).alias("sigma"),
         )
     )
     quants = b.groupBy("event_type").agg(
@@ -2728,7 +2737,9 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tukey = (F.col("m_r") > _r6(F.col("q3") + 1.5 * iqr)) | (
         F.col("m_r") < _r6(F.col("q1") - 1.5 * iqr)
     )
-    robust = F.abs(_r6((F.col("m") - F.col("med")) / iqr)) > 2.0
+    robust = F.when(iqr == 0, F.lit(False)).otherwise(
+        F.abs(_r6((F.col("m") - F.col("med")) / iqr)) > 2.0
+    )
     out = j.select(
         "event_type",
         "b5",
@@ -2772,8 +2783,10 @@ mu0 AS (
 stats AS (
   SELECT b.event_type,
          MIN(mu0.mu0) AS center,
-         ROUND(sqrt(SUM((b.m - mu0.mu0) * (b.m - mu0.mu0))
-                    / (COUNT(*) - 1)) * 1000000.0) / 1000000.0 AS sigma
+         CASE WHEN COUNT(*) <= 1 THEN 0.0
+              ELSE ROUND(sqrt(SUM((b.m - mu0.mu0) * (b.m - mu0.mu0))
+                         / (COUNT(*) - 1)) * 1000000.0) / 1000000.0
+         END AS sigma
   FROM b JOIN mu0 USING (event_type)
   GROUP BY b.event_type
 ),
@@ -2798,8 +2811,9 @@ flags AS (
          (m_r > ROUND((q3 + 1.5 * (q3 - q1)) * 1000000.0) / 1000000.0
           OR m_r < ROUND((q1 - 1.5 * (q3 - q1)) * 1000000.0) / 1000000.0)
            AS tukey,
-         ABS(ROUND((m - med) / (q3 - q1) * 1000000.0) / 1000000.0) > 2.0
-           AS robust_z
+         CASE WHEN q3 = q1 THEN FALSE
+              ELSE ABS(ROUND((m - med) / (q3 - q1) * 1000000.0)
+                       / 1000000.0) > 2.0 END AS robust_z
   FROM j
 )
 SELECT event_type, b5, m_r AS bucket_mean, shewhart, tukey, robust_z,

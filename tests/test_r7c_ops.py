@@ -475,3 +475,30 @@ def test_anomaly_consensus_votes(spark, tmp_path):
     # nothing else reaches consensus
     assert all(r["votes"] < 2 for r in out if r["bucket_mean"] < 1000)
     shutil.rmtree(f"{sf}/events.parquet")
+
+
+def test_constant_series_do_not_crash_detectors(spark, tmp_path):
+    """A constant event type has zero IQR and zero variance; under
+    ANSI mode the unguarded division crashed the whole job — both
+    detectors must return 'no flags' instead."""
+    import shutil
+
+    sf = str(tmp_path)
+    spark.range(300).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01' + make_interval(0,0,0,0,0,cast(id*5 as int),0)"
+        ).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(42.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(f"{sf}/events.parquet")
+    from meteaudata_spark.ext.timeseries_queries import (
+        ts_anomaly_consensus,
+        ts_robust_zscore,
+    )
+
+    assert ts_robust_zscore(spark, sf).count() == 0
+    assert ts_anomaly_consensus(spark, sf).count() == 0
+    shutil.rmtree(f"{sf}/events.parquet")
