@@ -51,7 +51,7 @@ def emb_cosine_topk(
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = F.round(
-        F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")),
+        F.expr(_DOT.format(a="qe", b="embedding")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
         6,
     )
     ranked = pairs.select(
@@ -452,7 +452,7 @@ def lsh_near_pairs(
         F.expr(_norm_expr("embedding")).alias("nb"),
     )
     cosine = F.round(
-        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6
+        F.expr(_DOT.format(a="ea", b="eb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
     )
     return (
         cand.join(ea, "vec_a")
@@ -492,8 +492,8 @@ def emb_ivf_topk(
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    sim_to_cent = F.expr(_DOT.format(a="embedding", b="ce")) / (
-        F.col("nrm") * F.col("cn")
+    sim_to_cent = F.expr(_DOT.format(a="embedding", b="ce")) / F.nullif(
+        F.col("nrm") * F.col("cn"), F.lit(0.0)
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -518,7 +518,7 @@ def emb_ivf_topk(
         queries.crossJoin(F.broadcast(cents))
         .withColumn(
             "__sim",
-            F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")),
+            F.expr(_DOT.format(a="qe", b="ce")) / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
         )
         .withColumn(
             "__rk",
@@ -535,7 +535,7 @@ def emb_ivf_topk(
         F.col("vec_id") != F.col("query_id")
     )
     cos = F.round(
-        F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")),
+        F.expr(_DOT.format(a="qe", b="embedding")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
         6,
     )
     return (
@@ -829,7 +829,7 @@ def _kmeans_refine_fold(
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    sim1 = F.expr(_DOT.format(a="embedding", b="ce")) / (F.col("nrm") * F.col("cn"))
+    sim1 = F.expr(_DOT.format(a="embedding", b="ce")) / F.nullif(F.col("nrm") * F.col("cn"), F.lit(0.0))
     assigned = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("__sim", sim1)
@@ -866,7 +866,7 @@ def _kmeans_refine_fold(
             ),
         )
     )
-    sim2 = F.expr(_DOT.format(a="embedding", b="sq")) / (F.col("nrm") * F.col("cn2"))
+    sim2 = F.expr(_DOT.format(a="embedding", b="sq")) / F.nullif(F.col("nrm") * F.col("cn2"), F.lit(0.0))
     re_assigned = (
         emb.select("vec_id", "embedding", "nrm")
         .crossJoin(F.broadcast(cent2))
@@ -1787,7 +1787,7 @@ def semdedup(
         F.col("nrm").alias("nb"),
     )
     cos = F.round(
-        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6
+        F.expr(_DOT.format(a="ea", b="eb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
     )
     pairs = (
         a.join(b, "centroid_id")
@@ -1952,7 +1952,7 @@ def matryoshka_topk(
     )
     pairs = t.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = F.round(
-        F.expr(_DOT.format(a="qe", b="te")) / (F.col("qn") * F.col("nrm")), 6
+        F.expr(_DOT.format(a="qe", b="te")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)), 6
     )
     ranked = pairs.select("query_id", "vec_id", cos.alias("cosine")).withColumn(
         "rank",
@@ -2207,7 +2207,7 @@ def emb_knn_accuracy(
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = F.round(
-        F.expr(_DOT.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm")),
+        F.expr(_DOT.format(a="qe", b="embedding")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
         6,
     )
     ranked = pairs.select(

@@ -329,9 +329,13 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFr
     ).select(
         "doc_id",
         F.explode(
+            # sub-n-word docs: sequence(0, negative) DESCENDS and the
+            # resulting slice start throws — emit zero grams instead
             F.expr(
+                f"CASE WHEN size(__toks) >= {n} THEN "
                 f"transform(sequence(0, size(__toks) - {n}), "
-                f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+                f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))) "
+                f"ELSE array() END"
             )
         ).alias("gram"),
     )
