@@ -995,6 +995,10 @@ def kmeans_assign_fast(
     import pyarrow as pa
 
     centroids = sorted(centroids, key=lambda c: c[0])
+    if not centroids:
+        # an empty corpus yields no seed vectors; fail loudly like
+        # pagerank does rather than with a cryptic numpy axis error
+        raise ValueError("no centroids: seed-vector collect returned 0 rows (empty corpus?)")
     ids = np.array([c[0] for c in centroids], dtype=np.int64)
     cm = np.array([c[1] for c in centroids], dtype=np.float64)
     cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
@@ -1640,6 +1644,8 @@ def _l2_assign_fast(q: DataFrame, centroids: list) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
+    if not centroids:
+        raise ValueError("no centroids: seed-vector collect returned 0 rows (empty corpus?)")
     centroids = sorted(centroids, key=lambda c: c[0])
     ids = np.array([c[0] for c in centroids], dtype=np.int64)
     cm = np.array([c[1] for c in centroids], dtype=np.float64)

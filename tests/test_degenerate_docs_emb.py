@@ -43,3 +43,20 @@ def test_every_doc_emb_query_survives_degenerate_corpus(degenerate_sf, spark):
         except Exception as ex:
             failures.append((name, str(ex).splitlines()[0][:120]))
     assert not failures, failures
+
+
+def test_empty_corpus_raises_cleanly_for_seeded_ops(spark, tmp_path):
+    """Seed-dependent operators (k-means, SemDeDup) must fail with an
+    explicit message on an empty corpus, not a numpy axis error; the
+    PageRank family already had this contract."""
+    import pytest as _pytest
+
+    sf = str(tmp_path)
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(0).write.parquet(f"{sf}/embeddings.parquet")
+    from meteaudata_spark.ext.simsearch import emb_kmeans_refine, emb_semdedup
+
+    for fn in (emb_kmeans_refine, emb_semdedup):
+        with _pytest.raises(ValueError, match="no centroids"):
+            fn(spark, sf).count()
