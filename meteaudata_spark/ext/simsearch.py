@@ -2302,7 +2302,8 @@ ORDER BY true_label
 
 
 def emb_outliers(
-    spark: SparkSession, sf_dir: str, n_centroids: int = 8
+    spark: SparkSession, sf_dir: str, n_centroids: int = 8,
+    robust: bool = False,
 ) -> DataFrame:
     """Embedding outlier report: assign every vector to its nearest
     centroid on EXACT 2²⁰-quantized integer L2 (the ``emb_kmeans``
@@ -2318,7 +2319,10 @@ def emb_outliers(
     distance mass is mostly garbage inflates its own threshold (the
     planted-garbage test documents the masking point; a
     median-of-distances variant is the robust upgrade if a corpus
-    routinely exceeds ~10% garbage).  Gate path keeps
+    routinely exceeds ~10% garbage — implemented: ``robust=True``
+    flags ``dist > 4·median(dist)`` instead, immune to mean
+    inflation; the gate keeps the mean rule for its oracle).  Gate
+    path keeps
     the SQL fold; at corpus scale the assignment swaps to the
     bit-equal Arrow matmul (``_l2_assign_fast``), same recipe as
     k-means."""
@@ -2346,13 +2350,20 @@ def emb_outliers(
         )
     )
     stats = assigned.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("sum_dist")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist").alias("sum_dist"),
+        F.expr("percentile(dist, 0.5)").alias("med_dist"),
+    )
+    rule = (
+        (F.col("dist").cast("double") > 4.0 * F.col("med_dist"))
+        if robust
+        else (F.col("dist") * F.col("n") > 4 * F.col("sum_dist"))
     )
     flagged = assigned.join(F.broadcast(stats), "centroid_id").select(
         "centroid_id",
         "n",
         "dist",
-        (F.col("dist") * F.col("n") > 4 * F.col("sum_dist")).alias("is_out"),
+        rule.alias("is_out"),
     )
     return (
         flagged.groupBy("centroid_id")

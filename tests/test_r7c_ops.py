@@ -502,3 +502,30 @@ def test_constant_series_do_not_crash_detectors(spark, tmp_path):
     assert ts_robust_zscore(spark, sf).count() == 0
     assert ts_anomaly_consensus(spark, sf).count() == 0
     shutil.rmtree(f"{sf}/events.parquet")
+
+
+def test_robust_outlier_fence_defeats_masking(spark, tmp_path):
+    """The mean fence masks when garbage dominates a small cluster's
+    distance mass; the median fence (robust=True) must catch all of
+    it — the documented upgrade path, implemented."""
+    import shutil
+
+    import numpy as np
+
+    sf = str(tmp_path)
+    rng = np.random.default_rng(9)
+    n = 300
+    x = rng.normal(0, 0.02, (n, 64)) + 0.3
+    for i in range(5):
+        x[250 + i] = 10.0 + i  # the masking scenario from the mean test
+    rows = [(i, [float(v) for v in x[i]], 0) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    from meteaudata_spark.ext.simsearch import emb_outliers
+
+    robust_total = sum(
+        r["n_outliers"] for r in emb_outliers(spark, sf, robust=True).collect()
+    )
+    assert robust_total >= 5, robust_total
+    shutil.rmtree(f"{sf}/embeddings.parquet")
