@@ -1011,14 +1011,14 @@ def doc_substring_spans(
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    # packed (doc_id, pos) orders occurrences globally; pos < 2^20
-    # (the packing bound; a million-word doc needs a wider shift)
-    key = F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    # first occurrence = lexicographic MIN over (doc_id, pos) structs —
+    # exact at any doc length / id width (no arithmetic-packing bound)
+    key = F.struct(F.col("doc_id"), F.col("pos"))
     dup = (
         grams.withColumn(
             "first_key", F.min(key).over(Window.partitionBy("gram"))
         )
-        .filter(key != F.col("first_key"))
+        .filter(~key.eqNullSafe(F.col("first_key")))
         .select("doc_id", "pos")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -1148,12 +1148,12 @@ def substring_scrub(
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    key = F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    key = F.struct(F.col("doc_id"), F.col("pos"))
     dup = (
         grams.withColumn(
             "first_key", F.min(key).over(Window.partitionBy("gram"))
         )
-        .filter(key != F.col("first_key"))
+        .filter(~key.eqNullSafe(F.col("first_key")))
         .select("doc_id", "pos")
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")

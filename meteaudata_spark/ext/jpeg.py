@@ -728,7 +728,7 @@ def _decode_jpeg_lut(payload: bytes) -> np.ndarray:
                 size = sym_dc[v]
                 pos += length
                 if size:
-                    if pos >= n_bits:
+                    if pos + size > n_bits:
                         raise ValueError("truncated JPEG entropy stream")
                     m = vals[pos] >> (16 - size)
                     pos += size
