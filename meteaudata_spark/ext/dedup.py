@@ -143,10 +143,12 @@ def doc_ngram_jaccard_pairs(
     they carry almost no Jaccard signal for high-similarity pairs (a
     pair at threshold τ shares ≥ τ/(1+τ) of its shingles, so losing
     the few universal ones barely moves the ratio) — at the cost of
-    slightly underestimating intersections.  Both paths are oracle-
-    verified gate queries: this one uncapped (exact), and
-    ``doc_ngram_jaccard_capped`` with the cap active (the shape a
-    100 TB deployment runs).
+    slightly underestimating intersections.  The GATE entry is
+    ``doc_ngram_jaccard_capped`` (cap active — the shape a 100 TB
+    deployment runs); this uncapped exact variant is an ORACLE/test
+    utility only (demoted from ``queries()`` in round 9: an uncapped
+    all-pairs operator must not be reachable from the production
+    surface).
     """
     d = _docs(spark, sf_dir)
     sh = cache_intermediate(_hashed_shingles(d, n))
@@ -982,7 +984,9 @@ def doc_substring_spans(
     into maximal spans.
 
     Plan: positional gram explode (short-doc guarded) → first-
-    occurrence window min on a packed (doc_id, pos) key, ONE scan like
+    occurrence window min on a (doc_id, pos) STRUCT key (exact
+    lexicographic ordering at any doc length or id width — no
+    arithmetic-packing bound), ONE scan like
     ``doc_ngram_novelty`` → per-doc gaps-and-islands span merge (two
     doc-keyed windows) → per-doc rollup left-joined back so clean
     documents report zeros.  Every shuffle is keyed on the gram or the
@@ -1072,8 +1076,9 @@ WITH ge AS (
 dup AS (
   SELECT doc_id, pos FROM (
     SELECT doc_id, pos,
-           doc_id * 1048576 + pos AS key,
-           MIN(doc_id * 1048576 + pos) OVER (PARTITION BY gram) AS first_key
+           struct_pack(doc_id := doc_id, pos := pos) AS key,
+           MIN(struct_pack(doc_id := doc_id, pos := pos))
+             OVER (PARTITION BY gram) AS first_key
     FROM ge
   ) WHERE key <> first_key
 ),

