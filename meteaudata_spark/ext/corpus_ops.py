@@ -674,7 +674,12 @@ ORDER BY doc_id, chunk_id
 # ----------------------------------------------------------------------
 # split-leakage audit
 # ----------------------------------------------------------------------
-def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_split_leakage(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: "DataFrame | None" = None,
+    splits: "DataFrame | None" = None,
+) -> DataFrame:
     """Near-dup split-leakage audit: MinHash near-dup pairs whose
     members landed in DIFFERENT train/valid/test splits — each such
     pair is silent train→eval contamination that a doc-level split
@@ -684,12 +689,19 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: the minhash pair miner ⋈ the hash-split assignment on
     each side — two keyed joins against the (tiny) pair list; the
-    corpus itself is scanned only by the split projection.
+    corpus itself is scanned only by the split projection.  Callers
+    may pass precomputed ``pairs``/``splits`` relations; the default
+    pair miner is session-memoized, so repeated calls (and siblings
+    like ``doc_dedup_clusters``) share one mining pass.
     Reference analog: none (pure [EXT])."""
     from meteaudata_spark.ext import dedup
 
-    pairs = dedup.doc_minhash_lsh_pairs(spark, sf_dir)
-    splits = doc_hash_split(spark, sf_dir).select("doc_id", "split")
+    if pairs is None:
+        pairs = dedup.doc_minhash_lsh_pairs(spark, sf_dir)
+    if splits is None:
+        splits = doc_hash_split(spark, sf_dir).select("doc_id", "split")
+    else:
+        splits = splits.select("doc_id", "split")
     j = (
         pairs.join(
             splits.select(

@@ -194,7 +194,12 @@ ORDER BY domain
 DOC_DOMAIN_PAGERANK_SQL = _pagerank_sql()
 
 
-def doc_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_crawl_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    rank: "DataFrame | None" = None,
+    quality: "DataFrame | None" = None,
+) -> DataFrame:
     """Crawl-frontier scheduling as a query: every document scored by
     (domain authority × document quality) — the composition a crawler
     uses to decide what to fetch/refresh first.  Authority is the
@@ -204,12 +209,23 @@ def doc_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed TakeOrderedAndProject.
 
     Both factors are engine-exact, so the oracle composes the two
-    queries' SQL verbatim and the full rank order hash-matches."""
-    from meteaudata_spark.ext.textstats import doc_quality_score
+    queries' SQL verbatim and the full rank order hash-matches.
 
-    pr = doc_domain_pagerank(spark, sf_dir).select(
-        F.col("domain"), F.col("rank")
-    )
+    Callers may pass precomputed ``rank`` (domain, rank) and
+    ``quality`` (doc_id, quality_score) relations; the defaults are
+    session-memoized (PageRank's 5 iterative rounds run once per
+    session, and the quality table is shared with
+    ``doc_dedup_keep_best``)."""
+    from meteaudata_spark.ext.textstats import doc_quality_score
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    if rank is None:
+        rank = memo_relation(
+            spark,
+            ("domain_pagerank", sf_dir),
+            lambda: doc_domain_pagerank(spark, sf_dir),
+        )
+    pr = rank.select(F.col("domain"), F.col("rank"))
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.concat(
@@ -218,7 +234,7 @@ def doc_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example.org"),
         ).alias("domain"),
     )
-    q = doc_quality_score(spark, sf_dir)
+    q = quality if quality is not None else doc_quality_score(spark, sf_dir)
     joined = d.join(F.broadcast(pr), "domain").join(q, "doc_id")
     prio = F.round(
         F.col("rank") * F.col("quality_score") * 1000000.0

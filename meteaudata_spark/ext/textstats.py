@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meteaudata_spark.ext.dedup import _h60
+from meteaudata_spark.plans.opcache import memo_relation
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,18 +233,26 @@ ORDER BY lang, rank
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score in [0,1]: length factor, lexical
     diversity, and mean-token-length band — the usual cheap pre-filter
-    for LLM training corpora."""
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks).cast("double")
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    avg_len = (F.length("text") - n_tokens + 1) / n_tokens
-    length_factor = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-    len_band = F.when((avg_len >= 3.0) & (avg_len <= 10.0), 1.0).otherwise(0.5)
-    score = F.round(
-        length_factor * 0.4 + diversity * 0.4 + len_band * 0.2, 6
-    )
-    return d.select("doc_id", score.alias("quality_score"))
+    for LLM training corpora.  Memoized per session: the score table
+    (2 narrow columns) is the shared upstream of
+    ``doc_dedup_keep_best`` and ``doc_crawl_priority``."""
+
+    def _build() -> DataFrame:
+        d = _docs(spark, sf_dir)
+        toks = F.split(F.col("text"), " ")
+        n_tokens = F.size(toks).cast("double")
+        diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+        avg_len = (F.length("text") - n_tokens + 1) / n_tokens
+        length_factor = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        len_band = F.when(
+            (avg_len >= 3.0) & (avg_len <= 10.0), 1.0
+        ).otherwise(0.5)
+        score = F.round(
+            length_factor * 0.4 + diversity * 0.4 + len_band * 0.2, 6
+        )
+        return d.select("doc_id", score.alias("quality_score"))
+
+    return memo_relation(spark, ("quality_score", sf_dir), _build)
 
 
 DOC_QUALITY_SQL = """

@@ -1,0 +1,99 @@
+"""Compose-don't-recompute (VERDICT r8 #3): shared composition
+upstreams (minhash pairs, dedup clusters, quality scores, domain
+pagerank) are memoized per session, and the composing operators accept
+precomputed inputs.  Pins both the reuse (same DataFrame object → same
+persisted relation, no re-mining) and result equality between the
+default and precomputed-input paths."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _cold_caches():
+    from meteaudata_spark.plans.opcache import release_operator_caches
+
+    release_operator_caches()
+    yield
+    release_operator_caches()
+
+
+def test_minhash_pairs_memoized(spark):
+    from meteaudata_spark.ext import dedup
+
+    a = dedup.doc_minhash_lsh_pairs(spark, SF)
+    b = dedup.doc_minhash_lsh_pairs(spark, SF)
+    assert a is b  # memo hit: the SAME persisted relation
+    # different params -> different relation
+    c = dedup.doc_minhash_lsh_pairs(spark, SF, threshold=0.5)
+    assert c is not a
+
+
+def test_memo_cleared_by_release(spark):
+    from meteaudata_spark.ext import dedup
+    from meteaudata_spark.plans.opcache import release_operator_caches
+
+    a = dedup.doc_minhash_lsh_pairs(spark, SF)
+    release_operator_caches()
+    b = dedup.doc_minhash_lsh_pairs(spark, SF)
+    assert a is not b
+
+
+def test_keep_best_accepts_precomputed_inputs(spark):
+    from meteaudata_spark.ext import dedup, textstats
+
+    clusters = dedup.doc_dedup_clusters(spark, SF)
+    quality = textstats.doc_quality_score(spark, SF)
+    default = (
+        dedup.doc_dedup_keep_best(spark, SF)
+        .toPandas().sort_values("cluster_id").reset_index(drop=True)
+    )
+    composed = (
+        dedup.doc_dedup_keep_best(spark, SF, clusters=clusters, quality=quality)
+        .toPandas().sort_values("cluster_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(default, composed)
+    assert len(default) > 0
+
+
+def test_split_leakage_accepts_precomputed_pairs(spark):
+    from meteaudata_spark.ext import corpus_ops, dedup
+
+    pairs = dedup.doc_minhash_lsh_pairs(spark, SF)
+    cols = ["split_a", "split_b"]
+    default = (
+        corpus_ops.doc_split_leakage(spark, SF)
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    composed = (
+        corpus_ops.doc_split_leakage(spark, SF, pairs=pairs)
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(default, composed)
+
+
+def test_crawl_priority_accepts_precomputed_inputs(spark):
+    from meteaudata_spark.ext import graph
+    from meteaudata_spark.ext.textstats import doc_quality_score
+
+    rank = graph.doc_domain_pagerank(spark, SF).select("domain", "rank")
+    quality = doc_quality_score(spark, SF)
+    default = graph.doc_crawl_priority(spark, SF).toPandas()
+    composed = graph.doc_crawl_priority(
+        spark, SF, rank=rank, quality=quality
+    ).toPandas()
+    pd.testing.assert_frame_equal(default, composed)
+    assert len(default) > 0
+
+
+def test_memo_is_fifo_bounded(spark):
+    from meteaudata_spark.plans import opcache
+
+    base = len(opcache._memo)
+    for i in range(opcache._MEMO_CAP + 5):
+        opcache.memo_relation(
+            spark, ("bounded-test", i), lambda: spark.range(1)
+        )
+    assert len(opcache._memo) <= opcache._MEMO_CAP
