@@ -55,6 +55,17 @@ def index_to_column(index: pd.Index) -> pd.Series:
         return pd.Series(index.to_timestamp(how="start"))
     if isinstance(index, pd.CategoricalIndex):
         return pd.Series(index.astype(str))
+    if isinstance(index, pd.IntervalIndex):
+        # (left, right) struct column — Spark infers
+        # struct<left:…,right:…> and orders it lexicographically,
+        # which IS interval order; ``closed`` lives in the metadata
+        # (reference types.py:109-110,149-150)
+        return pd.Series(
+            [
+                {"left": lo, "right": hi}
+                for lo, hi in zip(index.left, index.right)
+            ]
+        )
     return pd.Series(np.asarray(index))
 
 
@@ -89,6 +100,25 @@ def reconstruct_index(column: pd.Series, meta: IndexMetadata) -> pd.Index:
         return pd.RangeIndex(start=start, stop=stop, step=step, name=name)
     if itype == "TimedeltaIndex":
         return pd.TimedeltaIndex(column.values, name=name)
+    if itype == "IntervalIndex":
+        # column holds (left, right) struct rows (dicts after
+        # toPandas); rebuild with the recorded closed side and cast
+        # the bounds back to the recorded subtype, e.g.
+        # "interval[float64, left]" → float64
+        left = [v["left"] for v in column]
+        right = [v["right"] for v in column]
+        subtype = None
+        if meta.dtype and meta.dtype.startswith("interval["):
+            subtype = meta.dtype[len("interval[") : -1].rsplit(",", 1)[0].strip()
+        if subtype:
+            try:
+                left = np.asarray(left).astype(subtype)
+                right = np.asarray(right).astype(subtype)
+            except (TypeError, ValueError):
+                pass
+        return pd.IntervalIndex.from_arrays(
+            left, right, closed=meta.closed or "right", name=name
+        )
     # Int64Index / Float64Index / generic Index
     dtype = meta.dtype or None
     values: Any = column.values
@@ -136,6 +166,12 @@ def index_meta_to_spark(meta: IndexMetadata) -> str:
         return "string"
     if itype == "TimedeltaIndex":
         return "interval day to second"
+    if itype == "IntervalIndex":
+        sub = "double"
+        if meta.dtype and meta.dtype.startswith("interval["):
+            pd_sub = meta.dtype[len("interval[") : -1].rsplit(",", 1)[0].strip()
+            sub = values_dtype_to_spark(pd_sub)
+        return f"struct<left:{sub},right:{sub}>"
     dtype = meta.dtype or ""
     if dtype.startswith("datetime64"):
         return "timestamp"

@@ -124,3 +124,83 @@ def test_empty_datetime_series_ingest_schema(spark):
 
     empty_int = TimeSeries.from_pandas(spark, pd.Series([], dtype="int64"))
     assert dict(empty_int.df.dtypes) == {"timestamp": "bigint", "value": "bigint"}
+
+
+@pytest.mark.parametrize(
+    "make_index, expect_dtype",
+    [
+        (
+            lambda: pd.interval_range(
+                start=0.0, end=4.0, freq=1.0, closed="left", name="iv"
+            ),
+            "interval[float64, left]",
+        ),
+        (
+            lambda: pd.interval_range(start=0, periods=3, closed="both", name="iv"),
+            "interval[int64, both]",
+        ),
+        (
+            lambda: pd.interval_range(
+                start=pd.Timestamp("2020-01-01"), periods=3, freq="D", name="iv"
+            ),
+            "interval[datetime64[ns], right]",
+        ),
+        (
+            lambda: pd.IntervalIndex.from_arrays(
+                [0.5, 2.5], [1.5, 4.0], closed="neither", name="iv"
+            ),
+            "interval[float64, neither]",
+        ),
+    ],
+)
+def test_interval_roundtrip(make_index, expect_dtype):
+    """IntervalIndex parity (reference types.py:109-110,149-150): the
+    (left, right) struct column + the recorded closed side rebuild the
+    exact index for every closed variant and subtype."""
+    idx = make_index()
+    back, meta = _roundtrip(idx)
+    assert meta.type == "IntervalIndex"
+    assert meta.dtype == expect_dtype
+    assert meta.closed == idx.closed
+    assert isinstance(back, pd.IntervalIndex)
+    assert back.closed == idx.closed
+    assert back.name == "iv"
+    assert back.equals(idx), (back, idx)
+
+
+def test_spark_roundtrip_interval_index(spark, provenance):
+    """End-to-end through the Spark plane: interval-indexed series
+    ingest → struct column → collect → exact IntervalIndex back."""
+    from meteaudata_spark.signal import Signal
+
+    idx = pd.interval_range(start=0.0, end=3.0, freq=1.0, closed="left")
+    ser = pd.Series([1.0, 2.0, 3.0], index=idx, name="RAW")
+    sig = Signal(input_data=ser, name="V", units="x", provenance=provenance, spark=spark)
+    got = sig.time_series["V#1_RAW#1"].to_pandas()
+    assert isinstance(got.index, pd.IntervalIndex)
+    assert got.index.closed == "left"
+    assert got.index.equals(idx)
+    assert np.allclose(got.values, ser.values)
+
+
+def test_empty_interval_series_ingest_schema(spark):
+    """Empty interval-indexed ingest declares struct<left,right> from
+    the recorded subtype so it unions with non-empty series."""
+    from meteaudata_spark.timeseries import TimeSeries
+
+    empty = TimeSeries.from_pandas(
+        spark,
+        pd.Series(
+            [],
+            index=pd.IntervalIndex.from_arrays(
+                np.array([], dtype="float64"),
+                np.array([], dtype="float64"),
+                closed="left",
+            ),
+            dtype="float64",
+        ),
+    )
+    assert dict(empty.df.dtypes) == {
+        "timestamp": "struct<left:double,right:double>",
+        "value": "double",
+    }
