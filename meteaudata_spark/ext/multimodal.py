@@ -949,6 +949,16 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop, aHash blocks, pigeonhole candidate join, exact Hamming
     verify ≤ 3.  The DuckDB oracle replays the hash arithmetic from
     the digest hex, so codec, hash, and miner are all value-checked."""
+    assets = _digest_assets(spark, sf_dir)
+    return image_neardup_pairs(image_ahash_blocks(assets), max_hamming=3)
+
+
+def _digest_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8×8 RGB PPM asset table from ``md5(text)`` — the
+    shared fixture of the image-hash gate queries (``mm_image_neardup``
+    and ``mm_image_phash``): every ``doc_id % 10 == 7`` re-uses its
+    predecessor's digest and the ``doc_id % 20 == 17`` half perturbs
+    the first byte by +3, planting exact and near twins."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.select("doc_id", F.md5("text").alias("m"))
     src = docs.select(
@@ -978,8 +988,177 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_ppm(arr))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
-    assets = withm.mapInPandas(build, "asset_id bigint, payload binary")
-    return image_neardup_pairs(image_ahash_blocks(assets), max_hamming=3)
+    return withm.mapInPandas(build, "asset_id bigint, payload binary")
+
+
+# ----------------------------------------------------------------------
+# perceptual hash v2: quantized-DCT pHash
+# ----------------------------------------------------------------------
+_PHASH_DCT_SCALE = 1024
+
+
+def _phash_dct_basis() -> np.ndarray:
+    """Integer-quantized orthonormal 8-point DCT-II basis:
+    ``B[u, x] = round(1024 · a(u) · cos(π(2x+1)u/16))`` with
+    ``a(0)=√(1/8), a(u>0)=√(2/8)``.  Quantizing to integers makes the
+    whole pHash pipeline EXACT integer arithmetic on both engines
+    (the same trick as the quantized-deterministic PageRank) — the
+    DuckDB oracle embeds this table as literals generated from this
+    very function."""
+    import math
+
+    b = np.zeros((8, 8), dtype=np.int64)
+    for u in range(8):
+        a = math.sqrt(1.0 / 8.0) if u == 0 else math.sqrt(2.0 / 8.0)
+        for x in range(8):
+            b[u, x] = round(
+                _PHASH_DCT_SCALE * a * math.cos(math.pi * (2 * x + 1) * u / 16.0)
+            )
+    return b
+
+
+def image_phash_blocks(assets: DataFrame) -> DataFrame:
+    """64-bit DCT perceptual hash (pHash) of each image payload, as
+    four 16-bit blocks ``h0..h3`` — the same pigeonhole-joinable shape
+    as ``image_ahash_blocks``, so ``image_neardup_pairs`` mines either.
+
+    The hash: decode → integer channel-sum luma → area-reduce to an
+    8×8 grid by integer block SUMS (dims are cropped to multiples of
+    8; equal block sizes keep comparisons scale-free) → quantized 8×8
+    DCT (``B·L·Bᵀ``, exact int64) → set bit ``f>0`` iff its
+    coefficient exceeds the lower median of the 63 AC coefficients
+    (the DC bit is always 0).  Median-thresholded DCT signs survive
+    global, even CLIPPED, brightness shifts that flip mean-threshold
+    aHash bits — the classic pHash robustness argument, pinned by
+    test_video_audio_analysis's brightness-twin test.
+
+    Input: (asset_id bigint, payload binary); decode runs inside
+    Arrow-batched ``mapInPandas`` (shuffle-free narrow map)."""
+    B = _phash_dct_basis()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "h0": [], "h1": [], "h2": [], "h3": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload))
+                if arr.ndim == 3:
+                    luma = arr.astype(np.int64).sum(axis=2)
+                else:
+                    luma = arr.astype(np.int64) * 3
+                h, w = luma.shape
+                bh, bw = max(h // 8, 1), max(w // 8, 1)
+                luma8 = (
+                    luma[: bh * 8, : bw * 8]
+                    .reshape(8, bh, 8, bw)
+                    .sum(axis=(1, 3))
+                )
+                coef = B @ luma8 @ B.T
+                flat = coef.reshape(-1)
+                med = int(np.sort(flat[1:].copy())[31])
+                bits = np.zeros(64, dtype=np.int64)
+                bits[1:] = flat[1:] > med
+                out["asset_id"].append(asset_id)
+                for k in range(4):
+                    blk = int(
+                        (bits[16 * k : 16 * k + 16] << np.arange(16)).sum()
+                    )
+                    out[f"h{k}"].append(blk)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        batches, "asset_id bigint, h0 bigint, h1 bigint, h2 bigint, h3 bigint"
+    )
+
+
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: quantized-DCT pHash fingerprints of the digest
+    asset corpus — codec decode, block reduction, integer DCT, median
+    threshold and block packing all value-checked against a DuckDB
+    oracle that replays the arithmetic from the digest hex."""
+    hashes = image_phash_blocks(_digest_assets(spark, sf_dir))
+    return hashes.select(
+        F.col("asset_id").alias("doc_id"), "h0", "h1", "h2", "h3"
+    )
+
+
+def _mm_image_phash_sql() -> str:
+    B = _phash_dct_basis()
+    basis_rows = ", ".join(
+        f"({u}, {x}, {int(B[u, x])})" for u in range(8) for x in range(8)
+    )
+    hk = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN f // 16 = {k} THEN bit << (f % 16) "
+        f"ELSE 0 END) AS BIGINT) AS h{k}"
+        for k in range(4)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+),
+src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS sid,
+         doc_id % 20 = 17 AS perturb
+  FROM documents
+),
+dg AS (
+  SELECT s.doc_id, b.m, s.perturb FROM src s JOIN b ON b.doc_id = s.sid
+),
+bl AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16),
+           i -> CAST(CONCAT('0x', SUBSTR(m, 2*i - 1, 2)) AS BIGINT)) AS raw,
+         perturb
+  FROM dg
+),
+pb AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16),
+           i -> CASE WHEN i = 1 AND perturb THEN (raw[1] + 3) % 256
+                ELSE raw[i] END) AS bytes
+  FROM bl
+),
+px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           i -> bytes[((3*i) % 16) + 1] + bytes[((3*i + 1) % 16) + 1]
+                + bytes[((3*i + 2) % 16) + 1]) AS luma
+  FROM pb
+),
+pxu AS (
+  SELECT doc_id, g.i AS i, luma[g.i + 1] AS l
+  FROM px, UNNEST(generate_series(0, 63)) AS g(i)
+),
+basis(u, x, bv) AS (VALUES {basis_rows}),
+coef AS (
+  SELECT p.doc_id, bu.u AS u, bv.u AS v, SUM(p.l * bu.bv * bv.bv) AS c
+  FROM pxu p
+  JOIN basis bu ON bu.x = p.i // 8
+  JOIN basis bv ON bv.x = p.i % 8
+  GROUP BY p.doc_id, bu.u, bv.u
+),
+med AS (
+  SELECT doc_id, c AS med FROM (
+    SELECT doc_id, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+    FROM coef WHERE NOT (u = 0 AND v = 0)
+  ) WHERE rn = 32
+),
+bits AS (
+  SELECT coef.doc_id, 8 * u + v AS f,
+         CASE WHEN u = 0 AND v = 0 THEN 0
+              WHEN c > med THEN 1 ELSE 0 END AS bit
+  FROM coef JOIN med ON med.doc_id = coef.doc_id
+)
+SELECT doc_id,
+       {hk}
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+MM_IMAGE_PHASH_SQL = _mm_image_phash_sql()
 
 
 def _mm_image_neardup_sql() -> str:
