@@ -2526,6 +2526,139 @@ ORDER BY event_type, b1h
 """
 
 
+def ts_forecast_eval_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt vs Holt-Winters backtest on the HOURLY bucket means (the
+    series with the diurnal cycle Holt-Winters exists for): per event
+    type, the one-step-ahead absolute-error sums of both forecasters
+    and their ratio — ``hw_vs_holt_ratio < 1`` means the 24-slot
+    seasonal state earns its keep on this key.
+
+    Both recurrences are the exact engine-replayable kernels already
+    gated individually (``ts_holt`` α=0.5/β=0.25, ``ts_holt_winters``
+    α=0.25/β=0.125/γ=0.25); errors are quantized to integer micros
+    before the sums so the ratio is deterministic.  The first TWO
+    seasons (48 hourly buckets) per key are burn-in and excluded:
+    Holt-Winters starts from a zero seasonal state, so scoring its
+    learning phase would measure initialization, not forecasting.
+    Scale: parallel across keys, sequential within one (the
+    documented applyInPandas recurrence exception)."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 3600) * 3600)
+        .cast("bigint")
+        .alias("b1h"),
+    ).agg(_r6(F.avg("value")).alias("value"))
+    hw = kernels.holt_winters(
+        b, m=24, alpha=0.25, beta=0.125, gamma=0.25,
+        ts_col="b1h", val_col="value", partition_cols=["event_type"],
+    ).select(
+        "event_type", "b1h",
+        _r6(F.col("__forecast_next")).alias("hw_fc"),
+    )
+    ho = kernels.holt(
+        b, alpha=0.5, beta=0.25,
+        ts_col="b1h", val_col="value", partition_cols=["event_type"],
+    ).select(
+        "event_type", "b1h", F.col("value").alias("m"),
+        _r6(F.col("__level") + F.col("__trend")).alias("holt_fc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b1h")
+    j = (
+        ho.join(hw, ["event_type", "b1h"])
+        .withColumn("actual_next", F.lead("m").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("actual_next").isNotNull() & (F.col("rn") > 48))
+    )
+    err = j.select(
+        "event_type",
+        F.round(F.abs(F.col("hw_fc") - F.col("actual_next")) * 1000000.0)
+        .cast("bigint")
+        .alias("hw_err_micros"),
+        F.round(F.abs(F.col("holt_fc") - F.col("actual_next")) * 1000000.0)
+        .cast("bigint")
+        .alias("holt_err_micros"),
+    )
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        (F.sum("hw_err_micros") / 1000000.0).alias("hw_mae_sum"),
+        (F.sum("holt_err_micros") / 1000000.0).alias("holt_mae_sum"),
+        _r6(
+            F.sum("hw_err_micros") / F.sum("holt_err_micros")
+        ).alias("hw_vs_holt_ratio"),
+    )
+
+
+TS_FORECAST_EVAL_HW_SQL = """
+WITH RECURSIVE b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b1h,
+         ROUND(AVG(value) * 1000000.0) / 1000000.0 AS m
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, b1h, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b1h) AS rn
+  FROM b
+),
+rh AS (
+  SELECT event_type, b1h, m, rn, m AS l, CAST(0.0 AS DOUBLE) AS bt
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.b1h, s.m, s.rn,
+         0.5 * s.m + 0.5 * (r.l + r.bt),
+         0.25 * ((0.5 * s.m + 0.5 * (r.l + r.bt)) - r.l) + 0.75 * r.bt
+  FROM rh r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+),
+rw AS (
+  SELECT event_type, b1h, m, rn,
+         m AS l, CAST(0.0 AS DOUBLE) AS bt,
+         list_transform(generate_series(1, 24),
+                        k -> CAST(0.0 AS DOUBLE)) AS S
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.b1h, s.m, s.rn,
+         0.25 * (s.m - r.S[((s.rn - 1) % 24) + 1]) + 0.75 * (r.l + r.bt),
+         0.125 * ((0.25 * (s.m - r.S[((s.rn - 1) % 24) + 1])
+                   + 0.75 * (r.l + r.bt)) - r.l) + 0.875 * r.bt,
+         list_transform(generate_series(1, 24),
+           k -> CASE WHEN k = ((s.rn - 1) % 24) + 1
+                THEN 0.25 * (s.m - r.l - r.bt)
+                     + 0.75 * r.S[((s.rn - 1) % 24) + 1]
+                ELSE r.S[k] END)
+  FROM rw r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+),
+fc AS (
+  SELECT h.event_type, h.b1h, h.m,
+         ROUND((h.l + h.bt) * 1000000.0) / 1000000.0 AS holt_fc,
+         ROUND((w.l + w.bt + w.S[(w.rn % 24) + 1]) * 1000000.0) / 1000000.0
+           AS hw_fc
+  FROM rh h JOIN rw w ON w.event_type = h.event_type AND w.rn = h.rn
+),
+nxt AS (
+  SELECT event_type, holt_fc, hw_fc,
+         LEAD(m) OVER (PARTITION BY event_type ORDER BY b1h) AS actual_next,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b1h) AS rn
+  FROM fc
+),
+err AS (
+  SELECT event_type,
+         CAST(round(ABS(hw_fc - actual_next) * 1000000.0) AS BIGINT)
+           AS hw_err_micros,
+         CAST(round(ABS(holt_fc - actual_next) * 1000000.0) AS BIGINT)
+           AS holt_err_micros
+  FROM nxt WHERE actual_next IS NOT NULL AND rn > 48
+)
+SELECT event_type, COUNT(*) AS n_forecasts,
+       SUM(hw_err_micros) / 1000000.0 AS hw_mae_sum,
+       SUM(holt_err_micros) / 1000000.0 AS holt_mae_sum,
+       ROUND(CAST(SUM(hw_err_micros) AS DOUBLE) / SUM(holt_err_micros)
+             * 1000000.0) / 1000000.0 AS hw_vs_holt_ratio
+FROM err
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def ts_attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: every purchase splits one unit
     of credit equally across the same user's clicks in the preceding

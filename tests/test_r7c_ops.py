@@ -529,3 +529,51 @@ def test_robust_outlier_fence_defeats_masking(spark, tmp_path):
     )
     assert robust_total >= 5, robust_total
     shutil.rmtree(f"{sf}/embeddings.parquet")
+
+
+def test_forecast_eval_hw_beats_holt_on_diurnal(spark, tmp_path):
+    """VERDICT r8 #8: on planted diurnal data (30 days of a diurnal
+    square wave — the seasonal state needs ~20 seasons to converge at
+    γ=0.25) the Holt-Winters one-step backtest must beat seasonless
+    Holt (ratio < 1), and the gate row must value-match its DuckDB
+    recursive-CTE oracle."""
+    import shutil
+
+    import duckdb
+
+    sf = str(tmp_path)
+    ev = spark.range(720).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01' + make_interval(0,0,0,"
+            "cast(id div 24 as int),cast(id % 24 as int),0,0)"
+        ).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (
+            100.0
+            + F.when((F.col("id") % 24).between(8, 16), 50.0).otherwise(0.0)
+        ).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(f"{sf}/events.parquet")
+    from meteaudata_spark.ext.timeseries_queries import (
+        TS_FORECAST_EVAL_HW_SQL,
+        ts_forecast_eval_hw,
+    )
+
+    got = ts_forecast_eval_hw(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    # the seasonal state must earn its keep on a hard diurnal square wave
+    assert r["hw_vs_holt_ratio"] < 1.0, r
+    assert r["hw_mae_sum"] < r["holt_mae_sum"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    want = con.execute(TS_FORECAST_EVAL_HW_SQL).df()
+    assert len(want) == 1
+    for c in ("n_forecasts", "hw_mae_sum", "holt_mae_sum", "hw_vs_holt_ratio"):
+        assert float(r[c]) == float(want[c].iloc[0]), c
+    shutil.rmtree(f"{sf}/events.parquet")
