@@ -70,25 +70,37 @@ def main() -> None:
 
     ok = [t for t in timings.values() if t >= 0]
     total = round(sum(ok), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(ok),
-                "avg_query_sec": round(total / len(ok), 3) if ok else -1.0,
-                "sf": sf,
-                "bench_runs": n_runs,
-                "loadavg_1m": {
-                    "start": loadavg_start,
-                    "end": round(os.getloadavg()[0], 2),
-                    "per_query": loadavgs,
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(ok),
+        "avg_query_sec": round(total / len(ok), 3) if ok else -1.0,
+        "sf": sf,
+        "bench_runs": n_runs,
+        "loadavg_1m": {
+            "start": loadavg_start,
+            "end": round(os.getloadavg()[0], 2),
+            "per_query": loadavgs,
+        },
+    }
+    print(json.dumps(payload))
+    # ALSO persist the full result in-repo: the driver's BENCH_r*.json
+    # artifact keeps only the tail of stdout, which made per-query
+    # round-over-round deltas unrecoverable (VERDICT r8 #10).  One
+    # timestamped file per run + a stable latest.json pointer.
+    try:
+        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_results")
+        os.makedirs(outdir, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        with open(os.path.join(outdir, f"bench_{stamp}_sf{sf}.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        with open(os.path.join(outdir, "latest.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# WARN could not persist bench_results: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":
