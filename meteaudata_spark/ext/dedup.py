@@ -615,7 +615,10 @@ DOC_SIMHASH_NEAR_PAIRS_SQL = _simhash_near_pairs_sql()
 
 
 def doc_embedding_dups(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    pairs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection over ``documents``
     (the last rung of the dedup ladder: semantic, not lexical).
@@ -627,10 +630,18 @@ def doc_embedding_dups(
     Both joins are id-keyed shuffles against the (small) survivor
     set — at 100 TB the document payload never rides through the
     pair-mining stage.
+
+    ``pairs`` lets callers supply a precomputed (vec_a, vec_b, cosine)
+    pair relation — e.g. the occupancy-derived-plane production miner,
+    whereas the default (gate) miner pins the 4-plane oracle literal
+    that only the small oracle corpus can afford.
     """
     from meteaudata_spark.ext import simsearch
 
-    pairs = simsearch.emb_lsh_near_pairs(spark, sf_dir, threshold=threshold)
+    if pairs is None:
+        pairs = simsearch.emb_lsh_near_pairs(
+            spark, sf_dir, threshold=threshold
+        )
     d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
     return (
         pairs.join(

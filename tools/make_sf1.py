@@ -18,8 +18,19 @@ Shift rules (shard k gets ``id + k * (max_id + 1)`` per key domain):
 Scale-up shape: MORE KEYS at the same per-key density — the growth
 axis Spark parallelism actually absorbs (sequential-recurrence
 lengths per key stay constant; shuffles grow by row count).
-Identical doc texts / embeddings across shards become cross-shard
-exact duplicates, a realistic corpus-dedup scenario.
+
+Cross-shard content is DECORRELATED, not copied: byte-identical texts
+and embeddings across shards would put every copy in the same LSH /
+shingle / hash bucket, growing candidate pairs QUADRATICALLY in the
+replication factor — the first exponent run measured e≈1.65 for the
+pair miners purely from that artifact.  Instead shard k>0 gets
+  - embeddings: a per-(shard, dim) deterministic SIGN FLIP — an
+    orthogonal transform, so in-shard geometry (norms, planted
+    near-dup structure) is EXACTLY preserved while cross-shard cosine
+    decorrelates;
+  - documents: every token suffixed with ~k — in-shard shingle
+    structure preserved (same token multiset shape), cross-shard
+    shingle overlap zero; n_chars recomputed.
 
 Usage: python tools/make_sf1.py [--factor 10] [--src /root/testdata/sf0.1]
        [--out /root/repo/.localdata/sf1]
@@ -87,6 +98,25 @@ def main() -> None:
         )
         print(f"{tbl}: copied as-is (dimension)")
 
+    # shard-k content rewrites (see module docstring)
+    content_rewrite = {
+        ("documents", "text"): (
+            "CASE WHEN k.k = 0 THEN text ELSE array_to_string("
+            "list_transform(string_split(text, ' '), w -> w || '~' || k.k),"
+            " ' ') END AS text"
+        ),
+        ("documents", "n_chars"): (
+            "CASE WHEN k.k = 0 THEN n_chars ELSE LENGTH(array_to_string("
+            "list_transform(string_split(text, ' '), w -> w || '~' || k.k),"
+            " ' ')) END AS n_chars"
+        ),
+        ("embeddings", "embedding"): (
+            "CASE WHEN k.k = 0 THEN embedding ELSE CAST(list_transform("
+            "embedding, (x, i) -> CASE WHEN (hash(k.k * 4096 + i) % 2) = 0 "
+            "THEN x ELSE -x END) AS FLOAT[]) END AS embedding"
+        ),
+    }
+
     for tbl, shifts in SHIFTS.items():
         cols = [
             r[0]
@@ -96,7 +126,13 @@ def main() -> None:
         ]
         shifted = {c: dom for c, dom in shifts}
         select = ", ".join(
-            f"{c} + k.k * {offsets[shifted[c]]} AS {c}" if c in shifted else c
+            content_rewrite[(tbl, c)]
+            if (tbl, c) in content_rewrite
+            else (
+                f"{c} + k.k * {offsets[shifted[c]]} AS {c}"
+                if c in shifted
+                else c
+            )
             for c in cols
         )
         con.execute(

@@ -34,10 +34,44 @@ def main() -> None:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
+    from meteaudata_spark.ext import dedup, simsearch
     from meteaudata_spark.plans.opcache import release_operator_caches
     from meteaudata_spark.session import get_spark
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+
+    # The LSH pair-mining GATE rows pin n_planes=4 — an oracle-
+    # reproducibility literal whose per-bucket pair fan-out is
+    # quadratic in corpus size (documented in derive_lsh_planes).
+    # The production path derives the plane count from the corpus;
+    # the exponent table must measure THAT shape, so these two
+    # queries are swapped for their occupancy-derived variants here.
+    def _lsh_scale(spark, sf_dir):
+        emb = simsearch._emb(spark, sf_dir)
+        return simsearch.lsh_near_pairs(
+            emb, 0.35, n_vectors=emb.count()
+        )
+
+    def _embdup_scale(spark, sf_dir):
+        emb = simsearch._emb(spark, sf_dir)
+        pairs = simsearch.lsh_near_pairs(
+            emb, 0.4, n_vectors=emb.count()
+        )
+        return dedup.doc_embedding_dups(spark, sf_dir, pairs=pairs)
+
+    # SemDeDup's quadratic stage is bounded by Σ|cluster|² = n²/k at
+    # FIXED k; the production shape keeps per-cluster occupancy
+    # constant by scaling n_clusters with the corpus (docstring's
+    # "raise n_clusters"), which this variant derives as n/125 (the
+    # gate corpus' occupancy).
+    def _semdedup_scale(spark, sf_dir):
+        emb = simsearch._emb(spark, sf_dir)
+        k = max(16, emb.count() // 125)
+        return simsearch.semdedup(emb, n_clusters=k)
+
+    qs["emb_lsh_near_pairs"] = _lsh_scale
+    qs["doc_embedding_dups"] = _embdup_scale
+    qs["emb_semdedup"] = _semdedup_scale
     names = args.queries
     if not names:
         bench = json.load(
@@ -108,13 +142,15 @@ def main() -> None:
         "bench_results",
         "scale_exponents_latest.json",
     )
+    merged = {"factor": args.factor, "runs": args.runs, "results": {}}
+    if os.path.exists(out):
+        try:
+            merged["results"] = json.load(open(out)).get("results", {})
+        except (OSError, ValueError):
+            pass
+    merged["results"].update(results)
     with open(out, "w") as f:
-        json.dump(
-            {"factor": args.factor, "runs": args.runs, "results": results},
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(merged, f, indent=1, sort_keys=True)
     print(f"# wrote {out}")
 
 

@@ -119,18 +119,23 @@ def main() -> None:
         spark.readStream.schema(schema2).parquet(src2)
         .filter(F.col("event_type") == "purchase")
     )
+    # parquet sink, not memory: the credited-pair stream is ~12M rows
+    # at 10M events, and the memory sink would serialize all of them
+    # through the driver (observed: a stalled drain) — a scale smoke
+    # must use a distributed sink
     t0 = time.perf_counter()
     q2 = (
         stream_attribution(clicks, purchases)
-        .writeStream.format("memory")
-        .queryName("attr9")
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/attr_out")
+        .option("checkpointLocation", f"{tmp}/attr_ckpt")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q2.awaitTermination()
     dt = time.perf_counter() - t0
-    n_pairs = spark.table("attr9").count()
+    n_pairs = spark.read.parquet(f"{tmp}/attr_out").count()
     print(
         f"stream attribution: {n:,} events in {dt:.1f}s "
         f"({n / dt:,.0f} events/s), {n_pairs:,} credited pairs; "
