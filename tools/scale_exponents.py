@@ -69,9 +69,19 @@ def main() -> None:
         k = max(16, emb.count() // 125)
         return simsearch.semdedup(emb, n_clusters=k)
 
+    # The SimHash gate row mines a 16-BIT signature (oracle-cheap but
+    # ~5-bit pigeonhole blocks → 2^-5 random collision density, the
+    # measured e=1.18).  The production shape is the same operator at
+    # bits=60 (h60's full width): 20-bit blocks, 2^-20 density.
+    def _simhash_scale(spark, sf_dir):
+        return dedup.simhash_near_pairs(
+            dedup.doc_simhash(spark, sf_dir, bits=60), bits=60, k=2
+        )
+
     qs["emb_lsh_near_pairs"] = _lsh_scale
     qs["doc_embedding_dups"] = _embdup_scale
     qs["emb_semdedup"] = _semdedup_scale
+    qs["doc_simhash_near_pairs"] = _simhash_scale
     names = args.queries
     if not names:
         bench = json.load(
