@@ -488,3 +488,50 @@ def test_drift_report_no_cartesian(spark):
     df = simsearch.emb_drift_report(spark, SF)
     joins = inspect.join_strategies(df)
     assert "CartesianProduct" not in joins
+
+
+def test_phash_pipeline_is_narrow_then_keyed(spark):
+    """mm_image_phash: digest-asset build + decode + DCT hash all ride
+    Arrow maps (no shuffle beyond the asset build's id join); the
+    near-dup miner over phash blocks joins on (block_idx, blk) keys —
+    never a cartesian."""
+    from meteaudata_spark.ext import multimodal
+
+    df = multimodal.mm_image_phash(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+    pairs = multimodal.image_neardup_pairs(
+        multimodal.image_phash_blocks(
+            multimodal._digest_assets(spark, SF)
+        ),
+        max_hamming=3,
+    )
+    joins = inspect.join_strategies(pairs)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+
+
+def test_forecast_eval_hw_stays_keyed(spark):
+    """ts_forecast_eval_hw: both recurrences are event_type-keyed
+    applyInPandas; the join of the two forecast tables is a keyed
+    equi-join and nothing collapses to a single partition except the
+    final 5-row aggregate."""
+    df = tsq.ts_forecast_eval_hw(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+
+
+def test_keep_best_composes_cached_upstreams(spark):
+    """doc_dedup_keep_best with precomputed inputs adds exactly one
+    keyed join + one aggregate over them — no rescan of documents."""
+    from meteaudata_spark.ext import dedup, textstats as ts
+
+    clusters = dedup.doc_dedup_clusters(spark, SF)
+    quality = ts.doc_quality_score(spark, SF)
+    df = dedup.doc_dedup_keep_best(
+        spark, SF, clusters=clusters, quality=quality
+    )
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
