@@ -375,12 +375,25 @@ def emb_lsh_near_pairs(
     #   4. cosine as a built-in zip_with/aggregate fold — JVM-side,
     #      same left-to-right summation order as the DuckDB oracle,
     #      with 1e-6 rounding absorbing any residual FP noise.
-    return lsh_near_pairs(
-        _emb(spark, sf_dir),
-        threshold,
-        n_tables=_LSH_TABLES,
-        n_planes=_LSH_PLANES,
+    #
+    # The SCORED (pre-threshold) pair relation is session-memoized per
+    # sf_dir, so compositions that re-mine the same corpus at a
+    # different threshold (``doc_embedding_dups`` at 0.4 vs this
+    # gate's 0.35) share one bucketize + candidate join + verify pass
+    # and differ only in the final cheap filter (VERDICT r8 #3:
+    # compose, don't recompute).
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    scored = memo_relation(
+        spark,
+        ("lsh_scored_pairs", sf_dir, _LSH_TABLES, _LSH_PLANES),
+        lambda: lsh_scored_pairs(
+            _emb(spark, sf_dir),
+            n_tables=_LSH_TABLES,
+            n_planes=_LSH_PLANES,
+        ),
     )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def lsh_near_pairs(
@@ -391,11 +404,31 @@ def lsh_near_pairs(
     n_vectors: Optional[int] = None,
     multiprobe: bool = False,
 ) -> DataFrame:
-    """Core distributed near-pair mining over any (vec_id, label,
-    embedding) DataFrame — see ``emb_lsh_near_pairs`` for plan notes
-    and ``lsh_bucketize`` for the ``n_planes`` occupancy auto-derive
+    """Verified near pairs: ``lsh_scored_pairs`` + the cosine
+    threshold filter."""
+    return lsh_scored_pairs(
+        emb,
+        n_tables=n_tables,
+        n_planes=n_planes,
+        n_vectors=n_vectors,
+        multiprobe=multiprobe,
+    ).filter(F.col("cosine") >= threshold)
+
+
+def lsh_scored_pairs(
+    emb: DataFrame,
+    n_tables: Optional[int] = None,
+    n_planes: Optional[int] = None,
+    n_vectors: Optional[int] = None,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Core distributed candidate mining + exact-cosine scoring over
+    any (vec_id, label, embedding) DataFrame, WITHOUT the threshold
+    filter — see ``emb_lsh_near_pairs`` for plan notes and
+    ``lsh_bucketize`` for the ``n_planes`` occupancy auto-derive
     and knobs.  Split out so the scale smoke can drive it with
-    executor-side synthetic vectors.
+    executor-side synthetic vectors, and so the scored relation can
+    be memoized once and filtered at several thresholds.
 
     ``multiprobe``: also probe every Hamming-1 neighbor bucket (one
     flipped hyperplane sign) — candidates whose signatures differ in
@@ -458,7 +491,6 @@ def lsh_near_pairs(
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cosine", cosine)
-        .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
 

@@ -97,3 +97,22 @@ def test_memo_is_fifo_bounded(spark):
             spark, ("bounded-test", i), lambda: spark.range(1)
         )
     assert len(opcache._memo) <= opcache._MEMO_CAP
+
+
+def test_lsh_scored_pairs_shared_across_thresholds(spark):
+    """The scored (pre-threshold) LSH pair relation is memoized per
+    sf_dir, so consumers at DIFFERENT thresholds (the 0.35 gate row
+    vs doc_embedding_dups' 0.4) share one bucketize+verify pass and
+    differ only in the final filter."""
+    from meteaudata_spark.ext import simsearch
+    from meteaudata_spark.plans import opcache
+
+    a = simsearch.emb_lsh_near_pairs(spark, SF, threshold=0.35)
+    n_memo = len(opcache._memo)
+    b = simsearch.emb_lsh_near_pairs(spark, SF, threshold=0.4)
+    assert len(opcache._memo) == n_memo  # no second build
+    # the 0.4 set is exactly the >=0.4 subset of the 0.35 set
+    pa = a.toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    pb = b.toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    sub = pa[pa.cosine >= 0.4].reset_index(drop=True)
+    pd.testing.assert_frame_equal(sub, pb)
