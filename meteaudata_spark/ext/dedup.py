@@ -300,6 +300,30 @@ def doc_minhash_lsh_pairs(
     )
 
 
+def minhash_signatures(
+    d: DataFrame, num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{num_hashes-1}, hs): per-doc MinHash
+    signature columns plus the sorted shingle-hash set (the
+    exact-verify side).  ``minhash_j(doc) = min over shingles of
+    ((2j+1)·h + 7919(j+1)) mod p`` — deterministic per-j coefficients
+    over the md5-derived 60-bit shingle hash, reproducible across
+    engines."""
+    sh = _md5_shingles(d, n)
+    h = F.pmod(F.col("h"), F.lit(_MERSENNE))
+    sig_cols = [
+        F.min(
+            F.pmod(
+                (F.lit(2 * j + 1) * h + F.lit(7919 * (j + 1))), F.lit(_MERSENNE)
+            )
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(
+        *sig_cols, F.array_sort(F.collect_set("h")).alias("hs")
+    )
+
+
 def minhash_lsh_pairs(
     d: DataFrame,
     num_hashes: int = 32,
@@ -311,29 +335,13 @@ def minhash_lsh_pairs(
     see doc_minhash_lsh_pairs for semantics.  Split out so the scale
     smoke can drive it with executor-side synthetic corpora."""
     rows_per_band = num_hashes // bands
-    sh = _md5_shingles(d, n)
-
-    h = F.pmod(F.col("h"), F.lit(_MERSENNE))
-    # deterministic per-j coefficients (odd a, arbitrary b)
-    sig_cols = [
-        F.min(
-            F.pmod(
-                (F.lit(2 * j + 1) * h + F.lit(7919 * (j + 1))), F.lit(_MERSENNE)
-            )
-        ).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
     # ONE per-doc aggregation feeds every downstream branch: the band
     # sub-signatures AND the sorted shingle-hash set used by the
     # exact-Jaccard verify — one corpus scan + one shuffle total.  The
     # combined table is cached (bounded registry, not a bare persist)
     # because the band self-join and the two verify joins each re-read
     # it.
-    sigs = cache_intermediate(
-        sh.groupBy("doc_id").agg(
-            *sig_cols, F.array_sort(F.collect_set("h")).alias("hs")
-        )
-    )
+    sigs = cache_intermediate(minhash_signatures(d, num_hashes, n))
 
     # bucket key = the band's sub-signature joined as a string —
     # engine-neutral (Spark's murmur F.hash has no DuckDB equivalent)
@@ -435,12 +443,14 @@ def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
-def _minhash_sql(
+def _minhash_ctes(
     num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
 ) -> str:
-    """DuckDB oracle for the FULL minhash pipeline (signatures, band
-    collisions, exact verify) — possible because every hash involved
-    is the md5-derived h60 both engines compute identically."""
+    """The shared CTE chain of the minhash oracle (shingles → h60 →
+    signatures → band buckets → candidates → exact verify), ending in
+    ``mh_pairs(doc_a, doc_b, jaccard)`` — composed by the pair-list
+    oracle itself and by the calibration oracle, which additionally
+    reads the ``sig`` CTE."""
     rpb = num_hashes // bands
     p = _MERSENNE
     sig_exprs = ",\n         ".join(
@@ -456,8 +466,7 @@ def _minhash_sql(
         )
         for band in range(bands)
     )
-    return f"""
-WITH {_SHINGLE_HH_DUCK.strip()},
+    return f"""{_SHINGLE_HH_DUCK.strip()},
 sig AS (
   SELECT doc_id,
          {sig_exprs}
@@ -478,13 +487,26 @@ inter AS (
   JOIN hh a ON a.doc_id = c.doc_a
   JOIN hh b ON b.doc_id = c.doc_b AND b.h = a.h
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+),
+mh_pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+)"""
+
+
+def _minhash_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+) -> str:
+    """DuckDB oracle for the FULL minhash pipeline (signatures, band
+    collisions, exact verify) — possible because every hash involved
+    is the md5-derived h60 both engines compute identically."""
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands, threshold)}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -534,8 +556,16 @@ def doc_simhash_near_pairs(
     block cover guarantees every qualifying pair is a candidate, so
     the output equals the brute-force self-join (which is exactly what
     the DuckDB oracle runs).
+
+    The pair relation is memoized per (session, sf_dir, params): it is
+    the shared upstream of its own gate row and
+    ``doc_dedup_consensus`` (compose, don't recompute).
     """
-    return simhash_near_pairs(doc_simhash(spark, sf_dir, bits), bits, k)
+    return memo_relation(
+        spark,
+        ("simhash_near_pairs", sf_dir, bits, k),
+        lambda: simhash_near_pairs(doc_simhash(spark, sf_dir, bits), bits, k),
+    )
 
 
 def simhash_near_pairs(
@@ -683,6 +713,224 @@ ORDER BY kept_doc_id, dropped_doc_id
 
 
 DOC_EMBEDDING_DUPS_SQL = _embedding_dups_sql()
+
+
+# ----------------------------------------------------------------------
+# multi-signal consensus dedup
+# ----------------------------------------------------------------------
+def doc_dedup_consensus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_signals: int = 2,
+    cos_threshold: float = 0.4,
+    minhash_pairs: Optional[DataFrame] = None,
+    simhash_pairs: Optional[DataFrame] = None,
+    embedding_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Multi-signal near-duplicate consensus: a pair is a duplicate
+    only when at least ``min_signals`` of the three independent
+    detectors agree — MinHash exact-verified Jaccard (lexical set
+    overlap), SimHash hamming (lexical bag-of-words), embedding
+    cosine (semantic).  Any single miner has a characteristic
+    failure mode (MinHash misses bag-level paraphrase, SimHash's
+    short signature collides coarsely, embeddings conflate topical
+    with textual similarity); requiring agreement is the standard
+    production guard against over-deletion in training-data dedup.
+
+    Plan shape: the three pair relations are each session-memoized
+    (mined once per corpus), then combined with two keyed FULL OUTER
+    joins on (doc_a, doc_b) — pair lists are tiny next to the corpus,
+    so at 100 TB this adds two small equi-joins on top of mining that
+    already ran for the per-signal operators.  Null signal columns
+    mean "that detector did not flag the pair".
+
+    Reference analog: none (pure [EXT]).
+    """
+    from meteaudata_spark.ext import simsearch
+
+    mh = (
+        minhash_pairs
+        if minhash_pairs is not None
+        else doc_minhash_lsh_pairs(spark, sf_dir)
+    ).select("doc_a", "doc_b", "jaccard")
+    sh = (
+        simhash_pairs
+        if simhash_pairs is not None
+        else doc_simhash_near_pairs(spark, sf_dir)
+    ).select("doc_a", "doc_b", "hamming")
+    em = (
+        embedding_pairs
+        if embedding_pairs is not None
+        else simsearch.emb_lsh_near_pairs(
+            spark, sf_dir, threshold=cos_threshold
+        )
+    ).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cosine",
+    )
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer").join(
+        em, ["doc_a", "doc_b"], "full_outer"
+    )
+    n_signals = (
+        F.col("jaccard").isNotNull().cast("int")
+        + F.col("hamming").isNotNull().cast("int")
+        + F.col("cosine").isNotNull().cast("int")
+    ).cast("bigint")
+    return (
+        j.withColumn("n_signals", n_signals)
+        .filter(F.col("n_signals") >= min_signals)
+        .select("doc_a", "doc_b", "n_signals", "jaccard", "hamming", "cosine")
+    )
+
+
+def _dedup_consensus_sql(
+    min_signals: int = 2, cos_threshold: float = 0.4
+) -> str:
+    from meteaudata_spark.ext import simsearch
+
+    mh = DOC_MINHASH_SQL.strip()
+    mh = mh[: mh.rindex("ORDER BY")]
+    sh = DOC_SIMHASH_NEAR_PAIRS_SQL.strip()
+    sh = sh[: sh.rindex("ORDER BY")]
+    em = simsearch._lsh_near_pairs_sql(threshold=cos_threshold).strip()
+    em = em[: em.rindex("ORDER BY")]
+    return f"""
+WITH mh AS (
+{mh}
+),
+sh AS (
+{sh}
+),
+em AS (
+{em}
+),
+lex AS (
+  SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+         COALESCE(m.doc_b, s.doc_b) AS doc_b,
+         m.jaccard, s.hamming
+  FROM mh m
+  FULL OUTER JOIN sh s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+),
+allsig AS (
+  SELECT COALESCE(l.doc_a, e.vec_a) AS doc_a,
+         COALESCE(l.doc_b, e.vec_b) AS doc_b,
+         l.jaccard, l.hamming, e.cosine
+  FROM lex l
+  FULL OUTER JOIN em e ON e.vec_a = l.doc_a AND e.vec_b = l.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST((CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN hamming IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN cosine IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signals,
+       jaccard, hamming, cosine
+FROM allsig
+WHERE (CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN hamming IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN cosine IS NOT NULL THEN 1 ELSE 0 END) >= {min_signals}
+ORDER BY doc_a, doc_b
+"""
+
+
+DOC_DEDUP_CONSENSUS_SQL = _dedup_consensus_sql()
+
+
+# ----------------------------------------------------------------------
+# minhash signature calibration (sketch-accuracy QA)
+# ----------------------------------------------------------------------
+def doc_minhash_calibration(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+    n: int = 3,
+) -> DataFrame:
+    """Sketch-accuracy QA for the MinHash signature: on every mined
+    pair, compare the SIGNATURE Jaccard estimate (fraction of the
+    ``num_hashes`` components that agree — what a signature-only
+    pipeline would act on) against the exact shingle-set Jaccard the
+    verify stage computed.  The per-pair absolute error is the
+    number that justifies — or indicts — skipping exact verification
+    at scale, and it drifts when doc length or shingle distribution
+    changes, so production dedup pipelines track it continuously.
+
+    Plan shape: the mined pair list (memoized) joins the per-doc
+    signature relation (memoized, one corpus aggregation) twice by
+    doc id — two keyed equi-joins over a pair list that is tiny next
+    to the corpus; the agreement count is a fixed-width JVM
+    expression over the signature columns.  All outputs micro-
+    quantized integers, so the DuckDB oracle is value-exact.
+
+    Reference analog: none (pure [EXT]).
+    """
+    pairs = doc_minhash_lsh_pairs(
+        spark, sf_dir, num_hashes, bands, threshold, n
+    )
+    sigs = memo_relation(
+        spark,
+        ("minhash_sigs", sf_dir, num_hashes, n),
+        lambda: minhash_signatures(_docs(spark, sf_dir), num_hashes, n),
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{j}").alias(f"ma_{j}") for j in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{j}").alias(f"mb_{j}") for j in range(num_hashes)],
+    )
+    n_match = None
+    for j in range(num_hashes):
+        term = (F.col(f"ma_{j}") == F.col(f"mb_{j}")).cast("int")
+        n_match = term if n_match is None else n_match + term
+    est_micros = F.round(
+        n_match.cast("double") * 1000000.0 / num_hashes
+    ).cast("bigint")
+    exact_micros = F.round(F.col("jaccard") * 1000000.0).cast("bigint")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("bigint").alias("n_match"),
+            est_micros.alias("est_micros"),
+            exact_micros.alias("exact_micros"),
+            F.abs(est_micros - exact_micros).alias("err_micros"),
+        )
+    )
+
+
+def _minhash_calibration_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+) -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands, threshold)},
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         {agree} AS n_match
+  FROM mh_pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_match AS BIGINT) AS n_match,
+       CAST(round(CAST(n_match AS DOUBLE) * 1000000.0 / {num_hashes}) AS BIGINT) AS est_micros,
+       CAST(round(jaccard * 1000000.0) AS BIGINT) AS exact_micros,
+       CAST(abs(round(CAST(n_match AS DOUBLE) * 1000000.0 / {num_hashes})
+              - round(jaccard * 1000000.0)) AS BIGINT) AS err_micros
+FROM est
+ORDER BY doc_a, doc_b
+"""
+
+
+DOC_MINHASH_CALIBRATION_SQL = _minhash_calibration_sql()
 
 
 # ----------------------------------------------------------------------

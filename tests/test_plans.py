@@ -535,3 +535,28 @@ def test_keep_best_composes_cached_upstreams(spark):
     )
     joins = inspect.join_strategies(df)
     assert "CartesianProduct" not in joins
+
+
+def test_consensus_keyed_joins_only(spark):
+    """doc_dedup_consensus: two FULL OUTER equi-joins on (doc_a,
+    doc_b) over the memoized pair relations — never a cartesian."""
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_dedup_consensus(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+
+
+def test_calibration_keyed_joins_only(spark):
+    """doc_minhash_calibration: pair list joined to the signature
+    relation twice by doc id; agreement count is a JVM expression
+    (no Pandas stage)."""
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_minhash_calibration(spark, SF)
+    plan = inspect.formatted_plan(df)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
