@@ -78,10 +78,24 @@ def main() -> None:
             dedup.doc_simhash(spark, sf_dir, bits=60), bits=60, k=2
         )
 
+    # Consensus composes three miners; its production shape composes
+    # the PRODUCTION variants of each (derived-plane LSH, 60-bit
+    # SimHash) via the precomputed-input params.
+    def _consensus_scale(spark, sf_dir):
+        emb = simsearch._emb(spark, sf_dir)
+        em = simsearch.lsh_near_pairs(emb, 0.4, n_vectors=emb.count())
+        sh = dedup.simhash_near_pairs(
+            dedup.doc_simhash(spark, sf_dir, bits=60), bits=60, k=2
+        )
+        return dedup.doc_dedup_consensus(
+            spark, sf_dir, simhash_pairs=sh, embedding_pairs=em
+        )
+
     qs["emb_lsh_near_pairs"] = _lsh_scale
     qs["doc_embedding_dups"] = _embdup_scale
     qs["emb_semdedup"] = _semdedup_scale
     qs["doc_simhash_near_pairs"] = _simhash_scale
+    qs["doc_dedup_consensus"] = _consensus_scale
     names = args.queries
     if not names:
         bench = json.load(
