@@ -1377,3 +1377,83 @@ def audio_segments(
         )
         .orderBy("asset_id", "segment_no")
     )
+
+
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity gate query over REAL WAV bytes: every document
+    becomes a deterministic 3200-sample PCM16 WAV — the 16 ``md5(text)``
+    digest bytes each held constant for one 25 ms frame (200 samples
+    at 8 kHz, ``sample = (byte − 128)·256``) — encoded with
+    ``encode_wav``, decoded back inside ``audio_segments``'s
+    Arrow-batched framing, and segmented into silence/speech spans at
+    a 0.5 full-scale RMS threshold.
+
+    Because each frame is a constant span, frame RMS is exactly
+    ``|byte − 128| · 7812.5`` micro-units, so the silence decision is
+    pure integer logic (silence ⇔ ``|byte − 128| ≤ 63``) and the
+    DuckDB oracle reproduces the whole segmentation — framing,
+    thresholding, gaps-and-islands merge — from the digest hex
+    without touching audio bytes.  Any WAV header, sample-width, or
+    framing bug breaks the value match.
+
+    Scale shape: synthesis and framing are narrow Arrow maps; the
+    segment merge is a per-asset keyed window (no global shuffle
+    beyond the asset_id hash).  Reference analog: none (pure [EXT]).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"asset_id": [], "payload": []}
+            for doc_id, digest in zip(pdf["doc_id"], pdf["digest"]):
+                raw = bytes.fromhex(digest)
+                vals = (
+                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128)
+                    * 256
+                ).astype(np.int16)
+                samples = np.repeat(vals, 200)
+                rows["asset_id"].append(int(doc_id))
+                rows["payload"].append(encode_wav(samples, 8000))
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(batches, "asset_id bigint, payload binary")
+    return audio_segments(
+        assets, frame_ms=25, hop_ms=25, silence_rms_micros=500_000
+    )
+
+
+# Oracle: frame i's state is pure integer logic on digest byte i
+# (silence ⇔ |byte − 128| ≤ 63 ⇔ byte ∈ [65, 191]); segments are the
+# standard lag + running-sum gaps-and-islands merge.
+MM_AUDIO_VAD_SQL = """
+WITH b AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+),
+f AS (
+  SELECT doc_id AS asset_id, i - 1 AS frame_no,
+         CASE WHEN ABS(CAST(CONCAT('0x', SUBSTR(m, 2*i - 1, 2)) AS BIGINT) - 128) <= 63
+              THEN 'silence' ELSE 'speech' END AS state
+  FROM b, UNNEST(generate_series(1, 16)) AS t(i)
+),
+seg AS (
+  SELECT asset_id, frame_no, state,
+         CASE WHEN LAG(state) OVER w IS NULL
+                OR LAG(state) OVER w <> state THEN 1 ELSE 0 END AS new_seg
+  FROM f
+  WINDOW w AS (PARTITION BY asset_id ORDER BY frame_no)
+),
+segn AS (
+  SELECT asset_id, frame_no, state,
+         SUM(new_seg) OVER (PARTITION BY asset_id ORDER BY frame_no) AS segment_no
+  FROM seg
+)
+SELECT asset_id, CAST(segment_no AS BIGINT) AS segment_no, state,
+       CAST(MIN(frame_no) * 25 AS BIGINT) AS start_ms,
+       CAST(MAX(frame_no) * 25 + 25 AS BIGINT) AS end_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM segn
+GROUP BY asset_id, segment_no, state
+ORDER BY asset_id, segment_no
+"""

@@ -560,3 +560,17 @@ def test_calibration_keyed_joins_only(spark):
     assert "CartesianProduct" not in joins
     assert "FlatMapGroupsInPandas" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_audio_vad_narrow_then_keyed(spark):
+    """mm_audio_vad: digest synthesis + framing are narrow Arrow
+    maps; the segment merge is a per-asset keyed window — no join at
+    all in the plan."""
+    from meteaudata_spark.ext import multimodal
+
+    df = multimodal.mm_audio_vad(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert joins == [] or (
+        "CartesianProduct" not in joins
+        and "BroadcastNestedLoopJoin" not in joins
+    )

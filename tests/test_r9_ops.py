@@ -154,3 +154,51 @@ def test_calibration_reuses_memoized_upstreams(spark):
     n_memo = len(opcache._memo)
     dedup.doc_minhash_calibration(spark, SF).count()
     assert len(opcache._memo) == n_memo
+
+
+# ----------------------------------------------------------------------
+# mm_audio_vad
+# ----------------------------------------------------------------------
+def test_audio_segments_vad_planted(spark):
+    """Hand-built WAV with known loud/quiet spans → exact segment
+    table, including the silence-threshold boundary (|byte-128|=63
+    is silence, 64 is speech at the 500k-micro fence)."""
+    import numpy as np
+    import pandas as pd
+    from meteaudata_spark.ext.multimodal import audio_segments, encode_wav
+
+    # bytes: 4 speech, 4 silence, 8 speech; boundary values 191 (=128+63,
+    # silence) and 192 (=128+64, speech)
+    bytes_ = [255, 255, 192, 192, 191, 191, 65, 128, 0, 0, 0, 0, 255, 255, 255, 255]
+    vals = ((np.array(bytes_, dtype=np.int64) - 128) * 256).astype(np.int16)
+    payload = encode_wav(np.repeat(vals, 200), 8000)
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [payload]})
+    )
+    out = audio_segments(
+        assets, frame_ms=25, hop_ms=25, silence_rms_micros=500_000
+    ).toPandas()
+    got = list(
+        map(tuple, out[["segment_no", "state", "start_ms", "end_ms", "n_frames"]].values)
+    )
+    assert got == [
+        (1, "speech", 0, 100, 4),
+        (2, "silence", 100, 200, 4),
+        (3, "speech", 200, 400, 8),
+    ]
+
+
+def test_mm_audio_vad_frame_count(spark):
+    """Every asset frames to exactly 16 segments-worth of frames
+    (Σ n_frames = 16) and ms spans tile [0, 400] without gaps."""
+    from meteaudata_spark.ext import multimodal as mm
+
+    out = mm.mm_audio_vad(spark, SF).toPandas()
+    per = out.groupby("asset_id")
+    assert (per.n_frames.sum() == 16).all()
+    assert (per.start_ms.min() == 0).all()
+    assert (per.end_ms.max() == 400).all()
+    # segments within an asset are contiguous
+    for _, g in out.groupby("asset_id"):
+        g = g.sort_values("segment_no")
+        assert (g.end_ms.values[:-1] == g.start_ms.values[1:]).all()
