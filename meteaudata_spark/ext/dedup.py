@@ -1492,3 +1492,112 @@ def substring_scrub(
             ),
         ).alias("scrubbed_text"),
     )
+
+
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalization dedup — the cheap first pass of every web
+    corpus (RefinedWeb §3.1 dedups on normalized URL before any
+    content hashing): two fetches of the same page must collapse even
+    when their recorded URLs differ by host case, a trailing slash,
+    tracking query parameters, or a fragment.
+
+    The synthetic corpus has no URL column, so each doc is decorated
+    with a deterministic doc_id-derived source URL (same policy as
+    ``doc_pii_scrub`` / ``doc_url_stats``): the canonical page is
+    ``site{doc_id%7}.example.org/page/{doc_id%50}`` — shared by many
+    docs — and ``doc_id % 4`` picks the recorded variant (lowercase /
+    MiXeD case + trailing slash / ``?utm_*`` tracking params /
+    ``#fragment``).  The normalization chain BOTH engines run is the
+    real operator: lowercase, strip fragment, strip a trailing
+    ``utm_*``-only query string, strip the trailing slash.  Keeper is
+    ``min(doc_id)`` per normalized URL.
+
+    Every regexp matches at most once per URL, so Spark's replace-all
+    and DuckDB's replace-first semantics agree by construction.
+
+    Scale shape: a narrow projection (decorate + 3 regexp_replace)
+    followed by ONE keyed hash-agg on the normalized URL — map-side
+    partial aggregation applies, nothing is collected, no joins.
+    Reference analog: none (pure [EXT])."""
+    d = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("https://Site"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".Example.ORG/page/"),
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+    )
+    variant = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(variant == 0, F.lower(base))
+        .when(variant == 1, F.concat(base, F.lit("/")))
+        .when(
+            variant == 2,
+            F.concat(
+                base,
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                F.pmod(F.col("doc_id"), F.lit(2)).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                base,
+                F.lit("#section-"),
+                F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            )
+        )
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), F.lit(r"#.*$"), F.lit("")),
+            F.lit(r"\?utm_.*$"),
+            F.lit(""),
+        ),
+        F.lit(r"/$"),
+        F.lit(""),
+    )
+    return (
+        d.select(F.col("doc_id"), norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removed"),
+        )
+        .select("norm_url", "kept_doc_id", "n_docs", "n_removed")
+    )
+
+
+DOC_URL_DEDUP_SQL = r"""
+WITH decorated AS (
+  SELECT doc_id,
+         'https://Site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.Example.ORG/page/' || CAST(doc_id % 50 AS VARCHAR) AS base,
+         doc_id % 4 AS variant
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         CASE variant
+           WHEN 0 THEN LOWER(base)
+           WHEN 1 THEN base || '/'
+           WHEN 2 THEN base || '?utm_source=feed&utm_campaign=c'
+                         || CAST(doc_id % 2 AS VARCHAR)
+           ELSE base || '#section-' || CAST(doc_id % 5 AS VARCHAR)
+         END AS url
+  FROM decorated
+),
+normed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(LOWER(url), '#.*$', ''),
+             '\?utm_.*$', ''),
+           '/$', '') AS norm_url
+  FROM urls
+)
+SELECT norm_url, MIN(doc_id) AS kept_doc_id,
+       COUNT(*) AS n_docs, COUNT(*) - 1 AS n_removed
+FROM normed
+GROUP BY norm_url
+ORDER BY norm_url
+"""

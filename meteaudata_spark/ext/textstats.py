@@ -2002,3 +2002,183 @@ FROM decorated
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# Fixed blocklist for the lexicon-ratio filter.  Real pipelines ship
+# curated lists (LDNOOBW-style badwords, spam phrases); the synthetic
+# vocab stands in — the OPERATOR (broadcast lexicon membership over a
+# tokenized corpus) is the real thing.
+_FILTER_LEXICON = ("slow", "big", "the")
+_LEXICON_KEEP_MICROS = 100_000  # keep ⇔ flagged-token share ≤ 10%
+
+
+def doc_lexicon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-lexicon filter — the classic badword/spam-phrase gate
+    (C4 dropped any page containing an LDNOOBW term; most production
+    pipelines soften that to a flagged-token RATIO fence, which is
+    what this computes): per doc, the share of tokens that hit the
+    lexicon, and a keep/drop verdict at a 10% fence.
+
+    The lexicon is a tiny literal array, so membership is a constant
+    JVM expression inside whole-stage codegen (array_contains over a
+    3-element literal — no join, no broadcast table needed below a
+    few thousand terms; above that the same query becomes a broadcast
+    semi-join).  The ratio uses integer floor-division into
+    micro-units, so both engines agree bit-exactly.
+
+    Scale shape: ONE narrow projection — no shuffle at all.
+    Reference analog: none (pure [EXT])."""
+    d = _docs(spark, sf_dir)
+    lex = ", ".join(f"'{w}'" for w in _FILTER_LEXICON)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    counted = toks.select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter(__toks, t -> array_contains(array({lex}), t)))"
+            " AS BIGINT)"
+        ).alias("n_flagged"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "n_flagged",
+        F.expr("(n_flagged * 1000000) div n_tokens").alias(
+            "flagged_ratio_micros"
+        ),
+        F.when(
+            F.expr("(n_flagged * 1000000) div n_tokens")
+            <= _LEXICON_KEEP_MICROS,
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+DOC_LEXICON_FILTER_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, LEN(toks) AS n_tokens,
+         LEN(list_filter(toks, x -> list_contains(['slow', 'big', 'the'], x)))
+           AS n_flagged
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_flagged AS BIGINT) AS n_flagged,
+       CAST((n_flagged * 1000000) // n_tokens AS BIGINT)
+         AS flagged_ratio_micros,
+       CASE WHEN (n_flagged * 1000000) // n_tokens <= 100000
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM s
+ORDER BY doc_id
+"""
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every doc
+    with the corpus bigram LM (``doc_bigram_likelihood``), then split
+    each language into head/middle/tail THIRDS by score — the exact
+    partitioning CCNet uses to pick "head" web text for LM training
+    (Wenzek et al. 2020 bucket on KenLM perplexity per language; the
+    bucket mechanics here are identical, with the micro-quantized
+    bigram probability standing in for the LM score).
+
+    Bucket boundaries come from an exact per-(lang, score) HISTOGRAM,
+    not a per-doc rank: the running count of strictly-lower scores
+    gives each score value its bucket via integer floor-division, so
+    tied scores always share a bucket and no doc-level tiebreak or
+    single-partition window exists anywhere.  The only windows run
+    over the histogram relation, whose size is bounded by the score
+    quantization (≤ 1e6+1 rows per language) — NOT by corpus size.
+
+    Docs with fewer than two tokens have no bigrams and are excluded
+    (scored set), matching the oracle by construction.
+
+    Output: (lang, bucket 0=tail/1=middle/2=head, bucket_label,
+    n_docs, min/max score micros).
+    Scale shape: keyed join (doc_id) + keyed hash-agg + tiny-relation
+    windows + keyed rollup.  Reference analog: none (pure [EXT])."""
+    from pyspark.sql import Window
+
+    scored = doc_bigram_likelihood(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("avg_bigram_prob") * 1000000.0)
+        .cast("bigint")
+        .alias("smicros"),
+    )
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sl = scored.join(langs, "doc_id")
+    hist = sl.groupBy("lang", "smicros").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("smicros")
+    cum = hist.withColumn(
+        "cum_lt",
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("lang")))
+    b = cum.withColumn("bucket", F.expr("(cum_lt * 3) div n"))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.min("smicros").alias("min_score_micros"),
+            F.max("smicros").alias("max_score_micros"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.when(F.col("bucket") == 2, "head")
+            .when(F.col("bucket") == 1, "middle")
+            .otherwise("tail")
+            .alias("bucket_label"),
+            "n_docs",
+            "min_score_micros",
+            "max_score_micros",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _perplexity_buckets_sql() -> str:
+    inner = DOC_BIGRAM_LIKELIHOOD_SQL.strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH scored AS (
+{inner}
+),
+langd AS (
+  SELECT s.doc_id, d.lang,
+         CAST(ROUND(s.avg_bigram_prob * 1000000.0) AS BIGINT) AS smicros
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+hist AS (
+  SELECT lang, smicros, COUNT(*) AS c FROM langd GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, smicros, c,
+         COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY smicros
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+b AS (
+  SELECT lang, smicros, c, (cum_lt * 3) // n AS bucket FROM cum
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CASE CAST(bucket AS BIGINT) WHEN 2 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket_label,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       MIN(smicros) AS min_score_micros,
+       MAX(smicros) AS max_score_micros
+FROM b
+GROUP BY 1, 2, 3
+ORDER BY lang, bucket
+"""
+
+
+DOC_PERPLEXITY_BUCKETS_SQL = _perplexity_buckets_sql()

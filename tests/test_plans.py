@@ -574,3 +574,53 @@ def test_audio_vad_narrow_then_keyed(spark):
         "CartesianProduct" not in joins
         and "BroadcastNestedLoopJoin" not in joins
     )
+
+
+def test_url_dedup_single_keyed_agg(spark):
+    """doc_url_dedup: decorate + normalize are one narrow projection;
+    the whole query is ONE keyed hash-agg — no joins, no Python
+    stages, exactly one shuffle exchange."""
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_url_dedup(spark, SF)
+    assert inspect.join_strategies(df) == []
+    plan = inspect.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert inspect.exchange_count(df) == 1, inspect.exchange_count(df)
+
+
+def test_lexicon_filter_no_shuffle(spark):
+    """doc_lexicon_filter: a pure narrow projection — zero exchanges,
+    zero joins, the lexicon folded into whole-stage codegen (no
+    broadcast relation, no Python)."""
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_lexicon_filter(spark, SF)
+    assert inspect.join_strategies(df) == []
+    assert inspect.exchange_count(df) == 0
+    plan = inspect.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_perplexity_buckets_windows_stay_on_histogram(spark):
+    """doc_perplexity_buckets: the doc-level work is keyed joins and
+    a keyed hash-agg; every window partitions by lang OVER THE
+    HISTOGRAM relation (post-agg), and nothing is cartesian or
+    Python-side."""
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_perplexity_buckets(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+    plan = inspect.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan
+    # no unpartitioned (global) window: every Window node must carry a
+    # lang partition spec
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "lang" in seg, seg
