@@ -1494,6 +1494,57 @@ def substring_scrub(
     )
 
 
+def normalize_url(url):  # type: (F.Column) -> F.Column
+    """Canonical form of a recorded URL: lowercase, strip the
+    ``#fragment``, strip a trailing ``utm_*``-only query string, strip
+    the trailing slash.  Every regexp matches at most once per URL, so
+    Spark's replace-all and DuckDB's replace-first semantics agree by
+    construction."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), F.lit(r"#.*$"), F.lit("")),
+            F.lit(r"\?utm_.*$"),
+            F.lit(""),
+        ),
+        F.lit(r"/$"),
+        F.lit(""),
+    )
+
+
+def decorated_url(doc_id):  # type: (F.Column) -> F.Column
+    """Deterministic doc_id-derived recorded URL (the synthetic corpus
+    has no URL column): canonical page ``site{id%7}.../page/{id%50}``
+    shared by many docs, with ``doc_id % 4`` picking the recorded
+    variant (lowercase / MiXeD case + trailing slash / ``?utm_*``
+    params / ``#fragment``)."""
+    base = F.concat(
+        F.lit("https://Site"),
+        F.pmod(doc_id, F.lit(7)).cast("string"),
+        F.lit(".Example.ORG/page/"),
+        F.pmod(doc_id, F.lit(50)).cast("string"),
+    )
+    variant = F.pmod(doc_id, F.lit(4))
+    return (
+        F.when(variant == 0, F.lower(base))
+        .when(variant == 1, F.concat(base, F.lit("/")))
+        .when(
+            variant == 2,
+            F.concat(
+                base,
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                F.pmod(doc_id, F.lit(2)).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                base,
+                F.lit("#section-"),
+                F.pmod(doc_id, F.lit(5)).cast("string"),
+            )
+        )
+    )
+
+
 def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-normalization dedup — the cheap first pass of every web
     corpus (RefinedWeb §3.1 dedups on normalized URL before any
@@ -1520,41 +1571,7 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation applies, nothing is collected, no joins.
     Reference analog: none (pure [EXT])."""
     d = _docs(spark, sf_dir)
-    base = F.concat(
-        F.lit("https://Site"),
-        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
-        F.lit(".Example.ORG/page/"),
-        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
-    )
-    variant = F.pmod(F.col("doc_id"), F.lit(4))
-    url = (
-        F.when(variant == 0, F.lower(base))
-        .when(variant == 1, F.concat(base, F.lit("/")))
-        .when(
-            variant == 2,
-            F.concat(
-                base,
-                F.lit("?utm_source=feed&utm_campaign=c"),
-                F.pmod(F.col("doc_id"), F.lit(2)).cast("string"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                base,
-                F.lit("#section-"),
-                F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
-            )
-        )
-    )
-    norm = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(url), F.lit(r"#.*$"), F.lit("")),
-            F.lit(r"\?utm_.*$"),
-            F.lit(""),
-        ),
-        F.lit(r"/$"),
-        F.lit(""),
-    )
+    norm = normalize_url(decorated_url(F.col("doc_id")))
     return (
         d.select(F.col("doc_id"), norm.alias("norm_url"))
         .groupBy("norm_url")
