@@ -2537,3 +2537,165 @@ SELECT CAST(label AS BIGINT) AS label, n_a, n_b,
 FROM j
 ORDER BY label
 """
+
+
+# --- binary quantization (sign-bit codes + Hamming shortlist) ---------
+
+# 64 sign bits packed as TWO 32-bit words: shiftleft stays clear of
+# the bigint sign bit, so the packed codes are plain non-negative
+# integers in both engines (packing into one 64-bit word would put
+# bit 63 in the sign position, where Spark and DuckDB literals and
+# casts diverge).
+_BQ_LO = (
+    "aggregate(transform(sequence(0, 31), "
+    "i -> IF(embedding[i] > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+_BQ_HI = (
+    "aggregate(transform(sequence(32, 63), "
+    "i -> IF(embedding[i] > 0, shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def emb_bq_codes(emb: DataFrame) -> DataFrame:
+    """Append sign-bit binary-quantization codes (``bq_lo``/``bq_hi``,
+    32 bits each) to an embeddings relation — bit i set ⇔ dim i > 0.
+    A narrow JVM projection; 8 bytes of code per vector regardless of
+    dimension count per word group."""
+    return emb.withColumn("bq_lo", F.expr(_BQ_LO)).withColumn(
+        "bq_hi", F.expr(_BQ_HI)
+    )
+
+
+def emb_bq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    hamming_radius: int = 28,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Binary-quantization ANN: top-k cosine neighbors found by the
+    sign-bit code → Hamming radius prune → shortlist → exact rerank
+    cascade — the memory-lean search trick modern vector stores run
+    when PQ codebooks are too heavy (1 bit/dim; Hamming distance on
+    packed words is a handful of XOR+popcount instructions).
+
+    Stages, all JVM expressions:
+      1. codes: 64 sign bits per vector packed into two 32-bit words
+         (``emb_bq_codes``) — a narrow projection.
+      2. radius prune: candidates with ``hamming > hamming_radius``
+         are dropped BEFORE any ranking; at the default radius the
+         fence removes ~80% of the corpus in the scan stage (measured
+         sf0.01), and the broadcast query side is n_queries rows.
+      3. shortlist: ``shortlist`` best candidates per query by
+         (hamming, vec_id) — the per-query window runs over the
+         pruned candidate stream only.
+      4. exact rerank: true cosine on the shortlist (≤ shortlist
+         rows/query), rounded + vec_id tiebreak for cross-engine
+         determinism (same policy as ``emb_cosine_topk``).
+
+    Accuracy is data-dependent (1 bit/dim is lossy); the recall test
+    pins the floor on the gate corpus and
+    ``test_bq_identical_vector_hamming_zero`` the planted exact case.
+    Reference analog: none (pure [EXT])."""
+    emb = emb_bq_codes(_emb(spark, sf_dir)).withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bq_lo").alias("qlo"),
+        F.col("bq_hi").alias("qhi"),
+    )
+    cand = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    hamming = F.expr("bit_count(bq_lo ^ qlo) + bit_count(bq_hi ^ qhi)")
+    pruned = cand.withColumn("hamming", hamming.cast("bigint")).filter(
+        F.col("hamming") <= hamming_radius
+    )
+    short = pruned.withColumn(
+        "srank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("hamming"), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("srank") <= shortlist)
+    cos = F.round(
+        F.expr(_DOT.format(a="qe", b="embedding"))
+        / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        6,
+    )
+    reranked = short.select(
+        "query_id", "vec_id", "hamming", cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        reranked.filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+EMB_BQ_TOPK_SQL = """
+WITH codes AS (
+  SELECT vec_id, embedding,
+    list_aggregate(list_transform(generate_series(1, 32), i ->
+      CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+           ELSE CAST(0 AS BIGINT) END), 'sum') AS bq_lo,
+    list_aggregate(list_transform(generate_series(33, 64), i ->
+      CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+           ELSE CAST(0 AS BIGINT) END), 'sum') AS bq_hi,
+    sqrt(list_aggregate(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+         bq_lo AS qlo, bq_hi AS qhi
+  FROM codes WHERE vec_id < 10
+),
+pruned AS (
+  SELECT q.query_id, c.vec_id, c.embedding, c.nrm, q.qe, q.qn,
+         CAST(bit_count(CAST(xor(c.bq_lo, q.qlo) AS BIT))
+            + bit_count(CAST(xor(c.bq_hi, q.qhi) AS BIT)) AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+short AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY hamming, vec_id) AS srank
+  FROM pruned WHERE hamming <= 28
+),
+reranked AS (
+  SELECT query_id, vec_id, hamming,
+         ROUND(
+           list_aggregate(list_transform(generate_series(1, LEN(qe)),
+             i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')
+           / NULLIF(qn * nrm, 0.0), 6) AS cosine
+  FROM short WHERE srank <= 20
+),
+ranked AS (
+  SELECT query_id, vec_id, hamming, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rank
+  FROM reranked
+)
+SELECT query_id, vec_id, hamming, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""

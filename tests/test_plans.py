@@ -624,3 +624,26 @@ def test_perplexity_buckets_windows_stay_on_histogram(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start() : m.start() + 400]
         assert "lang" in seg, seg
+
+
+def test_bq_topk_prunes_before_ranking(spark):
+    """emb_bq_topk: the query side is a bounded broadcast (n_queries
+    rows — the same intentional NLJ shape as emb_cosine_topk); the
+    Hamming radius FILTER sits between the join and the first window,
+    so ~80% of candidates never reach the shortlist ranking; exactly
+    two windows (shortlist, rerank); no Python stages."""
+    import re
+
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_bq_topk(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan
+    # Catalyst folds the radius fence INTO the join condition, so
+    # candidates die during the broadcast join itself — assert the
+    # bit_count fence sits on the join, before any window
+    m = re.search(r"Join condition: .*bit_count.*<= 28", plan)
+    assert m, "radius prune not in the join condition"
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("Window [") == 2, exec_plan.count("Window [")

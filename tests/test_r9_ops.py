@@ -358,3 +358,50 @@ def test_perplexity_buckets_tied_scores_share_bucket(spark):
     bucket = (cum_lt * 3) // n
     assert bucket.min() == 0 and bucket.max() <= 2
     assert (np.diff(bucket) >= 0).all()
+
+
+# ----------------------------------------------------------------------
+# emb_bq_topk
+# ----------------------------------------------------------------------
+def test_bq_codes_pack_sign_bits(spark):
+    """Planted vectors: bit i of (lo ‖ hi) ⇔ dim i > 0; identical
+    vectors get identical codes (Hamming 0); a one-dim flip moves
+    exactly one bit."""
+    import pandas as pd
+
+    from meteaudata_spark.ext.simsearch import emb_bq_codes
+
+    v = [0.5] * 64                      # all positive → all bits set
+    w = list(v); w[3] = -0.1            # flip bit 3 (lo word)
+    x = list(v); x[40] = 0.0            # flip bit 40 (hi word; 0 is NOT > 0)
+    pdf = pd.DataFrame({"vec_id": [1, 2, 3, 4], "embedding": [v, v, w, x]})
+    out = (
+        emb_bq_codes(spark.createDataFrame(pdf))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    full = (1 << 32) - 1
+    assert out.bq_lo.tolist() == [full, full, full ^ (1 << 3), full]
+    assert out.bq_hi.tolist() == [full, full, full, full ^ (1 << 8)]
+    # identical vectors: hamming 0
+    assert (out.bq_lo[0], out.bq_hi[0]) == (out.bq_lo[1], out.bq_hi[1])
+
+
+def test_bq_topk_contract_and_recall(spark):
+    """Every query returns exactly k rows ranked by reranked cosine;
+    all survivors respect the Hamming fence; recall@5 vs the exact
+    brute-force top-k clears the 1-bit/dim floor on the gate corpus."""
+    from meteaudata_spark.ext.simsearch import emb_bq_topk, emb_cosine_topk
+
+    bq = emb_bq_topk(spark, SF).toPandas()
+    assert (bq.groupby("query_id").size() == 5).all()
+    assert (bq.hamming <= 28).all()
+    for _, grp in bq.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert (grp.cosine.diff().dropna() <= 1e-12).all()
+    ex = emb_cosine_topk(spark, SF).toPandas()
+    recalls = []
+    for q in ex.query_id.unique():
+        e = set(ex[ex.query_id == q].vec_id)
+        recalls.append(len(e & set(bq[bq.query_id == q].vec_id)) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
