@@ -1584,8 +1584,9 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_URL_DEDUP_SQL = r"""
-WITH decorated AS (
+# decorate → record variant → normalize, as composable CTE text
+# (shared by DOC_URL_DEDUP_SQL and the cascade twin)
+_URL_NORM_CTES = r"""decorated AS (
   SELECT doc_id,
          'https://Site' || CAST(doc_id % 7 AS VARCHAR)
            || '.Example.ORG/page/' || CAST(doc_id % 50 AS VARCHAR) AS base,
@@ -1611,10 +1612,154 @@ normed AS (
              '\?utm_.*$', ''),
            '/$', '') AS norm_url
   FROM urls
-)
+)"""
+
+DOC_URL_DEDUP_SQL = f"""
+WITH {_URL_NORM_CTES}
 SELECT norm_url, MIN(doc_id) AS kept_doc_id,
        COUNT(*) AS n_docs, COUNT(*) - 1 AS n_removed
 FROM normed
 GROUP BY norm_url
 ORDER BY norm_url
 """
+
+
+def doc_dedup_cascade(
+    spark: SparkSession,
+    sf_dir: str,
+    clusters: Optional[DataFrame] = None,
+) -> DataFrame:
+    """The production dedup CASCADE as one observability table: URL
+    normalization → exact text hash → MinHash near-dup, each stage
+    deduping only what the previous stage let through — cheap fences
+    first so the expensive miner sees the smallest corpus (the
+    RefinedWeb/FineWeb ordering).  One row per stage:
+    (stage, n_in, n_out, n_removed).
+
+    Survivor rules, all deterministic: stage 1 keeps min(doc_id) per
+    normalized URL; stage 2 keeps min(doc_id) per md5(text) AMONG
+    stage-1 survivors; stage 3 keeps, per near-dup cluster, the
+    lowest surviving doc_id (the cluster's global min may already be
+    gone — the keeper is recomputed over stage-2 survivors), and docs
+    in no cluster pass through.
+
+    COMPOSES, never recomputes: ``clusters`` defaults to the
+    session-memoized ``doc_dedup_clusters`` relation, so the cascade
+    costs three keyed aggs + two keyed joins beyond its upstream.
+    The stage counts are 1-row aggregates crossJoined back together
+    (scalar broadcasts).  Reference analog: none (pure [EXT])."""
+    d = _docs(spark, sf_dir)
+    norm = normalize_url(decorated_url(F.col("doc_id")))
+    s1 = (
+        d.select("doc_id", norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1_docs = s1.join(d.select("doc_id", "text"), "doc_id")
+    s2 = (
+        s1_docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    if clusters is None:
+        clusters = doc_dedup_clusters(spark, sf_dir)
+    s2c = s2.join(
+        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+    )
+    keep = (
+        s2c.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    s3 = s2c.filter(F.col("cluster_id").isNull()).select("doc_id").unionAll(
+        s2c.join(keep, "cluster_id")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+    c0 = d.agg(F.count(F.lit(1)).alias("n0"))
+    c1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    n = (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+    )
+    # explode ONE 1-row count relation into the 3 stage rows — a
+    # unionAll of per-stage selects would replicate the entire
+    # cascade (clusters pipeline included) once per branch
+    def stage_row(name: str, a: str, b: str):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            F.col(a).alias("n_in"),
+            F.col(b).alias("n_out"),
+            (F.col(a) - F.col(b)).alias("n_removed"),
+        )
+
+    return (
+        n.select(
+            F.explode(
+                F.array(
+                    stage_row("1_url", "n0", "n1"),
+                    stage_row("2_exact", "n1", "n2"),
+                    stage_row("3_neardup", "n2", "n3"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage")
+    )
+
+
+def _dedup_cascade_sql() -> str:
+    clusters = _dedup_clusters_sql().strip()
+    clusters = clusters[: clusters.rindex("ORDER BY")]
+    # MATERIALIZED: DuckDB inlines CTEs per reference by default, and
+    # comp_rows/s2c sit on multiple reference paths (s3's two branches
+    # + every scalar count) — without the hint the RECURSIVE
+    # reachability CTE re-evaluates once per path
+    return f"""
+WITH comp_rows AS MATERIALIZED (
+{clusters}
+),
+{_URL_NORM_CTES},
+s1 AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id FROM normed GROUP BY norm_url
+),
+s1d AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN s1 ON s1.doc_id = d.doc_id
+),
+s2 AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id FROM s1d GROUP BY md5(text)
+),
+s2c AS MATERIALIZED (
+  SELECT s2.doc_id, c.cluster_id
+  FROM s2 LEFT JOIN comp_rows c ON c.doc_id = s2.doc_id
+),
+keep AS (
+  SELECT cluster_id, MIN(doc_id) AS keep_id
+  FROM s2c WHERE cluster_id IS NOT NULL GROUP BY cluster_id
+),
+s3 AS (
+  SELECT doc_id FROM s2c WHERE cluster_id IS NULL
+  UNION ALL
+  SELECT s2c.doc_id FROM s2c JOIN keep ON keep.cluster_id = s2c.cluster_id
+  WHERE s2c.doc_id = keep.keep_id
+),
+n AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n0,
+         (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT '1_url' AS stage, n0 AS n_in, n1 AS n_out, n0 - n1 AS n_removed FROM n
+UNION ALL
+SELECT '2_exact', n1, n2, n1 - n2 FROM n
+UNION ALL
+SELECT '3_neardup', n2, n3, n2 - n3 FROM n
+ORDER BY stage
+"""
+
+
+DOC_DEDUP_CASCADE_SQL = _dedup_cascade_sql()

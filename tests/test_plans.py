@@ -647,3 +647,19 @@ def test_bq_topk_prunes_before_ranking(spark):
     assert m, "radius prune not in the join condition"
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert exec_plan.count("Window [") == 2, exec_plan.count("Window [")
+
+
+def test_cascade_joins_keyed_except_scalar_counts(spark):
+    """doc_dedup_cascade: survivor joins are keyed (doc_id /
+    cluster_id); the only nested-loop joins are the three 1-row
+    stage-count crossJoins (scalar broadcasts); no Python stage."""
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_dedup_cascade(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    # 3 scalar count crossJoins (each listed twice under AQE); the
+    # single-copy guard: a unionAll regression would push this past 20
+    assert joins.count("BroadcastNestedLoopJoin") <= 6, joins
+    plan = inspect.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan

@@ -405,3 +405,104 @@ def test_bq_topk_contract_and_recall(spark):
         e = set(ex[ex.query_id == q].vec_id)
         recalls.append(len(e & set(bq[bq.query_id == q].vec_id)) / len(e))
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+# ----------------------------------------------------------------------
+# doc_dedup_cascade
+# ----------------------------------------------------------------------
+def test_cascade_funnel_is_monotone_and_chained(spark):
+    """Stages chain (stage k's n_out is stage k+1's n_in), counts
+    never grow, stage 1 starts at the full corpus, and n_removed is
+    the difference."""
+    from meteaudata_spark.ext.dedup import doc_dedup_cascade
+
+    out = doc_dedup_cascade(spark, SF).toPandas()
+    assert out.stage.tolist() == ["1_url", "2_exact", "3_neardup"]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.n_in.iloc[0] == n_docs
+    assert (out.n_out <= out.n_in).all()
+    assert (out.n_removed == out.n_in - out.n_out).all()
+    assert out.n_in.iloc[1] == out.n_out.iloc[0]
+    assert out.n_in.iloc[2] == out.n_out.iloc[1]
+    # the synthetic URL decoration guarantees stage-1 removals
+    assert out.n_removed.iloc[0] > 0
+
+
+def test_cascade_planted_single_cluster_keeps_one(spark):
+    """clusters param: with EVERY doc in one near-dup cluster, stage 3
+    must keep exactly one survivor (the lowest surviving doc_id) —
+    pinning that the keeper is recomputed over stage-2 survivors."""
+    from meteaudata_spark.ext.dedup import doc_dedup_cascade
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    one_cluster = docs.withColumn("cluster_id", F.lit(0))
+    out = doc_dedup_cascade(spark, SF, clusters=one_cluster).toPandas()
+    assert out.n_out.iloc[2] == 1
+
+
+def test_cascade_empty_clusters_pass_through(spark):
+    """clusters param: an empty cluster relation means stage 3 removes
+    nothing — every stage-2 survivor passes."""
+    from meteaudata_spark.ext.dedup import doc_dedup_cascade
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    empty = docs.withColumn("cluster_id", F.lit(0)).filter(F.lit(False))
+    out = doc_dedup_cascade(spark, SF, clusters=empty).toPandas()
+    assert out.n_removed.iloc[2] == 0
+    assert out.n_out.iloc[2] == out.n_in.iloc[2]
+
+
+def test_cascade_default_equals_precomputed(spark):
+    """Passing the memoized clusters relation explicitly returns the
+    identical table (compose-don't-recompute contract)."""
+    from meteaudata_spark.ext.dedup import doc_dedup_cascade, doc_dedup_clusters
+
+    default = doc_dedup_cascade(spark, SF).toPandas()
+    pre = doc_dedup_cascade(
+        spark, SF, clusters=doc_dedup_clusters(spark, SF)
+    ).toPandas()
+    pd.testing.assert_frame_equal(default, pre)
+
+
+def test_normalize_url_idempotent_and_reference_cases(spark):
+    """normalize(normalize(x)) == normalize(x) over generated URL
+    shapes (host case × path × optional utm query × optional fragment
+    × optional trailing slash), driven through the REAL Spark
+    expression in one batch; plus pinned reference cases."""
+    import itertools
+
+    from meteaudata_spark.ext.dedup import normalize_url
+
+    hosts = ["ex.COM", "sub.ex.org"]
+    paths = ["", "/a", "/a/b9"]
+    queries = ["", "?utm_source=x", "?utm_campaign=a&utm_medium=b"]
+    frags = ["", "#f", "#a-b_c"]
+    slashes = ["", "/"]
+    urls = [
+        f"https://{h}{p}{s}{q}{f}"
+        for h, p, q, f, s in itertools.product(
+            hosts, paths, queries, frags, slashes
+        )
+    ]
+    pdf = pd.DataFrame({"url": urls})
+    df = spark.createDataFrame(pdf)
+    once = normalize_url(F.col("url"))
+    out = df.select(
+        once.alias("n1"), normalize_url(once).alias("n2")
+    ).toPandas()
+    assert (out.n1 == out.n2).all()
+    # pinned reference forms
+    ref = {
+        "https://EX.com/A/": "https://ex.com/a",
+        "https://ex.com/a?utm_source=x": "https://ex.com/a",
+        "https://ex.com/a#frag": "https://ex.com/a",
+        "https://ex.com": "https://ex.com",
+    }
+    got = (
+        spark.createDataFrame(pd.DataFrame({"url": list(ref)}))
+        .select("url", normalize_url(F.col("url")).alias("n"))
+        .toPandas()
+        .set_index("url")
+        .n.to_dict()
+    )
+    assert got == ref
