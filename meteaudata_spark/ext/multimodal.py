@@ -1379,6 +1379,107 @@ def audio_segments(
     )
 
 
+def _digest_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3200-sample PCM16 WAV asset table from
+    ``md5(text)``: the 16 digest bytes each held constant for one
+    25 ms frame (200 samples at 8 kHz, ``sample = (byte − 128)·256``),
+    encoded with ``encode_wav`` — the shared fixture of the audio gate
+    queries (``mm_audio_vad``, ``mm_audio_features``).  Constant
+    frames make every frame statistic pure integer logic on the
+    digest bytes, so the DuckDB oracles reproduce decode-side numbers
+    from the digest hex."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"asset_id": [], "payload": []}
+            for doc_id, digest in zip(pdf["doc_id"], pdf["digest"]):
+                raw = bytes.fromhex(digest)
+                vals = (
+                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128)
+                    * 256
+                ).astype(np.int16)
+                samples = np.repeat(vals, 200)
+                rows["asset_id"].append(int(doc_id))
+                rows["payload"].append(encode_wav(samples, 8000))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, "asset_id bigint, payload binary")
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature gate query over REAL WAV bytes: the digest-WAV
+    assets run through ``audio_features`` at frame-aligned 25 ms
+    frames (hop = frame), so per-frame RMS is exactly the constant
+    frame's |sample| and every output is integer logic on digest
+    bytes:
+
+    - ``rms_micros`` = round(S / 16 / 32767 · 1e6) with S the sum of
+      per-byte magnitudes (byte 0 contributes its true 32768 — the
+      squared path never touches int16 abs).
+    - ``peak`` replicates numpy's int16 ``abs`` overflow faithfully:
+      byte 0's sample is −32768 and ``abs`` returns −32768, so it can
+      never win the max — the oracle encodes the same CASE.
+    - ``zcr_micros``: sign changes happen only at the 15 frame
+      boundaries (``(byte < 128)`` flips); the count × 312.5 hits an
+      exact .5 for every odd count, so the oracle reproduces Python's
+      round-HALF-EVEN with integer logic instead of SQL ROUND.
+
+    Any WAV header, sample-width, striding, or reduction bug breaks
+    the value match.  Scale shape: synthesis + framing are narrow
+    Arrow maps; no shuffle at all beyond the final sort.
+    Reference analog: none (pure [EXT])."""
+    assets = _digest_wav_assets(spark, sf_dir)
+    return audio_features(assets, frame_ms=25, hop_ms=25).orderBy("asset_id")
+
+
+# Oracle: every statistic is integer logic on the digest bytes (see
+# mm_audio_features docstring).  zcr half-even: x2 = 625·cnt is twice
+# the exact micro value; odd x2 rounds to the EVEN neighbor of
+# (x2−1)/2 and (x2+1)/2.
+MM_AUDIO_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id, md5(text) AS m FROM documents
+),
+bytes AS (
+  SELECT doc_id AS asset_id, i,
+         CAST(CONCAT('0x', SUBSTR(m, 2*i - 1, 2)) AS BIGINT) AS v
+  FROM b, UNNEST(generate_series(1, 16)) AS t(i)
+),
+feat AS (
+  SELECT asset_id,
+         SUM(CASE WHEN v = 0 THEN 32768 ELSE ABS(v - 128) * 256 END) AS s_abs,
+         MAX(CASE WHEN v = 0 THEN -32768 ELSE ABS(v - 128) * 256 END) AS peak
+  FROM bytes GROUP BY asset_id
+),
+crossings AS (
+  SELECT b1.asset_id,
+         SUM(CASE WHEN (b1.v < 128) <> (b2.v < 128) THEN 1 ELSE 0 END) AS cnt
+  FROM bytes b1 JOIN bytes b2
+    ON b2.asset_id = b1.asset_id AND b2.i = b1.i + 1
+  GROUP BY b1.asset_id
+),
+z AS (
+  SELECT asset_id, 625 * cnt AS x2 FROM crossings
+)
+SELECT f.asset_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(3200 AS BIGINT) AS n_samples,
+       CAST(400 AS BIGINT) AS duration_ms,
+       CAST(16 AS BIGINT) AS n_frames,
+       CAST(ROUND(CAST(f.s_abs AS DOUBLE) / 16 / 32767 * 1000000) AS BIGINT)
+         AS rms_micros,
+       CAST(f.peak AS INT) AS peak,
+       CAST(CASE WHEN z.x2 % 2 = 0 THEN z.x2 // 2
+                 WHEN ((z.x2 - 1) // 2) % 2 = 0 THEN (z.x2 - 1) // 2
+                 ELSE (z.x2 + 1) // 2 END AS BIGINT) AS zcr_micros
+FROM feat f JOIN z ON z.asset_id = f.asset_id
+ORDER BY f.asset_id
+"""
+
+
 def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity gate query over REAL WAV bytes: every document
     becomes a deterministic 3200-sample PCM16 WAV — the 16 ``md5(text)``
@@ -1400,25 +1501,7 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment merge is a per-asset keyed window (no global shuffle
     beyond the asset_id hash).  Reference analog: none (pure [EXT]).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.md5("text").alias("digest")
-    )
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = {"asset_id": [], "payload": []}
-            for doc_id, digest in zip(pdf["doc_id"], pdf["digest"]):
-                raw = bytes.fromhex(digest)
-                vals = (
-                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128)
-                    * 256
-                ).astype(np.int16)
-                samples = np.repeat(vals, 200)
-                rows["asset_id"].append(int(doc_id))
-                rows["payload"].append(encode_wav(samples, 8000))
-            yield pd.DataFrame(rows)
-
-    assets = docs.mapInPandas(batches, "asset_id bigint, payload binary")
+    assets = _digest_wav_assets(spark, sf_dir)
     return audio_segments(
         assets, frame_ms=25, hop_ms=25, silence_rms_micros=500_000
     )

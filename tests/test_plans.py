@@ -663,3 +663,14 @@ def test_cascade_joins_keyed_except_scalar_counts(spark):
     assert joins.count("BroadcastNestedLoopJoin") <= 6, joins
     plan = inspect.formatted_plan(df)
     assert "ArrowEvalPython" not in plan
+
+
+def test_audio_features_narrow_maps_only(spark):
+    """mm_audio_features: digest synthesis + feature extraction are
+    narrow Arrow maps over the docs scan — no join, no aggregation
+    exchange; the only exchange is the final presentation sort."""
+    from meteaudata_spark.ext import multimodal
+
+    df = multimodal.mm_audio_features(spark, SF)
+    assert inspect.join_strategies(df) == []
+    assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)

@@ -506,3 +506,63 @@ def test_normalize_url_idempotent_and_reference_cases(spark):
         .n.to_dict()
     )
     assert got == ref
+
+
+# ----------------------------------------------------------------------
+# mm_audio_features
+# ----------------------------------------------------------------------
+def test_audio_features_planted_constant_frames(spark):
+    """Hand-built digest-style WAV: rms/peak/zcr come out exactly as
+    the integer formulas predict, including (a) numpy's int16 abs
+    overflow (byte 0 → −32768 can never win the peak max) and (b)
+    Python's round-HALF-EVEN on the odd-crossing-count ZCR."""
+    import numpy as np
+
+    from meteaudata_spark.ext.multimodal import audio_features, encode_wav
+
+    # bytes: one zero byte (true |sample| 32768, int16 abs −32768),
+    # crossing pattern with an ODD number of sign flips (3: at
+    # boundaries 0→200, 129→0... count below)
+    bytes_ = [0, 200, 200, 200, 100, 100, 100, 100, 100, 100, 100, 100, 100, 100, 100, 200]
+    # signs (<128): [T,F,F,F,T,T,T,T,T,T,T,T,T,T,T,F] → flips at 0-1, 3-4, 14-15 → cnt=3
+    vals = ((np.array(bytes_, dtype=np.int64) - 128) * 256).astype(np.int16)
+    payload = encode_wav(np.repeat(vals, 200), 8000)
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [payload]})
+    )
+    out = audio_features(assets, frame_ms=25, hop_ms=25).toPandas().iloc[0]
+    assert (out.sample_rate, out.n_samples, out.duration_ms, out.n_frames) == (
+        8000, 3200, 400, 16,
+    )
+    s_abs = sum(32768 if b == 0 else abs(b - 128) * 256 for b in bytes_)
+    assert out.rms_micros == round(s_abs / 16 / 32767 * 1_000_000)
+    # peak: true max |sample| is 32768 (byte 0) but int16 abs overflows
+    # to −32768, so the winner is byte 200 → 72*256
+    assert out.peak == 72 * 256
+    # zcr: cnt=3 → 3/3200 * 1e6 = 937.5 → Python half-even → 938
+    assert out.zcr_micros == 938
+    # and a half-even case that rounds DOWN: cnt=1 → 312.5 → 312
+    bytes2 = [100] * 15 + [200]
+    vals2 = ((np.array(bytes2, dtype=np.int64) - 128) * 256).astype(np.int16)
+    a2 = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [2], "payload": [encode_wav(np.repeat(vals2, 200), 8000)]})
+    )
+    out2 = audio_features(a2, frame_ms=25, hop_ms=25).toPandas().iloc[0]
+    assert out2.zcr_micros == 312
+
+
+def test_mm_audio_features_matches_vad_silence_logic(spark):
+    """Cross-row consistency on the shared digest assets: an asset
+    whose VAD table is all-silence must have rms_micros below the
+    500k fence; an all-speech asset must sit above it."""
+    from meteaudata_spark.ext import multimodal as mm
+
+    feats = mm.mm_audio_features(spark, SF).toPandas().set_index("asset_id")
+    vad = mm.mm_audio_vad(spark, SF).toPandas()
+    per = vad.groupby("asset_id").state.agg(set)
+    all_silence = per[per == {"silence"}].index
+    all_speech = per[per == {"speech"}].index
+    if len(all_silence):
+        assert (feats.loc[all_silence].rms_micros < 500_000).all()
+    if len(all_speech):
+        assert (feats.loc[all_speech].rms_micros >= 500_000).all()
