@@ -2699,3 +2699,68 @@ SELECT query_id, vec_id, hamming, cosine, rank
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+def emb_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table integrity QA: does every document have an embedding
+    and every embedding a document?  The check every multi-artifact
+    pipeline runs after an embedding backfill — orphans on either side
+    mean a partial job or an id-space drift.
+
+    One FULL OUTER equi-join on the id, folded to a single summary
+    row: doc/vec counts, matched count, orphans per side, and matched
+    coverage of the doc side in basis points (integer floor-div).
+    Scale shape: one keyed shuffle join + a 1-row aggregate.
+    Reference analog: none (pure [EXT])."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("d_id")
+    )
+    vecs = _emb(spark, sf_dir).select(F.col("vec_id").alias("v_id"))
+    j = docs.join(vecs, docs["d_id"] == vecs["v_id"], "full_outer")
+    return j.agg(
+        F.count("d_id").alias("n_docs"),
+        F.count("v_id").alias("n_vecs"),
+        F.sum(
+            (F.col("d_id").isNotNull() & F.col("v_id").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("n_matched"),
+        F.sum(
+            (F.col("d_id").isNotNull() & F.col("v_id").isNull()).cast(
+                "bigint"
+            )
+        ).alias("n_docs_without_vec"),
+        F.sum(
+            (F.col("d_id").isNull() & F.col("v_id").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("n_vecs_without_doc"),
+    ).select(
+        "n_docs",
+        "n_vecs",
+        "n_matched",
+        "n_docs_without_vec",
+        "n_vecs_without_doc",
+        F.expr("(n_matched * 10000) div n_docs").alias("coverage_bp"),
+    )
+
+
+EMB_DOC_COVERAGE_SQL = """
+WITH j AS (
+  SELECT d.doc_id AS d_id, v.vec_id AS v_id
+  FROM documents d FULL OUTER JOIN embeddings v ON v.vec_id = d.doc_id
+),
+agg AS (
+  SELECT COUNT(d_id) AS n_docs, COUNT(v_id) AS n_vecs,
+         SUM(CASE WHEN d_id IS NOT NULL AND v_id IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+         SUM(CASE WHEN d_id IS NOT NULL AND v_id IS NULL THEN 1 ELSE 0 END) AS n_docs_without_vec,
+         SUM(CASE WHEN d_id IS NULL AND v_id IS NOT NULL THEN 1 ELSE 0 END) AS n_vecs_without_doc
+  FROM j
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(n_docs_without_vec AS BIGINT) AS n_docs_without_vec,
+       CAST(n_vecs_without_doc AS BIGINT) AS n_vecs_without_doc,
+       CAST((n_matched * 10000) // n_docs AS BIGINT) AS coverage_bp
+FROM agg
+"""

@@ -2956,3 +2956,72 @@ FROM flags
 WHERE CAST(shewhart AS INT) + CAST(tukey AS INT) + CAST(robust_z AS INT) >= 1
 ORDER BY event_type, b5
 """
+
+
+def ts_asof_tolerance(
+    spark: SparkSession, sf_dir: str, tolerance_days: int = 8500
+) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(...,
+    tolerance=...)`` semantics): each event gets its user's most
+    recent order date ONLY if that order falls within
+    ``tolerance_days`` before the event — staleness-gated feature
+    attachment (a 2-year-old "last order" is noise, not signal, to a
+    next-purchase model).
+
+    Backward as-of means the most recent match is the ONLY candidate:
+    if it misses the tolerance window, every older order misses it
+    too, so the gate is a post-join CASE on the attached date — the
+    distributed as-of kernel (union + keyed LOCF window) is reused
+    unchanged.  Output: (event_id, user_id, last_order_within_tol
+    nullable, matched).
+
+    The default tolerance is calibrated to the synthetic corpus
+    (orders end 2001-08, events run in 2024, so per-event gaps span
+    ~8,188-10,600 days): 8,500 days matches ~55-70% of events at
+    every SF, exercising BOTH branches of the gate.
+
+    Scale shape: identical to ``ts_asof_last_order`` (one keyed
+    union-window pass, no extra shuffle for the gate).
+    Reference analog: none (pure [EXT])."""
+    from meteaudata_spark.ext.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", F.col("ts"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join_backward(
+        ev,
+        orders,
+        left_time="ts",
+        right_time="o_orderdate",
+        by=["user_id"],
+        value_cols=["o_orderdate"],
+    )
+    within = F.col("o_orderdate").isNotNull() & (
+        F.datediff(F.col("ts"), F.col("o_orderdate")) <= tolerance_days
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("o_orderdate")).alias("last_order_within_tol"),
+        within.alias("matched"),
+    )
+
+
+TS_ASOF_TOLERANCE_SQL = """
+WITH m AS (
+  SELECT e.event_id, e.user_id, e.ts, MAX(o.o_orderdate) AS lo
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
+)
+SELECT event_id, user_id,
+       CASE WHEN lo IS NOT NULL
+             AND date_diff('day', lo, CAST(ts AS DATE)) <= 8500
+            THEN lo END AS last_order_within_tol,
+       (lo IS NOT NULL
+        AND date_diff('day', lo, CAST(ts AS DATE)) <= 8500) AS matched
+FROM m
+ORDER BY event_id
+"""

@@ -566,3 +566,53 @@ def test_mm_audio_features_matches_vad_silence_logic(spark):
         assert (feats.loc[all_silence].rms_micros < 500_000).all()
     if len(all_speech):
         assert (feats.loc[all_speech].rms_micros >= 500_000).all()
+
+
+# ----------------------------------------------------------------------
+# ts_asof_tolerance / emb_doc_coverage
+# ----------------------------------------------------------------------
+def test_asof_tolerance_gates_the_backward_match(spark):
+    """Cross-row consistency with ts_asof_last_order: where the
+    ungated as-of date is within tolerance the tolerance row must carry
+    exactly that date; where it is older (or absent) the tolerance row
+    must be null/unmatched — and both cases must occur at this SF."""
+    from meteaudata_spark.ext import timeseries_queries as tsq
+
+    tol = (
+        tsq.ts_asof_tolerance(spark, SF).toPandas().set_index("event_id")
+    )
+    base = (
+        tsq.ts_asof_last_order(spark, SF).toPandas().set_index("event_id")
+    )
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "ts")
+        .toPandas()
+        .set_index("event_id")
+    )
+    joined = tol.join(base.last_order_date).join(ev.ts)
+    days = (
+        joined.ts.dt.normalize() - pd.to_datetime(joined.last_order_date)
+    ).dt.days
+    within = joined.last_order_date.notna() & (days <= 8500)
+    assert (joined.matched == within).all()
+    assert (
+        joined.loc[within].last_order_within_tol
+        == joined.loc[within].last_order_date
+    ).all()
+    assert joined.loc[~within].last_order_within_tol.isna().all()
+    assert within.any() and (~within).any()
+
+
+def test_emb_doc_coverage_arithmetic(spark):
+    """Counts reconcile with the raw tables: matched + per-side
+    orphans partition each side; coverage is integer basis points."""
+    from meteaudata_spark.ext.simsearch import emb_doc_coverage
+
+    out = emb_doc_coverage(spark, SF).toPandas().iloc[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert out.n_docs == n_docs and out.n_vecs == n_vecs
+    assert out.n_matched + out.n_docs_without_vec == n_docs
+    assert out.n_matched + out.n_vecs_without_doc == n_vecs
+    assert out.coverage_bp == out.n_matched * 10000 // n_docs
