@@ -2764,3 +2764,51 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_vecs AS BIGINT) AS n_vecs,
        CAST((n_matched * 10000) // n_docs AS BIGINT) AS coverage_bp
 FROM agg
 """
+
+
+def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: the cosine DISTRIBUTION of every
+    LSH-mined candidate pair, bucketed at 0.1 — the plot that picks a
+    dedup threshold (bimodal = clean dup/non-dup separation; one
+    smeared mode = threshold will over- or under-delete).
+
+    Composes the session-memoized scored-pair relation
+    (``emb_lsh_near_pairs`` at threshold −1.0 passes every scored
+    candidate through), so after any other LSH row has run this costs
+    one tiny hash-agg.  ``floor(cosine·10)`` on the 6-dp-rounded
+    cosine is the same IEEE double op in both engines.
+
+    Output: (cos_bucket −10..10, n_pairs, min/max cosine).
+    Reference analog: none (pure [EXT])."""
+    scored = emb_lsh_near_pairs(spark, sf_dir, threshold=-1.0)
+    return (
+        scored.groupBy(
+            F.floor(F.col("cosine") * 10).cast("bigint").alias("cos_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("cosine").alias("min_cosine"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("cos_bucket")
+    )
+
+
+def _similarity_histogram_sql() -> str:
+    inner = _lsh_near_pairs_sql(threshold=-1.0).strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH scored_pairs AS (
+{inner}
+)
+SELECT CAST(FLOOR(cosine * 10) AS BIGINT) AS cos_bucket,
+       COUNT(*) AS n_pairs,
+       MIN(cosine) AS min_cosine,
+       MAX(cosine) AS max_cosine
+FROM scored_pairs
+GROUP BY 1
+ORDER BY cos_bucket
+"""
+
+
+EMB_SIMILARITY_HISTOGRAM_SQL = _similarity_histogram_sql()

@@ -2182,3 +2182,58 @@ ORDER BY lang, bucket
 
 
 DOC_PERPLEXITY_BUCKETS_SQL = _perplexity_buckets_sql()
+
+
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID QA: the confusion matrix of the heuristic
+    classifier (``doc_lang_id``) against the labeled ``lang`` column,
+    with each cell's share of its true-language row in basis points —
+    the table that says WHERE the classifier bleeds (which language
+    pairs confuse) rather than just how much.
+
+    Composes ``doc_lang_id`` unchanged; the share window runs over
+    the matrix relation (≤ |langs|·(|langs|+1) rows), never over
+    docs.  Output: (lang, pred_lang, n_docs, share_bp).
+    Scale shape: one keyed hash-agg + a tiny-relation window.
+    Reference analog: none (pure [EXT])."""
+    from pyspark.sql import Window
+
+    pred = doc_lang_id(spark, sf_dir)
+    matrix = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return matrix.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("n_docs * 10000").cast("bigint").alias("__num"),
+        total.alias("__tot"),
+    ).select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("__num div __tot").alias("share_bp"),
+    ).orderBy("lang", "pred_lang")
+
+
+def _lang_confusion_sql() -> str:
+    inner = _lang_id_sql().strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH pred AS (
+{inner}
+),
+matrix AS (
+  SELECT lang, pred_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n_docs,
+       CAST((n_docs * 10000) // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_bp
+FROM matrix
+ORDER BY lang, pred_lang
+"""
+
+
+DOC_LANG_CONFUSION_SQL = _lang_confusion_sql()

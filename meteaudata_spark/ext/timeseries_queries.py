@@ -3025,3 +3025,70 @@ SELECT event_id, user_id,
 FROM m
 ORDER BY event_id
 """
+
+
+def ts_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap DISTRIBUTION per event type — the completeness
+    dashboard behind ``ts_detect_gaps``'s threshold alarm: instead of
+    flagging gaps beyond one fence, histogram every consecutive gap
+    into minute buckets (capped at 10+) so drifting cadence shows up
+    before it trips the alarm.
+
+    Gap arithmetic is pure integers: timestamps difference in
+    microseconds, floor-divided to whole seconds, floor-divided to
+    whole minutes, capped with LEAST — bit-identical across engines.
+
+    Output: (event_type, gap_bucket_min 0..10, n_gaps,
+    min_gap_sec, max_gap_sec).
+    Scale shape: one keyed lag window per event type + one keyed
+    hash-agg over the (type, bucket) pairs.
+    Reference analog: none (pure [EXT])."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_type", F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_type")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+            # cast binds the session's pinned UTC and the DIFFERENCE
+            # is timezone-invariant regardless
+            F.expr(
+                "(unix_micros(cast(ts AS timestamp))"
+                " - unix_micros(cast(prev_ts AS timestamp))) div 1000000"
+            ).alias("gap_sec"),
+        )
+    )
+    bucket = F.least(F.expr("gap_sec div 60"), F.lit(10))
+    return (
+        gaps.groupBy("event_type", bucket.alias("gap_bucket_min"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_sec").alias("min_gap_sec"),
+            F.max("gap_sec").alias("max_gap_sec"),
+        )
+        .orderBy("event_type", "gap_bucket_min")
+    )
+
+
+TS_GAP_DISTRIBUTION_SQL = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond', LAG(ts) OVER w, ts) // 1000000 AS gap_sec
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_type)
+),
+b AS (
+  SELECT event_type, LEAST(gap_sec // 60, 10) AS gap_bucket_min, gap_sec
+  FROM g WHERE gap_sec IS NOT NULL
+)
+SELECT event_type, CAST(gap_bucket_min AS BIGINT) AS gap_bucket_min,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
+       CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+FROM b
+GROUP BY event_type, gap_bucket_min
+ORDER BY event_type, gap_bucket_min
+"""

@@ -674,3 +674,41 @@ def test_audio_features_narrow_maps_only(spark):
     df = multimodal.mm_audio_features(spark, SF)
     assert inspect.join_strategies(df) == []
     assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
+
+
+def test_gap_distribution_keyed_window_and_agg(spark):
+    """ts_gap_distribution: one keyed lag window + one keyed hash-agg;
+    no joins anywhere."""
+    df = tsq.ts_gap_distribution(spark, SF)
+    assert inspect.join_strategies(df) == []
+    plan = inspect.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan
+
+
+def test_lang_confusion_windows_on_matrix(spark):
+    """doc_lang_confusion: the share window partitions by lang and
+    runs over the post-agg matrix relation; no cartesian, no Python."""
+    import re
+
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_lang_confusion(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    plan = inspect.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan
+    for m in re.finditer(r"Window \[", plan):
+        assert "lang" in plan[m.start() : m.start() + 400]
+
+
+def test_similarity_histogram_reuses_memoized_pairs(spark):
+    """emb_similarity_histogram after emb_lsh_near_pairs: no new memo
+    entry — the scored-pair relation is shared, the histogram is one
+    hash-agg on top."""
+    from meteaudata_spark.ext import simsearch
+    from meteaudata_spark.plans import opcache
+
+    simsearch.emb_lsh_near_pairs(spark, SF).count()
+    n_memo = len(opcache._memo)
+    simsearch.emb_similarity_histogram(spark, SF).count()
+    assert len(opcache._memo) == n_memo

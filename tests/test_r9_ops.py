@@ -616,3 +616,50 @@ def test_emb_doc_coverage_arithmetic(spark):
     assert out.n_matched + out.n_docs_without_vec == n_docs
     assert out.n_matched + out.n_vecs_without_doc == n_vecs
     assert out.coverage_bp == out.n_matched * 10000 // n_docs
+
+
+# ----------------------------------------------------------------------
+# ts_gap_distribution / emb_similarity_histogram / doc_lang_confusion
+# ----------------------------------------------------------------------
+def test_gap_distribution_reconciles_with_raw_gaps(spark):
+    """Bucket counts sum to (n_events − n_types); min/max per bucket
+    respect the bucket's minute range; the 10+ bucket is open-ended."""
+    from meteaudata_spark.ext import timeseries_queries as tsq
+
+    out = tsq.ts_gap_distribution(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    assert out.n_gaps.sum() == n_events - n_types
+    inside = out[out.gap_bucket_min < 10]
+    assert (inside.min_gap_sec >= inside.gap_bucket_min * 60).all()
+    assert (inside.max_gap_sec < (inside.gap_bucket_min + 1) * 60).all()
+    top = out[out.gap_bucket_min == 10]
+    assert (top.min_gap_sec >= 600).all() if len(top) else True
+
+
+def test_similarity_histogram_reconciles_with_scored_pairs(spark):
+    """Bucket counts sum to the scored-pair cardinality; every
+    bucket's min/max cosine sit inside [bucket/10, (bucket+1)/10)."""
+    from meteaudata_spark.ext import simsearch
+
+    hist = simsearch.emb_similarity_histogram(spark, SF).toPandas()
+    scored = simsearch.emb_lsh_near_pairs(spark, SF, threshold=-1.0)
+    assert hist.n_pairs.sum() == scored.count()
+    for _, r in hist.iterrows():
+        assert r.min_cosine >= r.cos_bucket / 10 - 1e-12
+        assert r.max_cosine < (r.cos_bucket + 1) / 10 + 1e-12
+
+
+def test_lang_confusion_diagonal_dominates_and_shares_sum(spark):
+    """Per true language: shares sum to ~10000 bp (floor-div loss
+    < n_cells) and the diagonal cell is the argmax — the heuristic
+    must beat every single confusion on this corpus."""
+    from meteaudata_spark.ext import textstats
+
+    out = textstats.doc_lang_confusion(spark, SF).toPandas()
+    for lang, grp in out.groupby("lang"):
+        assert 10000 - len(grp) < grp.share_bp.sum() <= 10000
+        diag = grp[grp.pred_lang == lang]
+        if len(diag):
+            assert diag.n_docs.iloc[0] == grp.n_docs.max()

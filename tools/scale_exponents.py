@@ -91,8 +91,30 @@ def main() -> None:
             spark, sf_dir, simhash_pairs=sh, embedding_pairs=em
         )
 
+    # The similarity histogram keeps ALL scored candidate pairs (its
+    # gate row passes threshold −1.0 over the 4-plane literal), so the
+    # gate shape inherits the quadratic candidate fan-out (measured
+    # e=1.79).  Production: the same histogram over the derived-plane
+    # scored pairs (occupancy-held buckets).
+    def _simhist_scale(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        emb = simsearch._emb(spark, sf_dir)
+        scored = simsearch.lsh_scored_pairs(emb, n_vectors=emb.count())
+        return (
+            scored.groupBy(
+                F.floor(F.col("cosine") * 10).cast("bigint").alias("cos_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.min("cosine").alias("min_cosine"),
+                F.max("cosine").alias("max_cosine"),
+            )
+        )
+
     qs["emb_lsh_near_pairs"] = _lsh_scale
     qs["doc_embedding_dups"] = _embdup_scale
+    qs["emb_similarity_histogram"] = _simhist_scale
     qs["emb_semdedup"] = _semdedup_scale
     qs["doc_simhash_near_pairs"] = _simhash_scale
     qs["doc_dedup_consensus"] = _consensus_scale
