@@ -819,3 +819,88 @@ SELECT doc_id, lang, CAST(smp_rank AS BIGINT) AS smp_rank
 FROM ranked WHERE smp_rank <= 20
 ORDER BY lang, smp_rank
 """
+
+
+def doc_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency report: per language, how full the
+    greedy 200-token training windows actually are — the number that
+    decides whether packing is worth its shuffle (a corpus of
+    tiny docs packs to ~100% fill; long-doc corpora leave windows
+    half-empty and want a bigger capacity or chunk-then-pack).
+
+    Composes ``doc_pack_sequences`` unchanged: a bin's final fill is
+    the max of its running fill; oversized single docs overflow their
+    bin (fill > capacity) and are counted separately.  All arithmetic
+    integer; the fill share is basis points by floor-div.
+
+    Output: (lang, n_docs, total_tokens, n_bins, n_overflow_bins,
+    min_bin_fill, avg_fill_bp).
+    Scale shape: two keyed hash-aggs + one keyed join over the
+    per-lang aggregate relation.  Reference analog: none ([EXT])."""
+    packed = doc_pack_sequences(spark, sf_dir)
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.max("bin_fill").alias("fill")
+    )
+    bin_stats = bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum((F.col("fill") > 200).cast("bigint")).alias(
+            "n_overflow_bins"
+        ),
+        F.min("fill").alias("min_bin_fill"),
+    )
+    doc_stats = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        doc_stats.join(bin_stats, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "n_bins",
+            "n_overflow_bins",
+            "min_bin_fill",
+            F.expr("(total_tokens * 10000) div (n_bins * 200)").alias(
+                "avg_fill_bp"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _packing_efficiency_sql() -> str:
+    inner = DOC_PACK_SEQUENCES_SQL.strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    # the inner starts with WITH RECURSIVE — embed as a nested CTE body
+    return f"""
+WITH packed_rows AS (
+{inner}
+),
+bins AS (
+  SELECT lang, bin_id, MAX(bin_fill) AS fill
+  FROM packed_rows GROUP BY lang, bin_id
+),
+bin_stats AS (
+  SELECT lang, COUNT(*) AS n_bins,
+         SUM(CASE WHEN fill > 200 THEN 1 ELSE 0 END) AS n_overflow_bins,
+         MIN(fill) AS min_bin_fill
+  FROM bins GROUP BY lang
+),
+doc_stats AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+  FROM packed_rows GROUP BY lang
+)
+SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(d.total_tokens AS BIGINT) AS total_tokens,
+       CAST(b.n_bins AS BIGINT) AS n_bins,
+       CAST(b.n_overflow_bins AS BIGINT) AS n_overflow_bins,
+       CAST(b.min_bin_fill AS BIGINT) AS min_bin_fill,
+       CAST((d.total_tokens * 10000) // (b.n_bins * 200) AS BIGINT)
+         AS avg_fill_bp
+FROM doc_stats d JOIN bin_stats b ON b.lang = d.lang
+ORDER BY d.lang
+"""
+
+
+DOC_PACKING_EFFICIENCY_SQL = _packing_efficiency_sql()

@@ -3092,3 +3092,90 @@ FROM b
 GROUP BY event_type, gap_bucket_min
 ORDER BY event_type, gap_bucket_min
 """
+
+
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostic (Hyndman & Athanasopoulos, FPP:
+    ``F_s = max(0, 1 − Var(residual)/Var(seasonal+residual))``) per
+    event type over the classical decomposition — the one number that
+    says whether the diurnal profile is signal or noise, i.e. whether
+    seasonal models (Holt-Winters, seasonal anomaly fences) apply to
+    this series at all.
+
+    Cross-engine determinism without trusting engine VAR(): the
+    decompose output's 6-dp components quantize exactly to milli-unit
+    INTEGERS (coarser than their own rounding, so no information
+    loss); each variance numerator ``n·Σx² − (Σx)²`` is computed from
+    those exact integer sums in double (same IEEE ops both sides),
+    and only the final ratio rounds to micro-units.
+
+    Output: (event_type, n_buckets, strength_micros).
+    Scale shape: the decompose's shape + one keyed hash-agg.
+    Reference analog: none (pure [EXT])."""
+    dec = ts_seasonal_decompose(spark, sf_dir)
+    q = dec.select(
+        "event_type",
+        F.round(F.col("residual") * 1000).cast("bigint").alias("r"),
+        F.round((F.col("seasonal") + F.col("residual")) * 1000)
+        .cast("bigint")
+        .alias("sr"),
+    )
+    sums = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("r").alias("s_r"),
+        F.sum(F.expr("r * r")).alias("s_r2"),
+        F.sum("sr").alias("s_sr"),
+        F.sum(F.expr("sr * sr")).alias("s_sr2"),
+    )
+    var_r = F.expr(
+        "CAST(n_buckets AS DOUBLE) * CAST(s_r2 AS DOUBLE)"
+        " - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE)"
+    )
+    var_sr = F.expr(
+        "CAST(n_buckets AS DOUBLE) * CAST(s_sr2 AS DOUBLE)"
+        " - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE)"
+    )
+    strength = F.greatest(
+        F.lit(0.0), F.lit(1.0) - var_r / F.nullif(var_sr, F.lit(0.0))
+    )
+    return sums.select(
+        "event_type",
+        "n_buckets",
+        F.round(strength * 1_000_000)
+        .cast("bigint")
+        .alias("strength_micros"),
+    ).orderBy("event_type")
+
+
+def _seasonal_strength_sql() -> str:
+    inner = TS_SEASONAL_DECOMPOSE_SQL.strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH dec AS (
+{inner}
+),
+q AS (
+  SELECT event_type,
+         CAST(ROUND(residual * 1000) AS BIGINT) AS r,
+         CAST(ROUND((seasonal + residual) * 1000) AS BIGINT) AS sr
+  FROM dec
+),
+sums AS (
+  SELECT event_type, COUNT(*) AS n_buckets,
+         SUM(r) AS s_r, SUM(r * r) AS s_r2,
+         SUM(sr) AS s_sr, SUM(sr * sr) AS s_sr2
+  FROM q GROUP BY event_type
+)
+SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(ROUND(GREATEST(0.0,
+         1.0 - (CAST(n_buckets AS DOUBLE) * CAST(s_r2 AS DOUBLE)
+                - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+             / NULLIF(CAST(n_buckets AS DOUBLE) * CAST(s_sr2 AS DOUBLE)
+                - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE), 0.0)
+       ) * 1000000) AS BIGINT) AS strength_micros
+FROM sums
+ORDER BY event_type
+"""
+
+
+TS_SEASONAL_STRENGTH_SQL = _seasonal_strength_sql()

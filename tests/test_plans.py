@@ -712,3 +712,25 @@ def test_similarity_histogram_reuses_memoized_pairs(spark):
     n_memo = len(opcache._memo)
     simsearch.emb_similarity_histogram(spark, SF).count()
     assert len(opcache._memo) == n_memo
+
+
+def test_seasonal_strength_no_extra_fact_scan(spark):
+    """ts_seasonal_strength: composes the decompose (one events scan)
+    + one keyed hash-agg; no new scan, no cartesian, no Python."""
+    df = tsq.ts_seasonal_strength(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert plan.count("events.parquet") <= 1, plan[:2000]
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "ArrowEvalPython" not in plan
+
+
+def test_packing_efficiency_aggs_over_pack_relation(spark):
+    """doc_packing_efficiency: two keyed aggs + one keyed join over
+    the per-lang aggregate relation; no cartesian."""
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_packing_efficiency(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins

@@ -663,3 +663,86 @@ def test_lang_confusion_diagonal_dominates_and_shares_sum(spark):
         diag = grp[grp.pred_lang == lang]
         if len(diag):
             assert diag.n_docs.iloc[0] == grp.n_docs.max()
+
+
+# ----------------------------------------------------------------------
+# ts_seasonal_strength / doc_packing_efficiency
+# ----------------------------------------------------------------------
+def test_seasonal_strength_matches_numpy_variances(spark):
+    """Recompute F_s from the decompose output with numpy on the same
+    milli-quantized integers: values must agree exactly; strength is
+    in [0, 1e6]."""
+    import numpy as np
+
+    from meteaudata_spark.ext import timeseries_queries as tsq
+
+    dec = tsq.ts_seasonal_decompose(spark, SF).toPandas()
+    out = (
+        tsq.ts_seasonal_strength(spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert (out.strength_micros >= 0).all()
+    assert (out.strength_micros <= 1_000_000).all()
+    for etype, grp in dec.groupby("event_type"):
+        r = np.round(grp.residual.values * 1000).astype(np.int64)
+        sr = np.round(
+            (grp.seasonal.values + grp.residual.values) * 1000
+        ).astype(np.int64)
+        n = len(r)
+        var_r = float(n) * float((r * r).sum()) - float(r.sum()) ** 2
+        var_sr = float(n) * float((sr * sr).sum()) - float(sr.sum()) ** 2
+        fs = max(0.0, 1.0 - var_r / var_sr) if var_sr else None
+        row = out.loc[etype]
+        assert row.n_buckets == n
+        if fs is not None:
+            assert row.strength_micros == round(fs * 1_000_000)
+
+
+def test_seasonal_strength_planted_pure_sine_vs_noise(spark):
+    """Sanity on planted series through the same integer-variance
+    formula: a strong diurnal component scores near 1e6, pure noise
+    scores near 0 (validates the metric's direction, independent of
+    the decompose)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    hod = np.arange(24 * 30)
+    seasonal = 100 * np.sin(2 * np.pi * (hod % 24) / 24)
+    noise = rng.normal(0, 1, len(hod))
+
+    def fs(s, r):
+        sm = np.round(s * 1000).astype(np.int64)
+        rm = np.round(r * 1000).astype(np.int64)
+        srm = np.round((s + r) * 1000).astype(np.int64)
+        n = len(rm)
+        vr = float(n) * float((rm * rm).sum()) - float(rm.sum()) ** 2
+        vsr = float(n) * float((srm * srm).sum()) - float(srm.sum()) ** 2
+        return max(0.0, 1.0 - vr / vsr)
+
+    assert fs(seasonal, noise) > 0.99
+    assert fs(noise * 0 + 1e-9, noise) < 0.01
+
+
+def test_packing_efficiency_reconciles_with_packed_rows(spark):
+    """Per lang: bin count/fill/overflow re-derived from the
+    doc_pack_sequences rows match; fill share is the exact floor-div."""
+    from meteaudata_spark.ext import corpus_ops
+
+    packed = corpus_ops.doc_pack_sequences(spark, SF).toPandas()
+    out = (
+        corpus_ops.doc_packing_efficiency(spark, SF)
+        .toPandas()
+        .set_index("lang")
+    )
+    for lang, grp in packed.groupby("lang"):
+        fills = grp.groupby("bin_id").bin_fill.max()
+        row = out.loc[lang]
+        assert row.n_docs == len(grp)
+        assert row.total_tokens == grp.n_tokens.sum()
+        assert row.n_bins == len(fills)
+        assert row.n_overflow_bins == (fills > 200).sum()
+        assert row.min_bin_fill == fills.min()
+        assert row.avg_fill_bp == grp.n_tokens.sum() * 10000 // (
+            len(fills) * 200
+        )
