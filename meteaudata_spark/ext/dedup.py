@@ -1763,3 +1763,54 @@ ORDER BY stage
 
 
 DOC_DEDUP_CASCADE_SQL = _dedup_cascade_sql()
+
+
+def doc_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning table for TEXT near-dups: the exact-
+    Jaccard distribution of every MinHash-mined pair, bucketed at 0.1
+    — the textual twin of ``emb_similarity_histogram`` (same
+    decision: where does the duplicate mode separate from the
+    background?).  Pairs below the mining floor (LSH verify threshold
+    0.25) are absent by construction — the histogram starts at the
+    floor, which is exactly the region a production threshold sweep
+    explores.
+
+    Composes the session-memoized pair relation unchanged, so after
+    any other MinHash row this costs one tiny hash-agg.
+
+    Output: (jaccard_bucket, n_pairs, min/max jaccard).
+    Reference analog: none (pure [EXT])."""
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias(
+                "jaccard_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("jaccard_bucket")
+    )
+
+
+def _jaccard_histogram_sql() -> str:
+    inner = _minhash_sql().strip()
+    inner = inner[: inner.rindex("ORDER BY")]
+    return f"""
+WITH pair_rows AS (
+{inner}
+)
+SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS jaccard_bucket,
+       COUNT(*) AS n_pairs,
+       MIN(jaccard) AS min_jaccard,
+       MAX(jaccard) AS max_jaccard
+FROM pair_rows
+GROUP BY 1
+ORDER BY jaccard_bucket
+"""
+
+
+DOC_JACCARD_HISTOGRAM_SQL = _jaccard_histogram_sql()

@@ -1784,3 +1784,161 @@ FROM cls
 GROUP BY 1, 2
 ORDER BY status, changed_cols
 """
+
+
+def _thirds_by_value(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Append ``out`` = the thirds bucket (0/1/2) of ``col`` by exact
+    value-histogram rank: the running count of strictly-lower values
+    floor-divided by n (same mechanics as doc_perplexity_buckets, so
+    tied values always share a bucket and no row-level window exists).
+    The window runs over the per-value histogram, whose size is
+    bounded by the column's VALUE RANGE (days / order counts /
+    kilocents), not by customer count."""
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(col)
+    cum = hist.withColumn(
+        "__cum_lt",
+        F.coalesce(
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("__n", F.sum("__c").over(Window.partitionBy()))
+    buckets = cum.select(
+        col, F.expr("(__cum_lt * 3) div __n").alias(out)
+    )
+    return df.join(buckets, col)
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing cut: score
+    every customer into thirds on Recency (days since last order,
+    anchored at the corpus' latest order date), Frequency (order
+    count), and Monetary (lifetime cents), and roll the 27 possible
+    segments up to size + average value.
+
+    Determinism mechanics: monetary quantizes PER ORDER to integer
+    cents before the sum (order-invariant integer math — summing the
+    raw doubles first would make the cents rounding depend on
+    aggregation order); each dimension buckets via the exact
+    value-histogram thirds of ``_thirds_by_value`` (ties share a
+    bucket); monetary buckets on kilocents so the histogram is
+    bounded by the VALUE RANGE rather than customer count.  Bucket 2
+    = highest value; for recency that means the LONGEST-dormant third
+    (segment labels read R2 = coldest, F2/M2 = best).
+
+    Output: (segment, n_customers, avg_recency_days, avg_frequency,
+    avg_monetary_cents) — averages by integer floor-div.
+    Scale shape: one keyed customer agg, three histogram bucketings
+    (tiny-relation windows + keyed value joins), one keyed rollup; the
+    date anchor is a 1-row scalar broadcast.
+    Reference analog: none (pure [EXT])."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("total_cents"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    cust = cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("__maxd"), F.col("last_order"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "total_cents",
+        F.expr("total_cents div 1000").alias("__m_kc"),
+    )
+    # the customer relation feeds SEVEN plan references (3 histograms
+    # + 3 bucket joins + the rollup); without persisting it Spark
+    # re-plans the orders scan + customer agg per reference
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    cust = cache_intermediate(cust)
+    cust = _thirds_by_value(cust, "recency_days", "r_bucket")
+    cust = _thirds_by_value(cust, "frequency", "f_bucket")
+    cust = _thirds_by_value(cust, "__m_kc", "m_bucket")
+    segment = F.concat(
+        F.lit("R"),
+        F.col("r_bucket").cast("string"),
+        F.lit("F"),
+        F.col("f_bucket").cast("string"),
+        F.lit("M"),
+        F.col("m_bucket").cast("string"),
+    )
+    return (
+        cust.groupBy(segment.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("sum(recency_days) div count(1)").alias(
+                "avg_recency_days"
+            ),
+            F.expr("sum(frequency) div count(1)").alias("avg_frequency"),
+            F.expr("sum(total_cents) div count(1)").alias(
+                "avg_monetary_cents"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+ORDERS_RFM_SEGMENTS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cust0 AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency, SUM(cents) AS total_cents
+  FROM o GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(o_orderdate) AS maxd FROM o),
+cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE)) AS BIGINT)
+           AS recency_days,
+         frequency, total_cents, total_cents // 1000 AS m_kc
+  FROM cust0 CROSS JOIN anchor
+),
+rh AS (SELECT recency_days AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+rb AS (
+  SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+       // SUM(c) OVER () AS b
+  FROM rh
+),
+fh AS (SELECT frequency AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+fb AS (
+  SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+       // SUM(c) OVER () AS b
+  FROM fh
+),
+mh AS (SELECT m_kc AS v, COUNT(*) AS c FROM cust GROUP BY 1),
+mb AS (
+  SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+       // SUM(c) OVER () AS b
+  FROM mh
+),
+scored AS (
+  SELECT c.o_custkey, c.recency_days, c.frequency, c.total_cents,
+         'R' || CAST(rb.b AS VARCHAR) || 'F' || CAST(fb.b AS VARCHAR)
+             || 'M' || CAST(mb.b AS VARCHAR) AS segment
+  FROM cust c
+  JOIN rb ON rb.v = c.recency_days
+  JOIN fb ON fb.v = c.frequency
+  JOIN mb ON mb.v = c.m_kc
+)
+SELECT segment, COUNT(*) AS n_customers,
+       CAST(SUM(recency_days) // COUNT(*) AS BIGINT) AS avg_recency_days,
+       CAST(SUM(frequency) // COUNT(*) AS BIGINT) AS avg_frequency,
+       CAST(SUM(total_cents) // COUNT(*) AS BIGINT) AS avg_monetary_cents
+FROM scored
+GROUP BY segment
+ORDER BY segment
+"""

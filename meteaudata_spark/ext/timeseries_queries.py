@@ -3179,3 +3179,93 @@ ORDER BY event_type
 
 
 TS_SEASONAL_STRENGTH_SQL = _seasonal_strength_sql()
+
+
+def ts_downtime_report(
+    spark: SparkSession, sf_dir: str, outage_sec: int = 120
+) -> DataFrame:
+    """Availability report per event type: outage count, longest
+    outage, total downtime, and availability in basis points — the
+    SLA rollup on top of the same integer gap stream
+    ``ts_gap_distribution`` histograms (an outage is a gap longer
+    than ``outage_sec``; downtime is the sum of those gaps).
+
+    All arithmetic integer: gaps in whole seconds (micros floor-div),
+    span = last−first event seconds, availability_bp =
+    (span − downtime)·10000 div span.
+
+    Output: (event_type, n_outages, longest_outage_sec,
+    downtime_sec, span_sec, availability_bp).
+    Scale shape: one keyed lag window + one keyed hash-agg.
+    Reference analog: none (pure [EXT])."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_type", F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_type")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "event_type",
+        "ts",
+        F.expr(
+            "(unix_micros(cast(ts AS timestamp))"
+            " - unix_micros(cast(prev_ts AS timestamp))) div 1000000"
+        ).alias("gap_sec"),
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("gap_sec") > outage_sec, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outages"),
+        F.coalesce(F.max(F.when(F.col("gap_sec") > outage_sec, F.col("gap_sec"))), F.lit(0))
+        .cast("bigint")
+        .alias("longest_outage_sec"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_sec") > outage_sec, F.col("gap_sec"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("downtime_sec"),
+        F.expr(
+            "(unix_micros(cast(max(ts) AS timestamp))"
+            " - unix_micros(cast(min(ts) AS timestamp))) div 1000000"
+        ).alias("span_sec"),
+    )
+    return agg.select(
+        "event_type",
+        "n_outages",
+        "longest_outage_sec",
+        "downtime_sec",
+        "span_sec",
+        F.expr(
+            "(span_sec - downtime_sec) * 10000 div span_sec"
+        ).alias("availability_bp"),
+    ).orderBy("event_type")
+
+
+TS_DOWNTIME_REPORT_SQL = """
+WITH g AS (
+  SELECT event_type, ts,
+         date_diff('microsecond', LAG(ts) OVER w, ts) // 1000000 AS gap_sec
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_type)
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN gap_sec > 120 THEN 1 ELSE 0 END) AS n_outages,
+         COALESCE(MAX(CASE WHEN gap_sec > 120 THEN gap_sec END), 0)
+           AS longest_outage_sec,
+         COALESCE(SUM(CASE WHEN gap_sec > 120 THEN gap_sec END), 0)
+           AS downtime_sec,
+         date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000 AS span_sec
+  FROM g GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_outages AS BIGINT) AS n_outages,
+       CAST(longest_outage_sec AS BIGINT) AS longest_outage_sec,
+       CAST(downtime_sec AS BIGINT) AS downtime_sec,
+       CAST(span_sec AS BIGINT) AS span_sec,
+       CAST((span_sec - downtime_sec) * 10000 // span_sec AS BIGINT)
+         AS availability_bp
+FROM agg
+ORDER BY event_type
+"""

@@ -734,3 +734,41 @@ def test_packing_efficiency_aggs_over_pack_relation(spark):
     joins = inspect.join_strategies(df)
     assert "CartesianProduct" not in joins
     assert "BroadcastNestedLoopJoin" not in joins
+
+
+def test_downtime_report_keyed_window_and_agg(spark):
+    """ts_downtime_report: one keyed lag window + one keyed agg; no
+    joins."""
+    df = tsq.ts_downtime_report(spark, SF)
+    assert inspect.join_strategies(df) == []
+    assert "ArrowEvalPython" not in inspect.formatted_plan(df)
+
+
+def test_rfm_windows_stay_on_histograms(spark):
+    """orders_rfm_segments: the only unpartitioned windows run over
+    per-value histogram relations (post-agg, value-range-bounded);
+    every nested-loop join is the 1-row date-anchor scalar broadcast
+    (the customer relation feeds 7 plan references, so the anchor
+    subtree prints once per reference); the customer relation is
+    PERSISTED so those references read the cache instead of
+    recomputing the orders scan + agg."""
+    from meteaudata_spark.ext import relational
+
+    df = relational.orders_rfm_segments(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    plan = inspect.formatted_plan(df)
+    assert "InMemoryTableScan" in plan, "customer relation not cached"
+    assert "ArrowEvalPython" not in plan
+
+
+def test_jaccard_histogram_reuses_memoized_pairs(spark):
+    """doc_jaccard_histogram after doc_minhash_lsh_pairs: no new memo
+    entry; one hash-agg on top of the shared pair relation."""
+    from meteaudata_spark.ext import dedup
+    from meteaudata_spark.plans import opcache
+
+    dedup.doc_minhash_lsh_pairs(spark, SF).count()
+    n_memo = len(opcache._memo)
+    dedup.doc_jaccard_histogram(spark, SF).count()
+    assert len(opcache._memo) == n_memo

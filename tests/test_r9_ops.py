@@ -746,3 +746,71 @@ def test_packing_efficiency_reconciles_with_packed_rows(spark):
         assert row.avg_fill_bp == grp.n_tokens.sum() * 10000 // (
             len(fills) * 200
         )
+
+
+# ----------------------------------------------------------------------
+# doc_jaccard_histogram / ts_downtime_report / orders_rfm_segments
+# ----------------------------------------------------------------------
+def test_jaccard_histogram_reconciles_with_pairs(spark):
+    """Bucket counts sum to the mined-pair cardinality; bucket ranges
+    hold; nothing below the 0.25 mining floor."""
+    from meteaudata_spark.ext import dedup
+
+    hist = dedup.doc_jaccard_histogram(spark, SF).toPandas()
+    pairs = dedup.doc_minhash_lsh_pairs(spark, SF).toPandas()
+    assert hist.n_pairs.sum() == len(pairs)
+    assert (hist.min_jaccard >= 0.25).all()
+    for _, r in hist.iterrows():
+        assert r.min_jaccard >= r.jaccard_bucket / 10 - 1e-12
+        assert r.max_jaccard < (r.jaccard_bucket + 1) / 10 + 1e-12
+
+
+def test_downtime_report_consistent_with_gap_stream(spark):
+    """Re-derive outages from the raw event stream with pandas:
+    counts, longest, downtime and availability must match exactly."""
+    from meteaudata_spark.ext import timeseries_queries as tsq
+
+    out = (
+        tsq.ts_downtime_report(spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "ts")
+        .toPandas()
+    )
+    for etype, grp in ev.groupby("event_type"):
+        ts = grp.ts.sort_values().reset_index(drop=True)
+        micros = ts.astype("int64") // 1000
+        gaps = (micros.diff().dropna() // 1_000_000).astype("int64")
+        outages = gaps[gaps > 120]
+        row = out.loc[etype]
+        span = int((micros.iloc[-1] - micros.iloc[0]) // 1_000_000)
+        assert row.n_outages == len(outages)
+        assert row.longest_outage_sec == (outages.max() if len(outages) else 0)
+        assert row.downtime_sec == outages.sum()
+        assert row.span_sec == span
+        assert row.availability_bp == (span - outages.sum()) * 10000 // span
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Segment sizes sum to the customer count; each dimension's
+    buckets partition customers into ~thirds (up to value ties);
+    monetary bucket 2 segments average more cents than bucket 0."""
+    from meteaudata_spark.ext import relational
+
+    out = relational.orders_rfm_segments(spark, SF).toPandas()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert out.n_customers.sum() == n_cust
+    assert out.segment.str.match(r"^R[0-2]F[0-2]M[0-2]$").all()
+    m0 = out[out.segment.str.endswith("M0")]
+    m2 = out[out.segment.str.endswith("M2")]
+    avg0 = (m0.avg_monetary_cents * m0.n_customers).sum() / m0.n_customers.sum()
+    avg2 = (m2.avg_monetary_cents * m2.n_customers).sum() / m2.n_customers.sum()
+    assert avg2 > avg0
