@@ -3236,9 +3236,16 @@ def ts_downtime_report(
         "longest_outage_sec",
         "downtime_sec",
         "span_sec",
-        F.expr(
-            "(span_sec - downtime_sec) * 10000 div span_sec"
-        ).alias("availability_bp"),
+        # a single-event type has span 0 — vacuously fully available
+        # (the NULLIF guard keeps ANSI mode from DIVIDE_BY_ZERO)
+        F.coalesce(
+            F.expr(
+                "(span_sec - downtime_sec) * 10000 div nullif(span_sec, 0)"
+            ),
+            F.lit(10000),
+        )
+        .cast("bigint")
+        .alias("availability_bp"),
     ).orderBy("event_type")
 
 
@@ -3264,7 +3271,8 @@ SELECT event_type,
        CAST(longest_outage_sec AS BIGINT) AS longest_outage_sec,
        CAST(downtime_sec AS BIGINT) AS downtime_sec,
        CAST(span_sec AS BIGINT) AS span_sec,
-       CAST((span_sec - downtime_sec) * 10000 // span_sec AS BIGINT)
+       CAST(COALESCE((span_sec - downtime_sec) * 10000
+              // NULLIF(span_sec, 0), 10000) AS BIGINT)
          AS availability_bp
 FROM agg
 ORDER BY event_type

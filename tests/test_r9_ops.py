@@ -814,3 +814,53 @@ def test_rfm_segments_partition_customers(spark):
     avg0 = (m0.avg_monetary_cents * m0.n_customers).sum() / m0.n_customers.sum()
     avg2 = (m2.avg_monetary_cents * m2.n_customers).sum() / m2.n_customers.sum()
     assert avg2 > avg0
+
+
+# ----------------------------------------------------------------------
+# degenerate events/orders sweep for the r9 ts_/orders rows
+# ----------------------------------------------------------------------
+def test_r9_ts_rows_survive_degenerate_events(spark, tmp_path):
+    """ANSI landmine sweep for the round-9 event/order rows: a type
+    with a SINGLE event (span 0 — the availability div-by-zero trap),
+    a type whose events share one timestamp (all gaps 0), a customer
+    with one order, and a user with no orders at all.  Every query
+    must run; downtime must report the vacuous 10000 bp for the
+    single-event type."""
+    import datetime as dt
+
+    sf = str(tmp_path)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (1, t0, 10, "solo", 1.0, "{}"),
+        (2, t0, 11, "same_ts", 1.0, "{}"),
+        (3, t0, 11, "same_ts", 2.0, "{}"),
+        (4, t0, 12, "normal", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=200), 12, "normal", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    orders = [(1, 11, "O", 100.0, dt.datetime(2020, 1, 1), "1-URGENT")]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    from meteaudata_spark.ext import relational
+    from meteaudata_spark.ext import timeseries_queries as tsq
+
+    gaps = tsq.ts_gap_distribution(spark, sf).toPandas()
+    assert set(gaps.event_type) == {"same_ts", "normal"}  # solo: no gaps
+    down = tsq.ts_downtime_report(spark, sf).toPandas().set_index("event_type")
+    assert down.loc["solo"].span_sec == 0
+    assert down.loc["solo"].availability_bp == 10000
+    assert down.loc["normal"].n_outages == 1
+    tol = tsq.ts_asof_tolerance(spark, sf).toPandas()
+    assert len(tol) == 5  # every event keeps a row; no-order users null
+    assert not tol[tol.user_id == 10].matched.any()
+    tsq.ts_seasonal_strength(spark, sf).count()  # must not raise
+    rfm = relational.orders_rfm_segments(spark, sf).toPandas()
+    assert rfm.n_customers.sum() == 1
