@@ -170,13 +170,21 @@ def derive_lsh_planes(n_vectors: int) -> int:
     afford.  Exact duplicates (θ=0) are always recovered.  Callers
     who need higher near-pair recall at scale should RAISE
     ``n_tables`` (linear cost) rather than lower ``n_planes``
-    (quadratic blowup in hot buckets)."""
-    import math
+    (quadratic blowup in hot buckets).
 
+    Computed in pure INTEGER arithmetic (``⌈log2 n⌉ = bit_length(n−1)``,
+    and ``⌈log2(n/32)⌉ = ⌈log2 n⌉ − 5`` exactly, 32 being a power of
+    two) so the DuckDB oracle can re-derive the identical constants
+    from ``count(*)`` with no cross-libm ceil-at-a-boundary risk."""
     if n_vectors <= _LSH_TARGET_OCCUPANCY:
         return _LSH_PLANES
-    derived = math.ceil(math.log2(n_vectors / _LSH_TARGET_OCCUPANCY))
+    derived = _ceil_log2(n_vectors) - 5
     return max(_LSH_PLANES, min(_LSH_MAX_PLANES, derived))
+
+
+def _ceil_log2(n: int) -> int:
+    """``⌈log2 n⌉`` for positive integers, exactly (no float log)."""
+    return (n - 1).bit_length() if n > 1 else 0
 
 
 _LSH_PAIRGEN_OCCUPANCY = 1  # two-tier target: candidates ∝ T·n·occ
@@ -204,19 +212,28 @@ def derive_lsh_params(n_vectors: int) -> tuple[int, int]:
     buckets (capped at ``_LSH_MAX_TABLES``).  Small corpora (where
     the occupancy-32 derive already sits at the gate floor) keep the
     exact gate literals so omitted-knob buckets stay byte-identical
-    to the oracle's."""
+    to the oracle's.
+
+    Both derived quantities are functions of ``k = ⌈log2 n⌉`` alone
+    (``ref_planes = k − 5`` exactly, clamped; ``planes = k``,
+    clamped), so the transcendental table formula collapses to a
+    31-entry integer ladder — ``_lsh_params_for_k`` — that the DuckDB
+    oracle embeds as a CASE over ``bit_length(count(*) − 1)``.  The
+    gate rows therefore invoke THIS derive (VERDICT r9 #2): the
+    parameterization the correctness gate certifies is the same
+    sub-linear one production runs at any corpus size."""
+    return _lsh_params_for_k(min(_ceil_log2(max(n_vectors, 1)), 63))
+
+
+def _lsh_params_for_k(k: int) -> tuple[int, int]:
+    """(tables, planes) for a corpus of ``2^k`` vectors — see
+    ``derive_lsh_params`` for the derivation."""
     import math
 
-    ref_planes = derive_lsh_planes(n_vectors)
+    ref_planes = max(_LSH_PLANES, min(_LSH_MAX_PLANES, k - 5))
     if ref_planes == _LSH_PLANES:
         return _LSH_TABLES, _LSH_PLANES
-    planes = max(
-        ref_planes,
-        min(
-            _LSH_MAX_PLANES,
-            math.ceil(math.log2(n_vectors / _LSH_PAIRGEN_OCCUPANCY)),
-        ),
-    )
+    planes = max(ref_planes, min(_LSH_MAX_PLANES, k))
     c = 1.0 - math.acos(0.9) / math.pi
     r_target = 1.0 - (1.0 - c**ref_planes) ** _LSH_TABLES
     tables = math.ceil(
@@ -349,6 +366,21 @@ def lsh_bucketize(
     )
 
 
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus cardinality, memoized per (session, sf_dir) — the only
+    driver-side scalar the knob-less LSH derive needs (a metadata-only
+    parquet count, paid once per corpus per session)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _EMB_COUNT_CACHE.get(key)
+    if n is None:
+        n = _emb(spark, sf_dir).count()
+        _EMB_COUNT_CACHE[key] = n
+    return n
+
+
+_EMB_COUNT_CACHE: dict = {}
+
+
 def emb_lsh_near_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -356,9 +388,13 @@ def emb_lsh_near_pairs(
 ) -> DataFrame:
     """Approximate near-pair mining: candidates collide in ≥1 LSH
     table; exact cosine ≥ threshold verifies (no false positives,
-    approximate recall only).  The plane weights are fixed literals,
-    so the whole computation — including which candidate pairs the
-    LSH stage surfaces — is reproducible in the DuckDB oracle."""
+    approximate recall only).  (tables, planes) come from
+    ``derive_lsh_params(count(*))`` — the same occupancy-targeted
+    sub-linear sizing production uses at any scale — and the plane
+    weights are md5-derived from those integers, so the whole
+    computation (including which candidate pairs the LSH stage
+    surfaces) is reproducible in the DuckDB oracle, which re-derives
+    the identical constants from its own ``count(*)``."""
     # Fully distributed plan — no driver-side corpus materialization:
     #   1. bucketize (narrow map) → self-join the slim
     #      (table, bucket, vec_id) stream on the bucket key — a plain
@@ -384,13 +420,14 @@ def emb_lsh_near_pairs(
     # compose, don't recompute).
     from meteaudata_spark.plans.opcache import memo_relation
 
+    n_tables, n_planes = derive_lsh_params(_emb_count(spark, sf_dir))
     scored = memo_relation(
         spark,
-        ("lsh_scored_pairs", sf_dir, _LSH_TABLES, _LSH_PLANES),
+        ("lsh_scored_pairs", sf_dir, n_tables, n_planes),
         lambda: lsh_scored_pairs(
             _emb(spark, sf_dir),
-            n_tables=_LSH_TABLES,
-            n_planes=_LSH_PLANES,
+            n_tables=n_tables,
+            n_planes=n_planes,
         ),
     )
     return scored.filter(F.col("cosine") >= threshold)
@@ -662,48 +699,72 @@ ORDER BY query_id, rank
 EMB_IVF_TOPK_SQL = _ivf_sql()
 
 
-def _dot_literal_duck(weights: list[float], col: str) -> str:
-    arr = ", ".join(repr(w) for w in weights)
-    return (
-        f"list_aggregate(list_transform(generate_series(1, {len(weights)}), "
-        f"i -> ([{arr}][i]) * CAST({col}[i] AS DOUBLE)), 'sum')"
-    )
-
-
-def _bucket_expr_duck(table: int, col: str) -> str:
-    return " + ".join(
-        f"(CASE WHEN {_dot_literal_duck(_LSH_W[table][p], col)} > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(_LSH_PLANES)
-    )
-
-
 def _lsh_near_pairs_sql(threshold: float = 0.35) -> str:
-    bucket_cols = ",\n         ".join(
-        f"({_bucket_expr_duck(t, 'embedding')}) AS b{t}" for t in range(_LSH_TABLES)
+    """DuckDB twin of ``emb_lsh_near_pairs`` with the SAME knob-less
+    derive: ``k = ⌈log2 count(*)⌉`` via ``bit_length`` (pure integer —
+    no cross-libm log), then (tables, planes) from the Python-computed
+    ``_lsh_params_for_k`` ladder baked as a CASE (clamps make every
+    rung past k=35 identical).  Plane weights are re-derived from
+    md5('42-t-p-i') hex — byte-identical to ``_plane_weights`` —
+    rather than baked as literals, so ONE static SQL string is correct
+    at every SF (VERDICT r9 #2: the gate row and the oracle now both
+    run the sub-linear production parameterization).
+
+    Like the Spark plan, candidates come from an equi-join on the
+    (table, bucket) key — not an O(n²) collision predicate — so the
+    oracle itself scales past the tiny gate corpora."""
+    sat_t, sat_p = _lsh_params_for_k(35)
+    t_whens = " ".join(
+        f"WHEN k = {k} THEN {_lsh_params_for_k(k)[0]}" for k in range(10, 35)
     )
-    any_collision = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_LSH_TABLES))
+    p_whens = " ".join(
+        f"WHEN k = {k} THEN {_lsh_params_for_k(k)[1]}" for k in range(10, 35)
+    )
     return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding,
-         {bucket_cols}
-  FROM embeddings
+WITH nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+kk AS (SELECT CASE WHEN n <= 1 THEN 0 ELSE length(bin(n - 1)) END AS k FROM nv),
+par AS (
+  SELECT CASE WHEN k <= 9 THEN {_LSH_TABLES} {t_whens} ELSE {sat_t} END AS n_tables,
+         CASE WHEN k <= 9 THEN {_LSH_PLANES} {p_whens} ELSE {sat_p} END AS n_planes
+  FROM kk
+),
+w AS (
+  SELECT t.t, p.p, i.i,
+         CAST(('0x' || substr(md5('42-' || t.t || '-' || p.p || '-' || i.i), 1, 16))::UBIGINT % 2000 AS DOUBLE) / 1000.0 - 1.0 AS w
+  FROM generate_series(0, {_LSH_MAX_TABLES - 1}) t(t),
+       generate_series(0, {_LSH_MAX_PLANES - 1}) p(p),
+       generate_series(0, {_LSH_DIM - 1}) i(i), par
+  WHERE t.t < par.n_tables AND p.p < par.n_planes
+),
+dims AS (
+  SELECT vec_id, i.i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+  FROM embeddings, generate_series(0, {_LSH_DIM - 1}) i(i)
+),
+bks AS MATERIALIZED (
+  SELECT vec_id, t,
+         CAST(t AS BIGINT) * {1 << _LSH_MAX_PLANES} + CAST(SUM(sgn) AS BIGINT) AS tb
+  FROM (
+    SELECT d.vec_id, w.t, w.p,
+           CASE WHEN SUM(w.w * d.x) > 0 THEN CAST(1 AS BIGINT) << w.p ELSE 0 END AS sgn
+    FROM dims d JOIN w ON w.i = d.i
+    GROUP BY d.vec_id, w.t, w.p
+  ) GROUP BY vec_id, t
 ),
 cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         a.embedding AS ea, b.embedding AS eb
-  FROM bucketed a JOIN bucketed b
-    ON a.vec_id < b.vec_id AND ({any_collision})
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bks a JOIN bks b ON a.tb = b.tb AND a.vec_id < b.vec_id
 ),
 scored AS (
-  SELECT vec_a, vec_b,
+  SELECT c.vec_a, c.vec_b,
          ROUND(
            list_aggregate(list_transform(generate_series(1, {_LSH_DIM}),
-             i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)), 'sum')
-           / (sqrt(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-              * sqrt(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+             i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
          6) AS cosine
-  FROM cand
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine
 FROM scored
@@ -1843,12 +1904,31 @@ def semdedup(
     return out
 
 
+def semdedup_n_clusters(n_vectors: int) -> int:
+    """k ∝ n cluster sizing (SemDeDup's scale contract): expected
+    cluster occupancy pinned at ~32, so within-cluster pair volume is
+    ``Σ|c|² ≈ 32·n`` — LINEAR in corpus size — instead of the fixed-k
+    ``n²/k`` the old gate literal measured at e=1.85 (VERDICT r9 #2).
+    Pure integer, so the DuckDB oracle re-derives it from count(*).
+    Floor at the historic gate value (16) keeps small-corpus buckets
+    byte-identical to prior rounds."""
+    return max(_IVFPQ_COARSE, n_vectors // 32)
+
+
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: cluster-bounded semantic dedup at cosine ≥ 0.4."""
-    return semdedup(_emb(spark, sf_dir))
+    """Gate query: cluster-bounded semantic dedup at cosine ≥ 0.4,
+    with the cluster count derived k ∝ n (``semdedup_n_clusters``) —
+    the parameterization the gate certifies is the one that stays
+    linear at scale."""
+    n = _emb_count(spark, sf_dir)
+    return semdedup(_emb(spark, sf_dir), n_clusters=semdedup_n_clusters(n))
 
 
-def _semdedup_sql(threshold: float = 0.4, n_clusters: int = _IVFPQ_COARSE) -> str:
+def _semdedup_sql(threshold: float = 0.4) -> str:
+    """DuckDB twin of ``emb_semdedup`` — the cluster count is derived
+    k ∝ n inside the SQL (``greatest(16, count(*) // 32)``, integer
+    arithmetic identical to ``semdedup_n_clusters``), so one static
+    string is correct at every SF."""
     sqd = (
         "list_aggregate(list_transform(generate_series(1, LEN(a.qe)), "
         "i -> (a.qe[i] - c.ce[i]) * (a.qe[i] - c.ce[i])), 'sum')"
@@ -1867,9 +1947,13 @@ WITH q AS (
          list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_PQ_Q}) AS BIGINT)) AS qe
   FROM embeddings
 ),
+nc AS (
+  SELECT greatest({_IVFPQ_COARSE}, CAST(count(*) AS BIGINT) // 32) AS k
+  FROM embeddings
+),
 cent AS (
   SELECT vec_id AS centroid_id, qe AS ce FROM q
-  WHERE vec_id >= 100 AND vec_id < {100 + n_clusters}
+  WHERE vec_id >= 100 AND vec_id < 100 + (SELECT k FROM nc)
 ),
 assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (

@@ -40,34 +40,11 @@ def main() -> None:
 
     qs = dict(entrymod.queries())
 
-    # The LSH pair-mining GATE rows pin n_planes=4 — an oracle-
-    # reproducibility literal whose per-bucket pair fan-out is
-    # quadratic in corpus size (documented in derive_lsh_planes).
-    # The production path derives the plane count from the corpus;
-    # the exponent table must measure THAT shape, so these two
-    # queries are swapped for their occupancy-derived variants here.
-    def _lsh_scale(spark, sf_dir):
-        emb = simsearch._emb(spark, sf_dir)
-        return simsearch.lsh_near_pairs(
-            emb, 0.35, n_vectors=emb.count()
-        )
-
-    def _embdup_scale(spark, sf_dir):
-        emb = simsearch._emb(spark, sf_dir)
-        pairs = simsearch.lsh_near_pairs(
-            emb, 0.4, n_vectors=emb.count()
-        )
-        return dedup.doc_embedding_dups(spark, sf_dir, pairs=pairs)
-
-    # SemDeDup's quadratic stage is bounded by Σ|cluster|² = n²/k at
-    # FIXED k; the production shape keeps per-cluster occupancy
-    # constant by scaling n_clusters with the corpus (docstring's
-    # "raise n_clusters"), which this variant derives as n/125 (the
-    # gate corpus' occupancy).
-    def _semdedup_scale(spark, sf_dir):
-        emb = simsearch._emb(spark, sf_dir)
-        k = max(16, emb.count() // 125)
-        return simsearch.semdedup(emb, n_clusters=k)
+    # Since round 10 the LSH pair miner, embedding dedup, similarity
+    # histogram and SemDeDup GATE rows derive their parameters from
+    # count(*) (derive_lsh_params / semdedup_n_clusters), so the exact
+    # queries() callables ARE the production shapes and are measured
+    # directly — no swap shims (VERDICT r9 #2).
 
     # The SimHash gate row mines a 16-BIT signature (oracle-cheap but
     # ~5-bit pigeonhole blocks → 2^-5 random collision density, the
@@ -82,40 +59,11 @@ def main() -> None:
     # the PRODUCTION variants of each (derived-plane LSH, 60-bit
     # SimHash) via the precomputed-input params.
     def _consensus_scale(spark, sf_dir):
-        emb = simsearch._emb(spark, sf_dir)
-        em = simsearch.lsh_near_pairs(emb, 0.4, n_vectors=emb.count())
         sh = dedup.simhash_near_pairs(
             dedup.doc_simhash(spark, sf_dir, bits=60), bits=60, k=2
         )
-        return dedup.doc_dedup_consensus(
-            spark, sf_dir, simhash_pairs=sh, embedding_pairs=em
-        )
+        return dedup.doc_dedup_consensus(spark, sf_dir, simhash_pairs=sh)
 
-    # The similarity histogram keeps ALL scored candidate pairs (its
-    # gate row passes threshold −1.0 over the 4-plane literal), so the
-    # gate shape inherits the quadratic candidate fan-out (measured
-    # e=1.79).  Production: the same histogram over the derived-plane
-    # scored pairs (occupancy-held buckets).
-    def _simhist_scale(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        emb = simsearch._emb(spark, sf_dir)
-        scored = simsearch.lsh_scored_pairs(emb, n_vectors=emb.count())
-        return (
-            scored.groupBy(
-                F.floor(F.col("cosine") * 10).cast("bigint").alias("cos_bucket")
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.min("cosine").alias("min_cosine"),
-                F.max("cosine").alias("max_cosine"),
-            )
-        )
-
-    qs["emb_lsh_near_pairs"] = _lsh_scale
-    qs["doc_embedding_dups"] = _embdup_scale
-    qs["emb_similarity_histogram"] = _simhist_scale
-    qs["emb_semdedup"] = _semdedup_scale
     qs["doc_simhash_near_pairs"] = _simhash_scale
     qs["doc_dedup_consensus"] = _consensus_scale
     names = args.queries
