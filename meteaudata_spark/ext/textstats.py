@@ -2237,3 +2237,137 @@ ORDER BY lang, pred_lang
 
 
 DOC_LANG_CONFUSION_SQL = _lang_confusion_sql()
+
+
+# ----------------------------------------------------------------------
+# learned linear quality classifier (fastText-style hashed features)
+# ----------------------------------------------------------------------
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    dim: int = 256,
+    bias_micros: int = 0,
+) -> DataFrame:
+    """Linear quality-classifier scoring over hashed token features —
+    the standard fastText-style quality gate of LLM data pipelines
+    (CCNet / GPT-3 / LLaMA-curation style: a linear model over hashed
+    n-gram counts decides keep vs drop).  ``weights`` is a
+    (bucket BIGINT, weight_micros BIGINT) relation from training
+    (one row per hashed feature, integer micro-units).
+
+    Plan shape (the 100 TB path): explode tokens → one keyed
+    (doc, bucket) count agg → BROADCAST-join the ≤``dim``-row weight
+    table → one keyed per-doc sum.  Two shuffles total, both on keys
+    that scale with the corpus; the model rides to every executor as
+    a broadcast.  All arithmetic is integer (weight_micros × count),
+    so the logit is aggregation-order-free and engine-exact — no
+    float dot products anywhere.
+
+    Output: (doc_id, n_tokens, logit_micros, avg_logit_micros,
+    label 'keep'|'drop').  ``avg_logit_micros`` is the length-
+    normalized score (floor division — both engines agree on
+    floor()); the decision threshold is logit > 0.
+
+    Reference analog: none (pure [EXT]).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from meteaudata_spark.ext.dedup import _h60
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy(
+        "doc_id", F.pmod(_h60(F.col("token")), F.lit(dim)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = weights.select("bucket", "weight_micros")
+    scored = (
+        counts.join(broadcast(w), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                F.sum(F.coalesce(F.col("weight_micros"), F.lit(0)) * F.col("c"))
+                + F.lit(bias_micros)
+            ).alias("logit_micros"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit_micros",
+        F.floor(F.col("logit_micros") / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("avg_logit_micros"),
+        F.when(F.col("logit_micros") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+def planted_classifier_weights(
+    spark: SparkSession, dim: int = 256
+) -> DataFrame:
+    """Deterministic stand-in model for the gate: per-bucket weights
+    in [-1, 1] at 3-dp granularity, derived from the cross-engine
+    60-bit md5 hash (``weight_micros = (h60('clsw-'||b) % 2001)·1000
+    − 1000000``) — exactly reproducible in DuckDB, no RNG state.
+    Production replaces this with trained weights (e.g. logistic
+    regression on a labeled sample — the scoring plan is identical)."""
+    from meteaudata_spark.ext.dedup import _h60
+
+    return spark.range(dim).select(
+        F.col("id").cast("bigint").alias("bucket"),
+        (
+            F.pmod(_h60(F.concat(F.lit("clsw-"), F.col("id"))), F.lit(2001))
+            * 1000
+            - 1000000
+        ).cast("bigint").alias("weight_micros"),
+    )
+
+
+def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the linear quality classifier under the planted
+    md5-derived model (dim 256), ordered by doc_id."""
+    d = _docs(spark, sf_dir)
+    return classifier_score(
+        d, planted_classifier_weights(spark), dim=256
+    ).orderBy("doc_id")
+
+
+DOC_CLASSIFIER_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+),
+bucketed AS (
+  SELECT doc_id, (({_H60_TOK} % 256) + 256) % 256 AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT doc_id, bucket, COUNT(*) AS c
+  FROM bucketed GROUP BY doc_id, bucket
+),
+w AS (
+  SELECT b AS bucket,
+         (CAST(CONCAT('0x', SUBSTR(md5('clsw-' || b), 1, 15)) AS BIGINT) % 2001
+          + 2001) % 2001 * 1000 - 1000000 AS weight_micros
+  FROM generate_series(0, 255) s(b)
+),
+scored AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.weight_micros * c.c) AS BIGINT) AS logit_micros
+  FROM counts c JOIN w USING (bucket)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_tokens, logit_micros,
+       CAST(FLOOR(logit_micros / (1.0 * n_tokens)) AS BIGINT) AS avg_logit_micros,
+       CASE WHEN logit_micros > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+ORDER BY doc_id
+"""

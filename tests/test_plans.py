@@ -772,3 +772,14 @@ def test_jaccard_histogram_reuses_memoized_pairs(spark):
     n_memo = len(opcache._memo)
     dedup.doc_jaccard_histogram(spark, SF).count()
     assert len(opcache._memo) == n_memo
+
+
+def test_classifier_score_broadcasts_model(spark):
+    # the weight table must ride as a broadcast (map-side join), and
+    # scoring must stay at two keyed shuffles (doc-bucket count agg +
+    # per-doc sum) — no sort-merge join against a 256-row model
+    df = textstats.doc_classifier_score(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "BroadcastHashJoin" in joins, joins
+    assert "SortMergeJoin" not in joins, joins
+    assert "CartesianProduct" not in joins
