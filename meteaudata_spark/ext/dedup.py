@@ -334,7 +334,6 @@ def minhash_lsh_pairs(
     """Core MinHash+LSH pipeline over any (doc_id, text) DataFrame —
     see doc_minhash_lsh_pairs for semantics.  Split out so the scale
     smoke can drive it with executor-side synthetic corpora."""
-    rows_per_band = num_hashes // bands
     # ONE per-doc aggregation feeds every downstream branch: the band
     # sub-signatures AND the sorted shingle-hash set used by the
     # exact-Jaccard verify — one corpus scan + one shuffle total.  The
@@ -342,9 +341,28 @@ def minhash_lsh_pairs(
     # because the band self-join and the two verify joins each re-read
     # it.
     sigs = cache_intermediate(minhash_signatures(d, num_hashes, n))
+    banded = _banded_signatures(sigs, num_hashes, bands)
 
-    # bucket key = the band's sub-signature joined as a string —
-    # engine-neutral (Spark's murmur F.hash has no DuckDB equivalent)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_candidates(candidates, sigs, threshold)
+
+
+def _banded_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, bucket) band sub-signature rows.  Bucket key =
+    the band's sub-signature joined as a string — engine-neutral
+    (Spark's murmur ``F.hash`` has no DuckDB equivalent)."""
+    rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
@@ -358,27 +376,24 @@ def minhash_lsh_pairs(
         )
         for band in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
-    # exact verify: join the (small) candidate-pair set against the
-    # per-doc sorted shingle-hash sets already computed in ``sigs``.
-    # Candidates drive the join — the quadratic shingle self-join
-    # never runs; each side is one shuffle of the candidate ids
-    # against the doc-keyed set table.  This is the 100 TB shape:
-    # |candidates| ≪ |all sharing pairs| by LSH design.
+
+def _verify_candidates(
+    candidates: DataFrame, sigs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify: join the (small) candidate-pair set
+    against the per-doc sorted shingle-hash sets already computed in
+    ``sigs``.  Candidates drive the join — the quadratic shingle
+    self-join never runs; each side is one shuffle of the candidate
+    ids against the doc-keyed set table.  This is the 100 TB shape:
+    |candidates| ≪ |all sharing pairs| by LSH design."""
     docsets = sigs.select("doc_id", "hs")
     verified = (
         candidates.join(
@@ -413,6 +428,136 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ----------------------------------------------------------------------
+# incremental / cross-run dedup ledger (batch)
+# ----------------------------------------------------------------------
+def incremental_minhash_pairs(
+    store_sigs,
+    new_docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+    n: int = 3,
+):
+    """Delta-mine near-dup pairs for a NEW corpus shard against a
+    persisted MinHash signature store — the batch twin of the
+    streaming URL ledger: today's shard does NOT re-mine the full
+    historical corpus.
+
+    Returns ``(delta_pairs, all_sigs)``: the verified pairs that
+    involve at least one new document, and the updated signature
+    store (old ∪ new) to persist for the next shard
+    (``write_signature_store``).
+
+    Correctness: a MinHash band collision is a property of the TWO
+    signatures alone, so mining each pair exactly once — at the step
+    where its later document arrives — reproduces the full recompute
+    EXACTLY: ∪ᵢ delta(shardᵢ | shards₁..ᵢ) == pairs(whole corpus).
+    The gate row's oracle IS the full recompute, so the driver
+    certifies that equality at every SF.
+
+    Scale shape: signatures are computed for the SHARD only (the
+    store rides as-is); the candidate join probes the store's banded
+    table with shard-sized keys, so delta cost follows |shard|, not
+    |corpus| — persist the store bucketed on the band key
+    (``write_signature_store``'s layout note) and the probe becomes a
+    co-located join with no store-side shuffle.
+
+    Reference analog: none (pure [EXT]).
+    """
+    new_sigs = cache_intermediate(
+        minhash_signatures(new_docs, num_hashes, n)
+    )
+    all_sigs = (
+        new_sigs
+        if store_sigs is None
+        else cache_intermediate(store_sigs.unionByName(new_sigs))
+    )
+    banded_new = _banded_signatures(new_sigs, num_hashes, bands)
+    banded_all = _banded_signatures(all_sigs, num_hashes, bands)
+    candidates = (
+        banded_new.alias("a")
+        .join(banded_all.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_candidates(candidates, all_sigs, threshold), all_sigs
+
+
+def write_signature_store(sigs: DataFrame, path: str) -> None:
+    """Persist a MinHash signature store shard (append mode — each
+    ingest run adds its shard's signatures).  At cluster scale, write
+    through ``bucketBy(n, "doc_id")`` into a table so the per-shard
+    candidate probe and verify joins co-locate without shuffling the
+    historical store; plain parquet keeps the sandbox test
+    hermetic."""
+    sigs.write.mode("append").parquet(path)
+
+
+def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
+    """Load the persisted signature store (None-safe companion of
+    ``incremental_minhash_pairs``)."""
+    return spark.read.parquet(path)
+
+
+def doc_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+    n: int = 3,
+) -> DataFrame:
+    """Gate query: the corpus arrives as ``n_shards`` deterministic
+    shards (``doc_id % n_shards``); each shard is delta-mined against
+    the accumulated signature store and the deltas are unioned, each
+    pair tagged with the shard that minted it (= the later doc's
+    shard by construction).  The oracle is the FULL recompute — the
+    incremental path must reproduce it exactly (pair for pair,
+    jaccard for jaccard), which is the ledger's correctness
+    contract."""
+    d = _docs(spark, sf_dir)
+    store = None
+    deltas = []
+    for shard in range(n_shards):
+        shard_docs = d.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
+        delta, store = incremental_minhash_pairs(
+            store,
+            shard_docs,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            n=n,
+        )
+        deltas.append(
+            delta.withColumn("minted_shard", F.lit(shard).cast("bigint"))
+        )
+    out = deltas[0]
+    for nxt in deltas[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def _incremental_dedup_sql(n_shards: int = 3) -> str:
+    """Full-recompute oracle: identical pair list to DOC_MINHASH_SQL
+    plus the shard that the incremental path mints each pair at —
+    structurally ``greatest(doc_a % k, doc_b % k)`` (a pair is minted
+    when its LATER shard arrives)."""
+    return f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, jaccard,
+       CAST(greatest(doc_a % {n_shards}, doc_b % {n_shards}) AS BIGINT)
+         AS minted_shard
+FROM mh_pairs
+ORDER BY doc_a, doc_b
+"""
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
@@ -512,6 +657,7 @@ ORDER BY doc_a, doc_b
 
 
 DOC_MINHASH_SQL = _minhash_sql()
+DOC_INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
 
 
 def _simhash_sql(bits: int = 16) -> str:

@@ -91,3 +91,67 @@ def test_classifier_bias_shifts_decision(spark):
         docs, weights, dim=2, bias_micros=-1
     ).collect()[0]
     assert keep["label"] == "keep" and drop["label"] == "drop"
+
+
+# ----------------------------------------------------------------------
+# incremental dedup ledger
+# ----------------------------------------------------------------------
+def _pairs_key(rows):
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+
+
+def test_incremental_equals_full_recompute(spark):
+    from meteaudata_spark.ext import dedup
+
+    full = _pairs_key(
+        dedup.minhash_lsh_pairs(dedup._docs(spark, SF)).collect()
+    )
+    inc_rows = dedup.doc_incremental_dedup(spark, SF, n_shards=4).collect()
+    assert _pairs_key(inc_rows) == full
+    # each pair minted exactly once, at the later doc's shard
+    for r in inc_rows:
+        assert r["minted_shard"] == max(r["doc_a"] % 4, r["doc_b"] % 4)
+
+
+def test_incremental_adversarial_split_orders(spark):
+    # shard sizes 1..n and reversed arrival must converge identically
+    from meteaudata_spark.ext import dedup
+
+    d = dedup._docs(spark, SF).filter(F.col("doc_id") < 60)
+    full = _pairs_key(dedup.minhash_lsh_pairs(d).collect())
+
+    store = None
+    mined = {}
+    # arrival order: big tail shard first, then tiny shards
+    splits = [
+        d.filter(F.col("doc_id") >= 40),
+        d.filter((F.col("doc_id") >= 39) & (F.col("doc_id") < 40)),
+        d.filter(F.col("doc_id") < 39),
+    ]
+    for shard in splits:
+        delta, store = dedup.incremental_minhash_pairs(store, shard)
+        for (a, b), j in _pairs_key(delta.collect()).items():
+            assert (a, b) not in mined  # minted exactly once
+            mined[(a, b)] = j
+    assert mined == full
+
+
+def test_signature_store_roundtrip(spark, tmp_path):
+    from meteaudata_spark.ext import dedup
+
+    d = dedup._docs(spark, SF)
+    shard1 = d.filter(F.col("doc_id") % 2 == 0)
+    shard2 = d.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "sigstore")
+
+    _, sigs1 = dedup.incremental_minhash_pairs(None, shard1)
+    dedup.write_signature_store(sigs1.filter(F.col("doc_id") % 2 == 0), path)
+
+    # next run: load the persisted store, delta-mine the second shard
+    store = dedup.read_signature_store(spark, path)
+    delta2, _ = dedup.incremental_minhash_pairs(store, shard2)
+
+    full = _pairs_key(dedup.minhash_lsh_pairs(d).collect())
+    d1 = _pairs_key(dedup.minhash_lsh_pairs(shard1).collect())
+    got = {**d1, **_pairs_key(delta2.collect())}
+    assert got == full
