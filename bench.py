@@ -44,6 +44,20 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - warmup is best-effort
         pass
 
+    # Prewarm the session-memoized shared relations (LSH pairs,
+    # MinHash pairs, clusters, ...) and record their one-time build
+    # cost EXPLICITLY, so per-query numbers below are marginal cost —
+    # not "whoever ran first paid the corpus mining" (VERDICT r9 #4).
+    # SPARK_GRAFT_BENCH_WARM=0 restores the cold mode.
+    warm_builds: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        from meteaudata_spark.ext.warm import warm_pair_relations
+
+        try:
+            warm_builds = warm_pair_relations(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - fall back to cold
+            print(f"# WARN prewarm failed: {exc}", file=sys.stderr)
+
     # min of N runs per query: the host shows intermittent external
     # load, and min-of-N measures the query, not the neighbors
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -69,14 +83,23 @@ def main() -> None:
         loadavgs[name] = round(os.getloadavg()[0], 2)
 
     ok = [t for t in timings.values() if t >= 0]
-    total = round(sum(ok), 3)
+    warm_total = round(sum(warm_builds.values()), 3)
+    # "value" stays the honest full-session cost (one-time builds +
+    # marginal queries) so round-over-round totals remain comparable
+    # with the pre-warm-mode rounds, where the builds hid inside
+    # whichever queries ran first
+    total = round(sum(ok) + warm_total, 3)
     payload = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "n_queries": len(ok),
-        "avg_query_sec": round(total / len(ok), 3) if ok else -1.0,
+        "marginal_query_sec_total": round(sum(ok), 3),
+        "warm_build_sec": warm_builds,
+        "warm_build_sec_total": warm_total,
+        "mode": "warm" if warm_builds else "cold",
+        "avg_query_sec": round(sum(ok) / len(ok), 3) if ok else -1.0,
         "sf": sf,
         "bench_runs": n_runs,
         "loadavg_1m": {
