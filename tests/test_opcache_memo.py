@@ -116,3 +116,38 @@ def test_lsh_scored_pairs_shared_across_thresholds(spark):
     pb = b.toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     sub = pa[pa.cosine >= 0.4].reset_index(drop=True)
     pd.testing.assert_frame_equal(sub, pb)
+
+
+def test_memo_isolated_per_application(spark):
+    """A restarted Spark session (new applicationId) must REBUILD
+    memoized relations, never reuse a DataFrame whose persist belongs
+    to a dead session — the memo key embeds the application id
+    (VERDICT r9 #8)."""
+    from meteaudata_spark.plans import opcache
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(3).selectExpr("id AS v")
+
+    a = opcache.memo_relation(spark, ("restart_probe", "x"), build)
+    a2 = opcache.memo_relation(spark, ("restart_probe", "x"), build)
+    assert a is a2 and len(builds) == 1
+
+    class _RestartedCtx:
+        applicationId = "app-after-restart-0000"
+
+    class _RestartedSession:
+        sparkContext = _RestartedCtx()
+
+    b = opcache.memo_relation(_RestartedSession(), ("restart_probe", "x"), build)
+    assert len(builds) == 2, "restarted session must rebuild"
+    assert b is not a
+    # and the two sessions' entries coexist under distinct keys
+    keys = [k for k in opcache._memo if k[1:] == ("restart_probe", "x")]
+    assert len(keys) == 2
+    assert {k[0] for k in keys} == {
+        spark.sparkContext.applicationId,
+        "app-after-restart-0000",
+    }
