@@ -1942,3 +1942,102 @@ FROM scored
 GROUP BY segment
 ORDER BY segment
 """
+
+
+def orders_market_basket(
+    spark: SparkSession, sf_dir: str, top_k: int = 100
+) -> DataFrame:
+    """Market-basket co-occurrence mining: which part PAIRS ship in
+    the same order, with support and lift — the classic association
+    signal (recommendations, bundling, data-mixing diagnostics).
+
+    Plan shape (the 100 TB path): distinct (order, part) → keyed
+    SELF-JOIN on l_orderkey.  Pair fan-out is Σ k²/2 per order with k
+    bounded by lines-per-order (≤ 7 in this schema) — LINEAR in fact
+    size, never all-pairs over parts; AQE splits any skewed order.
+    Per-part order counts are one keyed agg; both join back to the
+    pair list (pair relation ≪ fact).  Top-k by support runs as
+    distributed TakeOrderedAndProject, not a global sort.
+
+    Lift in exact integer micros: ``round(n_both·n_orders·1e6 /
+    (n_a·n_b))`` — the operands are exact BIGINTs < 2^53, so the one
+    double division is correctly rounded and engine-identical.
+
+    Reference analog: none (pure [EXT]).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = _t(spark, sf_dir, "orders").groupBy().agg(
+        F.count(F.lit(1)).alias("__n_orders")
+    )
+    part_counts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_orders_part")
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    enriched = (
+        pairs.join(
+            part_counts.select(
+                F.col("pk").alias("part_a"), F.col("n_orders_part").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_counts.select(
+                F.col("pk").alias("part_b"), F.col("n_orders_part").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_both") * F.col("__n_orders") * F.lit(1000000))
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("bigint")
+            .alias("lift_micros"),
+        )
+    )
+    return enriched.orderBy(
+        F.col("n_both").desc(), "part_a", "part_b"
+    ).limit(top_k)
+
+
+ORDERS_MARKET_BASKET_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(*) AS n FROM orders),
+part_counts AS (
+  SELECT l_partkey AS pk, COUNT(*) AS n_orders_part
+  FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_both,
+       pa.n_orders_part AS n_a, pb.n_orders_part AS n_b,
+       CAST(ROUND((n_both * n.n * 1000000) / (1.0 * pa.n_orders_part * pb.n_orders_part)) AS BIGINT)
+         AS lift_micros
+FROM pairs
+JOIN part_counts pa ON pa.pk = part_a
+JOIN part_counts pb ON pb.pk = part_b
+CROSS JOIN n_orders n
+ORDER BY n_both DESC, part_a, part_b
+LIMIT 100
+"""

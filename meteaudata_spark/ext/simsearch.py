@@ -71,9 +71,10 @@ def emb_cosine_topk(
     )
 
 
-EMB_COSINE_TOPK_SQL = """
+def _cosine_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}
 ),
 pairs AS (
   SELECT q.query_id, e.vec_id,
@@ -93,9 +94,12 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank
 FROM ranked
-WHERE rank <= 5
+WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+EMB_COSINE_TOPK_SQL = _cosine_topk_sql()
 
 
 def emb_avg_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2896,3 +2900,104 @@ ORDER BY cos_bucket
 
 
 EMB_SIMILARITY_HISTOGRAM_SQL = _similarity_histogram_sql()
+
+
+def emb_recall_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    ks=(1, 3, 5, 10),
+) -> DataFrame:
+    """Recall@k CURVE of the IVF searcher against the exact ranking —
+    the single-point recall row (``emb_ann_recall``) widened to the
+    sweep every ANN deployment actually plots before picking k /
+    n_probe.  Both rankers are deterministic (rounded cosine, vec_id
+    tiebreak), so the curve is engine-exact.
+
+    Composition cost: two top-10 relations (≤ 100 rows each) joined
+    on (query, neighbor), an |ks|× explode, and one keyed agg — free
+    at any corpus scale; the rankers do the work.
+
+    Output: (k, n_queries, total_overlap, macro_recall_micros) —
+    macro recall = Σ_q |exact@k ∩ approx@k| / (k · n_queries), in
+    exact integer micros (one correctly-rounded double division of
+    BIGINTs).  Reference analog: none (pure [EXT])."""
+    kmax = max(ks)
+    exact = emb_cosine_topk(spark, sf_dir, n_queries=n_queries, k=kmax).select(
+        "query_id", "vec_id", F.col("rank").alias("rank_e")
+    )
+    approx = emb_ivf_topk(spark, sf_dir, n_queries=n_queries, k=kmax).select(
+        "query_id", "vec_id", F.col("rank").alias("rank_a")
+    )
+    both = exact.join(approx, ["query_id", "vec_id"])
+    counts = (
+        both.select(
+            "rank_e",
+            "rank_a",
+            F.explode(
+                F.array(*[F.lit(k).cast("bigint") for k in ks])
+            ).alias("k"),
+        )
+        .filter((F.col("rank_e") <= F.col("k")) & (F.col("rank_a") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("total_overlap"))
+    )
+    ks_rel = spark.createDataFrame(
+        [(int(k),) for k in ks], "k BIGINT"
+    )
+    return (
+        ks_rel.join(counts, "k", "left")
+        .select(
+            "k",
+            F.lit(n_queries).cast("bigint").alias("n_queries"),
+            F.coalesce(F.col("total_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("total_overlap"),
+            F.round(
+                F.coalesce(F.col("total_overlap"), F.lit(0))
+                * F.lit(1000000)
+                / (F.col("k") * F.lit(n_queries))
+            )
+            .cast("bigint")
+            .alias("macro_recall_micros"),
+        )
+        .orderBy("k")
+    )
+
+
+def _recall_curve_sql(n_queries: int = 10, ks=(1, 3, 5, 10)) -> str:
+    kmax = max(ks)
+    exact = _cosine_topk_sql(n_queries=n_queries, k=kmax).strip()
+    exact = exact[: exact.rindex("ORDER BY")]
+    approx = _ivf_sql(n_queries=n_queries, k=kmax).strip()
+    approx = approx[: approx.rindex("ORDER BY")]
+    ks_values = ", ".join(f"(CAST({k} AS BIGINT))" for k in ks)
+    return f"""
+WITH exact_tk AS (
+{exact}
+),
+approx_tk AS (
+{approx}
+),
+both_tk AS (
+  SELECT e.query_id, e.vec_id, e.rank AS rank_e, a.rank AS rank_a
+  FROM exact_tk e JOIN approx_tk a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+),
+ks(k) AS (VALUES {ks_values}),
+counts AS (
+  SELECT ks.k, COUNT(b.query_id) AS total_overlap
+  FROM ks LEFT JOIN both_tk b
+    ON b.rank_e <= ks.k AND b.rank_a <= ks.k
+  GROUP BY ks.k
+)
+SELECT k, CAST({n_queries} AS BIGINT) AS n_queries,
+       CAST(total_overlap AS BIGINT) AS total_overlap,
+       CAST(ROUND(total_overlap * 1000000 / (1.0 * k * {n_queries})) AS BIGINT)
+         AS macro_recall_micros
+FROM counts
+ORDER BY k
+"""
+
+
+EMB_RECALL_CURVE_SQL = _recall_curve_sql()

@@ -2371,3 +2371,120 @@ SELECT doc_id, n_tokens, logit_micros,
 FROM scored
 ORDER BY doc_id
 """
+
+
+def classifier_pr_curve(
+    scored: DataFrame,
+    truth: DataFrame,
+    thresholds=None,
+) -> DataFrame:
+    """Precision/recall sweep of a classifier score against a binary
+    ground truth — the table every quality-gate deployment reads
+    before picking its keep threshold.
+
+    ``scored``: (doc_id, avg_logit_micros); ``truth``: (doc_id,
+    is_good BOOLEAN).  For each threshold t the prediction is
+    ``avg_logit_micros >= t``.  One keyed join + an 11× threshold
+    explode + one keyed agg — all integer arithmetic (counts and
+    basis-point integer division), so both engines agree exactly.
+    """
+    if thresholds is None:
+        thresholds = [-1000000 + 200000 * i for i in range(11)]
+    joined = scored.join(truth, "doc_id")
+    exploded = joined.select(
+        "avg_logit_micros",
+        "is_good",
+        F.explode(
+            F.array(*[F.lit(t).cast("bigint") for t in thresholds])
+        ).alias("threshold_micros"),
+    )
+    pred = F.col("avg_logit_micros") >= F.col("threshold_micros")
+    agged = exploded.groupBy("threshold_micros").agg(
+        F.sum(F.when(pred & F.col("is_good"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred & ~F.col("is_good"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred & F.col("is_good"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pred & ~F.col("is_good"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return agged.select(
+        "threshold_micros",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(tp * 10000) div (tp + fp)"),
+        )
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("precision_bp"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(tp * 10000) div (tp + fn)"),
+        )
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("recall_bp"),
+    ).orderBy("threshold_micros")
+
+
+def doc_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: PR curve of the planted linear classifier with
+    ``quality_score >= 0.5`` as ground truth — composes the memoized
+    quality relation and the classifier scorer (two shared upstreams,
+    zero recomputation after warm)."""
+    scored = doc_classifier_score(spark, sf_dir).select(
+        "doc_id", "avg_logit_micros"
+    )
+    truth = doc_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("is_good")
+    )
+    return classifier_pr_curve(scored, truth)
+
+
+def _classifier_pr_curve_sql() -> str:
+    clf = DOC_CLASSIFIER_SCORE_SQL.strip()
+    clf = clf[: clf.rindex("ORDER BY")]
+    q = DOC_QUALITY_SQL.strip()
+    q = q[: q.rindex("ORDER BY")]
+    return f"""
+WITH clf AS (
+{clf}
+),
+q AS (
+{q}
+),
+joined AS (
+  SELECT c.avg_logit_micros, (q.quality_score >= 0.5) AS is_good
+  FROM clf c JOIN q ON q.doc_id = c.doc_id
+),
+th AS (
+  SELECT CAST(-1000000 + 200000 * i AS BIGINT) AS threshold_micros
+  FROM generate_series(0, 10) s(i)
+),
+agged AS (
+  SELECT t.threshold_micros,
+         CAST(SUM(CASE WHEN j.avg_logit_micros >= t.threshold_micros AND j.is_good THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN j.avg_logit_micros >= t.threshold_micros AND NOT j.is_good THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN j.avg_logit_micros < t.threshold_micros AND j.is_good THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN j.avg_logit_micros < t.threshold_micros AND NOT j.is_good THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM joined j CROSS JOIN th t
+  GROUP BY t.threshold_micros
+)
+SELECT threshold_micros, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN CAST((tp * 10000) // (tp + fp) AS BIGINT) END AS precision_bp,
+       CASE WHEN tp + fn > 0 THEN CAST((tp * 10000) // (tp + fn) AS BIGINT) END AS recall_bp
+FROM agged
+ORDER BY threshold_micros
+"""
+
+
+DOC_CLASSIFIER_PR_CURVE_SQL = _classifier_pr_curve_sql()

@@ -155,3 +155,70 @@ def test_signature_store_roundtrip(spark, tmp_path):
     d1 = _pairs_key(dedup.minhash_lsh_pairs(shard1).collect())
     got = {**d1, **_pairs_key(delta2.collect())}
     assert got == full
+
+
+# ----------------------------------------------------------------------
+# market basket / PR curve / recall curve
+# ----------------------------------------------------------------------
+def test_market_basket_lift_math(spark):
+    from meteaudata_spark.ext import relational
+
+    rows = relational.orders_market_basket(spark, SF, top_k=20).collect()
+    assert 0 < len(rows) <= 20
+    import duckdb
+
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT count(*) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    for r in rows[:5]:
+        assert r["part_a"] < r["part_b"]
+        expect = round(
+            (r["n_both"] * n_orders * 1000000) / (r["n_a"] * r["n_b"])
+        )
+        assert r["lift_micros"] == expect
+    # ranked by support, ties by part ids
+    supports = [r["n_both"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
+
+
+def test_pr_curve_planted(spark):
+    from meteaudata_spark.ext.textstats import classifier_pr_curve
+
+    scored = spark.createDataFrame(
+        [(1, 900000), (2, 500000), (3, -200000), (4, -900000)],
+        "doc_id LONG, avg_logit_micros LONG",
+    )
+    truth = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, False)],
+        "doc_id LONG, is_good BOOLEAN",
+    )
+    rows = {
+        r["threshold_micros"]: r
+        for r in classifier_pr_curve(
+            scored, truth, thresholds=[0, 1000000]
+        ).collect()
+    }
+    at0 = rows[0]
+    assert (at0["tp"], at0["fp"], at0["fn"], at0["tn"]) == (2, 0, 0, 2)
+    assert at0["precision_bp"] == 10000 and at0["recall_bp"] == 10000
+    hi = rows[1000000]
+    assert (hi["tp"], hi["fp"]) == (0, 0)
+    assert hi["precision_bp"] is None  # no predictions -> undefined
+    assert hi["recall_bp"] == 0
+
+
+def test_recall_curve_consistent_with_ann_recall(spark):
+    from meteaudata_spark.ext import simsearch
+
+    curve = {
+        r["k"]: r
+        for r in simsearch.emb_recall_curve(spark, SF).collect()
+    }
+    assert set(curve) == {1, 3, 5, 10}
+    for k, r in curve.items():
+        assert 0 <= r["macro_recall_micros"] <= 1000000
+        assert r["total_overlap"] <= k * r["n_queries"]
+    # the k=5 point must equal the single-point evaluation row
+    ann = simsearch.emb_ann_recall(spark, SF).collect()[0]
+    assert curve[5]["macro_recall_micros"] == ann["macro_recall_micros"]

@@ -60,8 +60,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from meteaudata_spark.session import get_spark
@@ -76,9 +82,13 @@ def main() -> None:
 
     qs, oracles = e.queries(), e.oracle_sql()
     passed = failed = weak = 0
+    results: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        import time as _time
+
+        _t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
@@ -110,9 +120,31 @@ def main() -> None:
             suffix = f"  [dtype drift: {'; '.join(notes)}]" if notes else ""
             print(f"  ok   {name}: rows={len(spark_pdf)}{suffix}")
             passed += 1
+            results[name] = {
+                "ok": True,
+                "rows": len(spark_pdf),
+                "sec": round(_time.perf_counter() - _t0, 2),
+            }
         else:
             failed += 1
+            results[name] = {"ok": False, "rows": len(spark_pdf)}
     print(f"\n{passed} ok, {failed} failed, {weak} weak (rows-only)")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "passed": passed,
+                    "failed": failed,
+                    "weak": weak,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     sys.exit(1 if failed else 0)
 
 
