@@ -39,7 +39,9 @@ def ts_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.col("ts").alias("timestamp"), "value"
     )
-    out = kernels.resample_mean(ev, "5min", partition_cols=["event_type"])
+    out = kernels.resample_mean(
+        ev, "5min", partition_cols=["event_type"], exact_micros=2**20
+    )
     return out.select(
         "event_type",
         F.col("timestamp").alias("bucket_ts"),
@@ -57,7 +59,7 @@ WITH b AS (
 agg AS (
   SELECT e.event_type,
          CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 300) * 300) AS TIMESTAMP) AS bucket_ts,
-         AVG(e.value) AS avg_raw
+         SUM(CAST(round(e.value * 1048576) AS BIGINT)) / (1048576.0 * COUNT(e.value)) AS avg_raw
   FROM events e JOIN b USING (event_type)
   GROUP BY 1, 2
 ),
@@ -82,7 +84,9 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.col("ts").alias("timestamp"), "value"
     )
-    res = kernels.resample_mean(ev, "1min", partition_cols=["event_type"])
+    res = kernels.resample_mean(
+        ev, "1min", partition_cols=["event_type"], exact_micros=2**20
+    )
     out = kernels.interpolate_linear(res, partition_cols=["event_type"])
     return out.select(
         "event_type",
@@ -101,7 +105,7 @@ WITH b AS (
 agg AS (
   SELECT e.event_type,
          CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 60) * 60) AS TIMESTAMP) AS bucket_ts,
-         AVG(e.value) AS avg_raw
+         SUM(CAST(round(e.value * 1048576) AS BIGINT)) / (1048576.0 * COUNT(e.value)) AS avg_raw
   FROM events e JOIN b USING (event_type)
   GROUP BY 1, 2
 ),
@@ -200,7 +204,9 @@ def ts_aligned_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.col("ts").alias("timestamp"), "value"
     )
-    res = kernels.resample_mean(ev, "5min", partition_cols=["event_type"])
+    res = kernels.resample_mean(
+        ev, "5min", partition_cols=["event_type"], exact_micros=2**20
+    )
     # cross-engine determinism: round each inner mean to integer
     # micro-units BEFORE the outer average, which then runs as an
     # exact integer sum / count — one unordered-float layer instead
@@ -231,7 +237,7 @@ WITH b AS (
 agg AS (
   SELECT e.event_type,
          CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 300) * 300) AS TIMESTAMP) AS bucket_ts,
-         AVG(e.value) AS avg_raw
+         SUM(CAST(round(e.value * 1048576) AS BIGINT)) / (1048576.0 * COUNT(e.value)) AS avg_raw
   FROM events e JOIN b USING (event_type)
   GROUP BY 1, 2
 ),
@@ -607,7 +613,9 @@ def ts_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.col("ts").alias("timestamp"), "value"
     )
-    res = kernels.resample_mean(ev, "5min", partition_cols=["event_type"])
+    res = kernels.resample_mean(
+        ev, "5min", partition_cols=["event_type"], exact_micros=2**20
+    )
     filled = kernels.locf(res, partition_cols=["event_type"])
     return filled.select(
         "event_type",
@@ -626,7 +634,7 @@ WITH b AS (
 agg AS (
   SELECT e.event_type,
          CAST(to_timestamp(epoch(b.origin) + floor((epoch(e.ts) - epoch(b.origin)) / 300) * 300) AS TIMESTAMP) AS bucket_ts,
-         AVG(e.value) AS avg_raw
+         SUM(CAST(round(e.value * 1048576) AS BIGINT)) / (1048576.0 * COUNT(e.value)) AS avg_raw
   FROM events e JOIN b USING (event_type)
   GROUP BY 1, 2
 ),

@@ -50,8 +50,21 @@ def resample_mean(
     val_col: str = "value",
     partition_cols: Sequence[str] = (),
     origin: str = "start_day",
+    exact_micros: int = 0,
 ) -> DataFrame:
     """Tumbling-window mean matching ``pandas.Series.resample(freq).mean()``.
+
+    ``exact_micros`` (e.g. ``2**20``): compute the mean as
+    ``Σ round(value·Q) / (Q·n)`` — the per-value quantization makes the
+    partial sums exact BIGINTs, so the bucket mean is INDEPENDENT of
+    aggregation order and bit-identical across engines.  Float ``avg``
+    (the default, pandas-parity) differs by ulps between engines when
+    partial-sum order differs, which flips 6-dp rounding whenever a
+    downstream value lands on a half boundary — observed at sf1 in
+    ``ts_interpolate`` (9 of 1.3M interpolated rows).  The gate
+    queries pass this; the library surface keeps pandas semantics
+    (quantization error 2⁻²¹ ≪ the oracle's comparison tolerance,
+    but parity is parity).
 
     Semantics (reference resample.py:47):
       * buckets are ``[origin + k·freq, origin + (k+1)·freq)`` where the
@@ -101,11 +114,25 @@ def resample_mean(
         F.col(val_col)
     ) if dict(df.dtypes)[val_col] in ("double", "float") else F.col(val_col)
 
-    agg = (
-        joined.withColumn("__bucket", bucket_expr)
-        .groupBy(*pcols, "__bucket")
-        .agg(F.avg(clean_val).alias(val_col))
-    )
+    if exact_micros:
+        q = F.lit(float(exact_micros))
+        mean_expr = (
+            F.sum(F.round(clean_val * q).cast("bigint")).cast("double")
+            / (q * F.count(clean_val))
+        )
+        agg = (
+            joined.withColumn("__bucket", bucket_expr)
+            .groupBy(*pcols, "__bucket")
+            .agg(
+                F.when(F.count(clean_val) > 0, mean_expr).alias(val_col)
+            )
+        )
+    else:
+        agg = (
+            joined.withColumn("__bucket", bucket_expr)
+            .groupBy(*pcols, "__bucket")
+            .agg(F.avg(clean_val).alias(val_col))
+        )
 
     # gap-fill: for each observed bucket, explode the range
     # (prev_bucket+step .. bucket]; every element but the last is an

@@ -783,3 +783,23 @@ def test_classifier_score_broadcasts_model(spark):
     assert "BroadcastHashJoin" in joins, joins
     assert "SortMergeJoin" not in joins, joins
     assert "CartesianProduct" not in joins
+
+
+def test_market_basket_no_cartesian_distributed_topk(spark):
+    from meteaudata_spark.ext import relational
+
+    df = relational.orders_market_basket(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    plan = inspect.formatted_plan(df)
+    # top-k must run distributed (TakeOrderedAndProject), never a
+    # global Sort + Limit over the full pair relation
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_incremental_dedup(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins, joins

@@ -222,3 +222,58 @@ def test_recall_curve_consistent_with_ann_recall(spark):
     # the k=5 point must equal the single-point evaluation row
     ann = simsearch.emb_ann_recall(spark, SF).collect()[0]
     assert curve[5]["macro_recall_micros"] == ann["macro_recall_micros"]
+
+
+# ----------------------------------------------------------------------
+# exact_micros resample means (the sf1 ts_interpolate divergence fix)
+# ----------------------------------------------------------------------
+def test_resample_exact_micros_is_order_independent(spark):
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.operators import kernels
+
+    rng = np.random.default_rng(7)
+    idx = pd.date_range("2024-01-01", freq="13s", periods=5000)
+    pdf = pd.DataFrame(
+        {"timestamp": idx, "value": rng.normal(50, 30, 5000)}
+    )
+    df = spark.createDataFrame(pdf)
+
+    def run(d):
+        out = kernels.resample_mean(d, "5min", exact_micros=2**20).toPandas()
+        return out.sort_values("timestamp").reset_index(drop=True)
+
+    base = run(df.coalesce(1))
+    shuffled = run(df.orderBy(F.rand(3)).repartition(17))
+    # bit-identical, not allclose: integer partial sums are order-free
+    assert (base["value"].values == shuffled["value"].values).all()
+    # and the quantized mean matches the pandas reference within 2^-20
+    ref = (
+        pdf.set_index("timestamp")["value"].resample("5min").mean()
+    )
+    assert np.allclose(base["value"].values, ref.values, atol=2**-19)
+
+
+def test_resample_exact_micros_empty_buckets_stay_null(spark):
+    import pandas as pd
+
+    from meteaudata_spark.operators import kernels
+
+    pdf = pd.DataFrame(
+        {
+            "timestamp": pd.to_datetime(
+                ["2024-01-01 00:00:30", "2024-01-01 00:20:10"]
+            ),
+            "value": [1.25, 7.5],
+        }
+    )
+    out = (
+        kernels.resample_mean(
+            spark.createDataFrame(pdf), "5min", exact_micros=2**20
+        )
+        .toPandas()
+        .sort_values("timestamp")
+    )
+    assert len(out) == 5  # 00:00 .. 00:20 inclusive
+    assert out["value"].isna().sum() == 3
