@@ -2929,7 +2929,7 @@ def emb_recall_curve(
     approx = emb_ivf_topk(spark, sf_dir, n_queries=n_queries, k=kmax).select(
         "query_id", "vec_id", F.col("rank").alias("rank_a")
     )
-    both = exact.join(approx, ["query_id", "vec_id"])
+    both = exact.join(F.broadcast(approx), ["query_id", "vec_id"])
     counts = (
         both.select(
             "rank_e",
@@ -2946,7 +2946,7 @@ def emb_recall_curve(
         [(int(k),) for k in ks], "k BIGINT"
     )
     return (
-        ks_rel.join(counts, "k", "left")
+        ks_rel.join(F.broadcast(counts), "k", "left")
         .select(
             "k",
             F.lit(n_queries).cast("bigint").alias("n_queries"),

@@ -803,3 +803,36 @@ def test_incremental_dedup_no_cartesian(spark):
     df = dedup.doc_incremental_dedup(spark, SF)
     joins = inspect.join_strategies(df)
     assert "CartesianProduct" not in joins, joins
+
+
+def test_pr_curve_single_agg_no_cartesian(spark):
+    # one keyed doc join + 11x threshold explode + ONE hash-agg; the
+    # sweep must never plan per-threshold branches (11 re-reads of the
+    # scored relation) or a cartesian against the threshold list
+    df = textstats.doc_classifier_pr_curve(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert "CartesianProduct" not in joins, joins
+    plan = inspect.formatted_plan(df)
+    import re
+
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 6, f"threshold sweep re-reads upstream: {scans} scans"
+
+
+def test_recall_curve_joins_topk_relations_broadcast(spark):
+    # both top-k relations are <= n_queries*kmax rows; the overlap
+    # join and the ks spine join must both broadcast — the composition
+    # must add ZERO sort-merge joins beyond its two upstream rankers
+    from meteaudata_spark.ext import simsearch
+
+    upstream_smj = sum(
+        inspect.join_strategies(fn(spark, SF, n_queries=10, k=10)).count(
+            "SortMergeJoin"
+        )
+        for fn in (simsearch.emb_cosine_topk, simsearch.emb_ivf_topk)
+    )
+    df = simsearch.emb_recall_curve(spark, SF)
+    joins = inspect.join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 2, joins
+    assert joins.count("SortMergeJoin") <= upstream_smj, joins
+    assert "CartesianProduct" not in joins, joins
