@@ -904,3 +904,124 @@ ORDER BY d.lang
 
 
 DOC_PACKING_EFFICIENCY_SQL = _packing_efficiency_sql()
+
+
+# ----------------------------------------------------------------------
+# join/shuffle key-skew report
+# ----------------------------------------------------------------------
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-skew report for a prospective join/aggregation key —
+    the number to read BEFORE keying a 100 TB shuffle on a column.
+    One hot key (a bot user, an empty-string domain) serializes a
+    whole stage onto one reducer; this report says whether the key
+    needs salting or AQE skew handling first.
+
+    Output (one row): n_keys, n_rows, max_count, p50/p90/p99_count
+    (exact percentiles of the per-key row-count distribution),
+    top_key_share_bp (heaviest key's share of all rows),
+    skew_ratio_bp (max/mean per-key count, 10000 = perfectly even).
+
+    All arithmetic integer: percentile pXX is the smallest count c
+    with cum_keys(c)·100 ≥ XX·n_keys (ceil-rank), shares by floor-div
+    basis points — both engines agree bit-for-bit.
+
+    Scale shape: ONE real shuffle (the per-key count — the same
+    shuffle the audited join would pay); everything downstream runs
+    on the count HISTOGRAM, whose size is the number of DISTINCT
+    per-key counts (≤ thousands at any corpus size), so the ordered
+    window and the 1-row totals broadcast are bounded.
+    Reference analog: none ([EXT])."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum_keys", F.sum("n_keys").over(w)).withColumn(
+        "total_keys",
+        F.sum("n_keys").over(
+            Window.orderBy("cnt").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return cum.groupBy().agg(
+        F.sum("n_keys").cast("bigint").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("n_keys")).cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_count"),
+        F.min(
+            F.when(
+                F.col("cum_keys") * 100 >= F.lit(50) * F.col("total_keys"),
+                F.col("cnt"),
+            )
+        )
+        .cast("bigint")
+        .alias("p50_count"),
+        F.min(
+            F.when(
+                F.col("cum_keys") * 100 >= F.lit(90) * F.col("total_keys"),
+                F.col("cnt"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_count"),
+        F.min(
+            F.when(
+                F.col("cum_keys") * 100 >= F.lit(99) * F.col("total_keys"),
+                F.col("cnt"),
+            )
+        )
+        .cast("bigint")
+        .alias("p99_count"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        "p50_count",
+        "p90_count",
+        "p99_count",
+        F.expr("(max_count * 10000) div n_rows").alias("top_key_share_bp"),
+        F.expr("(max_count * n_keys * 10000) div n_rows").alias(
+            "skew_ratio_bp"
+        ),
+    )
+
+
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: skew report for ``events.user_id`` — the key every
+    sessionize/attribution/retention query in this engine shuffles on."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_report(ev, "user_id")
+
+
+EVENTS_KEY_SKEW_SQL = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT cnt, COUNT(*) AS n_keys FROM per_key GROUP BY cnt
+),
+cum AS (
+  SELECT cnt, n_keys,
+         SUM(n_keys) OVER (ORDER BY cnt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys,
+         SUM(n_keys) OVER () AS total_keys
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt * n_keys) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_count,
+         CAST(MIN(CASE WHEN cum_keys * 100 >= 50 * total_keys
+                       THEN cnt END) AS BIGINT) AS p50_count,
+         CAST(MIN(CASE WHEN cum_keys * 100 >= 90 * total_keys
+                       THEN cnt END) AS BIGINT) AS p90_count,
+         CAST(MIN(CASE WHEN cum_keys * 100 >= 99 * total_keys
+                       THEN cnt END) AS BIGINT) AS p99_count
+  FROM cum
+)
+SELECT n_keys, n_rows, max_count, p50_count, p90_count, p99_count,
+       CAST((max_count * 10000) // n_rows AS BIGINT) AS top_key_share_bp,
+       CAST((max_count * n_keys * 10000) // n_rows AS BIGINT)
+         AS skew_ratio_bp
+FROM agg
+"""

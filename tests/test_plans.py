@@ -836,3 +836,21 @@ def test_recall_curve_joins_topk_relations_broadcast(spark):
     assert joins.count("BroadcastHashJoin") >= 2, joins
     assert joins.count("SortMergeJoin") <= upstream_smj, joins
     assert "CartesianProduct" not in joins, joins
+
+
+def test_key_skew_single_real_shuffle(spark):
+    # the per-key count is the ONLY full-data shuffle; the histogram
+    # agg and the ordered window run on the tiny count-distribution
+    # relation (SinglePartition there is the documented 1-small-rel
+    # exception, like the scalar broadcasts)
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.events_key_skew(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"events must be read once: {scans}"
+    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert exchanges <= 4, f"too many exchanges: {exchanges}"

@@ -277,3 +277,34 @@ def test_resample_exact_micros_empty_buckets_stay_null(spark):
     )
     assert len(out) == 5  # 00:00 .. 00:20 inclusive
     assert out["value"].isna().sum() == 3
+
+
+# key_skew_report — shuffle-skew observability
+def test_key_skew_planted_hot_key(spark):
+    from meteaudata_spark.ext.corpus_ops import key_skew_report
+
+    # 99 keys with 1 row each + one hot key with 901 rows
+    rows = [(k,) for k in range(99)] + [(999,)] * 901
+    df = spark.createDataFrame(rows, "user_id BIGINT")
+    out = key_skew_report(df, "user_id").collect()[0]
+    assert out["n_keys"] == 100
+    assert out["n_rows"] == 1000
+    assert out["max_count"] == 901
+    # 50th/90th/99th percentile of per-key counts: 99 keys at 1,
+    # 1 key at 901 -> p50=p90=p99=1 (cum 99 covers up to 99%)
+    assert out["p50_count"] == 1
+    assert out["p90_count"] == 1
+    assert out["p99_count"] == 1
+    assert out["top_key_share_bp"] == 9010  # 901/1000
+    assert out["skew_ratio_bp"] == 901000  # 901 / (1000/100) keys-mean
+
+
+def test_key_skew_uniform_is_even(spark):
+    from meteaudata_spark.ext.corpus_ops import key_skew_report
+
+    rows = [(k % 50,) for k in range(500)]
+    df = spark.createDataFrame(rows, "user_id BIGINT")
+    out = key_skew_report(df, "user_id").collect()[0]
+    assert out["max_count"] == 10
+    assert out["p50_count"] == out["p99_count"] == 10
+    assert out["skew_ratio_bp"] == 10000  # perfectly even
