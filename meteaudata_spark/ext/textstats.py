@@ -2488,3 +2488,103 @@ ORDER BY threshold_micros
 
 
 DOC_CLASSIFIER_PR_CURVE_SQL = _classifier_pr_curve_sql()
+
+
+# ----------------------------------------------------------------------
+# character-entropy quality signal
+# ----------------------------------------------------------------------
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy in integer
+    nano-free NATS-micros — the compression-ratio proxy quality
+    filters use to drop repetitive/spammy text (low entropy ⇒ the
+    document compresses to nothing ⇒ near-zero training value).
+
+    Exact cross-engine recipe: H = ln(n) − (Σ c·ln c)/n over per-char
+    counts c becomes ``(n·L(n) − Σ c·L(c)) div n`` with
+    ``L(x) = round(ln(x)·1e6)`` — L is monotone, so the numerator is
+    provably ≥ 0, and every step after the two ln() calls is integer
+    (the ln-pre-rounded-to-6dp recipe BM25 idf already proved).
+
+    Scale shape: one explode to corpus-character rows (the same cost
+    as any tokenize), two keyed hash-aggs — map-side combinable, no
+    window, no join."""
+    chars = df.filter(F.length(text_col) >= 1).select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lmicros = lambda col: F.round(F.log(col) * 1000000.0).cast("bigint")
+    per_doc = per_char.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * lmicros(F.col("c").cast("double")))
+        .cast("bigint")
+        .alias("sum_clc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.expr(
+            "(n * cast(round(ln(cast(n as double)) * 1000000.0) as bigint)"
+            " - sum_clc) div n"
+        ).alias("entropy_micros"),
+    )
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-language entropy profile — doc counts, the
+    avg/min/max of the per-doc entropy, and how many docs fall under
+    the 2.5-nat repetitive-text fence."""
+    d = _docs(spark, sf_dir)
+    ent = char_entropy(d).join(d.select("doc_id", "lang"), "doc_id")
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(entropy_micros) div count(1)").alias(
+                "avg_entropy_micros"
+            ),
+            F.min("entropy_micros").cast("bigint").alias(
+                "min_entropy_micros"
+            ),
+            F.max("entropy_micros").cast("bigint").alias(
+                "max_entropy_micros"
+            ),
+            F.sum((F.col("entropy_micros") < 2500000).cast("bigint"))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) >= 1
+),
+per_char AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars
+  WHERE ch <> '' GROUP BY doc_id, ch
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS sum_clc
+  FROM per_char GROUP BY doc_id
+),
+ent AS (
+  SELECT p.doc_id, d.lang,
+         (p.n * CAST(ROUND(ln(CAST(p.n AS DOUBLE)) * 1000000.0) AS BIGINT)
+          - p.sum_clc) // p.n AS entropy_micros
+  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(entropy_micros) // COUNT(*) AS BIGINT)
+         AS avg_entropy_micros,
+       CAST(MIN(entropy_micros) AS BIGINT) AS min_entropy_micros,
+       CAST(MAX(entropy_micros) AS BIGINT) AS max_entropy_micros,
+       CAST(SUM(CASE WHEN entropy_micros < 2500000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_entropy
+FROM ent GROUP BY lang ORDER BY lang
+"""

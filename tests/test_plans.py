@@ -854,3 +854,16 @@ def test_key_skew_single_real_shuffle(spark):
     assert scans == 1, f"events must be read once: {scans}"
     exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert exchanges <= 4, f"too many exchanges: {exchanges}"
+
+
+def test_char_entropy_two_aggs_no_join_before_reduce(spark):
+    # explode -> two map-side-combinable hash aggs; the lang join rides
+    # a broadcast after the per-doc reduce, and text is read once
+    df = textstats.doc_char_entropy(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    import re
+
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 2, f"documents must be read at most twice: {scans}"

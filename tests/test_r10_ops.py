@@ -308,3 +308,36 @@ def test_key_skew_uniform_is_even(spark):
     assert out["max_count"] == 10
     assert out["p50_count"] == out["p99_count"] == 10
     assert out["skew_ratio_bp"] == 10000  # perfectly even
+
+
+# char_entropy — compression-proxy quality signal
+def test_char_entropy_planted_values(spark):
+    import math
+
+    from meteaudata_spark.ext.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),          # one char: H = 0
+            (2, "abababab"),          # two chars equal: H = ln 2
+            (3, "abcd"),              # four distinct: H = ln 4
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.entropy_micros for r in char_entropy(df).collect()}
+    assert out[1] == 0
+    assert abs(out[2] - round(math.log(2) * 1e6)) <= 1
+    assert abs(out[3] - round(math.log(4) * 1e6)) <= 1
+    # entropy is non-negative by construction (L monotone)
+    assert all(v >= 0 for v in out.values())
+
+
+def test_char_entropy_flags_repetitive_docs(spark):
+    from meteaudata_spark.ext.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 200), (2, "the quick brown fox jumps over 123!?")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.entropy_micros for r in char_entropy(df).collect()}
+    assert out[1] < 2500000 < out[2]
