@@ -2588,3 +2588,60 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
             AS BIGINT) AS n_low_entropy
 FROM ent GROUP BY lang ORDER BY lang
 """
+
+
+# ----------------------------------------------------------------------
+# BPE merge-candidate mining (one vocabulary-induction round)
+# ----------------------------------------------------------------------
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """One round of BPE-style merge mining: the adjacent token-pair
+    frequency table, ranked — the inner loop of every tokenizer
+    training run (the top pair IS the next merge rule).
+
+    Pairing is a pure array zip inside the row (zip_with over two
+    slices) — ZERO shuffle before the pair count, no per-doc window,
+    no sort.  Top-k runs distributed (TakeOrderedAndProject), ties
+    broken lexicographically so the cut is deterministic.
+
+    Full BPE iterates re-tokenize → re-mine; each round is this exact
+    relation, so the operator is the distributed building block, not a
+    toy.  Reference analog: none ([EXT])."""
+    toks = df.select(F.split(F.col(text_col), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (a, b) -> struct(a AS tok1, b AS tok2))"
+            )
+        ).alias("p")
+    ).select("p.tok1", "p.tok2")
+    return (
+        pairs.groupBy("tok1", "tok2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "tok1", "tok2")
+        .limit(top_k)
+    )
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the top-20 BPE merge candidates over the corpus."""
+    return bpe_merge_candidates(_docs(spark, sf_dir))
+
+
+DOC_BPE_MERGES_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+z AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+  FROM toks WHERE len(t) >= 2
+)
+SELECT p[1] AS tok1, p[2] AS tok2, CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM z GROUP BY 1, 2
+ORDER BY pair_count DESC, tok1, tok2
+LIMIT 20
+"""

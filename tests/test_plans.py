@@ -867,3 +867,13 @@ def test_char_entropy_two_aggs_no_join_before_reduce(spark):
 
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans <= 2, f"documents must be read at most twice: {scans}"
+
+
+def test_bpe_merges_no_shuffle_before_pair_count(spark):
+    # the zip rides inside the row: exactly one exchange (the pair
+    # count agg) before the distributed top-k
+    df = textstats.doc_bpe_merges(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert inspect.exchange_count(df) <= 1, plan[:1500]
+    assert "Window" not in plan, "pairing must not use a per-doc window"

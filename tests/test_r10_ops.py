@@ -341,3 +341,31 @@ def test_char_entropy_flags_repetitive_docs(spark):
     )
     out = {r.doc_id: r.entropy_micros for r in char_entropy(df).collect()}
     assert out[1] < 2500000 < out[2]
+
+
+# bpe_merge_candidates — vocabulary-induction pair mining
+def test_bpe_merges_planted_corpus(spark):
+    from meteaudata_spark.ext.textstats import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "new york new york new york"), (2, "york city"), (3, "solo")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = bpe_merge_candidates(df, top_k=3).collect()
+    assert (rows[0].tok1, rows[0].tok2, rows[0].pair_count) == (
+        "new", "york", 3,
+    )
+    got = {(r.tok1, r.tok2): r.pair_count for r in rows}
+    assert got[("york", "new")] == 2
+    assert got[("york", "city")] == 1
+
+
+def test_bpe_merges_tiebreak_deterministic(spark):
+    from meteaudata_spark.ext.textstats import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "a c")], "doc_id BIGINT, text STRING"
+    )
+    rows = bpe_merge_candidates(df, top_k=2).collect()
+    # all pairs count 1 -> lexicographic cut: (a,b), (a,c)
+    assert [(r.tok1, r.tok2) for r in rows] == [("a", "b"), ("a", "c")]
