@@ -1975,3 +1975,113 @@ ORDER BY jaccard_bucket
 
 
 DOC_JACCARD_HISTOGRAM_SQL = _jaccard_histogram_sql()
+
+
+# ----------------------------------------------------------------------
+# pair-miner agreement matrix (MinHash-verified vs SimHash fence)
+# ----------------------------------------------------------------------
+def doc_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement report between the two near-dup miners: the
+    exact-Jaccard-verified MinHash/LSH pairs vs the SimHash hamming
+    fence — the table that tells a pipeline owner whether the cheap
+    bit-signature fence can gate the expensive verify (high recall of
+    the verified set) and what candidate overhead it drags (the
+    only-SimHash count IS the false-candidate rate of the fence).
+
+    Composes the two MEMOIZED pair relations (zero re-mining after
+    either gate row ran) through one full-outer hash join on the pair
+    key and a 1-row count agg.  All integers; pair-set Jaccard in bp.
+
+    Output: (n_minhash_pairs, n_simhash_pairs, n_both,
+    n_only_minhash, n_only_simhash, pair_jaccard_bp).
+    Reference analog: none ([EXT])."""
+    mh = doc_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
+    )
+    sh = doc_simhash_near_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return j.groupBy().agg(
+        F.sum(F.coalesce(F.col("in_mh"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_minhash_pairs"),
+        F.sum(F.coalesce(F.col("in_sh"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_simhash_pairs"),
+        F.sum(
+            (F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull())
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(
+            (F.col("in_mh").isNotNull() & F.col("in_sh").isNull())
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_only_minhash"),
+        F.sum(
+            (F.col("in_mh").isNull() & F.col("in_sh").isNotNull())
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_only_simhash"),
+    ).select(
+        "n_minhash_pairs",
+        "n_simhash_pairs",
+        "n_both",
+        "n_only_minhash",
+        "n_only_simhash",
+        F.expr(
+            "(n_both * 10000) div nullif"
+            "(n_minhash_pairs + n_simhash_pairs - n_both, 0)"
+        ).alias("pair_jaccard_bp"),
+    )
+
+
+def _dedup_agreement_sql() -> str:
+    mh = DOC_MINHASH_SQL.strip()
+    if "ORDER BY" in mh:
+        mh = mh[: mh.rindex("ORDER BY")]
+    sh = DOC_SIMHASH_NEAR_PAIRS_SQL.strip()
+    if "ORDER BY" in sh:
+        sh = sh[: sh.rindex("ORDER BY")]
+    return f"""
+WITH mh AS MATERIALIZED (
+{mh}
+),
+sh AS MATERIALIZED (
+{sh}
+),
+j AS (
+  SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+         COALESCE(mh.doc_b, sh.doc_b) AS doc_b,
+         (mh.doc_a IS NOT NULL) AS in_mh,
+         (sh.doc_a IS NOT NULL) AS in_sh
+  FROM mh FULL OUTER JOIN sh
+    ON sh.doc_a = mh.doc_a AND sh.doc_b = mh.doc_b
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_minhash_pairs,
+         CAST(SUM(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_simhash_pairs,
+         CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both,
+         CAST(SUM(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_only_minhash,
+         CAST(SUM(CASE WHEN NOT in_mh AND in_sh THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_only_simhash
+  FROM j
+)
+SELECT n_minhash_pairs, n_simhash_pairs, n_both, n_only_minhash,
+       n_only_simhash,
+       CAST((n_both * 10000)
+            // NULLIF(n_minhash_pairs + n_simhash_pairs - n_both, 0)
+            AS BIGINT) AS pair_jaccard_bp
+FROM agg
+"""
+
+
+DOC_DEDUP_AGREEMENT_SQL = _dedup_agreement_sql()

@@ -877,3 +877,16 @@ def test_bpe_merges_no_shuffle_before_pair_count(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert inspect.exchange_count(df) <= 1, plan[:1500]
     assert "Window" not in plan, "pairing must not use a per-doc window"
+
+
+def test_dedup_agreement_reuses_both_memoized_miners(spark):
+    # after both pair miners ran, the agreement report must add no new
+    # memo entries (compose, don't recompute)
+    from meteaudata_spark.ext import dedup
+    from meteaudata_spark.plans import opcache
+
+    dedup.doc_minhash_lsh_pairs(spark, SF).count()
+    dedup.doc_simhash_near_pairs(spark, SF).count()
+    n_memo = len(opcache._memo)
+    dedup.doc_dedup_agreement(spark, SF).count()
+    assert len(opcache._memo) == n_memo

@@ -369,3 +369,14 @@ def test_bpe_merges_tiebreak_deterministic(spark):
     rows = bpe_merge_candidates(df, top_k=2).collect()
     # all pairs count 1 -> lexicographic cut: (a,b), (a,c)
     assert [(r.tok1, r.tok2) for r in rows] == [("a", "b"), ("a", "c")]
+
+
+# dedup agreement matrix
+def test_dedup_agreement_counts_consistent(spark):
+    from meteaudata_spark.ext import dedup
+
+    row = dedup.doc_dedup_agreement(spark, SF).collect()[0]
+    assert row.n_both + row.n_only_minhash == row.n_minhash_pairs
+    assert row.n_both + row.n_only_simhash == row.n_simhash_pairs
+    union = row.n_minhash_pairs + row.n_simhash_pairs - row.n_both
+    assert row.pair_jaccard_bp == (row.n_both * 10000) // union
