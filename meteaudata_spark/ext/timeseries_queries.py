@@ -3285,3 +3285,103 @@ SELECT event_type,
 FROM agg
 ORDER BY event_type
 """
+
+
+def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst report per event type — hourly activity buckets
+    whose count is ≥ 3× the mean of the trailing 24 ACTIVITY buckets
+    (rows-based baseline: quiet hours produce no bucket, so the
+    baseline is "recent activity", robust to gaps), with a 5-event
+    minimum so an empty baseline can't promote noise.
+
+    Pure integer predicate — ``cnt·24 ≥ 3·trailing_sum`` avoids any
+    division; burst intensity is reported in basis points with the
+    zero-baseline case NULL (a burst out of total silence has no
+    finite ratio).
+
+    Output: (event_type, n_buckets, n_bursts, max_intensity_bp,
+    first_burst, last_burst).
+    Scale shape: one keyed hash-agg to hourly buckets, then the lag
+    window and report agg run on the BUCKET relation (≤ hours×types
+    rows — tiny at any corpus size).  Reference analog: none ([EXT])."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-24, -1)
+    )
+    flagged = buckets.select(
+        "event_type",
+        "bucket_ts",
+        "cnt",
+        F.sum("cnt").over(w).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    ).withColumn(
+        "is_burst",
+        (F.col("n_prev") == 24)
+        & (F.col("cnt") >= 5)
+        & (F.col("cnt") * 24 >= 3 * F.col("trailing_sum")),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.col("is_burst").cast("bigint"))
+            .cast("bigint")
+            .alias("n_bursts"),
+            F.max(
+                F.when(
+                    F.col("is_burst"),
+                    F.expr(
+                        "(cnt * 24 * 10000) div nullif(trailing_sum, 0)"
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("max_intensity_bp"),
+            F.min(F.when(F.col("is_burst"), F.col("bucket_ts"))).alias(
+                "first_burst"
+            ),
+            F.max(F.when(F.col("is_burst"), F.col("bucket_ts"))).alias(
+                "last_burst"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_BURST_SQL = """
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+flagged AS (
+  SELECT event_type, bucket_ts, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_sum,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM buckets
+),
+marked AS (
+  SELECT *,
+         (n_prev = 24 AND cnt >= 5 AND cnt * 24 >= 3 * trailing_sum)
+           AS is_burst
+  FROM flagged
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN is_burst THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bursts,
+       CAST(MAX(CASE WHEN is_burst
+                THEN (cnt * 24 * 10000) // NULLIF(trailing_sum, 0)
+                END) AS BIGINT) AS max_intensity_bp,
+       MIN(CASE WHEN is_burst THEN bucket_ts END) AS first_burst,
+       MAX(CASE WHEN is_burst THEN bucket_ts END) AS last_burst
+FROM marked GROUP BY event_type ORDER BY event_type
+"""

@@ -890,3 +890,20 @@ def test_dedup_agreement_reuses_both_memoized_miners(spark):
     n_memo = len(opcache._memo)
     dedup.doc_dedup_agreement(spark, SF).count()
     assert len(opcache._memo) == n_memo
+
+
+def test_burst_detection_window_on_bucket_relation(spark):
+    # the lag window must run on the hourly-bucket aggregate, never on
+    # raw event rows: exactly one events scan, agg below the window
+    df = tsq.ts_burst_detection(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, scans
+    # HashAggregate appears before (deeper than) the Window node
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 < win_pos, "window missing"
+    assert plan.rfind("HashAggregate") > win_pos, "bucket agg must feed the window"

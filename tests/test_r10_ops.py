@@ -380,3 +380,57 @@ def test_dedup_agreement_counts_consistent(spark):
     assert row.n_both + row.n_only_simhash == row.n_simhash_pairs
     union = row.n_minhash_pairs + row.n_simhash_pairs - row.n_both
     assert row.pair_jaccard_bp == (row.n_both * 10000) // union
+
+
+# burst detection
+def test_burst_detection_planted_spike(spark):
+    import pandas as pd
+
+    from meteaudata_spark.ext import timeseries_queries as tsq
+
+    # 30 quiet hours at 4 events/h, then one hour with 20 events:
+    # trailing-24 sum = 96, 20*24=480 >= 3*96=288 -> burst, 2.08x
+    rows = []
+    for h in range(30):
+        for i in range(4):
+            rows.append(("a", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, minutes=i)))
+    for i in range(20):
+        rows.append(("a", pd.Timestamp("2024-01-02 06:00") + pd.Timedelta(minutes=i)))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"])
+    )
+    import meteaudata_spark.ext.timeseries_queries as m
+
+    orig = m._events
+    m._events = lambda s, d: ev
+    try:
+        out = tsq.ts_burst_detection(spark, SF).collect()
+    finally:
+        m._events = orig
+    (r,) = out
+    assert r.n_buckets == 31
+    assert r.n_bursts == 1
+    assert r.max_intensity_bp == (20 * 24 * 10000) // 96  # 50000
+    assert str(r.first_burst) == "2024-01-02 06:00:00"
+
+
+def test_burst_detection_quiet_baseline_needs_full_history(spark):
+    import pandas as pd
+
+    from meteaudata_spark.ext import timeseries_queries as tsq
+    import meteaudata_spark.ext.timeseries_queries as m
+
+    # only 10 preceding buckets: n_prev < 24 -> never a burst
+    rows = []
+    for h in range(10):
+        rows.append(("a", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)))
+    for i in range(50):
+        rows.append(("a", pd.Timestamp("2024-01-01 12:00") + pd.Timedelta(minutes=i)))
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "ts"]))
+    orig = m._events
+    m._events = lambda s, d: ev
+    try:
+        (r,) = tsq.ts_burst_detection(spark, SF).collect()
+    finally:
+        m._events = orig
+    assert r.n_bursts == 0 and r.max_intensity_bp is None
