@@ -2085,3 +2085,131 @@ FROM agg
 
 
 DOC_DEDUP_AGREEMENT_SQL = _dedup_agreement_sql()
+
+
+# ----------------------------------------------------------------------
+# per-source boilerplate profile (C4-rule observability)
+
+
+def boilerplate_report(
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    seg_words: int = 8,
+) -> DataFrame:
+    """Per-source boilerplate profile — the observability half of the
+    C4 rule ("discard any span occurring more than once in the
+    DATASET", i.e. corpus-GLOBAL): a segment is boilerplate when it
+    occurs in ≥ 2 distinct documents anywhere in the corpus
+    (navigation chrome, footers, templated text travel across
+    domains); the report attributes that shared mass back to each
+    source.  The source with a high shared share is the one whose
+    segment-dedup pass will actually bite.
+
+    Output per source: document count, total segment occurrences,
+    distinct segments, distinct segments that are globally shared,
+    occurrences attributable to shared segments, and that share in
+    basis points (integer floor-div — exact cross-engine).
+
+    Scale shape: one map-side explode into fixed ``seg_words``-word
+    segments (same segmentation as ``segment_dedup``), ONE keyed agg
+    on (source, segment), one keyed rollup of it to the global
+    per-segment doc count, then a segment-keyed join between two
+    SEGMENT-VOCABULARY-sized relations (≪ corpus rows; both sides
+    hash-partition on the same key) and a source-level rollup joined
+    against the tiny per-source doc-count relation (broadcast).  No
+    windows, no pairs, no quadratic term.
+    Reference analog: none (pure [EXT])."""
+    w = seg_words
+    segs = d.select(
+        id_col,
+        group_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) / {w}.0) as int) - 1), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i * {w} + 1, {w})))"
+            )
+        ).alias("seg_idx", "segment"),
+    )
+    per_src_seg = segs.groupBy(group_col, "segment").agg(
+        F.countDistinct(id_col).alias("__nd"),
+        F.count(F.lit(1)).alias("__occ"),
+    )
+    global_seg = per_src_seg.groupBy("segment").agg(
+        F.sum("__nd").alias("__nd_global")
+    )
+    per_src = (
+        per_src_seg.join(global_seg, "segment")
+        .groupBy(group_col)
+        .agg(
+            F.sum("__occ").alias("n_segment_occ"),
+            F.count(F.lit(1)).alias("n_distinct_segments"),
+            F.sum((F.col("__nd_global") >= 2).cast("bigint")).alias(
+                "n_shared_segments"
+            ),
+            F.sum(
+                F.when(F.col("__nd_global") >= 2, F.col("__occ")).otherwise(0)
+            ).alias("shared_occ"),
+        )
+    )
+    docs_per_src = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_src.join(F.broadcast(docs_per_src), group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "n_segment_occ",
+            "n_distinct_segments",
+            "n_shared_segments",
+            "shared_occ",
+            F.expr("shared_occ * 10000 div n_segment_occ").alias(
+                "boilerplate_bp"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def doc_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 8-word-segment boilerplate share per source."""
+    return boilerplate_report(_docs(spark, sf_dir))
+
+
+DOC_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, source,
+         array_to_string(t[(i - 1) * 8 + 1:(i - 1) * 8 + 8], ' ') AS segment
+  FROM toks, UNNEST(generate_series(1, CAST(CEIL(LEN(t) / 8.0) AS BIGINT))) AS g(i)
+),
+per_src_seg AS (
+  SELECT source, segment, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS occ
+  FROM segs GROUP BY 1, 2
+),
+global_seg AS (
+  SELECT segment, SUM(nd) AS nd_global FROM per_src_seg GROUP BY segment
+),
+per_src AS (
+  SELECT source, CAST(SUM(occ) AS BIGINT) AS n_segment_occ,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_segments,
+         CAST(SUM(CASE WHEN nd_global >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_segments,
+         CAST(SUM(CASE WHEN nd_global >= 2 THEN occ ELSE 0 END) AS BIGINT)
+           AS shared_occ
+  FROM per_src_seg JOIN global_seg USING (segment) GROUP BY source
+),
+dc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT p.source, d.n_docs, p.n_segment_occ, p.n_distinct_segments,
+       p.n_shared_segments, p.shared_occ,
+       p.shared_occ * 10000 // p.n_segment_occ AS boilerplate_bp
+FROM per_src p JOIN dc d USING (source)
+ORDER BY p.source
+"""

@@ -2041,3 +2041,87 @@ CROSS JOIN n_orders n
 ORDER BY n_both DESC, part_a, part_b
 LIMIT 100
 """
+
+
+# ----------------------------------------------------------------------
+# monthly-cohort lifetime value (retention/LTV matrix)
+
+
+def orders_cohort_ltv(
+    spark: SparkSession, sf_dir: str, max_months: int = 12
+) -> DataFrame:
+    """Cohort LTV matrix — the classic subscription-analytics cut:
+    customers are grouped by the month of their FIRST order (their
+    cohort), and every later order is attributed to the cohort at the
+    month-offset it occurred, giving a (cohort, months-since) grid of
+    activity and revenue.
+
+    Determinism mechanics: revenue quantizes PER ORDER to integer
+    cents before any sum (order-invariant integer math, same rule as
+    ``orders_rfm_segments``); the month offset is exact calendar
+    arithmetic on ``date_trunc('month', …)`` values — 12*Δyear +
+    Δmonth, never a float ``months_between`` — so both engines bucket
+    identically.  Offsets past ``max_months - 1`` are clamped into a
+    single trailing ``months_since = max_months`` bucket so the
+    output stays bounded by the calendar, not the data.
+
+    Output: (cohort_month, months_since, n_customers, n_orders,
+    revenue_cents) ordered by cohort/offset.
+
+    Scale shape: one keyed per-customer MIN to find the cohort (plain
+    hash agg on o_custkey), one shuffle join back on o_custkey (both
+    sides keyed identically — AQE can plan it shuffle-hash), one keyed
+    rollup on (cohort, offset).  No windows, no broadcast needed at
+    any SF; output is |months|² rows regardless of corpus size.
+    Reference analog: none (pure [EXT])."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("om"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("om").alias("cohort_month")
+    )
+    offset = (
+        (F.year("om") - F.year("cohort_month")) * 12
+        + F.month("om")
+        - F.month("cohort_month")
+    ).cast("bigint")
+    return (
+        orders.join(first, "o_custkey")
+        .withColumn(
+            "months_since", F.least(offset, F.lit(max_months).cast("bigint"))
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+ORDERS_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS om,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, MIN(om) AS cohort_month FROM o GROUP BY o_custkey
+)
+SELECT f.cohort_month AS cohort_month,
+       LEAST(
+         CAST((date_part('year', o.om) - date_part('year', f.cohort_month)) * 12
+              + date_part('month', o.om) - date_part('month', f.cohort_month)
+              AS BIGINT),
+         12
+       ) AS months_since,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN first f USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meteaudata_spark.ext.dedup import _h60
-from meteaudata_spark.plans.opcache import memo_relation
+from meteaudata_spark.plans.opcache import cache_intermediate, memo_relation
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2644,4 +2644,341 @@ SELECT p[1] AS tok1, p[2] AS tok2, CAST(COUNT(*) AS BIGINT) AS pair_count
 FROM z GROUP BY 1, 2
 ORDER BY pair_count DESC, tok1, tok2
 LIMIT 20
+"""
+
+
+# ----------------------------------------------------------------------
+# deterministic DSIR importance resampling (weights -> actual sample)
+
+_H60_DOC_DUCK = (
+    "CAST(CONCAT('0x', SUBSTR(md5('dsirs:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic DSIR importance RESAMPLING — the second half of
+    Xie et al. 2023 that ``dsir_weights`` stops short of: actually
+    selecting the documents.  Each doc is kept with probability
+    ``exp(w_doc − w_max)`` (the max-normalized importance weight), so
+    the highest-weight document is kept with certainty and everything
+    else proportionally below it.
+
+    The Bernoulli draw is DERANDOMIZED: u = (h60('dsirs:'||doc_id)
+    mod 1e6 + 0.5)/1e6 is a per-doc uniform both engines compute
+    bit-identically, and the acceptance test runs in LOG space —
+    ``round(ln(u)·1e6) < w_micros − wmax_micros`` — so the only
+    transcendental is the already-trusted ln-to-micros primitive
+    (no exp, no float compare).
+
+    Returns the per-doc frame (doc_id, n_tokens, dsir_micros,
+    accepted).  Scale shape: ``dsir_weights``'s two keyed aggs + one
+    256-row broadcast, then ONE 1-row max broadcast and a map-side
+    predicate — nothing new shuffles.  The weights relation feeds two
+    plan references (the max and the main branch), so it is PERSISTED
+    — without it Spark re-plans the whole explode + agg pipeline per
+    reference."""
+    w = cache_intermediate(dsir_weights(docs, target_filter))
+    wmax = w.agg(F.max("dsir_micros").alias("__wmax"))
+    u = (
+        (F.pmod(_h60(F.concat(F.lit("dsirs:"), F.col(id_col).cast("string"))),
+                F.lit(1000000)).cast("double") + F.lit(0.5))
+        / F.lit(1000000.0)
+    )
+    ln_u = F.round(F.log(u) * 1000000.0).cast("bigint")
+    return w.crossJoin(F.broadcast(wmax)).select(
+        id_col,
+        "n_tokens",
+        "dsir_micros",
+        (ln_u < F.col("dsir_micros") - F.col("__wmax")).alias("accepted"),
+    )
+
+
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-language acceptance profile of the DSIR
+    resample with English as the target domain — the proof the
+    sampler actually tilts the corpus (en accept share ≫ others)."""
+    d = _docs(spark, sf_dir)
+    s = dsir_sample(d, F.col("lang") == "en")
+    return (
+        s.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("accepted").cast("bigint")).alias("n_sampled"),
+            F.expr(
+                "sum(cast(accepted as bigint)) * 10000 div count(1)"
+            ).alias("accept_bp"),
+            F.sum(F.when(F.col("accepted"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_DSIR_SAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target, token
+  FROM (
+    SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+),
+bucketed AS (
+  SELECT doc_id, is_target,
+         (({_H60_TOK} % 256) + 256) % 256 AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT bucket, COUNT(*) AS c_raw,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+  FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM counts
+),
+llr AS (
+  SELECT bucket,
+         CAST(ROUND(
+           (ln((c_tgt + 1.0) / (n_tgt + 256.0))
+            - ln((c_raw + 1.0) / (n_raw + 256.0))) * 1000000.0
+         ) AS BIGINT) AS llr_micros
+  FROM counts CROSS JOIN totals
+),
+weights AS (
+  SELECT b.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(l.llr_micros) AS BIGINT) AS dsir_micros
+  FROM bucketed b JOIN llr l USING (bucket)
+  GROUP BY b.doc_id
+),
+wmax AS (SELECT MAX(dsir_micros) AS m FROM weights),
+draws AS (
+  SELECT w.doc_id, w.n_tokens, w.dsir_micros,
+         CAST(ROUND(ln((((({_H60_DOC_DUCK} % 1000000) + 1000000) % 1000000)
+                        + 0.5) / 1000000.0) * 1000000.0) AS BIGINT)
+           < w.dsir_micros - x.m AS accepted
+  FROM weights w CROSS JOIN wmax x
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.accepted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(CASE WHEN s.accepted THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS accept_bp,
+       CAST(SUM(CASE WHEN s.accepted THEN s.n_tokens ELSE 0 END) AS BIGINT)
+         AS sampled_tokens
+FROM draws s JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+# ----------------------------------------------------------------------
+# Zipf-law fit (vocabulary health diagnostic)
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group Zipf's-law fit: the OLS slope of ln(frequency) on
+    ln(rank) over the group's token frequency table.  Natural text
+    sits near −1; a corpus whose slope collapses toward 0 (flat =
+    synthetic/templated) or dives steeply (spam vocabulary) fails the
+    vocabulary-health check data-quality sweeps run before training.
+
+    Exactness: ranks come from row_number over (count DESC, token) —
+    ties are broken identically in both engines — and x = L(rank),
+    y = L(count) with L = round(ln·1e6), so Sxx/Sxy numerators are
+    exact integers; only the final num/den ratio goes through DOUBLE
+    (both operands exact, same literal math both sides).
+
+    Scale shape: one keyed (group, token) count — corpus-sized input,
+    VOCABULARY-sized output — then a window over the tiny per-group
+    type table and a per-group closed-form reduce.  The window
+    relation is |vocab| rows regardless of corpus size."""
+    toks = (
+        df.select(group_col, F.explode(F.split(F.col(text_col), " "))
+                  .alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy(group_col).orderBy(F.desc("c"), "token")
+    lm = lambda col: F.round(F.log(col.cast("double")) * 1000000.0).cast(
+        "bigint"
+    )
+    xy = counts.withColumn("rank", F.row_number().over(rk)).select(
+        group_col,
+        "c",
+        lm(F.col("rank")).alias("x"),
+        lm(F.col("c")).alias("y"),
+    )
+    agg = xy.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        group_col,
+        "n_types",
+        "n_tokens",
+        F.expr(
+            "cast(round(cast(n_types * sxy - sx * sy as double)"
+            " / cast(n_types * sxx - sx * sx as double) * 1000000.0)"
+            " as bigint)"
+        ).alias("zipf_slope_micros"),
+    ).orderBy(group_col)
+
+
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-language Zipf slope over the corpus."""
+    return zipf_fit(_docs(spark, sf_dir))
+
+
+DOC_ZIPF_FIT_SQL = """
+WITH toks AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+xy AS (
+  SELECT lang, c,
+         CAST(ROUND(ln(CAST(ROW_NUMBER() OVER
+           (PARTITION BY lang ORDER BY c DESC, token) AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+  FROM counts
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, n_types, n_tokens,
+       CAST(ROUND(CAST(n_types * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_types * sxx - sx * sx AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS zipf_slope_micros
+FROM agg ORDER BY lang
+"""
+
+
+# ----------------------------------------------------------------------
+# PMI collocation mining
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """PMI-ranked adjacent-token collocations — the phrase detector
+    (word2vec's phrase pass, collocation extraction): PMI(a,b) =
+    ln(c_ab·N / (c_a·c_b)) over adjacent pairs, with a ``min_count``
+    fence so rare coincidences don't dominate the top.
+
+    Exactness: PMI decomposes to L(c_ab) + L(N) − L(c_a) − L(c_b)
+    with L = round(ln·1e6) — four quantized ln() calls and pure
+    integer arithmetic after, bit-identical cross-engine.
+
+    Scale shape: pairs explode map-side (the BPE zip), ONE keyed pair
+    count; the unigram relation is vocabulary-sized so both marginal
+    joins BROADCAST; N is a 1-row scalar broadcast; top-k runs
+    distributed (TakeOrderedAndProject), ties broken
+    lexicographically."""
+    toks = df.select(F.split(F.col(text_col), " ").alias("t"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                    " (a, b) -> struct(a AS tok1, b AS tok2))"
+                )
+            ).alias("p")
+        )
+        .select("p.tok1", "p.tok2")
+    )
+    pc = pairs.groupBy("tok1", "tok2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_u"))
+    )
+    total = pc.agg(F.sum("c_ab").alias("n_pairs"))
+    lm = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
+    return (
+        pc.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("token", "tok1")
+                          .withColumnRenamed("c_u", "c_a")), "tok1")
+        .join(F.broadcast(uni.withColumnRenamed("token", "tok2")
+                          .withColumnRenamed("c_u", "c_b")), "tok2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok1",
+            "tok2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"{lm.format('c_ab')} + {lm.format('n_pairs')}"
+                f" - {lm.format('c_a')} - {lm.format('c_b')}"
+            ).alias("pmi_micros"),
+        )
+        .orderBy(F.desc("pmi_micros"), "tok1", "tok2")
+        .limit(top_k)
+    )
+
+
+def doc_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: top-50 PMI collocations (count fence 5)."""
+    return pmi_bigrams(_docs(spark, sf_dir))
+
+
+DOC_PMI_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+  FROM toks WHERE len(t) >= 2
+),
+pc AS (
+  SELECT p[1] AS tok1, p[2] AS tok2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY 1, 2
+),
+uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_u
+  FROM (SELECT unnest(t) AS token FROM toks)
+  WHERE token <> '' GROUP BY token
+),
+total AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM pc)
+SELECT tok1, tok2, c_ab, a.c_u AS c_a, b.c_u AS c_b,
+       CAST(ROUND(ln(CAST(c_ab AS DOUBLE)) * 1000000.0) AS BIGINT)
+       + CAST(ROUND(ln(CAST(n_pairs AS DOUBLE)) * 1000000.0) AS BIGINT)
+       - CAST(ROUND(ln(CAST(a.c_u AS DOUBLE)) * 1000000.0) AS BIGINT)
+       - CAST(ROUND(ln(CAST(b.c_u AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS pmi_micros
+FROM pc JOIN uni a ON a.token = tok1 JOIN uni b ON b.token = tok2
+CROSS JOIN total
+WHERE c_ab >= 5
+ORDER BY pmi_micros DESC, tok1, tok2
+LIMIT 50
 """

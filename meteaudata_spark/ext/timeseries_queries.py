@@ -3385,3 +3385,117 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
        MAX(CASE WHEN is_burst THEN bucket_ts END) AS last_burst
 FROM marked GROUP BY event_type ORDER BY event_type
 """
+
+
+# ----------------------------------------------------------------------
+# dip/spike shape detection (MATCH_RECOGNIZE-style local patterns)
+
+
+def dip_spike(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    fence_bp: int = 2500,
+) -> DataFrame:
+    """Local V-shape detection — the simplest MATCH_RECOGNIZE pattern
+    (``A down B up``) expressed as pure lag/lead windows: a point is a
+    DIP when it sits more than ``fence_bp`` (basis points) below BOTH
+    its neighbours in its series, a SPIKE when symmetric above.
+
+    Determinism mechanics: values micro-quantize to BIGINT first and
+    the fence compares via cross-multiplication
+    (``(10000 - fence) * prev > 10000 * cur``), so the predicate is
+    exact integer arithmetic in both engines; window order is
+    (ts, id) so shared timestamps break ties identically.
+
+    Returns the per-point frame with ``is_dip`` / ``is_spike`` and the
+    neighbour-gap depth in micro-units (NULL at series edges).
+
+    Scale shape: ONE window shuffle keyed by the series columns —
+    partition by a high-cardinality series key (user × type), never a
+    global order.  Everything else is map-side."""
+    lo = 10000 - fence_bp
+    hi = 10000 + fence_bp
+    w = Window.partitionBy(*partition_cols).orderBy(ts_col, id_col)
+    vm = F.round(F.col(value_col) * 1000000.0).cast("bigint")
+    out = df.withColumn("__vm", vm).withColumn(
+        "__pv", F.lag("__vm").over(w)
+    ).withColumn("__nv", F.lead("__vm").over(w))
+    is_dip = (
+        (F.col("__vm") * 10000 < F.col("__pv") * lo)
+        & (F.col("__vm") * 10000 < F.col("__nv") * lo)
+    )
+    is_spike = (
+        (F.col("__vm") * 10000 > F.col("__pv") * hi)
+        & (F.col("__vm") * 10000 > F.col("__nv") * hi)
+    )
+    depth = F.least("__pv", "__nv") - F.col("__vm")
+    height = F.col("__vm") - F.greatest("__pv", "__nv")
+    return (
+        out.withColumn("is_dip", F.coalesce(is_dip, F.lit(False)))
+        .withColumn("is_spike", F.coalesce(is_spike, F.lit(False)))
+        .withColumn("dip_depth_micros",
+                    F.when(is_dip, depth).cast("bigint"))
+        .withColumn("spike_height_micros",
+                    F.when(is_spike, height).cast("bigint"))
+    )
+
+
+def ts_dip_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 25%-fence dip/spike profile of every (user, type)
+    event series, rolled up per event type — interior points, pattern
+    counts, and the deepest excursion in micro-units."""
+    ev = _events(spark, sf_dir)
+    marked = dip_spike(ev, ["user_id", "event_type"])
+    interior = F.col("__pv").isNotNull() & F.col("__nv").isNotNull()
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(interior.cast("bigint")).alias("n_interior"),
+            F.sum(F.col("is_dip").cast("bigint")).alias("n_dips"),
+            F.sum(F.col("is_spike").cast("bigint")).alias("n_spikes"),
+            F.max("dip_depth_micros").alias("max_dip_depth_micros"),
+            F.max("spike_height_micros").alias("max_spike_height_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_DIP_SPIKE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm
+  FROM events
+),
+w AS (
+  SELECT *,
+         lag(vm) OVER win AS pv, lead(vm) OVER win AS nv
+  FROM e
+  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+m AS (
+  SELECT event_type,
+         (pv IS NOT NULL AND nv IS NOT NULL) AS interior,
+         COALESCE(vm * 10000 < pv * 7500 AND vm * 10000 < nv * 7500,
+                  FALSE) AS is_dip,
+         COALESCE(vm * 10000 > pv * 12500 AND vm * 10000 > nv * 12500,
+                  FALSE) AS is_spike,
+         LEAST(pv, nv) - vm AS depth,
+         vm - GREATEST(pv, nv) AS height
+  FROM w
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN interior THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_interior,
+       CAST(SUM(CASE WHEN is_dip THEN 1 ELSE 0 END) AS BIGINT) AS n_dips,
+       CAST(SUM(CASE WHEN is_spike THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spikes,
+       CAST(MAX(CASE WHEN is_dip THEN depth END) AS BIGINT)
+         AS max_dip_depth_micros,
+       CAST(MAX(CASE WHEN is_spike THEN height END) AS BIGINT)
+         AS max_spike_height_micros
+FROM m GROUP BY event_type ORDER BY event_type
+"""

@@ -907,3 +907,96 @@ def test_burst_detection_window_on_bucket_relation(spark):
     win_pos = plan.find("Window")
     assert 0 < win_pos, "window missing"
     assert plan.rfind("HashAggregate") > win_pos, "bucket agg must feed the window"
+
+
+def test_cohort_ltv_two_keyed_aggs_no_window(spark):
+    # cohort MIN + rollup: keyed hash aggs only; no window, no
+    # cartesian; orders is scanned at most twice (cohort agg + join
+    # side — AQE may reuse the exchange at runtime)
+    from meteaudata_spark.ext import relational
+
+    df = relational.orders_cohort_ltv(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    import re
+
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 2, f"orders read more than twice: {scans}"
+
+
+def test_dip_spike_one_window_keyed_by_series(spark):
+    # exactly ONE window (lag+lead share the frame) partitioned by the
+    # high-cardinality (user, type) key — never a global order
+    df = tsq.ts_dip_spike(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("( ") == 0  # sanity: formatted plan parsed
+    import re
+
+    windows = len(re.findall(r"\(\d+\) Window", plan))
+    assert windows == 1, f"expected one window: {windows}"
+    assert "user_id" in plan and "event_type" in plan
+
+
+def test_boilerplate_no_pairs_no_window(spark):
+    # C4 observability must stay keyed-agg shaped: no window, no
+    # cartesian, and the per-source doc-count join is broadcast
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_boilerplate_report(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_window_on_vocab_relation_only(spark):
+    # the rank window runs AFTER the (lang, token) count agg — its
+    # input is vocabulary-sized, so an agg must appear below the window
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_zipf_fit(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    m_window = re.search(r"\(\d+\) Window", plan)
+    assert m_window, "rank window missing"
+    # a HashAggregate node must be planned below (= appear after in the
+    # formatted operator list) the window's input subtree
+    agg_ids = [int(x) for x in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
+    assert any(a < win_id for a in agg_ids), plan[:1500]
+
+
+def test_pmi_marginals_broadcast(spark):
+    # both unigram joins and the N scalar ride broadcasts; top-k is
+    # distributed
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_pmi_bigrams(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan
+
+
+def test_dsir_sample_weights_persisted_one_scalar_broadcast(spark):
+    # the weights relation feeds both the max and the main branch: it
+    # must be PERSISTED (InMemoryTableScan on both references) so the
+    # explode+agg pipeline runs once; the only cross joins are 1-row
+    # scalar broadcasts (the 256-bucket totals inside the cached
+    # weights + the max normalizer)
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_dsir_sample(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+    import re
+
+    bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert bnlj <= 2, f"only scalar broadcasts allowed: {bnlj}"
+    assert "Window" not in plan

@@ -434,3 +434,258 @@ def test_burst_detection_quiet_baseline_needs_full_history(spark):
     finally:
         m._events = orig
     assert r.n_bursts == 0 and r.max_intensity_bp is None
+
+
+# ----------------------------------------------------------------------
+# cohort LTV
+# ----------------------------------------------------------------------
+def test_cohort_ltv_planted_matrix(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        # cust 1: cohort Jan, orders in Jan, Feb, far future (clamped)
+        (1, dt.datetime(2020, 1, 5), 10.00),
+        (1, dt.datetime(2020, 2, 20), 20.00),
+        (1, dt.datetime(2022, 6, 1), 5.00),
+        # cust 2: cohort Feb only
+        (2, dt.datetime(2020, 2, 1), 7.50),
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from meteaudata_spark.ext.relational import orders_cohort_ltv
+
+    out = {
+        (str(r["cohort_month"])[:7], r["months_since"]): r
+        for r in orders_cohort_ltv(spark, str(tmp_path)).collect()
+    }
+    assert out[("2020-01", 0)]["revenue_cents"] == 1000
+    assert out[("2020-01", 1)]["revenue_cents"] == 2000
+    # 29 months out clamps into the months_since=12 tail bucket
+    assert out[("2020-01", 12)]["revenue_cents"] == 500
+    assert out[("2020-02", 0)]["n_customers"] == 1
+    assert len(out) == 4
+
+
+def test_cohort_ltv_cents_quantize_per_order(spark, tmp_path):
+    import datetime as dt
+
+    # two orders whose DOUBLE sum rounds differently than per-order cents
+    rows = [
+        (1, dt.datetime(2020, 1, 5), 0.145),
+        (1, dt.datetime(2020, 1, 6), 0.145),
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from meteaudata_spark.ext.relational import orders_cohort_ltv
+
+    row = orders_cohort_ltv(spark, str(tmp_path)).collect()[0]
+    # 0.145 → 14 cents (IEEE 0.145 is just below the half) twice = 28,
+    # never round(0.29*100)=29
+    assert row["revenue_cents"] == 28
+
+
+# ----------------------------------------------------------------------
+# dip/spike pattern detection
+# ----------------------------------------------------------------------
+def test_dip_spike_planted_shapes(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = []
+    # series A: flat 100, one dip to 10 (both fences hit), flat
+    for i, v in enumerate([100.0, 100.0, 10.0, 100.0, 100.0]):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "a", v))
+    # series B: one spike to 300 among 100s
+    for i, v in enumerate([100.0, 300.0, 100.0]):
+        rows.append((10 + i, t0 + dt.timedelta(minutes=i), 1, "b", v))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE"
+    )
+    from meteaudata_spark.ext.timeseries_queries import dip_spike
+
+    out = dip_spike(df, ["user_id", "event_type"]).collect()
+    dips = [r for r in out if r["is_dip"]]
+    spikes = [r for r in out if r["is_spike"]]
+    assert len(dips) == 1 and dips[0]["event_id"] == 2
+    assert dips[0]["dip_depth_micros"] == 90_000_000
+    assert len(spikes) == 1 and spikes[0]["event_id"] == 11
+    assert spikes[0]["spike_height_micros"] == 200_000_000
+
+
+def test_dip_spike_fence_is_exclusive_at_boundary(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    # exact 25% drop (100 → 75): 75*10000 == 100*7500 — NOT a dip
+    rows = [
+        (0, t0, 1, "a", 100.0),
+        (1, t0 + dt.timedelta(minutes=1), 1, "a", 75.0),
+        (2, t0 + dt.timedelta(minutes=2), 1, "a", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE"
+    )
+    from meteaudata_spark.ext.timeseries_queries import dip_spike
+
+    out = {r["event_id"]: r for r in dip_spike(df, ["user_id", "event_type"]).collect()}
+    assert not out[1]["is_dip"]
+    # edges are never dips/spikes (NULL neighbour coalesces to False)
+    assert not out[0]["is_dip"] and not out[2]["is_spike"]
+
+
+# ----------------------------------------------------------------------
+# boilerplate report (corpus-global C4 rule)
+# ----------------------------------------------------------------------
+def test_boilerplate_shared_across_sources_counts(spark):
+    seg = "w1 w2 w3 w4 w5 w6 w7 w8"
+    uniq = "u{} x{} y{} z{} p{} q{} r{} s{}"
+    docs = spark.createDataFrame(
+        [
+            (1, seg + " " + uniq.format(*[1] * 8), "sA"),
+            (2, seg + " " + uniq.format(*[2] * 8), "sB"),
+            (3, uniq.format(*[3] * 8), "sB"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    from meteaudata_spark.ext.dedup import boilerplate_report
+
+    out = {r["source"]: r for r in boilerplate_report(docs).collect()}
+    # the 8-word segment is shared globally (docs 1+2, different sources)
+    assert out["sA"]["n_shared_segments"] == 1
+    assert out["sA"]["shared_occ"] == 1
+    assert out["sA"]["boilerplate_bp"] == 5000  # 1 of 2 segments
+    assert out["sB"]["n_shared_segments"] == 1
+    assert out["sB"]["n_docs"] == 2
+    assert out["sB"]["n_segment_occ"] == 3
+
+
+def test_boilerplate_within_doc_repeat_not_shared(spark):
+    seg = "a1 a2 a3 a4 a5 a6 a7 a8"
+    docs = spark.createDataFrame(
+        [(1, seg + " " + seg, "sA")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    from meteaudata_spark.ext.dedup import boilerplate_report
+
+    row = boilerplate_report(docs).collect()[0]
+    # same segment twice in ONE doc: occurrences 2, but nd_global = 1
+    assert row["n_segment_occ"] == 2
+    assert row["n_distinct_segments"] == 1
+    assert row["n_shared_segments"] == 0
+
+
+# ----------------------------------------------------------------------
+# Zipf fit
+# ----------------------------------------------------------------------
+def test_zipf_planted_power_law(spark):
+    import math
+
+    # counts EXACTLY rank^-1 scaled: c(r) = 1200/r for r=1..6 → slope ≈ −1
+    counts = {f"t{r}": 1200 // r for r in range(1, 7)}
+    text = " ".join(" ".join([w] * c) for w, c in counts.items())
+    docs = spark.createDataFrame(
+        [(1, text, "en")], "doc_id LONG, text STRING, lang STRING"
+    )
+    from meteaudata_spark.ext.textstats import zipf_fit
+
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_types"] == 6
+    # exact replication of the operator's integer math
+    xs = [round(math.log(r) * 1e6) for r in range(1, 7)]
+    ys = [round(math.log(counts[f"t{r}"]) * 1e6) for r in range(1, 7)]
+    n = 6
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert row["zipf_slope_micros"] == round(num / den * 1e6)
+    assert -1_100_000 < row["zipf_slope_micros"] < -900_000
+
+
+def test_zipf_rank_ties_break_lexically(spark):
+    # two tokens with equal counts must rank deterministically
+    docs = spark.createDataFrame(
+        [(1, "b b a a c", "en")], "doc_id LONG, text STRING, lang STRING"
+    )
+    from meteaudata_spark.ext.textstats import zipf_fit
+
+    r1 = zipf_fit(docs).collect()[0]["zipf_slope_micros"]
+    r2 = zipf_fit(docs).collect()[0]["zipf_slope_micros"]
+    assert r1 == r2
+
+
+# ----------------------------------------------------------------------
+# PMI collocations
+# ----------------------------------------------------------------------
+def test_pmi_planted_collocation(spark):
+    import math
+
+    # "new york" always adjacent (8×); "the cat/dog/sun/..." dilute "the"
+    pieces = ["new york"] * 8 + ["the cat", "the dog", "the sun", "the car",
+                                 "the map", "the pen", "the cup", "the hat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pieces)], "doc_id LONG, text STRING"
+    )
+    from meteaudata_spark.ext.textstats import pmi_bigrams
+
+    out = pmi_bigrams(docs, min_count=5, top_k=5).collect()
+    top = out[0]
+    assert (top["tok1"], top["tok2"]) == ("new", "york")
+    l = lambda x: round(math.log(x) * 1e6)
+    # c_ab=8, N=16, c_a=c_b=8 → PMI = ln(8·16/64) = ln 2
+    assert top["pmi_micros"] == l(8) + l(16) - l(8) - l(8)
+    assert top["pmi_micros"] == l(2)
+
+
+def test_pmi_min_count_fence(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare pair"), (2, "rare pair"), (3, "x y")],
+        "doc_id LONG, text STRING",
+    )
+    from meteaudata_spark.ext.textstats import pmi_bigrams
+
+    assert pmi_bigrams(docs, min_count=3, top_k=10).count() == 0
+    out = pmi_bigrams(docs, min_count=2, top_k=10).collect()
+    assert [(r["tok1"], r["tok2"]) for r in out] == [("rare", "pair")]
+
+
+# ----------------------------------------------------------------------
+# DSIR deterministic resampling
+# ----------------------------------------------------------------------
+def test_dsir_sample_max_weight_doc_always_kept(spark):
+    # target vocabulary is disjoint from background: target docs get the
+    # max weight and must be accepted with probability ~1 (ln u < 0 only
+    # fails for w == wmax when u underflows — u ≥ 0.5/1e6 keeps ln u
+    # finite, and w − wmax = 0 means accept iff ln u < 0: always true)
+    docs = spark.createDataFrame(
+        [(i, "tgtword " * 20, "en") for i in range(3)]
+        + [(10 + i, "bgword " * 20, "de") for i in range(3)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    from meteaudata_spark.ext.textstats import dsir_sample
+
+    out = {r["doc_id"]: r for r in
+           dsir_sample(docs, F.col("lang") == "en").collect()}
+    # all en docs share the identical (max) weight → all accepted
+    for i in range(3):
+        assert out[i]["accepted"]
+    # de docs carry strongly negative relative weight → rejected
+    for i in range(3):
+        assert not out[10 + i]["accepted"]
+
+
+def test_dsir_sample_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 7} common", "en" if i % 2 else "fr")
+         for i in range(40)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    from meteaudata_spark.ext.textstats import dsir_sample
+
+    a = sorted((r["doc_id"], r["accepted"]) for r in
+               dsir_sample(docs, F.col("lang") == "en").collect())
+    b = sorted((r["doc_id"], r["accepted"]) for r in
+               dsir_sample(docs, F.col("lang") == "en").collect())
+    assert a == b
