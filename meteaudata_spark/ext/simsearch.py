@@ -536,6 +536,32 @@ def lsh_scored_pairs(
     )
 
 
+
+
+def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the codebook, keep the
+    arg-max similarity list per vector (ties to the lowest id).
+    Shared by ``emb_ivf_topk`` and ``emb_ivf_balance`` so both report
+    the exact same inverted lists."""
+    sim_to_cent = F.expr(_DOT.format(a="embedding", b="ce")) / F.nullif(
+        F.col("nrm") * F.col("cn"), F.lit(0.0)
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", sim_to_cent)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("__sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "label", "embedding", "nrm", "centroid_id")
+    )
+
+
 def emb_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -565,23 +591,7 @@ def emb_ivf_topk(
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    sim_to_cent = F.expr(_DOT.format(a="embedding", b="ce")) / F.nullif(
-        F.col("nrm") * F.col("cn"), F.lit(0.0)
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("__sim", sim_to_cent)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("__sim").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("__rk") == 1)
-        .select("vec_id", "label", "embedding", "nrm", "centroid_id")
-    )
+    assigned = _assign_to_centroids(emb, cents)
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -3001,3 +3011,104 @@ ORDER BY k
 
 
 EMB_RECALL_CURVE_SQL = _recall_curve_sql()
+
+
+# ----------------------------------------------------------------------
+# IVF list-balance audit (the ANN partition-skew report)
+
+
+def emb_ivf_balance(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16
+) -> DataFrame:
+    """Inverted-list balance report for the IVF index — the
+    partition-skew audit every ANN deployment runs before trusting
+    its probe-count math: a hot list means probes that should scan
+    corpus/n_lists rows scan far more, and a cold list wastes a
+    centroid.
+
+    Output: one row per centroid (centroid_id, list_size, share_bp,
+    hot_factor_bp) where hot_factor is list_size · n_lists / n_total
+    — 10000 bp = perfectly balanced, 20000 bp = this list carries 2×
+    its fair share (probe cost doubles for queries routed there).
+    Integer floor-div throughout.
+
+    Scale shape: the SAME broadcast assignment join ``emb_ivf_topk``
+    plans (``_assign_to_centroids``), then ONE keyed count on
+    centroid_id and a 1-row total broadcast over the
+    n_centroids-sized relation.  Nothing beyond the index build
+    itself is corpus-sized.
+    Reference analog: none (pure [EXT])."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_centroids)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    lists = _assign_to_centroids(emb, cents).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("list_size")
+    )
+    total = lists.agg(F.sum("list_size").alias("__n"),
+                      F.count(F.lit(1)).alias("__lists"))
+    return (
+        lists.crossJoin(F.broadcast(total))
+        .select(
+            "centroid_id",
+            "list_size",
+            F.expr("list_size * 10000 div __n").alias("share_bp"),
+            F.expr("list_size * __lists * 10000 div __n").alias(
+                "hot_factor_bp"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _ivf_balance_sql(n_centroids: int = 16) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, LEN({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {nrm.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn
+  FROM emb WHERE vec_id >= 100 AND vec_id < {100 + n_centroids}
+),
+asg AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {dot.format(a='e.embedding', b='c.ce')}
+                    / NULLIF(e.nrm * c.cn, 0.0) DESC, c.centroid_id
+         ) AS rk
+  FROM emb e CROSS JOIN cents c
+),
+lists AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS list_size
+  FROM asg WHERE rk = 1 GROUP BY centroid_id
+),
+tot AS (
+  SELECT CAST(SUM(list_size) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM lists
+)
+SELECT centroid_id, list_size,
+       CAST(list_size * 10000 // n AS BIGINT) AS share_bp,
+       CAST(list_size * n_lists * 10000 // n AS BIGINT) AS hot_factor_bp
+FROM lists CROSS JOIN tot
+ORDER BY centroid_id
+"""
+
+
+EMB_IVF_BALANCE_SQL = _ivf_balance_sql()

@@ -1000,3 +1000,15 @@ def test_dsir_sample_weights_persisted_one_scalar_broadcast(spark):
     bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert bnlj <= 2, f"only scalar broadcasts allowed: {bnlj}"
     assert "Window" not in plan
+
+
+def test_ivf_balance_broadcast_assignment_only(spark):
+    # same broadcast codebook join as the index build; the only other
+    # joins are the 1-row total broadcast; no shuffle of pairs
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_ivf_balance(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # codebook + scalar total

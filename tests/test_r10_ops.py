@@ -689,3 +689,54 @@ def test_dsir_sample_is_deterministic(spark):
     b = sorted((r["doc_id"], r["accepted"]) for r in
                dsir_sample(docs, F.col("lang") == "en").collect())
     assert a == b
+
+
+# ----------------------------------------------------------------------
+# IVF list balance
+# ----------------------------------------------------------------------
+def test_ivf_balance_accounts_for_every_vector(spark):
+    from meteaudata_spark.ext.simsearch import emb_ivf_balance
+
+    rows = emb_ivf_balance(spark, SF).collect()
+    n_vecs = spark.read.parquet(SF + "/embeddings.parquet").count()
+    assert sum(r["list_size"] for r in rows) == n_vecs
+    assert 1 <= len(rows) <= 16
+    # hot factor of a perfectly balanced list is 10000 bp; totals obey
+    # the floor-div identity sum(share_bp) <= 10000
+    assert sum(r["share_bp"] for r in rows) <= 10000
+    for r in rows:
+        assert r["hot_factor_bp"] >= 0
+
+
+def test_ivf_balance_matches_topk_assignment(spark):
+    # the report must describe the SAME inverted lists emb_ivf_topk
+    # searches: recompute assignment via the shared helper and compare
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.simsearch import (
+        _assign_to_centroids,
+        _emb,
+        _norm_expr,
+        emb_ivf_balance,
+    )
+
+    emb = _emb(spark, SF).withColumn("nrm", F.expr(_norm_expr("embedding")))
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 116)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    want = {
+        r["centroid_id"]: r["n"]
+        for r in _assign_to_centroids(emb, cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["centroid_id"]: r["list_size"]
+        for r in emb_ivf_balance(spark, SF).collect()
+    }
+    assert got == want
