@@ -1025,3 +1025,167 @@ SELECT n_keys, n_rows, max_count, p50_count, p90_count, p99_count,
          AS skew_ratio_bp
 FROM agg
 """
+
+
+# ----------------------------------------------------------------------
+# Z-order layout advisor (multi-dimensional min/max pruning)
+
+_Z_BITS = 16
+_Z_MASK = (1 << _Z_BITS) - 1
+_Z_SHIFT = 2 * _Z_BITS - 6
+
+
+def zorder_key(xcol, ycol, bits: int = _Z_BITS):
+    """Interleave the low ``bits`` bits of two non-negative BIGINT
+    columns into a Morton (Z-order) key — the sort key that makes ONE
+    physical ordering serve min/max pruning on BOTH dimensions.
+    Pure integer bit arithmetic inside whole-stage codegen."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        f"(acc, i) -> acc"
+        f" + shiftleft(cast(shiftright({xcol}, i) & 1 as bigint), 2 * i)"
+        f" + shiftleft(cast(shiftright({ycol}, i) & 1 as bigint), 2 * i + 1)"
+        f")"
+    )
+
+
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor: would rewriting the events table in Z-order on
+    (user_id, minute) shrink per-file min/max spans enough that file
+    skipping serves BOTH `user_id = ?` and time-range predicates?
+
+    Both candidate layouts are bucketed into 64 equal "files":
+    NATURAL = insertion order (event_id ranges — what a plain append
+    produces), ZORDER = Morton-key ranges over (user_id, minutes since
+    corpus start).  For each layout the report gives the average and
+    worst per-bucket span of each dimension in basis points of that
+    dimension's full range — the exact quantity a min/max-pruning
+    reader divides by: avg_user_span_bp = 312 means a point query on
+    user_id skips ~96.9% of files, 10000 means every file must be
+    read.  A good Z-layout pulls BOTH dims far below the natural
+    layout's 10000/near-0 split.
+
+    All arithmetic is integer (epoch minutes, bit interleave, spans,
+    floor-div shares); the corpus min/max anchors ride ONE 1-row
+    scalar broadcast.
+
+    Scale shape: two map-side key computations + one keyed agg per
+    layout over 64 buckets + the scalar anchor agg — no window, no
+    join of corpus-sized relations; this is the advisor you run
+    BEFORE paying for the actual sort-rewrite (the rewrite itself is
+    a plain ``repartitionByRange(zkey)`` + write).
+    Reference analog: none (pure [EXT])."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") / 60).cast("bigint").alias("minute"),
+    )
+    anchors = ev.agg(
+        F.min("event_id").alias("id_lo"),
+        F.max("event_id").alias("id_hi"),
+        F.min("minute").alias("t_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.max("minute").alias("t_hi"),
+    )
+    m = (1 << _Z_BITS) - 1
+    base = ev.crossJoin(F.broadcast(anchors)).select(
+        "user_id",
+        "minute",
+        F.expr("greatest(u_hi, 1)").alias("u_span_all"),
+        F.expr("greatest(t_hi - t_lo, 1)").alias("t_span_all"),
+        # normalize BOTH dims to the full _Z_BITS range before
+        # interleaving — with unequal native widths the top z bits
+        # would otherwise come from the wider dimension alone and the
+        # buckets would stop constraining the narrow one
+        F.expr(f"user_id * {m} div greatest(u_hi, 1)").alias("xs"),
+        F.expr(
+            f"(minute - t_lo) * {m} div greatest(t_hi - t_lo, 1)"
+        ).alias("ys"),
+        F.expr(
+            "cast((event_id - id_lo) * 64 div (id_hi - id_lo + 1) as bigint)"
+        ).alias("natural_bucket"),
+    )
+    keyed = base.withColumn("__z", zorder_key("xs", "ys")).withColumn(
+        "zorder_bucket", F.shiftright("__z", 2 * _Z_BITS - 6)
+    )
+
+    def _layout(col: str) -> DataFrame:
+        per_bucket = keyed.groupBy(F.col(col).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("user_id") - F.min("user_id")).alias("us"),
+            (F.max("minute") - F.min("minute")).alias("ts"),
+            F.first("u_span_all").alias("ua"),
+            F.first("t_span_all").alias("ta"),
+        )
+        return per_bucket.agg(
+            F.lit(col.replace("_bucket", "")).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.expr("sum(us * 10000 div ua) div count(1)").alias(
+                "avg_user_span_bp"
+            ),
+            F.expr("max(us * 10000 div ua)").alias("max_user_span_bp"),
+            F.expr("sum(ts * 10000 div ta) div count(1)").alias(
+                "avg_ts_span_bp"
+            ),
+            F.expr("max(ts * 10000 div ta)").alias("max_ts_span_bp"),
+        ).select(
+            "layout", "n_buckets", "avg_user_span_bp", "max_user_span_bp",
+            "avg_ts_span_bp", "max_ts_span_bp",
+        )
+
+    return _layout("natural_bucket").unionAll(
+        _layout("zorder_bucket")
+    ).orderBy("layout")
+
+
+EVENTS_ZORDER_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS minute
+  FROM events
+),
+anchors AS (
+  SELECT MIN(event_id) AS id_lo, MAX(event_id) AS id_hi,
+         MIN(minute) AS t_lo, MAX(minute) AS t_hi,
+         GREATEST(MAX(user_id), 1) AS u_hi
+  FROM ev
+),
+base AS (
+  SELECT user_id, minute,
+         u_hi AS ua, GREATEST(t_hi - t_lo, 1) AS ta,
+         user_id * {_Z_MASK} // u_hi AS xs,
+         (minute - t_lo) * {_Z_MASK} // GREATEST(t_hi - t_lo, 1) AS ys,
+         CAST((event_id - id_lo) * 64 // (id_hi - id_lo + 1) AS BIGINT)
+           AS natural_bucket
+  FROM ev CROSS JOIN anchors
+),
+z AS (
+  SELECT *,
+         CAST(list_aggregate(list_transform(generate_series(0, {_Z_BITS - 1}),
+           i -> (((xs >> i) & 1) << (2 * i))
+                + (((ys >> i) & 1) << (2 * i + 1))), 'sum') AS BIGINT)
+           >> {_Z_SHIFT} AS zorder_bucket
+  FROM base
+),
+layouts AS (
+  SELECT 'natural' AS layout, natural_bucket AS bucket, user_id, minute,
+         ua, ta FROM z
+  UNION ALL
+  SELECT 'zorder' AS layout, zorder_bucket AS bucket, user_id, minute,
+         ua, ta FROM z
+),
+per_bucket AS (
+  SELECT layout, bucket,
+         MAX(user_id) - MIN(user_id) AS us,
+         MAX(minute) - MIN(minute) AS ts,
+         ANY_VALUE(ua) AS ua, ANY_VALUE(ta) AS ta
+  FROM layouts GROUP BY 1, 2
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(us * 10000 // ua) // COUNT(*) AS BIGINT)
+         AS avg_user_span_bp,
+       CAST(MAX(us * 10000 // ua) AS BIGINT) AS max_user_span_bp,
+       CAST(SUM(ts * 10000 // ta) // COUNT(*) AS BIGINT) AS avg_ts_span_bp,
+       CAST(MAX(ts * 10000 // ta) AS BIGINT) AS max_ts_span_bp
+FROM per_bucket GROUP BY layout ORDER BY layout
+"""

@@ -1012,3 +1012,20 @@ def test_ivf_balance_broadcast_assignment_only(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # codebook + scalar total
+
+
+def test_zorder_layout_map_side_keys(spark):
+    # z-keys and bucket ids are row-local projections: the only join
+    # is the 1-row anchor broadcast; per-layout rollups are keyed aggs
+    # over 64-row relations — no window, no sort-merge join
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.events_zorder_layout(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    import re
+
+    bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert bnlj <= 2, f"anchor broadcast only: {bnlj}"

@@ -740,3 +740,36 @@ def test_ivf_balance_matches_topk_assignment(spark):
         for r in emb_ivf_balance(spark, SF).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# Z-order layout advisor
+# ----------------------------------------------------------------------
+def test_zorder_key_interleaves_bits(spark):
+    from meteaudata_spark.ext.corpus_ops import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b1011, 0b0110)], "x LONG, y LONG"
+    ).select(zorder_key("x", "y", bits=4).alias("z"))
+    # interleave x into even bits, y into odd (z bit 2i = x_i,
+    # z bit 2i+1 = y_i): x=1011, y=0110 ->
+    # x0+4*x1+8*y1+32*y2+64*x3 = 1+4+8+32+64 = 109
+    assert df.collect()[0]["z"] == 109
+
+
+def test_zorder_layout_constrains_both_dims(spark):
+    from meteaudata_spark.ext.corpus_ops import events_zorder_layout
+
+    rows = {
+        r["layout"]: r
+        for r in events_zorder_layout(spark, SF).collect()
+    }
+    nat, zo = rows["natural"], rows["zorder"]
+    # natural (append) order: time is clustered, user is not
+    assert nat["avg_ts_span_bp"] < 2000
+    assert nat["avg_user_span_bp"] > 8000
+    # z-order: BOTH dims far below the natural layout's worst dim,
+    # i.e. a min/max-pruning reader can skip on either predicate
+    assert zo["avg_user_span_bp"] < 3000
+    assert zo["avg_ts_span_bp"] < 3000
+    assert zo["n_buckets"] > 16
