@@ -2,11 +2,22 @@
 V-shape detector (``ext/timeseries_queries.dip_spike``).
 
 A completed V needs the NEXT point, so detection is emit-on-successor:
-``applyInPandasWithState`` keyed on (user_id, event_type) keeps only
-the last TWO points per series (prev-prev, prev); each arriving point
-closes the triple around ``prev`` and emits its classification.  State
-is exactly two (ts, event_id, value-micros) tuples per live series —
-O(1) per key, the smallest state any 3-point pattern matcher can hold.
+each arriving point closes the triple around its predecessor and emits
+that predecessor's classification.  State per live series is exactly
+the last TWO points — the smallest state any 3-point pattern matcher
+can hold.
+
+Sharded-state layout (the ``neardup_stream`` idiom): keying
+``applyInPandasWithState`` directly on the (user, type) series would
+invoke Python once per series per batch — 200k tiny calls that cap
+throughput near 10k events/s.  Instead state keys on
+``hash(user, type) mod n_shards`` (default 1024) and each shard holds
+its series' point-pairs as parallel arrays; the per-batch work is ONE
+vectorized pandas pass per shard (concat state + batch, sort, shifted
+neighbours, integer fence compare), so Python fires n_shards times
+per batch regardless of series count.  Measured at 10M events / 200k
+series: 945k events/s vs the per-series keying's 12.5k (75×), state
+1,024 shard rows ≈ 15 MB (tools/scale_smoke_dipspike_stream.py).
 
 Semantics match the batch operator bit-for-bit: values micro-quantize
 to BIGINT on entry and the 25% fences compare via integer
@@ -15,23 +26,26 @@ classification (differential test in ``tests/test_dipspike_stream.py``).
 
 Ordering contract: per-key event-time order at ingestion (same as
 every per-key recurrence — the sessionize/EWMA twins share it).  Rows
-inside a micro-batch are sorted by (ts, event_id) before applying;
+inside a micro-batch sort by (ts, event_id) before applying;
 cross-batch reordering is the source's responsibility (Kafka per-key
 partitions, file order for replay).
 
-At scale: one shuffle on the (user, type) series key per micro-batch;
-state stores two tuples per live series regardless of history length.
+At scale: one shuffle on the shard key per micro-batch; state stores
+two (id, ts, value) tuples per live series regardless of history
+length, spread evenly over the shards by the hash.
 """
 
 from __future__ import annotations
 
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
     StringType,
@@ -41,6 +55,7 @@ from pyspark.sql.types import (
 )
 
 _FENCE_BP = 2500
+_DEFAULT_SHARDS = 1024
 
 _OUTPUT_SCHEMA = StructType(
     [
@@ -54,71 +69,139 @@ _OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# prev-prev and prev point: (event_id, ts_micros, value_micros) each;
-# a -1 event_id marks "absent"
+# one entry per live series in the shard: the series key plus its
+# last two points ((id, ts-micros, value-micros) each; id −1 = absent)
 _STATE_SCHEMA = StructType(
     [
-        StructField("id0", LongType()),
-        StructField("ts0", LongType()),
-        StructField("vm0", LongType()),
-        StructField("id1", LongType()),
-        StructField("ts1", LongType()),
-        StructField("vm1", LongType()),
+        StructField("user", ArrayType(LongType())),
+        StructField("etype", ArrayType(StringType())),
+        StructField("id0", ArrayType(LongType())),
+        StructField("ts0", ArrayType(LongType())),
+        StructField("vm0", ArrayType(LongType())),
+        StructField("id1", ArrayType(LongType())),
+        StructField("ts1", ArrayType(LongType())),
+        StructField("vm1", ArrayType(LongType())),
     ]
 )
 
-
-def _classify(pv: int, cur: int, nv: int) -> Tuple[bool, bool]:
-    lo = 10000 - _FENCE_BP
-    hi = 10000 + _FENCE_BP
-    is_dip = cur * 10000 < pv * lo and cur * 10000 < nv * lo
-    is_spike = cur * 10000 > pv * hi and cur * 10000 > nv * hi
-    return is_dip, is_spike
+_COLS = ["user_id", "event_type", "event_id", "tsu", "vm", "new"]
 
 
 def _update(
-    key: Tuple[int, str],
+    key: Tuple[int],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        id0, ts0, vm0, id1, ts1, vm1 = state.get
-    else:
-        id0 = id1 = -1
-        ts0 = ts1 = vm0 = vm1 = 0
-    rows = []
     batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-    for r in batch.itertuples(index=False):
-        cur_id = int(r.event_id)
-        cur_ts = pd.Timestamp(r.ts).value // 1000
-        cur_vm = int(round(float(r.value) * 1000000.0))
-        if id0 >= 0 and id1 >= 0:
-            is_dip, is_spike = _classify(vm0, vm1, cur_vm)
-            rows.append((key[0], key[1], id1, ts1, vm1, is_dip, is_spike))
-        id0, ts0, vm0 = id1, ts1, vm1
-        id1, ts1, vm1 = cur_id, cur_ts, cur_vm
-    state.update((id0, ts0, vm0, id1, ts1, vm1))
-    out = pd.DataFrame(
-        rows,
-        columns=[
-            "user_id", "event_type", "event_id", "ts", "vm",
-            "is_dip", "is_spike",
-        ],
+    batch = pd.DataFrame(
+        {
+            "user_id": batch["user_id"].astype("int64"),
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"].astype("int64"),
+            "tsu": batch["ts"].astype("int64") // 1000,
+            "vm": (batch["value"].astype("float64") * 1000000.0)
+            .round()
+            .astype("int64"),
+            "new": True,
+        }
     )
-    if len(out):
-        out["ts"] = pd.to_datetime(out["ts"], unit="us")
+    frames = [batch]
+    if state.exists:
+        user, etype, id0, ts0, vm0, id1, ts1, vm1 = state.get
+        held = pd.DataFrame(
+            {
+                "user_id": np.asarray(user, dtype="int64"),
+                "event_type": np.asarray(etype, dtype=object),
+                "id0": np.asarray(id0, dtype="int64"),
+                "ts0": np.asarray(ts0, dtype="int64"),
+                "vm0": np.asarray(vm0, dtype="int64"),
+                "id1": np.asarray(id1, dtype="int64"),
+                "ts1": np.asarray(ts1, dtype="int64"),
+                "vm1": np.asarray(vm1, dtype="int64"),
+            }
+        )
+        for suffix in ("0", "1"):
+            part = held[held[f"id{suffix}"] >= 0]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": part["user_id"],
+                        "event_type": part["event_type"],
+                        "event_id": part[f"id{suffix}"],
+                        "tsu": part[f"ts{suffix}"],
+                        "vm": part[f"vm{suffix}"],
+                        "new": False,
+                    }
+                )
+            )
+    merged = pd.concat(frames, ignore_index=True)
+    merged = merged.sort_values(
+        ["user_id", "event_type", "tsu", "event_id"], kind="mergesort"
+    ).reset_index(drop=True)
+
+    g = merged.groupby(["user_id", "event_type"], sort=False)
+    prev_vm = g["vm"].shift(1)
+    next_vm = g["vm"].shift(-1)
+    next_new = g["new"].shift(-1)
+    interior = prev_vm.notna() & next_vm.notna()
+    emit_mask = (interior & (next_new == True)).to_numpy()  # noqa: E712
+
+    lo = 10000 - _FENCE_BP
+    hi = 10000 + _FENCE_BP
+    cur = merged["vm"].to_numpy()
+    pv = prev_vm.fillna(0).to_numpy().astype("int64")
+    nv = next_vm.fillna(0).to_numpy().astype("int64")
+    is_dip = (cur * 10000 < pv * lo) & (cur * 10000 < nv * lo) & emit_mask
+    is_spike = (cur * 10000 > pv * hi) & (cur * 10000 > nv * hi) & emit_mask
+
+    out = pd.DataFrame(
+        {
+            "user_id": merged["user_id"][emit_mask],
+            "event_type": merged["event_type"][emit_mask],
+            "event_id": merged["event_id"][emit_mask],
+            "ts": pd.to_datetime(merged["tsu"][emit_mask], unit="us"),
+            "vm": merged["vm"][emit_mask],
+            "is_dip": is_dip[emit_mask],
+            "is_spike": is_spike[emit_mask],
+        }
+    )
+
+    tail = g.tail(2)
+    tg = tail.groupby(["user_id", "event_type"], sort=False)
+    # head/tail both enumerate groups in order of first appearance, so
+    # the two frames align row-for-row per series
+    last = tg.tail(1).reset_index(drop=True)
+    first = tg.head(1).reset_index(drop=True)
+    # series with a single point keep id0 = −1
+    lone = first["event_id"].to_numpy() == last["event_id"].to_numpy()
+    state.update(
+        (
+            last["user_id"].tolist(),
+            last["event_type"].tolist(),
+            np.where(lone, -1, first["event_id"].to_numpy()).tolist(),
+            np.where(lone, 0, first["tsu"].to_numpy()).tolist(),
+            np.where(lone, 0, first["vm"].to_numpy()).tolist(),
+            last["event_id"].tolist(),
+            last["tsu"].tolist(),
+            last["vm"].tolist(),
+        )
+    )
     yield out
 
 
-def stream_dip_spike(stream: DataFrame) -> DataFrame:
+def stream_dip_spike(
+    stream: DataFrame, n_shards: int = _DEFAULT_SHARDS
+) -> DataFrame:
     """Per-(user, type) streamed triple classification (append mode):
     one output row per INTERIOR point, emitted when its successor
     arrives."""
     keyed = stream.select(
         "user_id", "event_type", "event_id", "ts", "value"
+    ).withColumn(
+        "shard",
+        F.pmod(F.xxhash64("user_id", "event_type"), F.lit(n_shards)),
     )
-    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+    return keyed.groupBy("shard").applyInPandasWithState(
         _update,
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
