@@ -1189,3 +1189,251 @@ SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(MAX(ts * 10000 // ta) AS BIGINT) AS max_ts_span_bp
 FROM per_bucket GROUP BY layout ORDER BY layout
 """
+
+
+# ----------------------------------------------------------------------
+# deterministic training-order shuffle (shard + position)
+# ----------------------------------------------------------------------
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Seeded global shuffle for training-data loaders: every row gets
+    a (shard, pos) address that is a pure function of (salt, key).
+
+    A 100 TB training run cannot materialize one global random
+    permutation; the standard trick is hash-sharding (shard =
+    h(key) mod S) and sorting each shard by the hash — reading shards
+    round-robin then yields an order that is (a) deterministic and
+    resumable from any (shard, pos) checkpoint, (b) unbiased for any
+    hash-like h, and (c) embarrassingly parallel: each shard sorts
+    independently, so the only exchange is one hash partition by
+    shard and the per-shard window sort never sees more than
+    corpus/S rows.  Changing ``salt`` reshuffles every epoch with no
+    state carried between epochs.
+    Reference analog: none (pure [EXT])."""
+    from pyspark.sql import Window
+
+    h = _h60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        df.select(F.col(key_col), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: epoch-0 shuffle address for every document."""
+    d = _docs(spark, sf_dir)
+    return shuffle_shards(d).orderBy("shard", "pos")
+
+
+_SHUF_H = _H60_DUCK.format(col="'shuffle:' || CAST(doc_id AS VARCHAR)")
+DOC_SHUFFLE_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_SHUF_H} AS h, {_SHUF_H} % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM h
+ORDER BY shard, pos
+"""
+
+
+# ----------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ----------------------------------------------------------------------
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], ks: list[int]
+) -> DataFrame:
+    """Privacy audit: for each k, how many quasi-identifier groups
+    have fewer than k members, and what fraction of rows would a
+    k-anonymity release have to suppress?
+
+    The companion to the PII scrubber: scrubbing kills direct
+    identifiers, but rows remain re-identifiable when their
+    quasi-identifier combination (language x source x size band here)
+    is near-unique.  ONE keyed agg computes group sizes; the per-k
+    rollup is over the (tiny) group-size relation, exploded by the
+    k ladder — corpus-sized data is touched exactly once regardless
+    of how many k thresholds are audited.  All output is integer
+    (counts + basis points).
+    Reference analog: none (pure [EXT])."""
+    sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    karr = F.array(*[F.lit(k) for k in ks])
+    per_k = sizes.select(
+        F.explode(karr).alias("k"), "cnt"
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("cnt") < F.col("k"), 1).otherwise(0)).alias(
+            "violating_groups"
+        ),
+        F.sum(
+            F.when(F.col("cnt") < F.col("k"), F.col("cnt")).otherwise(0)
+        ).alias("suppressed_rows"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    return per_k.select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_groups",
+        "violating_groups",
+        "suppressed_rows",
+        F.expr("(suppressed_rows * 10000) div n_rows").alias(
+            "suppression_bp"
+        ),
+    ).orderBy("k")
+
+
+def doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: k-anonymity over (lang, source, 512-char size
+    band) for k in {2, 5, 10, 20}."""
+    d = _docs(spark, sf_dir).withColumn(
+        "size_band", F.expr("n_chars div 512")
+    )
+    return k_anonymity_report(d, ["lang", "source", "size_band"], [2, 5, 10, 20])
+
+
+DOC_K_ANONYMITY_SQL = """
+WITH sizes AS (
+  SELECT lang, source, n_chars // 512 AS size_band, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2, 3
+),
+per_k AS (
+  SELECT k.k, COUNT(*) AS n_groups,
+         SUM(CASE WHEN cnt < k.k THEN 1 ELSE 0 END) AS violating_groups,
+         SUM(CASE WHEN cnt < k.k THEN cnt ELSE 0 END) AS suppressed_rows,
+         SUM(cnt) AS n_rows
+  FROM sizes CROSS JOIN (VALUES (2), (5), (10), (20)) AS k(k)
+  GROUP BY k.k
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(violating_groups AS BIGINT) AS violating_groups,
+       CAST(suppressed_rows AS BIGINT) AS suppressed_rows,
+       CAST((suppressed_rows * 10000) // n_rows AS BIGINT) AS suppression_bp
+FROM per_k
+ORDER BY k
+"""
+
+
+# ----------------------------------------------------------------------
+# corpus data card (per-language release report)
+# ----------------------------------------------------------------------
+def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language data card — the release-notes table every corpus
+    drop ships with: volume (docs, chars), exact-duplicate excess,
+    mean quality, and the share of short documents.
+
+    Composition row: reuses the memoized quality relation
+    (``doc_quality_score``) and the exact-dup definition
+    (md5(text)), so the card's numbers are BY CONSTRUCTION consistent
+    with the dedup and quality gate rows.  One narrow join on doc_id
+    + one keyed agg by lang; quality rides as integer micros so the
+    per-lang mean is exact integer division in both engines.
+    Reference analog: none (pure [EXT])."""
+    from meteaudata_spark.ext.textstats import doc_quality_score
+
+    d = _docs(spark, sf_dir)
+    q = doc_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1000000).cast("bigint").alias(
+            "q_micros"
+        ),
+    )
+    joined = d.join(q, "doc_id")
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        F.sum("q_micros").alias("q_sum"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).alias(
+            "short_docs"
+        ),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        (F.col("n_docs") - F.col("distinct_texts")).alias("dup_excess"),
+        F.expr("q_sum div n_docs").alias("mean_quality_micros"),
+        F.expr("(short_docs * 10000) div n_docs").alias("short_docs_bp"),
+    ).orderBy("lang")
+
+
+def _corpus_datacard_sql() -> str:
+    from meteaudata_spark.ext.textstats import DOC_QUALITY_SQL
+
+    q = DOC_QUALITY_SQL.strip().rstrip()
+    return f"""
+WITH q AS ({q}),
+joined AS (
+  SELECT d.lang, d.n_chars, d.text,
+         CAST(ROUND(q.quality_score * 1000000) AS BIGINT) AS q_micros
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_excess,
+       CAST(SUM(q_micros) // COUNT(*) AS BIGINT) AS mean_quality_micros,
+       CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS short_docs_bp
+FROM joined
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ----------------------------------------------------------------------
+# windowed event dedup report (tumbling-window exact dedup)
+# ----------------------------------------------------------------------
+def events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window exact-dedup report over the events feed: per
+    hour, how many events arrived, how many distinct
+    (user, type, value) keys they collapse to, and the duplicate
+    rate.
+
+    The batch twin of ``streaming.resample_stream.stream_dedup``
+    (dropDuplicatesWithinWatermark): windowing the dedup key by hour
+    bounds state/shuffle width exactly the way the watermark bounds
+    streaming state, so this is both a data-quality report and the
+    backfill path for the streaming deduper.  ONE keyed agg; the
+    distinct rides a struct key, no self-join.
+    Reference analog: none (pure [EXT])."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(
+            F.struct("user_id", "event_type", "value")
+        ).alias("n_distinct"),
+    )
+    return agg.select(
+        "window_start",
+        "n_events",
+        "n_distinct",
+        (F.col("n_events") - F.col("n_distinct")).alias("n_dups"),
+        F.expr("((n_events - n_distinct) * 10000) div n_events").alias(
+            "dup_bp"
+        ),
+    ).orderBy("window_start")
+
+
+EVENTS_WINDOWED_DEDUP_SQL = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+         COUNT(DISTINCT (user_id, event_type, value)) AS n_distinct
+  FROM events GROUP BY 1
+)
+SELECT window_start, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_events - n_distinct AS BIGINT) AS n_dups,
+       CAST((n_events - n_distinct) * 10000 // n_events AS BIGINT) AS dup_bp
+FROM agg
+ORDER BY window_start
+"""

@@ -3112,3 +3112,96 @@ ORDER BY centroid_id
 
 
 EMB_IVF_BALANCE_SQL = _ivf_balance_sql()
+
+
+# ----------------------------------------------------------------------
+# hard-negative mining (contrastive-training sampler)
+# ----------------------------------------------------------------------
+def hard_negatives(
+    emb: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Mine hard negatives for contrastive training: for each query
+    vector, the k nearest neighbors whose LABEL DIFFERS — the
+    near-miss examples a retrieval/embedding model learns the most
+    from (random negatives are trivially separable; hard negatives
+    define the decision boundary).
+
+    Shape is the broadcast-scan idiom of ``emb_cosine_topk`` with the
+    label-exclusion folded into the JOIN CONDITION, so mismatched
+    labels are discarded during the probe — no post-filter pass.  At
+    scale the same exclusion composes with the IVF/PQ candidate
+    generators (probe lists, then drop same-label candidates before
+    ADC); the brute path here is the recall-1.0 oracle shape.
+    Integer determinism: cosine rounded to 6 dp, vec_id tiebreak.
+    Reference analog: none (pure [EXT])."""
+    e = emb.withColumn("nrm", F.expr(_norm_expr("embedding")))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel")),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qe", b="embedding"))
+        / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        6,
+    )
+    ranked = pairs.select(
+        "query_id", "vec_id", F.col("label"), cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 5 hard negatives for each of the first 8 vectors."""
+    return hard_negatives(_emb(spark, sf_dir), n_queries=8, k=5)
+
+
+EMB_HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         ROUND(
+           list_aggregate(list_transform(generate_series(1, LEN(q.qe)),
+             i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+         6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, label, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -1663,14 +1663,28 @@ def bm25_multi_search(
     )
 
 
+def _multi_query_df(spark: SparkSession) -> DataFrame:
+    rows = [(qid, t) for qid, ts_ in _MULTI_QUERIES for t in ts_]
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
 def doc_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: three fixed queries through the multi-query
     ranker."""
-    rows = [
-        (qid, t) for qid, ts_ in _MULTI_QUERIES for t in ts_
-    ]
-    q = spark.createDataFrame(rows, "query_id long, term string")
-    return bm25_multi_search(_docs(spark, sf_dir), q, k=10)
+    return bm25_multi_search(_docs(spark, sf_dir), _multi_query_df(spark), k=10)
+
+
+def bm25_multi_candidates(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Session-memoized top-``k`` candidates of the fixed multi-query
+    set — the shared upstream for every reranking/eval row (MMR here;
+    the corpus pass runs once per session, not once per consumer)."""
+    return memo_relation(
+        spark,
+        ("bm25_multi_candidates", sf_dir, k),
+        lambda: bm25_multi_search(
+            _docs(spark, sf_dir), _multi_query_df(spark), k=k
+        ),
+    )
 
 
 def _bm25_multi_sql(k: int = 10, k1: float = _BM25_K1, b: float = _BM25_B) -> str:
@@ -2982,3 +2996,245 @@ WHERE c_ab >= 5
 ORDER BY pmi_micros DESC, tok1, tok2
 LIMIT 50
 """
+
+
+# ----------------------------------------------------------------------
+# MMR diversified re-ranking (retrieval diversity)
+# ----------------------------------------------------------------------
+def mmr_rerank(
+    docs: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 10,
+    k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: from each query's BM25
+    top-``n_candidates``, greedily pick ``k`` results that balance
+    relevance against redundancy — the standard diversification pass
+    between retrieval and a RAG context window (Carbonell & Goldstein
+    1998).
+
+    mmr(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.7.
+
+    Determinism contract: EVERYTHING is integer.  rel is BM25 micros
+    normalized per query to [0, 1e6] by integer floor-division; sim is
+    distinct-token Jaccard in integer micros (inter·1e6 // union); the
+    MMR score is 7·rel − 3·sim in exact integer tenths-of-micros
+    (never a float × int product, whose .5 boundaries round
+    differently across engines); ties break on doc_id.
+
+    Scale shape: the ONLY corpus-sized work is the BM25 pass (one
+    scan, keyed top-k per query) plus one broadcast-pruned token-set
+    fetch for the ≤ Q·n candidate docs.  The greedy selection itself
+    is data-dependent iteration over a pool BOUNDED at plan time
+    (n_candidates rows per query), which is the textbook case for ONE
+    Arrow-batched ``applyInPandas`` stage keyed by query_id: a
+    DataFrame unrolling (one join + argmax window per rank) is
+    expressible but costs ~10 tiny stages per rank — measured 5 s of
+    pure scheduling overhead at sf0.1 vs this single exchange.  Python
+    here is integer-exact and touches Q·n rows, never the corpus.
+    Reference analog: none (pure [EXT])."""
+    base = (
+        candidates
+        if candidates is not None
+        else bm25_multi_search(docs, queries, k=n_candidates)
+    )
+    cand = base.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("bm25") * 1000000).cast("bigint").alias("rel_micros"),
+    )
+    cand = cache_intermediate(cand)
+
+    # distinct-token sets, candidate pool only (broadcast semi-join
+    # prunes the corpus scan to ≤ Q·n docs before the explode)
+    pool = cand.select("doc_id").distinct()
+    toksets = (
+        docs.join(F.broadcast(pool), "doc_id")
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("toks"))
+    )
+    enriched = cand.join(F.broadcast(toksets), "doc_id")
+
+    kk = int(k)
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        recs = pdf.sort_values("doc_id").to_dict("records")
+        mx = max(r["rel_micros"] for r in recs)
+        for r in recs:
+            # BM25 idf is ln(1 + ...) > 0, so rel_micros ≥ 0 and
+            # floor-division here equals the oracle's `//` exactly
+            r["rel_unit"] = int(r["rel_micros"]) * 1000000 // int(mx)
+            r["tokset"] = set(r["toks"])
+        selected: list = []
+        remaining = list(recs)
+        out = []
+        for rank in range(1, kk + 1):
+            if not remaining:
+                break
+            best = None
+            for r in remaining:
+                msim = 0
+                for s in selected:
+                    i = len(r["tokset"] & s["tokset"])
+                    jm = (
+                        i * 1000000
+                        // (len(r["tokset"]) + len(s["tokset"]) - i)
+                        if i
+                        else 0
+                    )
+                    if jm > msim:
+                        msim = jm
+                score = 7 * r["rel_unit"] - 3 * msim
+                key = (-score, r["doc_id"])
+                if best is None or key < best[0]:
+                    best = (key, r, msim, score)
+            _, r, msim, score = best
+            selected.append(r)
+            remaining.remove(r)
+            out.append(
+                (r["query_id"], rank, r["doc_id"], r["rel_unit"], msim, score)
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "query_id",
+                "mmr_rank",
+                "doc_id",
+                "rel_unit_micros",
+                "max_sim_micros",
+                "mmr_score",
+            ],
+        )
+
+    schema = (
+        "query_id long, mmr_rank long, doc_id long, "
+        "rel_unit_micros long, max_sim_micros long, mmr_score long"
+    )
+    return (
+        enriched.groupBy("query_id")
+        .applyInPandas(_greedy, schema)
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+
+def doc_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: MMR top-3 from BM25 top-10 for the three fixed
+    multi-search queries (candidates ride the session memo, so the
+    marginal cost is the pool-sized rerank, not the corpus pass)."""
+    return mmr_rerank(
+        _docs(spark, sf_dir),
+        _multi_query_df(spark),
+        n_candidates=10,
+        k=3,
+        candidates=bm25_multi_candidates(spark, sf_dir, k=10),
+    )
+
+
+def _mmr_rerank_sql() -> str:
+    bm25 = _bm25_multi_sql(k=10).strip()
+    return f"""
+WITH cand0 AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(bm25 * 1000000) AS BIGINT) AS rel_micros
+  FROM ({bm25})
+),
+maxrel AS (
+  SELECT query_id, MAX(rel_micros) AS mx FROM cand0 GROUP BY 1
+),
+cand AS (
+  SELECT c.query_id, c.doc_id, c.rel_micros * 1000000 // m.mx AS rel_unit
+  FROM cand0 c JOIN maxrel m USING (query_id)
+),
+toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT d.doc_id, UNNEST(string_split(d.text, ' ')) AS token
+    FROM documents d
+    WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM cand0)
+  )
+),
+ntok AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT da, db, i * 1000000 // (na.n + nb.n - i) AS jm
+  FROM inter
+  JOIN ntok na ON na.doc_id = da
+  JOIN ntok nb ON nb.doc_id = db
+),
+scored1 AS (
+  SELECT query_id, doc_id, rel_unit, 7 * rel_unit AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY 7 * rel_unit DESC, doc_id) AS rn
+  FROM cand
+),
+s1 AS (
+  SELECT query_id, doc_id AS sel1, rel_unit AS rel1, score AS score1
+  FROM scored1 WHERE rn = 1
+),
+sc2 AS (
+  SELECT c.query_id, c.doc_id, c.rel_unit, s1.sel1,
+         COALESCE(s.jm, 0) AS sim1,
+         7 * c.rel_unit - 3 * COALESCE(s.jm, 0) AS score
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.doc_id <> s1.sel1
+  LEFT JOIN sims s ON s.da = c.doc_id AND s.db = s1.sel1
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM sc2
+),
+s2 AS (
+  SELECT query_id, doc_id AS sel2, rel_unit AS rel2, sim1 AS msim2,
+         score AS score2
+  FROM r2 WHERE rn = 1
+),
+sc3 AS (
+  SELECT c.query_id, c.doc_id, c.rel_unit,
+         GREATEST(COALESCE(sa.jm, 0), COALESCE(sb.jm, 0)) AS msim,
+         7 * c.rel_unit
+           - 3 * GREATEST(COALESCE(sa.jm, 0), COALESCE(sb.jm, 0)) AS score
+  FROM sc2 c
+  JOIN s2 ON c.query_id = s2.query_id AND c.doc_id <> s2.sel2
+  LEFT JOIN sims sa ON sa.da = c.doc_id AND sa.db = c.sel1
+  LEFT JOIN sims sb ON sb.da = c.doc_id AND sb.db = s2.sel2
+),
+r3 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM sc3
+),
+s3 AS (
+  SELECT query_id, doc_id AS sel3, rel_unit AS rel3, msim AS msim3,
+         score AS score3
+  FROM r3 WHERE rn = 1
+)
+SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, sel1 AS doc_id,
+       CAST(rel1 AS BIGINT) AS rel_unit_micros,
+       CAST(0 AS BIGINT) AS max_sim_micros,
+       CAST(score1 AS BIGINT) AS mmr_score
+FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT), sel2,
+       CAST(rel2 AS BIGINT), CAST(msim2 AS BIGINT), CAST(score2 AS BIGINT)
+FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT), sel3,
+       CAST(rel3 AS BIGINT), CAST(msim3 AS BIGINT), CAST(score3 AS BIGINT)
+FROM s3
+ORDER BY query_id, mmr_rank
+"""
+
+
+DOC_MMR_RERANK_SQL = _mmr_rerank_sql()

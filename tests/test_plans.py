@@ -1029,3 +1029,104 @@ def test_zorder_layout_map_side_keys(spark):
 
     bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert bnlj <= 2, f"anchor broadcast only: {bnlj}"
+
+
+def test_shuffle_shards_one_window_pruned_scan(spark):
+    # shard + pos are hash-local: ONE window partitioned by shard over
+    # a scan that reads nothing but the key column
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_shuffle_shards(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert inspect.scan_columns(df) == {"doc_id"}
+
+
+def test_k_anonymity_single_corpus_pass(spark):
+    # group sizes in ONE keyed agg; the k ladder explodes the tiny
+    # group-size relation, never the corpus — one scan, no join, no
+    # window
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_k_anonymity(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    import re
+
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, scans
+
+
+def test_corpus_datacard_broadcast_quality_join(spark):
+    # the quality relation rides the session memo (InMemoryTableScan)
+    # and joins on doc_id as a broadcast; per-lang rollup is one keyed
+    # agg — no window, no sort-merge join
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_corpus_datacard(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "InMemoryTableScan" in plan  # memoized quality upstream
+
+
+def test_windowed_dedup_single_agg_no_join(spark):
+    # tumbling-hour dedup report: the distinct rides a struct key
+    # inside ONE grouped aggregation chain — no join, no window
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.events_windowed_dedup(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    import re
+
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, scans
+
+
+def test_hard_negatives_pushdown_broadcast_grouplimit(spark):
+    # query filter reaches the parquet scan; the probe is a broadcast
+    # of the 8 queries with the label exclusion in the join condition;
+    # top-k uses WindowGroupLimit (partial rank pushdown before the
+    # shuffle), never a global sort of all pairs
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_hard_negatives(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    pushed = inspect.pushed_filters(df)
+    assert any("vec_id" in f and "LessThan" in f for f in pushed), pushed
+    assert "WindowGroupLimit" in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_mmr_rerank_one_arrow_stage_over_bounded_pool(spark):
+    # corpus work = the memoized BM25 pass + one broadcast-pruned
+    # token-set fetch; the greedy selection is ONE Arrow stage keyed by
+    # query_id over ≤ Q·n_candidates rows — no sort-merge join, no
+    # cartesian, no per-rank join ladder
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_mmr_rerank(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "InMemoryTableScan" in plan  # memoized candidate upstream
+
+    # only scalar broadcasts (BM25's 1-row n_avg) may ride BNLJ
+    bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert bnlj <= 2, f"only scalar broadcasts allowed: {bnlj}"
