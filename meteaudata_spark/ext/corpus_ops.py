@@ -1232,10 +1232,16 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(d).orderBy("shard", "pos")
 
 
-_SHUF_H = _H60_DUCK.format(col="'shuffle:' || CAST(doc_id AS VARCHAR)")
-DOC_SHUFFLE_SHARDS_SQL = f"""
+def _shuffle_shards_sql(n_shards: int = 8, salt: str = "shuffle") -> str:
+    """Oracle builder sharing ``shuffle_shards``'s parameters so a
+    non-default (n_shards, salt) call never silently mismatches its
+    oracle (the ``_ivf_balance_sql`` pattern)."""
+    h = _H60_DUCK.format(
+        col=f"'{salt}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
 WITH h AS (
-  SELECT doc_id, {_SHUF_H} AS h, {_SHUF_H} % 8 AS shard
+  SELECT doc_id, {h} AS h, {h} % {n_shards} AS shard
   FROM documents
 )
 SELECT doc_id, CAST(shard AS BIGINT) AS shard,
@@ -1244,6 +1250,9 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
 FROM h
 ORDER BY shard, pos
 """
+
+
+DOC_SHUFFLE_SHARDS_SQL = _shuffle_shards_sql()
 
 
 # ----------------------------------------------------------------------

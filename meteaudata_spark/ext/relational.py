@@ -2102,7 +2102,11 @@ def orders_cohort_ltv(
     )
 
 
-ORDERS_COHORT_LTV_SQL = """
+def _cohort_ltv_sql(max_months: int = 12) -> str:
+    """Oracle builder sharing ``orders_cohort_ltv``'s parameters, so a
+    non-default ``max_months`` never silently mismatches its oracle
+    (the ``_ivf_balance_sql`` pattern)."""
+    return f"""
 WITH o AS (
   SELECT o_custkey, date_trunc('month', o_orderdate) AS om,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
@@ -2116,7 +2120,7 @@ SELECT f.cohort_month AS cohort_month,
          CAST((date_part('year', o.om) - date_part('year', f.cohort_month)) * 12
               + date_part('month', o.om) - date_part('month', f.cohort_month)
               AS BIGINT),
-         12
+         {max_months}
        ) AS months_since,
        CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2125,3 +2129,6 @@ FROM o JOIN first f USING (o_custkey)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+ORDERS_COHORT_LTV_SQL = _cohort_ltv_sql()

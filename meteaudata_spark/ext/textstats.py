@@ -2810,6 +2810,17 @@ def zipf_fit(
     exact integers; only the final num/den ratio goes through DOUBLE
     (both operands exact, same literal math both sides).
 
+    Overflow safety: x,y ≤ ~2.1e7 (ln of anything that fits a BIGINT
+    count), so each x*y ≤ 4.4e14 fits BIGINT, but the SUMs and the
+    slope products (n_types*Sxy, Sx*Sy) grow with vocabulary size and
+    blow through int64 beyond a few hundred types per group.  DuckDB
+    silently promotes SUM to HUGEINT (int128); Spark would wrap (or
+    throw under ANSI).  We therefore accumulate in DECIMAL(38,0) on
+    the Spark side — exact integers to 1e38, matching HUGEINT's exact
+    range for these magnitudes (worst case ~4e32 at a 1e9-type
+    vocabulary) — and only the final num/den ratio goes to DOUBLE,
+    identical on both engines.
+
     Scale shape: one keyed (group, token) count — corpus-sized input,
     VOCABULARY-sized output — then a window over the tiny per-group
     type table and a per-group closed-form reduce.  The window
@@ -2834,21 +2845,24 @@ def zipf_fit(
         lm(F.col("rank")).alias("x"),
         lm(F.col("c")).alias("y"),
     )
+    dec = "decimal(38,0)"
     agg = xy.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.sum("c").alias("n_tokens"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
     )
     return agg.select(
         group_col,
         "n_types",
         "n_tokens",
         F.expr(
-            "cast(round(cast(n_types * sxy - sx * sy as double)"
-            " / cast(n_types * sxx - sx * sx as double) * 1000000.0)"
+            "cast(round(cast(cast(n_types as decimal(38,0)) * sxy"
+            " - sx * sy as double)"
+            " / cast(cast(n_types as decimal(38,0)) * sxx"
+            " - sx * sx as double) * 1000000.0)"
             " as bigint)"
         ).alias("zipf_slope_micros"),
     ).orderBy(group_col)

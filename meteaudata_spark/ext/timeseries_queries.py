@@ -3405,10 +3405,16 @@ def dip_spike(
     its neighbours in its series, a SPIKE when symmetric above.
 
     Determinism mechanics: values micro-quantize to BIGINT first and
-    the fence compares via cross-multiplication
-    (``(10000 - fence) * prev > 10000 * cur``), so the predicate is
-    exact integer arithmetic in both engines; window order is
-    (ts, id) so shared timestamps break ties identically.
+    the fence compares via cross-multiplication against the
+    neighbour's MAGNITUDE (``10000*cur < 10000*prev - fence*|prev|``),
+    so the predicate is exact integer arithmetic in both engines AND
+    stays meaningful for zero/negative series — the naive
+    ``cur*10000 < prev*(10000-fence)`` form flips its inequality for
+    negative neighbours and marks a flat all-negative series as both
+    dip and spike everywhere.  For positive data the two forms are
+    identical.  A zero neighbour degenerates to a strict compare
+    (any strictly lower point dips vs 0).  Window order is (ts, id)
+    so shared timestamps break ties identically.
 
     Returns the per-point frame with ``is_dip`` / ``is_spike`` and the
     neighbour-gap depth in micro-units (NULL at series edges).
@@ -3416,20 +3422,18 @@ def dip_spike(
     Scale shape: ONE window shuffle keyed by the series columns —
     partition by a high-cardinality series key (user × type), never a
     global order.  Everything else is map-side."""
-    lo = 10000 - fence_bp
-    hi = 10000 + fence_bp
     w = Window.partitionBy(*partition_cols).orderBy(ts_col, id_col)
     vm = F.round(F.col(value_col) * 1000000.0).cast("bigint")
     out = df.withColumn("__vm", vm).withColumn(
         "__pv", F.lag("__vm").over(w)
     ).withColumn("__nv", F.lead("__vm").over(w))
-    is_dip = (
-        (F.col("__vm") * 10000 < F.col("__pv") * lo)
-        & (F.col("__vm") * 10000 < F.col("__nv") * lo)
+    cur10k = F.col("__vm") * 10000
+    pv, nv = F.col("__pv"), F.col("__nv")
+    is_dip = (cur10k < pv * 10000 - fence_bp * F.abs(pv)) & (
+        cur10k < nv * 10000 - fence_bp * F.abs(nv)
     )
-    is_spike = (
-        (F.col("__vm") * 10000 > F.col("__pv") * hi)
-        & (F.col("__vm") * 10000 > F.col("__nv") * hi)
+    is_spike = (cur10k > pv * 10000 + fence_bp * F.abs(pv)) & (
+        cur10k > nv * 10000 + fence_bp * F.abs(nv)
     )
     depth = F.least("__pv", "__nv") - F.col("__vm")
     height = F.col("__vm") - F.greatest("__pv", "__nv")
@@ -3479,9 +3483,11 @@ w AS (
 m AS (
   SELECT event_type,
          (pv IS NOT NULL AND nv IS NOT NULL) AS interior,
-         COALESCE(vm * 10000 < pv * 7500 AND vm * 10000 < nv * 7500,
+         COALESCE(vm * 10000 < pv * 10000 - 2500 * ABS(pv)
+                  AND vm * 10000 < nv * 10000 - 2500 * ABS(nv),
                   FALSE) AS is_dip,
-         COALESCE(vm * 10000 > pv * 12500 AND vm * 10000 > nv * 12500,
+         COALESCE(vm * 10000 > pv * 10000 + 2500 * ABS(pv)
+                  AND vm * 10000 > nv * 10000 + 2500 * ABS(nv),
                   FALSE) AS is_spike,
          LEAST(pv, nv) - vm AS depth,
          vm - GREATEST(pv, nv) AS height

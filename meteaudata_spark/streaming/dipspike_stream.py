@@ -20,9 +20,23 @@ series: 945k events/s vs the per-series keying's 12.5k (75×), state
 1,024 shard rows ≈ 15 MB (tools/scale_smoke_dipspike_stream.py).
 
 Semantics match the batch operator bit-for-bit: values micro-quantize
-to BIGINT on entry and the 25% fences compare via integer
-cross-multiplication, so the streamed flags equal the batch interior
+to BIGINT on entry using Spark's HALF_UP rule (floor(|v|·1e6 + 0.5)
+with the sign restored — pandas ``.round()`` is half-to-even and
+diverges on exact .5 micro boundaries), and the 25% fences compare via
+integer cross-multiplication against neighbour MAGNITUDE
+(``10000·cur < 10000·prev − fence·|prev|``) exactly as the batch
+operator does, so the streamed flags equal the batch interior
 classification (differential test in ``tests/test_dipspike_stream.py``).
+
+State eviction: the shard keys themselves are bounded (``n_shards``
+rows), but each shard row holds two points per live SERIES, so a
+churning (user, type) keyspace grows state without bound under the
+default ``evict_after_us=None``.  Pass ``evict_after_us`` to drop
+series whose newest point is older than the shard's max event time
+minus that horizon.  Trade-off: an evicted series that later revives
+loses V-continuity across the gap — its first revived point has no
+held predecessor, so the point just before the gap is never classified
+(exactly what a watermark would discard anyway).
 
 Ordering contract: per-key event-time order at ingestion (same as
 every per-key recurrence — the sessionize/EWMA twins share it).  Rows
@@ -87,10 +101,31 @@ _STATE_SCHEMA = StructType(
 _COLS = ["user_id", "event_type", "event_id", "tsu", "vm", "new"]
 
 
-def _update(
+def _round_half_up(v: np.ndarray) -> np.ndarray:
+    """Spark's BigDecimal HALF_UP (ties away from zero) — pandas
+    ``.round()`` is banker's rounding and flips exact .5 boundaries."""
+    scaled = v.astype("float64") * 1000000.0
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+        "int64"
+    )
+
+
+def _make_update(evict_after_us):
+    def _update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        return _update_impl(key, pdfs, state, evict_after_us)
+
+    return _update
+
+
+def _update_impl(
     key: Tuple[int],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    evict_after_us=None,
 ) -> Iterator[pd.DataFrame]:
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = pd.DataFrame(
@@ -99,9 +134,7 @@ def _update(
             "event_type": batch["event_type"],
             "event_id": batch["event_id"].astype("int64"),
             "tsu": batch["ts"].astype("int64") // 1000,
-            "vm": (batch["value"].astype("float64") * 1000000.0)
-            .round()
-            .astype("int64"),
+            "vm": _round_half_up(batch["value"].to_numpy()),
             "new": True,
         }
     )
@@ -146,13 +179,20 @@ def _update(
     interior = prev_vm.notna() & next_vm.notna()
     emit_mask = (interior & (next_new == True)).to_numpy()  # noqa: E712
 
-    lo = 10000 - _FENCE_BP
-    hi = 10000 + _FENCE_BP
     cur = merged["vm"].to_numpy()
     pv = prev_vm.fillna(0).to_numpy().astype("int64")
     nv = next_vm.fillna(0).to_numpy().astype("int64")
-    is_dip = (cur * 10000 < pv * lo) & (cur * 10000 < nv * lo) & emit_mask
-    is_spike = (cur * 10000 > pv * hi) & (cur * 10000 > nv * hi) & emit_mask
+    cur10k = cur * 10000
+    is_dip = (
+        (cur10k < pv * 10000 - _FENCE_BP * np.abs(pv))
+        & (cur10k < nv * 10000 - _FENCE_BP * np.abs(nv))
+        & emit_mask
+    )
+    is_spike = (
+        (cur10k > pv * 10000 + _FENCE_BP * np.abs(pv))
+        & (cur10k > nv * 10000 + _FENCE_BP * np.abs(nv))
+        & emit_mask
+    )
 
     out = pd.DataFrame(
         {
@@ -172,6 +212,11 @@ def _update(
     # the two frames align row-for-row per series
     last = tg.tail(1).reset_index(drop=True)
     first = tg.head(1).reset_index(drop=True)
+    if evict_after_us is not None and len(last):
+        horizon = int(merged["tsu"].max()) - int(evict_after_us)
+        live = (last["tsu"].to_numpy() >= horizon)
+        last = last[live].reset_index(drop=True)
+        first = first[live].reset_index(drop=True)
     # series with a single point keep id0 = −1
     lone = first["event_id"].to_numpy() == last["event_id"].to_numpy()
     state.update(
@@ -190,11 +235,20 @@ def _update(
 
 
 def stream_dip_spike(
-    stream: DataFrame, n_shards: int = _DEFAULT_SHARDS
+    stream: DataFrame,
+    n_shards: int = _DEFAULT_SHARDS,
+    evict_after_us: int | None = None,
 ) -> DataFrame:
     """Per-(user, type) streamed triple classification (append mode):
     one output row per INTERIOR point, emitted when its successor
-    arrives."""
+    arrives.
+
+    ``evict_after_us``: optional event-time horizon (microseconds);
+    series whose newest point falls behind the shard's max event time
+    by more than this are dropped from state, bounding memory under a
+    churning key domain (see module docstring for the revival
+    trade-off).  Default None keeps every live series forever — fine
+    for bounded key domains like (user × type) fleets."""
     keyed = stream.select(
         "user_id", "event_type", "event_id", "ts", "value"
     ).withColumn(
@@ -202,7 +256,7 @@ def stream_dip_spike(
         F.pmod(F.xxhash64("user_id", "event_type"), F.lit(n_shards)),
     )
     return keyed.groupBy("shard").applyInPandasWithState(
-        _update,
+        _make_update(evict_after_us),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

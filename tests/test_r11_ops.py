@@ -1,0 +1,286 @@
+"""Round-11 regression tests for the ADVICE r10 fixes: zipf_fit
+BIGINT overflow, dip_spike negative-value fences, streaming HALF_UP
+quantization, and parameterized oracle builders."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------------
+# zipf_fit: large-vocabulary overflow regression (ADVICE medium)
+# ----------------------------------------------------------------------
+def test_zipf_large_vocab_no_overflow(spark):
+    """~1500 types/group: the old BIGINT products (n_types*sxy, sx*sy)
+    exceed int64 and silently wrap; the DECIMAL(38,0) path must equal
+    exact Python big-int arithmetic."""
+    n = 1500
+    counts = {f"tok{r:05d}": (3 if r <= n // 2 else 1) for r in range(1, n + 1)}
+    text = " ".join(" ".join([w] * c) for w, c in counts.items())
+    docs = spark.createDataFrame(
+        [(1, text, "en")], "doc_id LONG, text STRING, lang STRING"
+    )
+    from meteaudata_spark.ext.textstats import zipf_fit
+
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_types"] == n
+
+    # replicate the operator's integer math exactly (Python ints never
+    # overflow): rank by (count desc, token asc)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [round(math.log(r) * 1e6) for r in range(1, n + 1)]
+    ys = [round(math.log(c) * 1e6) for _, c in ranked]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    # products genuinely exceed int64 — the scenario under test
+    assert max(abs(n * sxx), abs(sx * sx)) > 2**63
+    assert row["zipf_slope_micros"] == round(float(num) / float(den) * 1e6)
+
+
+def test_zipf_large_vocab_matches_duckdb(spark):
+    """Cross-engine: Spark DECIMAL(38,0) vs DuckDB HUGEINT must agree
+    at a vocabulary size where int64 would have wrapped."""
+    import duckdb
+
+    from meteaudata_spark.ext.textstats import DOC_ZIPF_FIT_SQL, zipf_fit
+
+    n = 1200
+    rows = []
+    for r in range(1, n + 1):
+        c = 1 + (r % 7)
+        rows.append((r, " ".join([f"w{r:05d}"] * c), "xx"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    got = zipf_fit(docs).collect()[0]
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute(DOC_ZIPF_FIT_SQL).fetchone()
+    assert (got["lang"], got["n_types"], got["n_tokens"],
+            got["zipf_slope_micros"]) == want
+
+
+# ----------------------------------------------------------------------
+# dip_spike: negative-series fences (ADVICE low)
+# ----------------------------------------------------------------------
+def _mk_series(spark, values):
+    import datetime as dt
+
+    rows = [
+        (1, "t", i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), v)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, event_id LONG, "
+        "ts TIMESTAMP, value DOUBLE"
+    )
+
+
+def test_dip_spike_flat_negative_series_is_quiet(spark):
+    """A flat all-negative series must have ZERO dips/spikes — the old
+    cross-multiplication fence flipped its inequality for negative
+    neighbours and flagged every interior point as both."""
+    from meteaudata_spark.ext.timeseries_queries import dip_spike
+
+    out = dip_spike(
+        _mk_series(spark, [-5.0] * 6), ["user_id", "event_type"]
+    ).collect()
+    assert not any(r["is_dip"] or r["is_spike"] for r in out)
+
+
+def test_dip_spike_negative_v_shapes(spark):
+    """Planted V's in negative territory classify by magnitude: −200
+    between −100s is a dip (100% below by |neighbour|); −100 between
+    −200s is a spike."""
+    from meteaudata_spark.ext.timeseries_queries import dip_spike
+
+    dip = dip_spike(
+        _mk_series(spark, [-100.0, -200.0, -100.0]),
+        ["user_id", "event_type"],
+    ).orderBy("event_id").collect()
+    assert [r["is_dip"] for r in dip] == [False, True, False]
+    assert not any(r["is_spike"] for r in dip)
+
+    spike = dip_spike(
+        _mk_series(spark, [-200.0, -100.0, -200.0]),
+        ["user_id", "event_type"],
+    ).orderBy("event_id").collect()
+    assert [r["is_spike"] for r in spike] == [False, True, False]
+    assert not any(r["is_dip"] for r in spike)
+
+
+def test_dip_spike_positive_semantics_unchanged(spark):
+    """For positive data the |neighbour| fence is algebraically the
+    old (10000−f)·prev form — planted positives still classify."""
+    from meteaudata_spark.ext.timeseries_queries import dip_spike
+
+    out = dip_spike(
+        _mk_series(spark, [100.0, 70.0, 100.0, 130.0, 100.0]),
+        ["user_id", "event_type"],
+    ).orderBy("event_id").collect()
+    assert [r["is_dip"] for r in out] == [False, True, False, False, False]
+    assert [r["is_spike"] for r in out] == [False, False, False, True, False]
+    # exactly-at-fence (75 vs 100 = exactly 25% below) must NOT flag:
+    # strict inequality on both engines
+    edge = dip_spike(
+        _mk_series(spark, [100.0, 75.0, 100.0]), ["user_id", "event_type"]
+    ).orderBy("event_id").collect()
+    assert not any(r["is_dip"] for r in edge)
+
+
+def test_dip_spike_sql_fence_matches_spark_on_negatives(spark):
+    """The gate oracle's ABS fence must agree with Spark on a corpus
+    containing negative values (the shipped events are positive, so
+    this is the only guard on the generalized predicate)."""
+    import duckdb
+
+    from meteaudata_spark.ext.timeseries_queries import (
+        TS_DIP_SPIKE_SQL,
+        dip_spike,
+    )
+
+    vals = [-100.0, -200.0, -100.0, -5.0, -5.0, -5.0, 10.0, 2.0, 10.0]
+    df = _mk_series(spark, vals)
+    marked = dip_spike(df, ["user_id", "event_type"])
+    got = (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum((F.col("__pv").isNotNull() & F.col("__nv").isNotNull())
+                  .cast("bigint")).alias("n_interior"),
+            F.sum(F.col("is_dip").cast("bigint")).alias("n_dips"),
+            F.sum(F.col("is_spike").cast("bigint")).alias("n_spikes"),
+            F.max("dip_depth_micros").alias("max_dip_depth_micros"),
+            F.max("spike_height_micros").alias("max_spike_height_micros"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    want = con.execute(TS_DIP_SPIKE_SQL).fetchone()
+    assert tuple(got)[:1] + tuple(got)[1:] == want[:1] + want[1:]
+    assert (got["n_dips"], got["n_spikes"]) == (want[3], want[4])
+
+
+# ----------------------------------------------------------------------
+# streaming quantization: HALF_UP parity with F.round (ADVICE low)
+# ----------------------------------------------------------------------
+def test_stream_quantization_matches_spark_round(spark):
+    """np.floor(|v|·1e6+0.5)·sign must equal F.round(v·1e6) on a grid
+    of adversarial values including exact .5 micro boundaries, where
+    pandas .round() (half-to-even) diverges."""
+    from meteaudata_spark.streaming.dipspike_stream import _round_half_up
+
+    vals = [k * 1e-7 for k in range(-55, 56)] + [
+        0.0000005, 0.0000015, 0.0000025, -0.0000005, -0.0000015,
+        1.0000005, -1.0000005, 2.5e-6, 3.5e-6, -2.5e-6,
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+    want = [
+        r["vm"]
+        for r in sdf.select(
+            F.round(F.col("value") * 1000000.0).cast("bigint").alias("vm")
+        ).collect()
+    ]
+    got = _round_half_up(np.array(vals)).tolist()
+    assert got == want
+    # prove the old pandas path actually differs somewhere on this grid
+    old = (pd.Series(vals) * 1000000.0).round().astype("int64").tolist()
+    assert old != want
+
+
+def test_stream_eviction_bounds_state(spark, tmp_path):
+    """evict_after_us drops series older than the horizon; the stream
+    still classifies fresh series and holds no stale ones."""
+    import datetime as dt
+
+    from meteaudata_spark.streaming.dipspike_stream import stream_dip_spike
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # stale series: user 1 finishes early
+    for i, v in enumerate([100.0, 70.0, 100.0]):
+        rows.append((1, "a", i, t0 + dt.timedelta(seconds=i), v))
+    # fresh series: user 2 much later
+    for i, v in enumerate([100.0, 130.0, 100.0]):
+        rows.append(
+            (2, "a", 100 + i, t0 + dt.timedelta(hours=10, seconds=i), v)
+        )
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, event_id LONG, "
+        "ts TIMESTAMP, value DOUBLE"
+    )
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_dip_spike(stream, n_shards=4, evict_after_us=3_600_000_000)
+        .writeStream.format("memory")
+        .queryName("dipevict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): (r["is_dip"], r["is_spike"])
+        for r in spark.table("dipevict").collect()
+    }
+    # both interior points classified (eviction happens after emit)
+    assert got[(1, 1)] == (True, False)
+    assert got[(2, 101)] == (False, True)
+
+
+# ----------------------------------------------------------------------
+# parameterized oracle builders (ADVICE low)
+# ----------------------------------------------------------------------
+def test_cohort_ltv_builder_parameterizes_clamp(spark):
+    import duckdb
+
+    from meteaudata_spark.ext.relational import (
+        ORDERS_COHORT_LTV_SQL,
+        _cohort_ltv_sql,
+        orders_cohort_ltv,
+    )
+
+    assert _cohort_ltv_sql(12) == ORDERS_COHORT_LTV_SQL
+    sf = "/root/testdata/sf0.001"
+    got = orders_cohort_ltv(spark, sf, max_months=3).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+    )
+    want = con.execute(_cohort_ltv_sql(3)).df()
+    assert got["months_since"].max() <= 3
+    assert len(got) == len(want)
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+
+
+def test_shuffle_shards_builder_parameterizes(spark):
+    import duckdb
+
+    from meteaudata_spark.ext.corpus_ops import (
+        DOC_SHUFFLE_SHARDS_SQL,
+        _shuffle_shards_sql,
+        shuffle_shards,
+    )
+
+    assert _shuffle_shards_sql(8, "shuffle") == DOC_SHUFFLE_SHARDS_SQL
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = (
+        shuffle_shards(docs, n_shards=4, salt="epoch1")
+        .orderBy("shard", "pos")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(_shuffle_shards_sql(4, "epoch1")).df()
+    assert got["shard"].tolist() == want["shard"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
