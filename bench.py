@@ -124,6 +124,22 @@ def main() -> None:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"# WARN could not persist bench_results: {exc}", file=sys.stderr)
+    # FINAL stdout line = compact per-query seconds, ascending, summary
+    # last: the driver's BENCH artifact keeps only the last ~2000 chars
+    # of stdout, so this ordering puts the MOST EXPENSIVE queries and
+    # the totals inside the captured tail (VERDICT r10 #9).  The full
+    # payload above and bench_results/ keep the complete record.
+    asc = dict(sorted(((k, v) for k, v in timings.items()), key=lambda kv: kv[1]))
+    print(json.dumps({
+        "queries_sec_ascending": asc,
+        "marginal_query_sec_total": round(sum(ok), 3),
+        "warm_build_sec_total": warm_total,
+        "total_query_sec": total,
+        "avg_query_sec": round(sum(ok) / len(ok), 3) if ok else -1.0,
+        "n_queries": len(ok),
+        "n_errors": len(timings) - len(ok),
+        "sf": sf,
+    }))
 
 
 if __name__ == "__main__":
