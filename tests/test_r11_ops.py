@@ -284,3 +284,105 @@ def test_shuffle_shards_builder_parameterizes(spark):
     want = con.execute(_shuffle_shards_sql(4, "epoch1")).df()
     assert got["shard"].tolist() == want["shard"].tolist()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+# ----------------------------------------------------------------------
+# iterated BPE trainer (VERDICT r10 #3)
+# ----------------------------------------------------------------------
+def _ref_bpe(texts, n_merges):
+    """Sennrich-style reference trainer in plain Python (greedy
+    left-to-right merge application, count-desc/lex tie-breaks)."""
+    import collections
+
+    words = collections.Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((len(merges) + 1, a, b, c))
+        for w in words:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+_BPE_TEXTS = [
+    "the cat sat on the mat", "the dog and the cat", "banana bandana",
+    "aaaa aaa aa", "low lower lowest", "new newer newest news",
+]
+
+
+def test_bpe_train_matches_reference_and_oracle(spark):
+    import duckdb
+
+    from meteaudata_spark.ext.textstats import _bpe_train_sql, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TEXTS)], "doc_id LONG, text STRING"
+    )
+    for n in (1, 5, 12):
+        want = _ref_bpe(_BPE_TEXTS, n)
+        got = [
+            (r["merge_rank"], r["tok1"], r["tok2"], r["pair_count"])
+            for r in bpe_train(docs, n_merges=n).orderBy("merge_rank").collect()
+        ]
+        assert got == want, n
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        duck = [
+            (int(a), b, c, int(d))
+            for a, b, c, d in con.execute(_bpe_train_sql(n)).fetchall()
+        ]
+        assert duck == want, n
+
+
+def test_bpe_train_greedy_same_symbol_runs(spark):
+    """(a,a) over 'aaaa' must merge even offsets only — [aa, aa]; the
+    follow-up round then learns (aa, aa)."""
+    from meteaudata_spark.ext.textstats import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id LONG, text STRING")
+    rows = bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
+    # round 1: 3 overlapping (a,a) slots per word × 2 words = 6 counted,
+    # but applying greedily yields [aa, aa] per word...
+    assert (rows[0]["tok1"], rows[0]["tok2"], rows[0]["pair_count"]) == (
+        "a", "a", 6)
+    # ...so round 2 sees exactly ONE (aa,aa) pair per word — the even-
+    # offset greedy application is what this count certifies
+    assert (rows[1]["tok1"], rows[1]["tok2"], rows[1]["pair_count"]) == (
+        "aa", "aa", 2)
+
+
+def test_bpe_train_early_stop(spark):
+    """A vocabulary of single characters exhausts after 0 merges; the
+    trainer returns an empty (schema-stable) merge table instead of
+    erroring."""
+    from meteaudata_spark.ext.textstats import bpe_train
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id LONG, text STRING")
+    out = bpe_train(docs, n_merges=5)
+    assert out.columns == ["merge_rank", "tok1", "tok2", "pair_count"]
+    assert out.count() == 0
+    # min_pair_count fence stops below the threshold
+    docs2 = spark.createDataFrame([(1, "ab ab cd")], "doc_id LONG, text STRING")
+    got = bpe_train(docs2, n_merges=5, min_pair_count=2).collect()
+    assert len(got) == 1 and (got[0]["tok1"], got[0]["tok2"]) == ("a", "b")
