@@ -54,7 +54,20 @@ def zorder_by(
     Per-column ranks come from ``width_bucket`` over the observed
     min/max (one 1-row agg broadcast); ties and skew only blur
     locality, never correctness, since z-order changes LAYOUT, not
-    content."""
+    content.
+
+    File-cut strategy: when ``n_files`` is a power of two, rows are
+    range-partitioned on the top ``log2(n_files)`` bits of the z-value
+    (the ALIGNED curve cell), so no file straddles a cell boundary and
+    each file's footer min/max spans one hyper-rectangle — the exact
+    spans ``ext/corpus_ops.events_zorder_layout`` predicts.  A
+    quantile cut on the raw z-value (the Delta OPTIMIZE-style
+    equal-count split, used for non-power-of-two ``n_files``) keeps
+    file SIZES perfectly even but lands half its cuts mid-cell,
+    doubling the realized spans (measured: 2500 bp vs the 1250 bp
+    aligned/predicted at 64 files).  Aligned cells can yield uneven
+    file sizes under heavy skew; for skewed dims prefer quantile cuts
+    or pre-rank the column."""
     cols = list(cols)
     if not (1 <= len(cols) <= 4):
         raise ValueError("z-order needs 1..4 columns")
@@ -82,9 +95,76 @@ def zorder_by(
         )
         rank_cols.append(rc)
     z = ranked.withColumn("__z", _zvalue(rank_cols))
-    out = (
-        z.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z", *rank_cols, *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+    drop_cols = (
+        ["__z", "__zb"] + rank_cols
+        + [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
     )
-    return out
+    if n_files >= 2 and (n_files & (n_files - 1)) == 0:
+        # aligned cells: cut on the z-prefix so cells never split
+        shift = len(cols) * _BITS - n_files.bit_length() + 1
+        z = z.withColumn("__zb", F.shiftRight("__z", shift))
+        out = z.repartitionByRange(n_files, "__zb")
+    else:
+        z = z.withColumn("__zb", F.lit(0))
+        out = z.repartitionByRange(n_files, "__z")
+    return out.sortWithinPartitions("__z").drop(*drop_cols)
+
+
+def save_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` to ``path`` as a Morton-ordered parquet table
+    (VERDICT r10 #4 — the advisor's rewrite, realized): one range
+    shuffle on the interleaved key, then a plain parquet write, so
+    every output file covers a small hyper-rectangle in ALL of
+    ``cols`` and the parquet footer min/max statistics prune scans
+    filtered on ANY of them (Spark's reader applies row-group
+    pruning from those stats automatically; engines with file-level
+    stats skipping — Delta, Iceberg — additionally skip whole files).
+
+    Returns a small manifest: per-``cols`` average per-file span in
+    basis points of the column's full range — the SAME quantity
+    ``ext/corpus_ops.events_zorder_layout`` predicts, measured from
+    what was actually written (read back from the files), so callers
+    can assert predicted ≈ realized.
+
+    Scale shape: the write costs exactly what any globally sorted
+    write costs (one repartitionByRange exchange); the manifest scan
+    is one pass over the written table with a per-file agg, used only
+    when auditing."""
+    zorder_by(df, cols, n_files=n_files).write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path).withColumn(
+        "__f", F.input_file_name()
+    )
+    per_file = written.groupBy("__f").agg(
+        *[(F.max(c) - F.min(c)).cast("double").alias(f"__span_{c}")
+          for c in cols]
+    )
+    whole = df.agg(
+        *[(F.max(c) - F.min(c)).cast("double").alias(f"__all_{c}")
+          for c in cols]
+    )
+    row = (
+        per_file.crossJoin(F.broadcast(whole))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            *[
+                F.avg(
+                    F.col(f"__span_{c}") * 10000.0
+                    / F.greatest(F.col(f"__all_{c}"), F.lit(1.0))
+                ).cast("bigint").alias(f"avg_span_bp_{c}")
+                for c in cols
+            ],
+        )
+        .collect()[0]
+    )
+    return {
+        "path": path,
+        "n_files": int(row["n_files"]),
+        "avg_span_bp": {c: int(row[f"avg_span_bp_{c}"]) for c in cols},
+    }
