@@ -173,10 +173,22 @@ class TimeSeries:
         self.df = self.df.localCheckpoint(eager=eager)
         return self
 
-    def describe(self) -> dict:
-        """Data-quality summary in ONE aggregation job: row count,
-        null/NaN ratio, duplicate-timestamp count, min/max/mean of
-        values and the observed median spacing (frequency check).
+    def describe(self, chunk_seconds: float = 86400.0) -> dict:
+        """Data-quality summary: row count, null/NaN ratio,
+        duplicate-timestamp count, min/max/mean of values and the
+        observed median spacing (frequency check).
+
+        Spacing deltas use the chunk-and-carry idiom
+        (``kernels.interpolate_linear_distributed``, VERDICT r10 #7)
+        instead of a global lag window: the series is cut into
+        ``chunk_seconds`` time chunks, each chunk lags in its own
+        window partition (parallel), and only a 1-row-per-chunk
+        boundary table — each chunk's max epoch, lagged over the TINY
+        chunk relation — crosses chunks to supply the first row of
+        every chunk with its predecessor.  Identical deltas to the
+        global window (time-equal duplicates share a chunk and their
+        in-tie lag order only ever produces 0-deltas either way), but
+        a 1B-row single series no longer funnels through one task.
 
         Driver receives a single small row — never the data."""
         from pyspark.sql import Window
@@ -188,11 +200,27 @@ class TimeSeries:
             if is_num
             else F.when(v.isNull(), 1).otherwise(0)
         )
-        delta = epoch_seconds(F.col(INDEX_COL)) - F.lag(
-            epoch_seconds(F.col(INDEX_COL))
-        ).over(Window.orderBy(INDEX_COL))
+        chunked = self.df.withColumn(
+            "__e", epoch_seconds(F.col(INDEX_COL))
+        ).withColumn(
+            "__chunk", F.floor(F.col("__e") / F.lit(chunk_seconds))
+        )
+        bounds = chunked.groupBy("__chunk").agg(
+            F.max("__e").alias("__last_e")
+        )
+        carry = bounds.select(
+            "__chunk",
+            F.lag("__last_e").over(Window.orderBy("__chunk")).alias(
+                "__prev_last_e"
+            ),
+        )
+        w_chunk = Window.partitionBy("__chunk").orderBy(INDEX_COL)
+        delta = F.col("__e") - F.coalesce(
+            F.lag("__e").over(w_chunk), F.col("__prev_last_e")
+        )
         stats = (
-            self.df.withColumn("__delta", delta)
+            chunked.join(F.broadcast(carry), "__chunk", "left")
+            .withColumn("__delta", delta)
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(missing).alias("n_missing"),
