@@ -77,11 +77,12 @@ def _update_cluster(
         state.remove()
         return
     if state.exists:
-        rep_ids, reps_flat = state.get
-        rep_ids = list(rep_ids)
-        reps = list(np.asarray(reps_flat, dtype=np.float64).reshape(-1, dim))
+        rep_ids0, reps_flat = state.get
+        k0 = len(rep_ids0)
+        reps0 = np.asarray(reps_flat, dtype=np.float64).reshape(-1, dim)
     else:
-        rep_ids, reps = [], []
+        k0 = 0
+        rep_ids0, reps0 = [], np.empty((0, dim), dtype=np.float64)
     rows = {k: [] for k in ("vec_id", "centroid_id", "rep_id", "cosine")}
     # deterministic arrival order within the micro-batch: the iterator
     # yields ARROW-CHUNK-sized frames whose boundaries depend on the
@@ -90,29 +91,56 @@ def _update_cluster(
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         order = pd.concat(chunks, ignore_index=True).sort_values("vec_id")
-        for vec_id, emb in zip(order["vec_id"], order["embedding"]):
-            x = np.asarray(emb, dtype=np.float64)
+        n_in = len(order)
+        # GROW-ONLY buffer (r11 throughput fix): the ring evicts only
+        # the OLDEST and appends only at the end, so the live window is
+        # always a contiguous slice [lo:hi) of an append-only matrix —
+        # no per-arrival np.stack, and the slice preserves arrival
+        # order, so argmax's first-max tie-break matches the old list
+        # semantics bit for bit (same dgemv, same per-admission norms).
+        cap = k0 + n_in
+        buf = np.empty((cap, dim), dtype=np.float64)
+        nrm = np.empty(cap, dtype=np.float64)
+        ids = np.empty(cap, dtype=np.int64)
+        if k0:
+            buf[:k0] = reps0
+            nrm[:k0] = np.maximum(
+                np.linalg.norm(reps0, axis=1), 1e-300
+            )
+            ids[:k0] = np.asarray(rep_ids0, dtype=np.int64)
+        lo, hi = 0, k0
+        embs = order["embedding"].to_numpy()
+        vec_ids = order["vec_id"].to_numpy()
+        for i in range(n_in):
+            x = np.asarray(embs[i], dtype=np.float64)
             xn = x / max(float(np.linalg.norm(x)), 1e-300)
-            if reps:
-                m = np.stack(reps)
-                sims = (
-                    m @ xn
-                ) / np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+            if hi > lo:
+                sims = (buf[lo:hi] @ xn) / nrm[lo:hi]
                 best = int(sims.argmax())
                 if round(float(sims[best]), 6) >= threshold:
-                    rows["vec_id"].append(int(vec_id))
+                    rows["vec_id"].append(int(vec_ids[i]))
                     rows["centroid_id"].append(int(key[0]))
-                    rows["rep_id"].append(int(rep_ids[best]))
+                    rows["rep_id"].append(int(ids[lo + best]))
                     rows["cosine"].append(round(float(sims[best]), 6))
                     continue  # duplicates never become representatives
-            rep_ids.append(int(vec_id))
-            reps.append(x)
-            if len(rep_ids) > max_reps:
-                rep_ids.pop(0)
-                reps.pop(0)
-    state.update(
-        (rep_ids, [float(v) for r in reps for v in r])
-    )
+            buf[hi] = x
+            # norm via the same axis=1 reduction the old per-arrival
+            # np.linalg.norm(m, axis=1) used (pairwise add.reduce), not
+            # the 1-D BLAS-dot path — keeps the cosine denominators
+            # bit-identical to the previous implementation
+            nrm[hi] = max(
+                float(np.linalg.norm(buf[hi : hi + 1], axis=1)[0]), 1e-300
+            )
+            ids[hi] = int(vec_ids[i])
+            hi += 1
+            if hi - lo > max_reps:
+                lo += 1
+        rep_ids = [int(v) for v in ids[lo:hi]]
+        reps_out = [float(v) for v in buf[lo:hi].ravel()]
+    else:
+        rep_ids = list(rep_ids0)
+        reps_out = [float(v) for v in reps0.ravel()]
+    state.update((rep_ids, reps_out))
     if rows["vec_id"]:
         yield pd.DataFrame(rows)
 

@@ -205,9 +205,23 @@ class TimeSeries:
         ).withColumn(
             "__chunk", F.floor(F.col("__e") / F.lit(chunk_seconds))
         )
+        # per-chunk bounds ALSO carry the distinct-timestamp count: a
+        # timestamp's chunk is a function of the timestamp, so summing
+        # per-chunk distincts over the tiny bounds relation gives the
+        # exact global distinct count WITHOUT a countDistinct in the
+        # main aggregate — mixing countDistinct with the other aggs
+        # forces an Expand (2x data) over the windowed relation and
+        # re-plans the window per aggregate path (measured pathological
+        # at 100M rows)
         bounds = chunked.groupBy("__chunk").agg(
-            F.max("__e").alias("__last_e")
+            F.max("__e").alias("__last_e"),
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(INDEX_COL).alias("__nd"),
         )
+        bounds = bounds.persist()
+        dup_row = bounds.agg(
+            (F.sum("__n") - F.sum("__nd")).alias("dups")
+        ).collect()[0]
         carry = bounds.select(
             "__chunk",
             F.lag("__last_e").over(Window.orderBy("__chunk")).alias(
@@ -224,9 +238,6 @@ class TimeSeries:
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(missing).alias("n_missing"),
-                (F.count(F.lit(1)) - F.countDistinct(INDEX_COL)).alias(
-                    "n_duplicate_index"
-                ),
                 F.min(INDEX_COL).alias("index_min"),
                 F.max(INDEX_COL).alias("index_max"),
                 (F.min(v) if is_num else F.lit(None)).alias("value_min"),
@@ -239,6 +250,8 @@ class TimeSeries:
             .collect()[0]
             .asDict()
         )
+        bounds.unpersist()
+        stats["n_duplicate_index"] = dup_row["dups"]
         n = stats["n_rows"] or 1
         stats["missing_ratio"] = (stats["n_missing"] or 0) / n
         stats["name"] = self.name
