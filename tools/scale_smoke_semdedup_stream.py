@@ -25,6 +25,7 @@ from meteaudata_spark.streaming.semdedup_stream import (  # noqa: E402
 
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    max_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
     n_dups = n_vecs // 200  # 0.5% re-sent vectors
     dim, n_cent = 64, 64
 
@@ -51,7 +52,10 @@ def main() -> None:
         .repartition(32)
         .mapInPandas(gen, "vec_id long, embedding array<double>")
     )
-    resends = originals.filter(F.col("vec_id") < n_dups).select(
+    # re-send the LAST n_dups originals: their representatives are
+    # the newest ring entries, so a BOUNDED max_reps still holds
+    # them when the copies arrive (the recall-horizon contract)
+    resends = originals.filter(F.col("vec_id") >= n_vecs - n_dups).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     src = tempfile.mkdtemp() + "/src"
@@ -80,7 +84,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out = stream_semantic_dup_candidates(
-        stream, cents, threshold=0.999999, max_reps=60_000
+        stream, cents, threshold=0.999999, max_reps=max_reps
     )
     q = (
         out.writeStream.format("memory")
