@@ -68,16 +68,20 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     out = stream_segment_dedup(stream, seg_words=8)
+    sink = tempfile.mkdtemp() + "/sink"
+
+    def write_kept(df, _bid):
+        df.write.mode("append").parquet(sink)
+
     q = (
-        out.writeStream.format("memory")
-        .queryName("segdedup_smoke")
+        out.writeStream.foreachBatch(write_kept)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(3600)
     dt = time.perf_counter() - t0
-    kept = spark.table("segdedup_smoke")
+    kept = spark.read.parquet(sink)
     n_kept = kept.count()
     n_bp = kept.filter(F.col("segment") == _BP).count()
     prog = q.lastProgress
