@@ -2840,6 +2840,176 @@ tok{i + 1} AS MATERIALIZED (
 DOC_BPE_TRAIN_SQL = _bpe_train_sql(10)
 
 
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_merges: int = 10,
+) -> DataFrame:
+    """Tokenize the corpus with the merge table ``bpe_train`` learns —
+    the second half of the tokenizer lifecycle (train → ENCODE), and
+    the step every LLM data pipeline runs over 100 TB: per group,
+    the word count, the character-symbol baseline token count, the
+    token count AFTER applying the learned merges, and the saving in
+    basis points.
+
+    The 100 TB trick: a word's tokenization is a pure function of the
+    word, so the merges are applied to the VOCABULARY relation (k
+    map-side folds over |distinct words| rows — millions where the
+    corpus is billions) and the corpus-sized side only pays ONE
+    explode + keyed join + keyed agg; the corpus is never rewritten k
+    times.  The join rides on the word key (broadcastable when the
+    vocab fits; shuffle-hash otherwise — both sides keyed
+    identically).
+
+    Exactness: integer counts end to end; greedy merge application
+    and tie-breaks are ``bpe_train``'s (the oracle re-learns the same
+    table from the same corpus, so the gate certifies train AND
+    encode in one row).  Reference analog: none (pure [EXT])."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("syms", F.split("word", ""))
+        .select("word", "cnt", "syms")
+    )
+    cur = words.localCheckpoint()
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms)-1),"
+                        " slice(syms, 2, size(syms)-1),"
+                        " (a, b) -> struct(a AS a, b AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        folded = F.aggregate(
+            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+            F.slice(F.col("syms"), 1, 1),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.withColumn("syms", folded).localCheckpoint()
+    vocab = cur.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_tokens_word"),
+        F.length("word").cast("bigint").alias("n_chars_word"),
+    )
+    exploded = df.select(
+        group_col,
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = exploded.join(vocab, "word")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars_word").alias("n_char_tokens"),
+            F.sum("n_tokens_word").alias("n_bpe_tokens"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            F.expr(
+                "(n_char_tokens - n_bpe_tokens) * 10000"
+                " div n_char_tokens"
+            ).alias("saving_bp"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: encode the corpus with the 10-rule learned merge
+    table; per-language token counts and compression."""
+    return bpe_encode_stats(_docs(spark, sf_dir), n_merges=10)
+
+
+def _bpe_encode_sql(n_merges: int = 10) -> str:
+    """Oracle: re-learn the merge table with ``_bpe_train_sql``'s CTE
+    chain (vocab-sized), read the final tokenization off tok{k} — the
+    chain's last re-tokenized relation IS the encoded vocabulary —
+    and join the corpus back on the word key."""
+    train = _bpe_train_sql(n_merges)
+    # keep the WITH chain, drop the final merge-table SELECT, and make
+    # the last round emit its re-tokenized relation (the builder skips
+    # it for the train row because nothing reads it there)
+    head, _, _ = train.rpartition("\nSELECT * FROM (")
+    i = n_merges - 1
+    last_apply = f""",
+appl{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, MIN(pos) OVER (PARTITION BY word, g) AS rs
+    FROM (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS g
+      FROM (
+        SELECT t.word, t.pos
+        FROM tok{i} t
+        JOIN tok{i} u ON u.word = t.word AND u.pos = t.pos + 1
+        CROSS JOIN best{i} m
+        WHERE t.sym = m.a AND u.sym = m.b))
+  ) WHERE (pos - rs) % 2 = 0
+),
+tok{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT)
+           AS pos,
+         sym
+  FROM (
+    SELECT t.word, t.cnt, t.pos,
+           CASE WHEN a.pos IS NOT NULL THEN t.sym || u.sym
+                ELSE t.sym END AS sym
+    FROM tok{i} t
+    LEFT JOIN tok{i} u ON u.word = t.word AND u.pos = t.pos + 1
+    LEFT JOIN appl{i} a ON a.word = t.word AND a.pos = t.pos
+    LEFT JOIN appl{i} d ON d.word = t.word AND d.pos = t.pos - 1
+    WHERE d.pos IS NULL
+  )
+)"""
+    return f"""{head}{last_apply},
+vocab AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tokens_word,
+         CAST(LENGTH(ANY_VALUE(word)) AS BIGINT) AS n_chars_word
+  FROM tok{n_merges} GROUP BY word
+),
+exploded AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT e.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_chars_word) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(v.n_tokens_word) AS BIGINT) AS n_bpe_tokens,
+       CAST((SUM(v.n_chars_word) - SUM(v.n_tokens_word)) * 10000
+            // SUM(v.n_chars_word) AS BIGINT) AS saving_bp
+FROM exploded e JOIN vocab v USING (word)
+WHERE e.word <> ''
+GROUP BY e.lang ORDER BY e.lang
+"""
+
+
+DOC_BPE_ENCODE_SQL = _bpe_encode_sql(10)
+
+
 # ----------------------------------------------------------------------
 # deterministic DSIR importance resampling (weights -> actual sample)
 

@@ -559,3 +559,69 @@ def test_describe_deltas_match_global_window(spark):
         deltas.quantile(0.49) <= got["median_spacing_seconds"]
         <= deltas.quantile(0.51)
     )
+
+
+# ----------------------------------------------------------------------
+# BPE encode (tokenize with the learned merge table)
+# ----------------------------------------------------------------------
+def test_bpe_encode_matches_reference(spark):
+    """Per-group token counts after applying the learned merges must
+    equal the Python reference trainer's final tokenization."""
+    from meteaudata_spark.ext.textstats import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(_BPE_TEXTS)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    n = 6
+    # reference: learn merges, then tokenize every word occurrence
+    import collections
+
+    words = collections.Counter()
+    for t in _BPE_TEXTS:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    for _, a, b, _c in _ref_bpe(_BPE_TEXTS, n):
+        for w in words:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    n_words = sum(words.values())
+    n_chars = sum(len(w) * c for w, c in words.items())
+    n_bpe = sum(len(seqs[w]) * c for w, c in words.items())
+
+    row = bpe_encode_stats(docs, n_merges=n).collect()[0]
+    assert (row["n_words"], row["n_char_tokens"], row["n_bpe_tokens"]) == (
+        n_words, n_chars, n_bpe)
+    assert row["saving_bp"] == (n_chars - n_bpe) * 10000 // n_chars
+
+
+def test_bpe_encode_oracle_agrees(spark):
+    import duckdb
+
+    from meteaudata_spark.ext.textstats import (
+        _bpe_encode_sql,
+        bpe_encode_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "l%d" % (i % 2)) for i, t in enumerate(_BPE_TEXTS)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    got = [tuple(r) for r in bpe_encode_stats(docs, n_merges=4).collect()]
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = [
+        (a, int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.execute(_bpe_encode_sql(4)).fetchall()
+    ]
+    assert got == want and len(got) == 2
