@@ -38,9 +38,16 @@ def warm_pair_relations(spark: SparkSession, sf_dir: str) -> dict:
         "quality_score": lambda: textstats.doc_quality_score(spark, sf_dir),
         "domain_pagerank": lambda: graph.doc_domain_pagerank(spark, sf_dir),
     }
+    from meteaudata_spark.plans.opcache import pin_caches
+
     out = {}
-    for name, build in builds.items():
-        t0 = time.perf_counter()
-        build().count()
-        out[name] = round(time.perf_counter() - t0, 3)
+    # pinned: the prewarmed relations are the bench's standing working
+    # set — per-query cache_intermediate churn must not FIFO-evict
+    # them (round-11 measured memo-read rows regressing 4-15× when the
+    # incremental-ledger rows' per-shard caches pushed them out)
+    with pin_caches():
+        for name, build in builds.items():
+            t0 = time.perf_counter()
+            build().count()
+            out[name] = round(time.perf_counter() - t0, 3)
     return out

@@ -28,11 +28,18 @@ from pyspark.sql import DataFrame
 # minhash signatures + the odd per-query intermediate): at 8, the
 # round-10 bench measured the FIFO evicting the prewarmed relations'
 # persists mid-run — memoized queries then silently recomputed
-# (doc_minhash_lsh_pairs 0.08 s → 1.31 s).  Entries are driver-side
-# handles; the data lives in executor storage memory and spills to
-# disk under pressure, so the cap bounds bookkeeping, not heap.
-_MAX_ACTIVE = 24
+# (doc_minhash_lsh_pairs 0.08 s → 1.31 s).  Round 11 re-measured the
+# same failure at 24 (the incremental-ledger rows add ~7 entries per
+# bench pass and the rotation runs them before the dedup readers:
+# memo-read rows regressed 4-15×), so the cap is now 48 AND the warm
+# relations are PINNED outside the FIFO (``pin_caches``).  Entries are
+# driver-side handles; the data lives in executor storage memory and
+# spills to disk under pressure, so the cap bounds bookkeeping, not
+# heap.
+_MAX_ACTIVE = 48
 _active: "OrderedDict[int, DataFrame]" = OrderedDict()
+_pinned: "OrderedDict[int, DataFrame]" = OrderedDict()
+_pin_mode = False
 
 _MEMO_CAP = 32
 _memo: "OrderedDict[tuple, DataFrame]" = OrderedDict()
@@ -60,9 +67,17 @@ def memo_relation(spark, key: tuple, build) -> DataFrame:
 
 
 def cache_intermediate(df: DataFrame, max_active: Optional[int] = None) -> DataFrame:
-    """Persist ``df`` and register it for bounded-lifetime cleanup."""
-    cap = _MAX_ACTIVE if max_active is None else max_active
+    """Persist ``df`` and register it for bounded-lifetime cleanup.
+
+    Inside a ``pin_caches()`` block the entry is registered PINNED —
+    exempt from the FIFO, released only by
+    ``release_operator_caches()`` — for standing working-set relations
+    (the bench prewarm) that per-query churn must not evict."""
     df.persist()
+    if _pin_mode:
+        _pinned[id(df)] = df
+        return df
+    cap = _MAX_ACTIVE if max_active is None else max_active
     _active[id(df)] = df
     while len(_active) > cap:
         _, old = _active.popitem(last=False)
@@ -73,14 +88,33 @@ def cache_intermediate(df: DataFrame, max_active: Optional[int] = None) -> DataF
     return df
 
 
+class pin_caches:
+    """Context manager: every ``cache_intermediate`` within is pinned
+    (see above).  Not re-entrant-safe across threads — the bench and
+    warm path are single-threaded driver code."""
+
+    def __enter__(self):
+        global _pin_mode
+        self._prev = _pin_mode
+        _pin_mode = True
+        return self
+
+    def __exit__(self, *exc):
+        global _pin_mode
+        _pin_mode = self._prev
+        return False
+
+
 def release_operator_caches() -> int:
-    """Unpersist every registered intermediate; returns how many."""
+    """Unpersist every registered intermediate (pinned included);
+    returns how many."""
     _memo.clear()
-    n = len(_active)
-    while _active:
-        _, old = _active.popitem(last=False)
-        try:
-            old.unpersist(blocking=False)
-        except Exception:
-            pass
+    n = len(_active) + len(_pinned)
+    for reg in (_active, _pinned):
+        while reg:
+            _, old = reg.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
     return n
