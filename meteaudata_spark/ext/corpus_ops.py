@@ -1446,3 +1446,133 @@ SELECT window_start, CAST(n_events AS BIGINT) AS n_events,
 FROM agg
 ORDER BY window_start
 """
+
+
+# ----------------------------------------------------------------------
+# source-mixing plan (domain reweighting for a token budget)
+# ----------------------------------------------------------------------
+def mixture_plan(
+    df: DataFrame,
+    target_shares_bp: dict[str, int] | None = None,
+    group_col: str = "lang",
+    text_col: str = "text",
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Source-mixing plan — the step between corpus stats and the
+    training dataloader: given per-domain available token counts and a
+    TARGET mixture (basis points per domain), compute how many tokens
+    each domain must contribute to a total budget and the sampling
+    rate / epoch count that achieves it.  rate ≤ 1e6 micro means
+    subsample; rate > 1e6 means the domain repeats (upsampling
+    epochs) — the quantity mixture designers (DoReMi-style reweighting,
+    The Pile's per-set epochs) actually publish.
+
+    Defaults are self-derived so the gate row is parameter-free in
+    both engines: target = UNIFORM over the observed domains (10000
+    div n_domains bp, remainder to the lexicographically first) and
+    budget = the corpus's own total token count — i.e. "rebalance
+    this corpus to uniform at constant size".
+
+    All integer arithmetic: tokens are whitespace-word counts,
+    required = budget·share_bp div 10000, rate_micros =
+    required·1e6 div available.
+
+    Scale shape: ONE corpus pass (map-side size(split) + keyed agg to
+    |domains| rows); everything after runs on the domain relation.
+    Window over the tiny domain table only.  Reference analog: none
+    (pure [EXT])."""
+    toks = df.select(
+        group_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__nt"),
+    )
+    domains = toks.groupBy(group_col).agg(
+        F.sum("__nt").alias("available_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(group_col)
+    base = domains.withColumn(
+        "__n_domains", F.count(F.lit(1)).over(w_all)
+    ).withColumn("__total", F.sum("available_tokens").over(w_all)).withColumn(
+        "__rk", F.row_number().over(w_rank)
+    )
+    if target_shares_bp is None:
+        share = F.expr(
+            "10000 div __n_domains"
+            " + CASE WHEN __rk = 1 THEN 10000 % __n_domains ELSE 0 END"
+        )
+    else:
+        m = F.create_map(
+            *[F.lit(x) for kv in target_shares_bp.items() for x in kv]
+        )
+        share = F.coalesce(m[F.col(group_col)], F.lit(0)).cast("bigint")
+    budget = (
+        F.lit(budget_tokens).cast("bigint")
+        if budget_tokens is not None
+        else F.col("__total")
+    )
+    # integer floor-div end to end (matches the oracle's // exactly —
+    # a double-division detour would round differently at budget·share
+    # boundaries)
+    out = base.select(
+        group_col,
+        "n_docs",
+        "available_tokens",
+        share.cast("bigint").alias("target_share_bp"),
+        (budget * share.cast("bigint"))
+        .alias("__prod"),
+    ).withColumn(
+        "required_tokens", F.expr("__prod div 10000")
+    ).drop("__prod").withColumn(
+        "rate_micros",
+        F.expr("required_tokens * 1000000 div available_tokens"),
+    ).withColumn(
+        "epochs",
+        F.expr(
+            "cast(ceil(required_tokens / cast(available_tokens as double))"
+            " as bigint)"
+        ),
+    )
+    return out.orderBy(group_col)
+
+
+def doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: rebalance-to-uniform mixture plan over languages at
+    constant corpus size."""
+    return mixture_plan(_docs(spark, sf_dir))
+
+
+DOC_MIXTURE_PLAN_SQL = """
+WITH toks AS (
+  SELECT lang, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+domains AS (
+  SELECT lang, CAST(SUM(nt) AS BIGINT) AS available_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM toks GROUP BY lang
+),
+base AS (
+  SELECT *, COUNT(*) OVER () AS nd, SUM(available_tokens) OVER () AS total,
+         ROW_NUMBER() OVER (ORDER BY lang) AS rk
+  FROM domains
+),
+planned AS (
+  SELECT lang, n_docs, available_tokens,
+         CAST(10000 // nd
+              + CASE WHEN rk = 1 THEN 10000 % nd ELSE 0 END AS BIGINT)
+           AS target_share_bp,
+         CAST(total * (10000 // nd
+              + CASE WHEN rk = 1 THEN 10000 % nd ELSE 0 END) // 10000
+              AS BIGINT) AS required_tokens
+  FROM base
+)
+SELECT lang, n_docs, available_tokens, target_share_bp, required_tokens,
+       CAST(required_tokens * 1000000 // available_tokens AS BIGINT)
+         AS rate_micros,
+       CAST(CEIL(required_tokens / CAST(available_tokens AS DOUBLE))
+            AS BIGINT) AS epochs
+FROM planned ORDER BY lang
+"""

@@ -625,3 +625,48 @@ def test_bpe_encode_oracle_agrees(spark):
         for a, b, c, d, e in con.execute(_bpe_encode_sql(4)).fetchall()
     ]
     assert got == want and len(got) == 2
+
+
+# ----------------------------------------------------------------------
+# mixture plan
+# ----------------------------------------------------------------------
+def test_mixture_plan_planted(spark):
+    """Two domains, 3:1 token imbalance, uniform target at constant
+    budget: the scarce domain upsamples (2 epochs), the abundant one
+    subsamples, and required tokens split the budget by share."""
+    from meteaudata_spark.ext.corpus_ops import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 300), "en"), (2, " ".join(["w"] * 100), "fr")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    rows = {r["lang"]: r for r in mixture_plan(docs).collect()}
+    assert rows["en"]["available_tokens"] == 300
+    assert rows["fr"]["available_tokens"] == 100
+    assert rows["en"]["target_share_bp"] == 5000
+    assert rows["fr"]["target_share_bp"] == 5000
+    assert rows["en"]["required_tokens"] == 200
+    assert rows["fr"]["required_tokens"] == 200
+    assert rows["en"]["rate_micros"] == 666666  # subsample 2/3
+    assert rows["fr"]["rate_micros"] == 2000000  # 2x upsample
+    assert rows["fr"]["epochs"] == 2 and rows["en"]["epochs"] == 1
+
+
+def test_mixture_plan_explicit_shares_and_budget(spark):
+    from meteaudata_spark.ext.corpus_ops import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 50), "en"), (2, " ".join(["w"] * 50), "fr")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    rows = {
+        r["lang"]: r
+        for r in mixture_plan(
+            docs, target_shares_bp={"en": 9000, "fr": 1000},
+            budget_tokens=1000,
+        ).collect()
+    }
+    assert rows["en"]["required_tokens"] == 900
+    assert rows["fr"]["required_tokens"] == 100
+    assert rows["en"]["epochs"] == 18
+    assert rows["fr"]["rate_micros"] == 2000000
