@@ -151,3 +151,23 @@ def test_memo_isolated_per_application(spark):
         spark.sparkContext.applicationId,
         "app-after-restart-0000",
     }
+
+
+def test_pinned_relations_survive_fifo_churn(spark):
+    """Relations cached inside pin_caches() must survive arbitrary
+    cache_intermediate churn (the r11 bench regression: per-query
+    caches FIFO-evicted the prewarmed pair relations, 4-15x slower
+    memo reads) and still release on release_operator_caches()."""
+    from meteaudata_spark.plans import opcache
+
+    opcache.release_operator_caches()
+    with opcache.pin_caches():
+        pinned = opcache.cache_intermediate(spark.range(5))
+    pinned.count()
+    for i in range(opcache._MAX_ACTIVE + 5):
+        opcache.cache_intermediate(spark.range(i + 10))
+    assert pinned.storageLevel.useMemory, "pinned entry was evicted"
+    assert id(pinned) in opcache._pinned
+    opcache.release_operator_caches()
+    assert not opcache._pinned and not opcache._active
+    assert not pinned.storageLevel.useMemory
