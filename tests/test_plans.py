@@ -1130,3 +1130,40 @@ def test_mmr_rerank_one_arrow_stage_over_bounded_pool(spark):
     # only scalar broadcasts (BM25's 1-row n_avg) may ride BNLJ
     bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert bnlj <= 2, f"only scalar broadcasts allowed: {bnlj}"
+
+
+def test_bpe_encode_corpus_side_single_pass(spark):
+    # the corpus side is one explode + keyed join + keyed agg: no
+    # window over corpus-sized data, no cartesian; the vocab-sized
+    # tokenization (localCheckpoint leaf) joins on the word key
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_bpe_encode(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_incremental_semdedup_no_cartesian(spark):
+    # every shard delta joins on centroid_id (keyed), never cross
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_incremental_semdedup(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_plan_windows_on_domain_relation_only(spark):
+    # ONE corpus agg; the share windows run on the |domains| relation
+    # (an agg is planned below every window)
+    import re
+
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_mixture_plan(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    agg_ids = [int(x) for x in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(x) for x in re.findall(r"\((\d+)\) Window", plan)]
+    assert win_ids and agg_ids
+    assert any(a < min(win_ids) for a in agg_ids), plan[:1500]
