@@ -2702,14 +2702,53 @@ def bpe_train(
     k-row-boundary idiom), and a map-side fold to apply the merge; the
     updated vocab is localCheckpoint'ed so the plan does not nest k
     fold expressions.  Reference analog: none (pure [EXT])."""
-    spark = df.sparkSession
+    merges, _vocab = _bpe_train_loop(
+        df, text_col, n_merges, min_pair_count, keep_word=False,
+        apply_last=False,
+    )
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank BIGINT, tok1 STRING, tok2 STRING, pair_count BIGINT",
+    )
+
+
+def _bpe_fold(a: str, b: str):
+    """Greedy left-to-right application of one merge rule to a symbol
+    array (see ``bpe_train``'s docstring for why the fold never
+    chain-merges within a round)."""
+    return F.aggregate(
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        F.slice(F.col("syms"), 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_train_loop(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_pair_count: int = 1,
+    keep_word: bool = False,
+    apply_last: bool = True,
+):
+    """Shared trainer loop for ``bpe_train`` (merge table; skips the
+    never-read final apply) and ``bpe_encode_stats`` (needs the fully
+    re-tokenized vocabulary, so applies every learned rule).  Returns
+    ``(merges, vocab)`` where vocab carries (cnt, syms[, word])."""
+    cols = (["word"] if keep_word else []) + ["cnt", "syms"]
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .withColumn("syms", F.split("word", ""))
-        .select("cnt", "syms")
+        .select(*cols)
     )
     cur = words.localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
@@ -2734,24 +2773,10 @@ def bpe_train(
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((rank, a, b, c))
-        if rank == n_merges:
+        if rank == n_merges and not apply_last:
             break
-        folded = F.aggregate(
-            F.slice(F.col("syms"), 2, F.size("syms") - 1),
-            F.slice(F.col("syms"), 1, 1),
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), x)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        cur = cur.withColumn("syms", folded).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank BIGINT, tok1 STRING, tok2 STRING, pair_count BIGINT",
-    )
+        cur = cur.withColumn("syms", _bpe_fold(a, b)).localCheckpoint()
+    return merges, cur
 
 
 def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2866,48 +2891,9 @@ def bpe_encode_stats(
     and tie-breaks are ``bpe_train``'s (the oracle re-learns the same
     table from the same corpus, so the gate certifies train AND
     encode in one row).  Reference analog: none (pure [EXT])."""
-    spark = df.sparkSession
-    words = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .withColumn("syms", F.split("word", ""))
-        .select("word", "cnt", "syms")
+    _merges, cur = _bpe_train_loop(
+        df, text_col, n_merges, keep_word=True, apply_last=True
     )
-    cur = words.localCheckpoint()
-    for rank in range(1, n_merges + 1):
-        pairs = (
-            cur.filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(syms, 1, size(syms)-1),"
-                        " slice(syms, 2, size(syms)-1),"
-                        " (a, b) -> struct(a AS a, b AS b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("c"))
-        )
-        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
-        if not best:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        folded = F.aggregate(
-            F.slice(F.col("syms"), 2, F.size("syms") - 1),
-            F.slice(F.col("syms"), 1, 1),
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), x)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        cur = cur.withColumn("syms", folded).localCheckpoint()
     vocab = cur.select(
         "word",
         F.size("syms").cast("bigint").alias("n_tokens_word"),
