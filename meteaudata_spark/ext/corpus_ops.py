@@ -1576,3 +1576,122 @@ SELECT lang, n_docs, available_tokens, target_share_bp, required_tokens,
             AS BIGINT) AS epochs
 FROM planned ORDER BY lang
 """
+
+
+# ----------------------------------------------------------------------
+# curriculum staging by quality score
+# ----------------------------------------------------------------------
+def doc_curriculum_stages(
+    spark: SparkSession, sf_dir: str, n_stages: int = 4
+) -> DataFrame:
+    """Curriculum plan: partition the corpus into ``n_stages`` quality
+    tiers (stage 1 = highest quality, fed first) and report each
+    tier's doc/token budget — the ordering schedule curriculum-
+    trained LLM runs consume next to the mixture plan
+    (``doc_mixture_plan``).
+
+    Scale design — NO global row sort: the quality score
+    (``doc_quality_score``, memoized; compose-don't-recompute) is
+    integer micros in [0, 1e6], so the DISTINCT-score relation is
+    bounded at ~1e6 rows regardless of corpus size.  Stage cuts are
+    computed on that bounded relation (cumulative window over score
+    buckets — the same bounded-vocabulary trick as the BPE trainer),
+    then docs pick up their stage via one keyed join on the score
+    bucket.  A whole score bucket lands in one stage
+    (``stage = 1 + cum_docs_before * n_stages div total``), so tier
+    sizes are equal up to tie mass — the deterministic, shuffle-light
+    variant of ntile, which would otherwise funnel the corpus through
+    a single window partition.
+
+    Reference analog: none (pure [EXT])."""
+    from meteaudata_spark.ext.textstats import doc_quality_score
+
+    qm = doc_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1000000)
+        .cast("bigint")
+        .alias("q_micros"),
+    )
+    freq = qm.groupBy("q_micros").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window
+
+    # descending score: stage 1 accumulates from the top of the range
+    w = (
+        Window.orderBy(F.col("q_micros").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = freq.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint"),
+    )
+    tot = freq.agg(F.sum("n").cast("bigint").alias("total"))
+    staged = cum.crossJoin(F.broadcast(tot)).select(
+        "q_micros",
+        F.expr(f"1 + (cum_before * {int(n_stages)}) div total")
+        .cast("bigint")
+        .alias("stage"),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    joined = qm.join(F.broadcast(staged), "q_micros").join(d, "doc_id")
+    return (
+        joined.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("sum(q_micros) div count(1)")
+            .cast("bigint")
+            .alias("avg_q_micros"),
+            F.min("q_micros").cast("bigint").alias("min_q_micros"),
+            F.max("q_micros").cast("bigint").alias("max_q_micros"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _curriculum_stages_sql(n_stages: int = 4) -> str:
+    """Parameterized oracle builder for ``doc_curriculum_stages``."""
+    from meteaudata_spark.ext.textstats import DOC_QUALITY_SQL
+
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(ROUND(quality_score * 1000000) AS BIGINT) AS q_micros
+  FROM ({DOC_QUALITY_SQL}) t
+),
+freq AS (
+  SELECT q_micros, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY q_micros
+),
+cum AS (
+  SELECT q_micros,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY q_micros DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM freq
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+staged AS (
+  SELECT q_micros,
+         CAST(1 + (cum_before * {int(n_stages)}) // total AS BIGINT)
+           AS stage
+  FROM cum CROSS JOIN tot
+),
+toks AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT s.stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(q.q_micros) // COUNT(*) AS BIGINT) AS avg_q_micros,
+       CAST(MIN(q.q_micros) AS BIGINT) AS min_q_micros,
+       CAST(MAX(q.q_micros) AS BIGINT) AS max_q_micros
+FROM q JOIN staged s USING (q_micros) JOIN toks t USING (doc_id)
+GROUP BY s.stage ORDER BY s.stage
+"""
+
+
+DOC_CURRICULUM_STAGES_SQL = _curriculum_stages_sql()

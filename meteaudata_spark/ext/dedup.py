@@ -2213,3 +2213,138 @@ SELECT p.source, d.n_docs, p.n_segment_occ, p.n_distinct_segments,
 FROM per_src p JOIN dc d USING (source)
 ORDER BY p.source
 """
+
+
+# ----------------------------------------------------------------------
+# LSH candidate verification by edit distance
+# ----------------------------------------------------------------------
+def doc_lsh_edit_verify(
+    spark: SparkSession,
+    sf_dir: str,
+    min_sim_bp: int = 9000,
+    prefix: int = 2000,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+    n: int = 3,
+) -> DataFrame:
+    """Second-stage near-duplicate verification: re-score the MinHash/
+    LSH candidate pairs with EXACT edit distance (Levenshtein) and
+    keep pairs whose normalized edit similarity clears ``min_sim_bp``
+    basis points — the character-level confirmation pass corpus
+    curation pipelines run when shingle Jaccard alone over-merges
+    (e.g. shared boilerplate with different payloads).
+
+    Stages, all JVM expressions (``F.levenshtein`` is a codegen'd
+    built-in; no Python in the hot path):
+      1. candidates: the memoized ``doc_minhash_lsh_pairs`` relation —
+         compose, don't recompute; the quadratic all-pairs stage never
+         exists at any scale.
+      2. text projection: first ``prefix`` chars, non-printable-ASCII
+         sanitized to ``?`` — DuckDB's ``levenshtein`` is byte-based
+         while Spark's is codepoint-based, so the sanitize step makes
+         bytes == codepoints and the two engines agree exactly (and
+         caps the O(len_a·len_b) DP cost per pair at scale).
+      3. length fence BEFORE the DP: ``lev >= |len_a - len_b|`` always,
+         so any pair whose length gap alone caps similarity below
+         ``min_sim_bp`` is dropped without running the quadratic cell
+         sweep — the classic cheap lower bound.
+      4. exact Levenshtein + integer floor-div similarity in bp;
+         deterministic ordering by (doc_a, doc_b).
+
+    Scale shape: |pairs| is LSH-bounded, both joins are keyed id
+    lookups against the narrow text projection, and the only
+    superlinear work (the DP) runs on fence survivors over a bounded
+    prefix.  Reference analog: none (pure [EXT])."""
+    pairs = doc_minhash_lsh_pairs(
+        spark, sf_dir, num_hashes, bands, threshold, n
+    )
+    tx = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "?"),
+            1,
+            prefix,
+        ).alias("t"),
+    )
+    j = (
+        pairs.join(
+            tx.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            tx.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            "doc_b",
+        )
+        .withColumn("la", F.length("ta").cast("bigint"))
+        .withColumn("lb", F.length("tb").cast("bigint"))
+        .withColumn("mx", F.greatest("la", "lb"))
+    )
+    fenced = j.filter(
+        (F.col("mx") - F.abs(F.col("la") - F.col("lb"))) * 10000
+        >= F.lit(int(min_sim_bp)) * F.col("mx")
+    )
+    scored = fenced.withColumn(
+        "lev", F.levenshtein("ta", "tb").cast("bigint")
+    ).withColumn(
+        "edit_sim_bp",
+        F.expr("(mx - lev) * 10000 div mx"),
+    )
+    return (
+        scored.filter(F.col("edit_sim_bp") >= int(min_sim_bp))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(round(jaccard * 1000000) as bigint)").alias(
+                "jaccard_micros"
+            ),
+            "lev",
+            "edit_sim_bp",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _lsh_edit_verify_sql(
+    min_sim_bp: int = 9000,
+    prefix: int = 2000,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+) -> str:
+    """Parameterized oracle builder (same pattern as ``_minhash_sql``)
+    so non-default calls never silently mismatch their oracle."""
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands, threshold)},
+tx AS (
+  SELECT doc_id,
+         substring(regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g'),
+                   1, {int(prefix)}) AS t
+  FROM documents
+),
+joined AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, a.t AS ta, b.t AS tb,
+         CAST(length(a.t) AS BIGINT) AS la,
+         CAST(length(b.t) AS BIGINT) AS lb,
+         CAST(GREATEST(length(a.t), length(b.t)) AS BIGINT) AS mx
+  FROM mh_pairs p
+  JOIN tx a ON a.doc_id = p.doc_a
+  JOIN tx b ON b.doc_id = p.doc_b
+),
+scored AS (
+  SELECT doc_a, doc_b, jaccard,
+         CAST(levenshtein(ta, tb) AS BIGINT) AS lev, mx
+  FROM joined
+  WHERE (mx - ABS(la - lb)) * 10000 >= {int(min_sim_bp)} * mx
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jaccard_micros,
+       lev,
+       (mx - lev) * 10000 // mx AS edit_sim_bp
+FROM scored
+WHERE (mx - lev) * 10000 // mx >= {int(min_sim_bp)}
+ORDER BY doc_a, doc_b
+"""
+
+
+DOC_LSH_EDIT_VERIFY_SQL = _lsh_edit_verify_sql()

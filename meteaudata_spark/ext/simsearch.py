@@ -3409,3 +3409,208 @@ FROM ranked
 WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+# ----------------------------------------------------------------------
+# scalar (int8-style) quantization ANN
+# ----------------------------------------------------------------------
+def emb_sq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 20,
+    dims: int = 64,
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar-quantization ANN: top-k cosine neighbors found by a
+    uniform per-dimension int8-style code → asymmetric-distance
+    shortlist → exact rerank cascade — the middle rung of the
+    quantization ladder between binary codes (``emb_bq_topk``, 1
+    bit/dim, cheapest/lossiest) and PQ (``emb_pq_topk``, trained
+    codebooks).  SQ needs NO training beyond one min/max pass and
+    keeps 4× less memory than float32 — the default compression in
+    most production vector stores.
+
+    Stages, all JVM expressions:
+      1. stats: one map-side-combined aggregate produces the per-dim
+         min/max arrays (a single 2-column row, broadcast).
+      2. codes + reconstruction: ``c = floor((x-mn)·levels/span+0.5)``
+         then ``x̂ = mn + c·span/levels`` — at 100 TB only the int8
+         code array is stored; the float input column is never read
+         again.  Ranking uses the ASYMMETRIC estimator (exact float
+         query against reconstructed candidates) — ranking by the raw
+         code dot product would inherit the per-dim shift/scale
+         distortion and collapse recall.
+      3. shortlist: approximate cosine (query vs x̂), best
+         ``shortlist`` per query by (rounded score desc, vec_id).
+      4. exact rerank: true cosine on the shortlist, rounded +
+         vec_id tiebreak (same determinism policy as
+         ``emb_cosine_topk``).
+
+    All arithmetic is IEEE-double expressions both engines evaluate
+    identically, so codes, shortlists and ranks are engine-exact.
+    Scale shape: the stats row and the query side are broadcast; the
+    corpus is scanned once to code and once to score — no shuffle
+    keyed on anything wider than the query id.  Reference analog:
+    none (pure [EXT])."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.element_at("embedding", i + 1)) for i in range(dims)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at("embedding", i + 1)) for i in range(dims)]
+        ).alias("mx"),
+    )
+    recon_expr = (
+        f"transform(sequence(1, {dims}), i ->"
+        " cast(element_at(mn, i) as double)"
+        " + cast(floor(coalesce("
+        "(cast(element_at(embedding, i) as double)"
+        " - cast(element_at(mn, i) as double))"
+        f" * {levels}.0"
+        " / nullif(cast(element_at(mx, i) as double)"
+        " - cast(element_at(mn, i) as double), 0.0), 0.0)"
+        " + 0.5) as bigint)"
+        " * (cast(element_at(mx, i) as double)"
+        " - cast(element_at(mn, i) as double))"
+        f" / {levels}.0)"
+    )
+    coded = (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn("recon", F.expr(recon_expr))
+        .withColumn(
+            "rnrm",
+            F.expr(
+                "sqrt(aggregate(recon, cast(0.0 as double),"
+                " (acc, x) -> acc + x * x))"
+            ),
+        )
+    )
+    q = coded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sq_cos = F.round(
+        F.expr(_DOT.format(a="qe", b="recon"))
+        / F.nullif(F.col("qn") * F.col("rnrm"), F.lit(0.0)),
+        6,
+    )
+    short = (
+        cand.withColumn("sq_cosine", sq_cos)
+        .withColumn(
+            "srank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sq_cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("srank") <= shortlist)
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qe", b="embedding"))
+        / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        6,
+    )
+    reranked = short.select(
+        "query_id", "vec_id", "sq_cosine", cos.alias("cosine")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        reranked.filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "sq_cosine",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sq_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 20,
+    dims: int = 64,
+    levels: int = 255,
+) -> str:
+    """Parameterized oracle builder for ``emb_sq_topk``."""
+    return f"""
+WITH stats AS (
+  SELECT list(mnv ORDER BY dim) AS mn, list(mxv ORDER BY dim) AS mx
+  FROM (
+    SELECT dim, MIN(embedding[dim]) AS mnv, MAX(embedding[dim]) AS mxv
+    FROM embeddings, UNNEST(generate_series(1, {dims})) AS g(dim)
+    GROUP BY dim)
+),
+codes AS (
+  SELECT vec_id, embedding,
+    sqrt(list_aggregate(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+    list_transform(generate_series(1, {dims}), i ->
+      CAST(mn[i] AS DOUBLE)
+      + CAST(FLOOR(COALESCE(
+          (CAST(embedding[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE)) * {levels}.0
+          / NULLIF(CAST(mx[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE), 0.0),
+          0.0) + 0.5) AS BIGINT)
+        * (CAST(mx[i] AS DOUBLE) - CAST(mn[i] AS DOUBLE)) / {levels}.0)
+      AS recon
+  FROM embeddings CROSS JOIN stats
+),
+withn AS (
+  SELECT *, sqrt(list_aggregate(list_transform(recon, x -> x * x), 'sum'))
+           AS rnrm
+  FROM codes
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+  FROM withn WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.embedding, c.nrm, q.qe, q.qn,
+    ROUND(list_aggregate(list_transform(generate_series(1, {dims}),
+        i -> CAST(q.qe[i] AS DOUBLE) * c.recon[i]), 'sum')
+      / NULLIF(q.qn * c.rnrm, 0.0), 6) AS sq_cosine
+  FROM withn c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+short AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sq_cosine DESC, vec_id) AS srank
+  FROM scored
+),
+reranked AS (
+  SELECT query_id, vec_id, sq_cosine,
+         ROUND(
+           list_aggregate(list_transform(generate_series(1, LEN(qe)),
+             i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')
+           / NULLIF(qn * nrm, 0.0), 6) AS cosine
+  FROM short WHERE srank <= {shortlist}
+),
+ranked AS (
+  SELECT query_id, vec_id, sq_cosine, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rank
+  FROM reranked
+)
+SELECT query_id, vec_id, sq_cosine, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+EMB_SQ_TOPK_SQL = _sq_topk_sql()

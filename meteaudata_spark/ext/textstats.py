@@ -3587,3 +3587,186 @@ ORDER BY query_id, mmr_rank
 
 
 DOC_MMR_RERANK_SQL = _mmr_rerank_sql()
+
+
+# ----------------------------------------------------------------------
+# readability scoring (Flesch-style, deterministic integer variant)
+# ----------------------------------------------------------------------
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability profile from a deterministic integer
+    Flesch reading-ease variant — the standard cheap complexity signal
+    corpus curation adds next to the Gopher/C4 fences (very low
+    scores flag legalese/spec dumps; implausibly high ones flag
+    word-salad).
+
+    Per doc, all Spark built-ins (one projection, no Python):
+      words      = non-empty whitespace-split tokens,
+      sentences  = max(count of ``[.!?]+`` runs, 1),
+      syllables  = count of ``[aeiouy]+`` vowel-group runs over the
+                   lowercased text (the classic estimator).
+    Score in micros with integer floor-div so both engines agree bit
+    for bit::
+
+      flesch_micros = 206_835_000
+                      - 1_015_000 * words  div sentences
+                      -   84_600_000 * syll div words
+
+    Aggregated per language: doc count, avg/min/max score, and the
+    share of docs under the 30-point "very hard" fence in basis
+    points.  Scale shape: map-only scan + one 5-language aggregate.
+    Reference analog: none (pure [EXT])."""
+    d = _docs(spark, sf_dir)
+    words = F.size(
+        F.expr("filter(split(text, '\\\\s+'), x -> x <> '')")
+    ).cast("bigint")
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "bigint"
+    )
+    per_doc = d.filter(F.length("text") >= 1).select(
+        "lang",
+        words.alias("w"),
+        sents.alias("s"),
+        syll.alias("y"),
+    ).filter(F.col("w") >= 1)
+    scored = per_doc.withColumn(
+        "flesch_micros",
+        F.expr(
+            "206835000 - (1015000 * w) div s - (84600000 * y) div w"
+        ).cast("bigint"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(flesch_micros) div count(1)")
+            .cast("bigint")
+            .alias("avg_flesch_micros"),
+            F.min("flesch_micros").cast("bigint").alias("min_flesch_micros"),
+            F.max("flesch_micros").cast("bigint").alias("max_flesch_micros"),
+            F.expr(
+                "sum(case when flesch_micros < 30000000 then 1 else 0 end)"
+                " * 10000 div count(1)"
+            )
+            .cast("bigint")
+            .alias("hard_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_READABILITY_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(LEN(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS w,
+         GREATEST(CAST(LEN(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS s,
+         CAST(LEN(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents WHERE length(text) >= 1
+),
+scored AS (
+  SELECT lang,
+         206835000 - (1015000 * w) // s - (84600000 * y) // w
+           AS flesch_micros
+  FROM per_doc WHERE w >= 1
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(flesch_micros) // COUNT(*) AS BIGINT) AS avg_flesch_micros,
+       CAST(MIN(flesch_micros) AS BIGINT) AS min_flesch_micros,
+       CAST(MAX(flesch_micros) AS BIGINT) AS max_flesch_micros,
+       CAST(SUM(CASE WHEN flesch_micros < 30000000 THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS hard_bp
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+# ----------------------------------------------------------------------
+# license / usage-restriction phrase detection
+# ----------------------------------------------------------------------
+_LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("copyright", "copyright"),
+    ("rights_reserved", "all rights reserved"),
+    ("creative_commons", "creative commons"),
+    ("license_word", "license"),
+    ("confidential", "confidential"),
+]
+
+
+def doc_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source usage-restriction audit: how many documents carry
+    license / copyright / confidentiality phrases — the compliance
+    pre-filter every web-scale training-corpus build runs before
+    mixing a source in (CC-licensed subsets in, "all rights
+    reserved" boilerplate flagged, confidential leaks quarantined).
+
+    Detection is case-folded substring containment (``instr``), one
+    column per phrase family plus an any-phrase share in basis
+    points.  Scale shape: map-only scan, one per-source aggregate —
+    the same shape as the Gopher fence pass, so the two audits fuse
+    into one stage when run together.  Reference analog: none (pure
+    [EXT])."""
+    d = _docs(spark, sf_dir)
+    lowered = d.select("source", F.lower(F.col("text")).alias("lt"))
+    flags = lowered.select(
+        "source",
+        *[
+            (F.instr(F.col("lt"), F.lit(phrase)) > 0)
+            .cast("bigint")
+            .alias(f"f_{name}")
+            for name, phrase in _LICENSE_PATTERNS
+        ],
+    )
+    any_flag = F.greatest(
+        *[F.col(f"f_{name}") for name, _ in _LICENSE_PATTERNS]
+    )
+    flags = flags.withColumn("f_any", any_flag)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[
+                F.sum(f"f_{name}").cast("bigint").alias(f"n_{name}")
+                for name, _ in _LICENSE_PATTERNS
+            ],
+            F.expr("sum(f_any) * 10000 div count(1)")
+            .cast("bigint")
+            .alias("flagged_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _license_detect_sql() -> str:
+    flag_cols = ",\n         ".join(
+        f"CASE WHEN strpos(lt, '{phrase}') > 0 THEN 1 ELSE 0 END"
+        f" AS f_{name}"
+        for name, phrase in _LICENSE_PATTERNS
+    )
+    any_expr = "GREATEST(" + ", ".join(
+        f"f_{name}" for name, _ in _LICENSE_PATTERNS
+    ) + ")"
+    sum_cols = ",\n       ".join(
+        f"CAST(SUM(f_{name}) AS BIGINT) AS n_{name}"
+        for name, _ in _LICENSE_PATTERNS
+    )
+    return f"""
+WITH flags AS (
+  SELECT source, {flag_cols}
+  FROM (SELECT source, lower(text) AS lt FROM documents)
+),
+with_any AS (
+  SELECT *, {any_expr} AS f_any FROM flags
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sum_cols},
+       CAST(SUM(f_any) * 10000 // COUNT(*) AS BIGINT) AS flagged_bp
+FROM with_any GROUP BY source ORDER BY source
+"""
+
+
+DOC_LICENSE_DETECT_SQL = _license_detect_sql()

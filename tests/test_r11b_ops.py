@@ -1,0 +1,273 @@
+"""Round-11 wave-B operators: LSH edit-distance verification, scalar-
+quantization ANN, readability scoring, license detection, and
+curriculum staging.  Differential tests against pure-Python/pandas
+reimplementations on the sf0.001 corpus plus structural invariants."""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+# ----------------------------------------------------------------------
+# doc_lsh_edit_verify
+# ----------------------------------------------------------------------
+def test_lsh_edit_verify_matches_python_dp(spark):
+    """The operator's (lev, edit_sim_bp) per surviving pair must equal
+    a pure-Python DP over the same sanitized prefixes, and the
+    survivor set must equal the brute-force threshold application —
+    i.e. the length fence is a pure optimization, never a semantics
+    change."""
+    from meteaudata_spark.ext.dedup import (
+        doc_lsh_edit_verify,
+        doc_minhash_lsh_pairs,
+    )
+
+    min_sim_bp = 9000
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["lev"], r["edit_sim_bp"])
+        for r in doc_lsh_edit_verify(spark, SF, min_sim_bp=min_sim_bp).collect()
+    }
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in doc_minhash_lsh_pairs(spark, SF).collect()
+    ]
+    texts = {
+        r["doc_id"]: re.sub(r"[^\x20-\x7e]", "?", r["text"])[:2000]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    expected = {}
+    for a, b in pairs:
+        ta, tb = texts[a], texts[b]
+        mx = max(len(ta), len(tb))
+        lev = _py_levenshtein(ta, tb)
+        sim = (mx - lev) * 10000 // mx
+        if sim >= min_sim_bp:
+            expected[(a, b)] = (lev, sim)
+    assert got == expected
+    assert len(got) > 0  # the gate corpus has genuine near-dups
+
+
+def test_lsh_edit_verify_length_fence_is_sound(spark):
+    """lev >= |len_a - len_b| always, so a pair the fence would drop
+    can never clear the similarity threshold — spot-check the bound
+    on every candidate pair of the gate corpus."""
+    from meteaudata_spark.ext.dedup import doc_minhash_lsh_pairs
+
+    pairs = doc_minhash_lsh_pairs(spark, SF)
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("ln")
+    )
+    j = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("ln").alias("la")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("ln").alias("lb")),
+            "doc_b",
+        )
+        .collect()
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in j:
+        lev = _py_levenshtein(texts[r["doc_a"]], texts[r["doc_b"]])
+        assert lev >= abs(r["la"] - r["lb"])
+
+
+# ----------------------------------------------------------------------
+# emb_sq_topk
+# ----------------------------------------------------------------------
+def test_sq_topk_shape_and_recall(spark):
+    """k rows per query, ranks 1..k, and the SQ cascade recalls most
+    of the exact top-k (255 levels/dim is near-lossless on this
+    corpus)."""
+    from meteaudata_spark.ext.simsearch import emb_cosine_topk, emb_sq_topk
+
+    k = 5
+    sq = emb_sq_topk(spark, SF, n_queries=10, k=k).collect()
+    exact = emb_cosine_topk(spark, SF, n_queries=10, k=k).collect()
+    by_q = {}
+    for r in sq:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, k + 1))
+    sq_set = {(r["query_id"], r["vec_id"]) for r in sq}
+    ex_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    recall = len(sq_set & ex_set) / len(ex_set)
+    assert recall >= 0.9
+
+
+def test_sq_codes_are_bounded(spark):
+    """Every scalar code lands in [0, levels] — the clamp-free floor
+    formula stays in range because min/max are global."""
+    from meteaudata_spark.ext.simsearch import _emb, _norm_expr
+
+    emb = _emb(spark, SF).withColumn("nrm", F.expr(_norm_expr("embedding")))
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.element_at("embedding", i + 1)) for i in range(64)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at("embedding", i + 1)) for i in range(64)]
+        ).alias("mx"),
+    )
+    code_expr = (
+        "transform(sequence(1, 64), i -> cast(floor(coalesce("
+        "(cast(element_at(embedding, i) as double)"
+        " - cast(element_at(mn, i) as double)) * 255.0"
+        " / nullif(cast(element_at(mx, i) as double)"
+        " - cast(element_at(mn, i) as double), 0.0), 0.0)"
+        " + 0.5) as bigint))"
+    )
+    coded = emb.crossJoin(F.broadcast(stats)).withColumn(
+        "sq", F.expr(code_expr)
+    )
+    bad = coded.filter(
+        F.expr("exists(sq, c -> c < 0 or c > 255)")
+    ).count()
+    assert bad == 0
+
+
+# ----------------------------------------------------------------------
+# doc_readability
+# ----------------------------------------------------------------------
+def test_readability_matches_python(spark):
+    """Per-language aggregate equals a pure-Python replication of the
+    integer Flesch formula over the same corpus."""
+    from meteaudata_spark.ext.textstats import doc_readability
+
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["avg_flesch_micros"],
+            r["min_flesch_micros"],
+            r["max_flesch_micros"],
+            r["hard_bp"],
+        )
+        for r in doc_readability(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_lang: dict[str, list[int]] = {}
+    for r in docs:
+        t = r["text"]
+        if not t:
+            continue
+        w = len([x for x in re.split(r"\s+", t) if x != ""])
+        if w < 1:
+            continue
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        y = len(re.findall(r"[aeiouy]+", t.lower()))
+        f = 206835000 - (1015000 * w) // s - (84600000 * y) // w
+        per_lang.setdefault(r["lang"], []).append(f)
+    expected = {
+        lang: (
+            len(v),
+            sum(v) // len(v),
+            min(v),
+            max(v),
+            sum(1 for x in v if x < 30000000) * 10000 // len(v),
+        )
+        for lang, v in per_lang.items()
+    }
+    assert got == expected
+
+
+# ----------------------------------------------------------------------
+# doc_license_detect
+# ----------------------------------------------------------------------
+def test_license_detect_matches_python(spark):
+    from meteaudata_spark.ext.textstats import (
+        _LICENSE_PATTERNS,
+        doc_license_detect,
+    )
+
+    rows = doc_license_detect(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_src: dict[str, list[dict]] = {}
+    for r in docs:
+        lt = r["text"].lower()
+        flags = {name: int(phrase in lt) for name, phrase in _LICENSE_PATTERNS}
+        per_src.setdefault(r["source"], []).append(flags)
+    for row in rows:
+        fl = per_src[row["source"]]
+        assert row["n_docs"] == len(fl)
+        for name, _ in _LICENSE_PATTERNS:
+            assert row[f"n_{name}"] == sum(f[name] for f in fl)
+        n_any = sum(1 for f in fl if any(f.values()))
+        assert row["flagged_bp"] == n_any * 10000 // len(fl)
+    assert {r["source"] for r in rows} == set(per_src)
+
+
+def test_license_detect_planted_phrases(spark):
+    """Planted docs exercise each phrase family and the any-flag."""
+    from meteaudata_spark.ext.textstats import _LICENSE_PATTERNS
+
+    corpus = [
+        (1, "Copyright 2020 Acme. All Rights Reserved.", "s1"),
+        (2, "released under a Creative Commons license", "s1"),
+        (3, "strictly CONFIDENTIAL draft", "s1"),
+        (4, "nothing to see here", "s1"),
+    ]
+    lt = [t.lower() for _, t, _ in corpus]
+    hits = {
+        name: sum(1 for x in lt if phrase in x)
+        for name, phrase in _LICENSE_PATTERNS
+    }
+    assert hits["copyright"] == 1
+    assert hits["rights_reserved"] == 1
+    assert hits["creative_commons"] == 1
+    assert hits["license_word"] == 1
+    assert hits["confidential"] == 1
+
+
+# ----------------------------------------------------------------------
+# doc_curriculum_stages
+# ----------------------------------------------------------------------
+def test_curriculum_stages_partition_and_order(spark):
+    """Stages 1..n partition the corpus: doc/token totals match the
+    corpus, quality strictly tiers (stage s's min >= stage s+1's max
+    — whole score-buckets never split), and sizes are near-equal."""
+    from meteaudata_spark.ext.corpus_ops import doc_curriculum_stages
+
+    n_stages = 4
+    rows = sorted(
+        doc_curriculum_stages(spark, SF, n_stages=n_stages).collect(),
+        key=lambda r: r["stage"],
+    )
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = d.count()
+    n_tokens = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert [r["stage"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= n_stages
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_tokens"] for r in rows) == n_tokens
+    for hi, lo in zip(rows, rows[1:]):
+        assert hi["min_q_micros"] >= lo["max_q_micros"]
+    # near-equal sizes up to tie mass: each stage within 2x of ideal
+    ideal = n_docs / n_stages
+    for r in rows:
+        assert r["n_docs"] <= 2 * ideal + 1
