@@ -3490,7 +3490,9 @@ def emb_sq_topk(
             ),
         )
     )
-    q = coded.filter(F.col("vec_id") < n_queries).select(
+    # query side needs only the raw vector + norm — built from `emb`
+    # (not `coded`) so the stats broadcast is planned exactly once
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),

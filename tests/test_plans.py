@@ -1167,3 +1167,72 @@ def test_mixture_plan_windows_on_domain_relation_only(spark):
     win_ids = [int(x) for x in re.findall(r"\((\d+)\) Window", plan)]
     assert win_ids and agg_ids
     assert any(a < min(win_ids) for a in agg_ids), plan[:1500]
+
+
+def test_lsh_edit_verify_composes_memoized_pairs(spark):
+    # the candidate relation is the memoized LSH miner (compose,
+    # don't recompute) and the text joins are keyed id lookups —
+    # never an all-pairs stage
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_lsh_edit_verify(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # memoized pair upstream
+
+
+def test_sq_topk_broadcast_stats_and_queries_only(spark):
+    # the 1-row min/max stats and the n_queries-row query side are
+    # the only nested-loop builds; the corpus is never shuffled wide
+    import re
+
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_sq_topk(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert bnlj <= 2, f"only stats+query broadcasts allowed: {bnlj}"
+
+
+def test_readability_map_only_single_agg(spark):
+    # one pruned scan (text+lang), partial agg map-side; exchanges =
+    # the agg shuffle + the range exchange ordering the 5-row result
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_readability(spark, SF)
+    cols = inspect.scan_columns(df)
+    assert cols <= {"text", "lang"}, cols
+    assert inspect.exchange_count(df) <= 2
+    plan = inspect.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_license_detect_map_only_single_agg(spark):
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_license_detect(spark, SF)
+    cols = inspect.scan_columns(df)
+    assert cols <= {"text", "source"}, cols
+    assert inspect.exchange_count(df) <= 2
+    plan = inspect.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_curriculum_stages_windows_on_bucket_relation_only(spark):
+    # the cumulative window runs on the bounded score-bucket relation
+    # (an aggregate is planned below it), the stage lookup joins are
+    # broadcast, and there is no global row sort before the final
+    # orderBy on the |stages|-row result
+    from meteaudata_spark.ext import corpus_ops
+
+    df = corpus_ops.doc_curriculum_stages(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    joins = inspect.join_strategies(df)
+    assert "SortMergeJoin" not in joins
+    # window input is the post-aggregate bucket relation: a
+    # HashAggregate appears below the Window operator in the tree
+    win_pos = plan.find("Window")
+    assert win_pos > 0 and "HashAggregate" in plan[win_pos:]
