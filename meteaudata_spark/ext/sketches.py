@@ -590,3 +590,167 @@ CROSS JOIN (SELECT est FROM est_split WHERE split = 'A') a
 CROSS JOIN (SELECT est FROM est_split WHERE split = 'B') b
 CROSS JOIN est_u u
 """
+
+
+# ----------------------------------------------------------------------
+# sliding-window distinct-count rollup (mergeable registers)
+# ----------------------------------------------------------------------
+def events_hll_sliding_uniques(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Trailing-``window_days`` distinct active users per day, answered
+    by MERGING per-day HLL register tables — the query shape that
+    justifies sketches at 100 TB: exact sliding distinct-counts need
+    every window to re-deduplicate its raw rows (× window_days the
+    corpus), while register merge needs one corpus scan to build m=256
+    integers per day, then max-merges day registers into windows.
+
+    Pipeline, all integer JVM expressions:
+      1. day registers: (day, bucket) → max rho — one keyed agg, the
+         partial-agg plan does the map-side fold.
+      2. window merge: each day's registers fan out to the
+         ``window_days`` windows that cover it (map-side explode of a
+         date sequence), then (window, bucket) → max — the HLL merge
+         IS integer max, the associativity that makes the sketch
+         shardable across executors and days.
+      3. estimate: raw HLL fold plus the small-range linear-counting
+         branch  m·ln(m/V)  (V = empty registers) — quantized-ln
+         micros (the ``pmi_bigrams`` idiom) so both engines compute
+         the identical integer; raw-only HLL is ~10%+ off below
+         2.5·m distinct, which trailing windows at low SF do hit.
+
+    The exact trailing distinct (window re-dedup) rides along as the
+    self-evaluation column with the abs error in basis points —
+    production would emit only the estimates.  Windows are keyed by
+    their END day and emitted only for days present in the data.
+    Reference analog: none (pure [EXT])."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date(F.col("ts")).alias("day"),
+        _h60(F.col("user_id").cast("string")).alias("h"),
+    )
+    # 1. per-day registers
+    w_word = F.expr(f"h div {_M}")
+    rho = F.when(w_word == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w_word))
+    )
+    day_regs = (
+        ev.select("day", F.pmod(F.col("h"), F.lit(_M)).alias("b"), rho.alias("r"))
+        .groupBy("day", "b")
+        .agg(F.max("r").alias("m"))
+    )
+    # 2. fan out to covering windows (end-day keyed), keep real days
+    days = ev.select("day").distinct()
+    win_regs = (
+        day_regs.select(
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {window_days - 1}))")
+            ).alias("win_end"),
+            "b",
+            "m",
+        )
+        .join(F.broadcast(days.withColumnRenamed("day", "win_end")), "win_end")
+        .groupBy("win_end", "b")
+        .agg(F.max("m").alias("m"))
+    )
+    per_win = win_regs.groupBy("win_end").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    scaled = F.col("s") + (F.lit(_M) - F.col("nb")) * F.lit(1 << 53)
+    raw = F.floor(F.lit(_NUMER) / scaled.cast("double")).cast("bigint")
+    lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
+    lc = F.expr(
+        f"({_M} * ({lnq.format(_M)} - {lnq.format(f'({_M} - nb)')}))"
+        " div 1000000"
+    ).cast("bigint")
+    est = F.when(
+        (raw < F.lit(int(2.5 * _M))) & (F.col("nb") < F.lit(_M)), lc
+    ).otherwise(raw)
+    sketch = per_win.select("win_end", est.alias("hll_uniques"))
+    # self-evaluation: exact trailing distinct via window re-dedup
+    exact = (
+        ev.select(
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {window_days - 1}))")
+            ).alias("win_end"),
+            "h",
+        )
+        .join(F.broadcast(days.withColumnRenamed("day", "win_end")), "win_end")
+        .groupBy("win_end")
+        .agg(F.count_distinct("h").cast("bigint").alias("exact_uniques"))
+    )
+    return (
+        exact.join(sketch, "win_end")
+        .withColumn(
+            "err_abs_bp",
+            F.expr(
+                "(abs(hll_uniques - exact_uniques) * 10000)"
+                " div exact_uniques"
+            ).cast("bigint"),
+        )
+        .withColumn("win_end", F.col("win_end").cast("timestamp"))
+        .orderBy("win_end")
+    )
+
+
+def _hll_sliding_sql(window_days: int = 7) -> str:
+    """Parameterized oracle builder for ``events_hll_sliding_uniques``."""
+    h60 = _H60_DUCK.format(col="CAST(user_id AS VARCHAR)")
+    lnq = "CAST(ROUND(ln(CAST({0} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    return f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, {h60} AS h FROM events
+),
+days AS (SELECT DISTINCT day FROM ev),
+rho AS (
+  SELECT day, h % {_M} AS b,
+         CASE WHEN h // {_M} = 0 THEN 53
+              ELSE 53 - LEN(bin(h // {_M})) END AS r
+  FROM ev
+),
+day_regs AS (SELECT day, b, MAX(r) AS m FROM rho GROUP BY day, b),
+win_regs AS (
+  SELECT w.win_end, d.b, MAX(d.m) AS m
+  FROM day_regs d,
+       UNNEST(generate_series(d.day, d.day + INTERVAL ({window_days - 1}) DAY,
+                              INTERVAL 1 DAY)) AS w(win_end)
+  WHERE CAST(w.win_end AS DATE) IN (SELECT day FROM days)
+  GROUP BY w.win_end, d.b
+),
+per_win AS (
+  SELECT CAST(win_end AS DATE) AS win_end,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s,
+         COUNT(*) AS nb
+  FROM win_regs GROUP BY win_end
+),
+est AS (
+  SELECT win_end,
+         CASE WHEN CAST(FLOOR(CAST({_NUMER!r} AS DOUBLE)
+                / CAST(s + ({_M} - nb) * (1::BIGINT << 53) AS DOUBLE))
+                AS BIGINT) < {int(2.5 * _M)} AND nb < {_M}
+           THEN CAST(({_M} * ({lnq.format(_M)}
+                  - {lnq.format(f'({_M} - nb)')})) // 1000000 AS BIGINT)
+           ELSE CAST(FLOOR(CAST({_NUMER!r} AS DOUBLE)
+                / CAST(s + ({_M} - nb) * (1::BIGINT << 53) AS DOUBLE))
+                AS BIGINT)
+         END AS hll_uniques
+  FROM per_win
+),
+exact AS (
+  SELECT CAST(w.win_end AS DATE) AS win_end,
+         CAST(COUNT(DISTINCT e.h) AS BIGINT) AS exact_uniques
+  FROM ev e,
+       UNNEST(generate_series(e.day, e.day + INTERVAL ({window_days - 1}) DAY,
+                              INTERVAL 1 DAY)) AS w(win_end)
+  WHERE CAST(w.win_end AS DATE) IN (SELECT day FROM days)
+  GROUP BY 1
+)
+SELECT CAST(x.win_end AS TIMESTAMP) AS win_end, x.exact_uniques, s.hll_uniques,
+       CAST((ABS(s.hll_uniques - x.exact_uniques) * 10000)
+            // x.exact_uniques AS BIGINT) AS err_abs_bp
+FROM exact x JOIN est s USING (win_end)
+ORDER BY x.win_end
+"""
+
+
+EVENTS_HLL_SLIDING_SQL = _hll_sliding_sql()

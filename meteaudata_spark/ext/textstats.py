@@ -3770,3 +3770,140 @@ FROM with_any GROUP BY source ORDER BY source
 
 
 DOC_LICENSE_DETECT_SQL = _license_detect_sql()
+
+
+# ----------------------------------------------------------------------
+# skip-gram PMI collocations (windowed co-occurrence)
+# ----------------------------------------------------------------------
+def skipgram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Windowed skip-gram PMI: co-occurrence counts pooled over token
+    distances 1..``window`` (directional, left→right) — the
+    co-occurrence statistic word2vec/GloVe-style embedding training
+    actually consumes, where ``pmi_bigrams`` sees only adjacency.
+    Long-range collocations ("new … york … times" split by
+    modifiers) surface here and not in the adjacent pass.
+
+    Exactness: same decomposition as ``pmi_bigrams`` — PMI =
+    L(c_ab)+L(N)−L(c_a)−L(c_b) with L = round(ln·1e6), integer math
+    after.  The distance pooling is map-side array zips (one slice
+    pair per distance, flattened) — no positional self-join, no
+    shuffle before the keyed pair count.
+
+    Scale shape: pairs explode ×window map-side; ONE keyed pair
+    count; marginals broadcast (vocabulary-sized); distributed top-k
+    (TakeOrderedAndProject).  Reference analog: none (pure [EXT])."""
+    toks = df.select(F.split(F.col(text_col), " ").alias("t"))
+    dist_arrays = [
+        F.expr(
+            f"case when size(t) > {dd} then"
+            f" zip_with(slice(t, 1, size(t)-{dd}),"
+            f" slice(t, {dd + 1}, size(t)-{dd}),"
+            " (a, b) -> struct(a AS tok1, b AS tok2))"
+            " else array() end"
+        )
+        for dd in range(1, window + 1)
+    ]
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(F.flatten(F.array(*dist_arrays))).alias("p"))
+        .select("p.tok1", "p.tok2")
+    )
+    pc = pairs.groupBy("tok1", "tok2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_u"))
+    )
+    total = pc.agg(F.sum("c_ab").alias("n_pairs"))
+    lm = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
+    return (
+        pc.filter(F.col("c_ab") >= min_count)
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("token", "tok1").withColumnRenamed(
+                    "c_u", "c_a"
+                )
+            ),
+            "tok1",
+        )
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("token", "tok2").withColumnRenamed(
+                    "c_u", "c_b"
+                )
+            ),
+            "tok2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok1",
+            "tok2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"{lm.format('c_ab')} + {lm.format('n_pairs')}"
+                f" - {lm.format('c_a')} - {lm.format('c_b')}"
+            ).alias("pmi_micros"),
+        )
+        .orderBy(F.desc("pmi_micros"), "tok1", "tok2")
+        .limit(top_k)
+    )
+
+
+def doc_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: top-50 window-3 skip-gram PMI collocations."""
+    return skipgram_pmi(_docs(spark, sf_dir))
+
+
+def _skipgram_pmi_sql(
+    window: int = 3, min_count: int = 5, top_k: int = 50
+) -> str:
+    """Parameterized oracle builder for ``doc_skipgram_pmi``."""
+    dist_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT t[i] AS tok1, t[i + {dd}] AS tok2
+  FROM toks, UNNEST(generate_series(1, LEN(t) - {dd})) AS g(i)
+  WHERE LEN(t) >= 2"""
+        for dd in range(1, window + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+{dist_selects}
+),
+pc AS (
+  SELECT tok1, tok2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY 1, 2
+),
+uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_u
+  FROM (SELECT unnest(t) AS token FROM toks)
+  WHERE token <> '' GROUP BY token
+),
+total AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM pc)
+SELECT tok1, tok2, c_ab, a.c_u AS c_a, b.c_u AS c_b,
+       CAST(ROUND(ln(CAST(c_ab AS DOUBLE)) * 1000000.0) AS BIGINT)
+       + CAST(ROUND(ln(CAST(n_pairs AS DOUBLE)) * 1000000.0) AS BIGINT)
+       - CAST(ROUND(ln(CAST(a.c_u AS DOUBLE)) * 1000000.0) AS BIGINT)
+       - CAST(ROUND(ln(CAST(b.c_u AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS pmi_micros
+FROM pc JOIN uni a ON a.token = tok1 JOIN uni b ON b.token = tok2
+CROSS JOIN total
+WHERE c_ab >= {min_count}
+ORDER BY pmi_micros DESC, tok1, tok2
+LIMIT {top_k}
+"""
+
+
+DOC_SKIPGRAM_PMI_SQL = _skipgram_pmi_sql()

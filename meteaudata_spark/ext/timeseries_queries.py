@@ -3505,3 +3505,72 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
          AS max_spike_height_micros
 FROM m GROUP BY event_type ORDER BY event_type
 """
+
+
+# ----------------------------------------------------------------------
+# OHLC candle bars (open/high/low/close rollup)
+# ----------------------------------------------------------------------
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type: open = first value of the
+    day, close = last, plus high/low/volume — the downsampled bar
+    representation charting and monitoring systems store instead of
+    raw ticks (same family as ``ts_m4_downsample``, but keyed to the
+    calendar grid and carrying trade-count volume).
+
+    First/last are ``min_by``/``max_by`` over a zero-padded
+    (epoch-micros, event_id) string key — a total order both engines
+    compare identically (``arg_min``/``arg_max`` on the DuckDB side),
+    so ties at the same microsecond resolve to the same row.  This is
+    ONE hash aggregate: no window, no sort, no self-join — first/last
+    as aggregates is the scale-correct shape (a window ordered by time
+    would re-sort every group).
+
+    Scale shape: map-side partial min_by/max_by fold per (type, day),
+    one keyed shuffle.  Reference analog: none (pure [EXT])."""
+    ev = _events(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP
+    # (session TZ is pinned UTC, so the cast is the identity epoch)
+    key = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+            20,
+            "0",
+        ),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TS_OHLC_SQL = """
+WITH keyed AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+         || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+)
+SELECT event_type, day,
+       arg_min(value, k) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, k) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM keyed
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""

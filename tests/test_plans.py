@@ -1236,3 +1236,45 @@ def test_curriculum_stages_windows_on_bucket_relation_only(spark):
     # HashAggregate appears below the Window operator in the tree
     win_pos = plan.find("Window")
     assert win_pos > 0 and "HashAggregate" in plan[win_pos:]
+
+
+def test_hll_sliding_map_side_fanout_no_smj(spark):
+    # the window fan-out is a map-side Generate over the register
+    # relation; the day-membership joins ride broadcasts; the merge
+    # is partial-aggregated max — never a sort-merge join or cartesian
+    from meteaudata_spark.ext import sketches
+
+    df = sketches.events_hll_sliding_uniques(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan  # the sequence() explode
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_skipgram_pmi_map_side_pairs_broadcast_marginals(spark):
+    # distance pooling is array zips (no positional self-join);
+    # marginals + N broadcast; top-k distributed
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_skipgram_pmi(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan
+
+
+def test_ohlc_single_agg_no_window(spark):
+    # first/last as min_by/max_by aggregates: one keyed hash agg,
+    # no per-group time sort
+    from meteaudata_spark.ext import timeseries_queries as tsq
+
+    df = tsq.ts_ohlc_daily(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert inspect.exchange_count(df) <= 2
+    cols = inspect.scan_columns(df)
+    assert cols <= {"ts", "event_id", "event_type", "value"}, cols

@@ -271,3 +271,133 @@ def test_curriculum_stages_partition_and_order(spark):
     ideal = n_docs / n_stages
     for r in rows:
         assert r["n_docs"] <= 2 * ideal + 1
+
+
+# ----------------------------------------------------------------------
+# events_hll_sliding_uniques
+# ----------------------------------------------------------------------
+def test_hll_sliding_matches_exact_dedup(spark):
+    """The exact column is a true trailing-window distinct count, the
+    estimate stays within raw-HLL/linear-counting error of it, and
+    windows exist exactly for the days present in the data."""
+    from meteaudata_spark.ext.sketches import events_hll_sliding_uniques
+
+    rows = events_hll_sliding_uniques(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.normalize()
+    days = sorted(ev["day"].unique())
+    assert len(rows) == len(days)
+    import pandas as pd
+
+    for r in rows:
+        end = pd.Timestamp(r["win_end"])
+        lo = end - pd.Timedelta(days=6)
+        exact = ev[(ev["day"] >= lo) & (ev["day"] <= end)][
+            "user_id"
+        ].nunique()
+        assert r["exact_uniques"] == exact
+        # LC branch keeps small-range error tight; allow 15% overall
+        assert abs(r["hll_uniques"] - exact) <= max(2, int(0.15 * exact))
+
+
+def test_hll_sliding_merge_equals_pooled_registers(spark):
+    """Merging per-day registers must equal building one register
+    table over the pooled window rows — max is the merge."""
+    from meteaudata_spark.ext.dedup import _h60
+    from meteaudata_spark.ext.sketches import _M
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.to_date("ts").alias("day"),
+        _h60(F.col("user_id").cast("string")).alias("h"),
+    )
+    w_word = F.expr(f"h div {_M}")
+    rho = F.when(w_word == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w_word))
+    )
+    base = ev.select(
+        "day", F.pmod(F.col("h"), F.lit(_M)).alias("b"), rho.alias("r")
+    )
+    # pooled: registers over all rows; merged: max over per-day maxes
+    pooled = {
+        (r["b"],): r["m"]
+        for r in base.groupBy("b").agg(F.max("r").alias("m")).collect()
+    }
+    per_day = base.groupBy("day", "b").agg(F.max("r").alias("m"))
+    merged = {
+        (r["b"],): r["m"]
+        for r in per_day.groupBy("b").agg(F.max("m").alias("m")).collect()
+    }
+    assert pooled == merged
+
+
+# ----------------------------------------------------------------------
+# doc_skipgram_pmi
+# ----------------------------------------------------------------------
+def test_skipgram_pmi_matches_python(spark):
+    """Pair counts pooled over distances 1..3 and the quantized-ln PMI
+    must equal a pure-Python replication; the window-1 slice of the
+    pooled counts must equal the adjacent-bigram counts."""
+    import math
+    from collections import Counter
+
+    from meteaudata_spark.ext.textstats import doc_skipgram_pmi
+
+    got = {
+        (r["tok1"], r["tok2"]): (r["c_ab"], r["pmi_micros"])
+        for r in doc_skipgram_pmi(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    pc: Counter = Counter()
+    uni: Counter = Counter()
+    for r in docs:
+        t = r["text"].split(" ")
+        for tok in t:
+            if tok != "":
+                uni[tok] += 1
+        if len(t) >= 2:
+            for d in (1, 2, 3):
+                for i in range(len(t) - d):
+                    pc[(t[i], t[i + d])] += 1
+    n_pairs = sum(pc.values())
+
+    def L(x: int) -> int:
+        return round(math.log(x) * 1e6)
+
+    scored = [
+        (p, c, L(c) + L(n_pairs) - L(uni[p[0]]) - L(uni[p[1]]))
+        for p, c in pc.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    expected = {p: (c, pmi) for p, c, pmi in scored[:50]}
+    assert got == expected
+
+
+# ----------------------------------------------------------------------
+# ts_ohlc_daily
+# ----------------------------------------------------------------------
+def test_ohlc_matches_pandas(spark):
+    from meteaudata_spark.ext.timeseries_queries import ts_ohlc_daily
+
+    got = ts_ohlc_daily(spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.normalize()
+    ev = ev.sort_values(["ts", "event_id"])
+    g = ev.groupby(["event_type", "day"])
+    import pandas as pd
+
+    exp = pd.DataFrame(
+        {
+            "open": g["value"].first(),
+            "high": g["value"].max(),
+            "low": g["value"].min(),
+            "close": g["value"].last(),
+            "volume": g["value"].size(),
+        }
+    ).reset_index()
+    m = got.merge(
+        exp, on=["event_type", "day"], suffixes=("", "_e"), how="outer"
+    )
+    assert len(m) == len(got) == len(exp)
+    for c in ("open", "high", "low", "close", "volume"):
+        assert (m[c] == m[f"{c}_e"]).all(), c
