@@ -2348,3 +2348,124 @@ ORDER BY doc_a, doc_b
 
 
 DOC_LSH_EDIT_VERIFY_SQL = _lsh_edit_verify_sql()
+
+
+# ----------------------------------------------------------------------
+# asymmetric containment scoring over LSH candidates
+# ----------------------------------------------------------------------
+def doc_minhash_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    subset_bp: int = 9500,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric containment scores for the LSH candidate pairs:
+    C(A|B) = |A∩B| / |A| per direction — the subset detector symmetric
+    Jaccard misses (a quote, excerpt, or chapter fully CONTAINED in a
+    longer doc scores low Jaccard but containment ≈ 1), which is how
+    curation pipelines catch quote-farms and wrapper pages.
+
+    Composition: candidates are the memoized ``doc_minhash_lsh_pairs``
+    relation; the shingle-hash sets are recomputed ONLY for documents
+    appearing in a pair (a semi-join-bounded corpus subset — at 100 TB
+    the shingle pass runs over |pair docs|, not the corpus).  All
+    ratios integer basis points; ``is_subset`` flags pairs whose max
+    directional containment clears ``subset_bp``.
+    Reference analog: none (pure [EXT])."""
+    pairs = doc_minhash_lsh_pairs(
+        spark, sf_dir, num_hashes, bands, threshold, n
+    )
+    ids = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    subset = _docs(spark, sf_dir).join(ids, "doc_id")
+    sets = (
+        _md5_shingles(subset, n)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+    )
+    j = (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(round(jaccard * 1000000) as bigint)").alias(
+                "jaccard_micros"
+            ),
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size("hs_a").cast("bigint").alias("n_a"),
+            F.size("hs_b").cast("bigint").alias("n_b"),
+        )
+    )
+    return (
+        j.withColumn(
+            "containment_a_bp", F.expr("(n_inter * 10000) div n_a")
+        )
+        .withColumn(
+            "containment_b_bp", F.expr("(n_inter * 10000) div n_b")
+        )
+        .withColumn(
+            "is_subset",
+            (
+                F.greatest("containment_a_bp", "containment_b_bp")
+                >= F.lit(int(subset_bp))
+            ).cast("bigint"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_micros",
+            "containment_a_bp",
+            "containment_b_bp",
+            "is_subset",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_containment_sql(
+    subset_bp: int = 9500,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+) -> str:
+    """Parameterized oracle builder: reuses the miner's CTE chain —
+    ``inter`` and ``sizes`` already hold |A∩B| and |A| for every
+    candidate pair."""
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands, threshold)},
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(ROUND(p.jaccard * 1000000) AS BIGINT) AS jaccard_micros,
+         CAST(i.n_inter AS BIGINT) AS n_inter,
+         CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b
+  FROM mh_pairs p
+  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard_micros,
+       (n_inter * 10000) // n_a AS containment_a_bp,
+       (n_inter * 10000) // n_b AS containment_b_bp,
+       CAST(CASE WHEN GREATEST((n_inter * 10000) // n_a,
+                               (n_inter * 10000) // n_b) >= {int(subset_bp)}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_subset
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+DOC_MINHASH_CONTAINMENT_SQL = _minhash_containment_sql()

@@ -2132,3 +2132,141 @@ ORDER BY 1, 2
 
 
 ORDERS_COHORT_LTV_SQL = _cohort_ltv_sql()
+
+
+# ----------------------------------------------------------------------
+# revenue concentration (Pareto cut points)
+# ----------------------------------------------------------------------
+def orders_pareto_share(
+    spark: SparkSession, sf_dir: str, bucket_cents: int = 100000
+) -> DataFrame:
+    """Revenue-concentration cuts: the smallest share of customers
+    (ranked by lifetime spend) that covers 50 / 80 / 90 / 95 % of
+    total revenue — the whale-curve summary every account-weighted
+    decision (support tiers, sampling budgets) starts from.
+
+    Scale design — NO global customer sort: lifetime cents quantize
+    per order (the ``orders_rfm_segments`` rule), customers bucket by
+    ``bucket_cents``-wide revenue bands, and the cumulative sweep runs
+    DESC over the bounded band relation (domain ≤ max-lifetime /
+    bucket width, independent of customer count) — the same
+    bounded-relation trick as ``doc_curriculum_stages``.  A whole
+    band clears a threshold together, so the reported cut is at band
+    granularity (exact to within one band of tie mass).  Threshold
+    comparisons promote to DECIMAL(38,0) / HUGEINT before the ×10000
+    cross-multiplication, so the math that overflowed ``zipf_fit`` at
+    scale cannot recur here.
+
+    Output: (threshold_bp, n_customers, customers_bp, rev_share_bp)
+    — the achieved revenue share at the cut.  Reference analog: none
+    (pure [EXT])."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("bigint").alias("rc")
+    )
+    bands = rev.groupBy(
+        F.expr(f"rc div {int(bucket_cents)}").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("rc").cast("bigint").alias("band_rev"),
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bands.select(
+        "band",
+        F.sum("n_cust").over(w).cast("bigint").alias("cum_cust"),
+        F.sum("band_rev").over(w).cast("bigint").alias("cum_rev"),
+    )
+    tot = bands.agg(
+        F.sum("n_cust").cast("bigint").alias("total_cust"),
+        F.sum("band_rev").cast("bigint").alias("total_rev"),
+    )
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (5000, 8000, 9000, 9500)])
+        ).alias("threshold_bp")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(th))
+        .filter(
+            F.expr(
+                "cast(cum_rev as decimal(38,0)) * 10000"
+                " >= cast(threshold_bp as decimal(38,0)) * total_rev"
+            )
+        )
+    )
+    return (
+        hit.groupBy("threshold_bp")
+        .agg(
+            F.min("cum_cust").cast("bigint").alias("n_customers"),
+            F.min_by("cum_rev", "cum_cust").cast("bigint").alias("__rev"),
+            F.min("total_cust").cast("bigint").alias("__tc"),
+            F.min("total_rev").cast("bigint").alias("__tr"),
+        )
+        .select(
+            F.col("threshold_bp").cast("bigint").alias("threshold_bp"),
+            "n_customers",
+            F.expr("(n_customers * 10000) div __tc")
+            .cast("bigint")
+            .alias("customers_bp"),
+            F.expr(
+                "cast((cast(__rev as decimal(38,0)) * 10000)"
+                " div __tr as bigint)"
+            ).alias("rev_share_bp"),
+        )
+        .orderBy("threshold_bp")
+    )
+
+
+def _pareto_share_sql(bucket_cents: int = 100000) -> str:
+    """Parameterized oracle builder for ``orders_pareto_share``."""
+    return f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders GROUP BY o_custkey
+),
+bands AS (
+  SELECT rc // {int(bucket_cents)} AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(rc) AS BIGINT) AS band_rev
+  FROM rev GROUP BY 1
+),
+cum AS (
+  SELECT band,
+         CAST(SUM(n_cust) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cust,
+         CAST(SUM(band_rev) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_rev
+  FROM bands
+),
+tot AS (
+  SELECT CAST(SUM(n_cust) AS BIGINT) AS total_cust,
+         CAST(SUM(band_rev) AS BIGINT) AS total_rev
+  FROM bands
+),
+th AS (SELECT UNNEST([5000, 8000, 9000, 9500]) AS threshold_bp),
+hit AS (
+  SELECT th.threshold_bp, c.cum_cust, c.cum_rev, t.total_cust, t.total_rev
+  FROM cum c CROSS JOIN tot t CROSS JOIN th
+  WHERE CAST(c.cum_rev AS HUGEINT) * 10000
+        >= CAST(th.threshold_bp AS HUGEINT) * t.total_rev
+)
+SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
+       CAST(MIN(cum_cust) AS BIGINT) AS n_customers,
+       CAST((MIN(cum_cust) * 10000) // MIN(total_cust) AS BIGINT)
+         AS customers_bp,
+       CAST((CAST(arg_min(cum_rev, cum_cust) AS HUGEINT) * 10000)
+            // MIN(total_rev) AS BIGINT) AS rev_share_bp
+FROM hit GROUP BY threshold_bp ORDER BY threshold_bp
+"""
+
+
+ORDERS_PARETO_SHARE_SQL = _pareto_share_sql()

@@ -3616,3 +3616,156 @@ ORDER BY query_id, rank
 
 
 EMB_SQ_TOPK_SQL = _sq_topk_sql()
+
+
+# ----------------------------------------------------------------------
+# cluster topic labeling (IVF lists × c-TF-IDF)
+# ----------------------------------------------------------------------
+def emb_ivf_topics(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 16,
+    top_terms: int = 5,
+) -> DataFrame:
+    """Topic labels for the IVF inverted lists: the top class-TF-IDF
+    terms of the documents assigned to each list — the BERTopic-style
+    cluster-explanation pass that turns an opaque vector partition
+    into a human-readable corpus map (and the first QA a curation
+    team runs on a clustering before trusting it for sampling).
+
+    Cross-table composition: the SAME broadcast centroid assignment
+    the IVF index builds (``_assign_to_centroids`` — compose, don't
+    recompute) keyed back to ``documents`` on the shared id space,
+    then c-TF-IDF per (list, token):
+
+      score = c_tok · (L(n_lists) − L(df_lists(token))),
+      L = round(ln·1e6)
+
+    (token frequency within the list × quantized-log inverse list
+    frequency) with top-``top_terms`` per list by (score desc, token).
+    Integer math after the two quantized lns, so engine-exact.
+
+    Scale shape: one broadcast assignment pass, one keyed join to
+    docs, one (list, token) count; the ranking window runs on the
+    per-list vocabulary relation, never corpus rows.  Reference
+    analog: none (pure [EXT])."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "nrm", F.expr(_norm_expr("embedding"))
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_centroids)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    asg = _assign_to_centroids(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), "centroid_id"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = (
+        docs.join(asg, "doc_id")
+        .select("centroid_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    ct = toks.groupBy("centroid_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tok")
+    )
+    df_lists = ct.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_lists")
+    )
+    # lazy 1-row scalar (no driver action at plan-build time)
+    nl = ct.agg(F.count_distinct("centroid_id").alias("n_lists"))
+    lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
+    scored = (
+        ct.join(F.broadcast(df_lists), "token")
+        .crossJoin(F.broadcast(nl))
+        .withColumn(
+            "score_micros",
+            F.expr(
+                f"c_tok * ({lnq.format('n_lists')} - {lnq.format('df_lists')})"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("centroid_id").orderBy(
+                    F.col("score_micros").desc(), F.col("token")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= top_terms)
+    )
+    return scored.select(
+        "centroid_id",
+        "token",
+        "c_tok",
+        "df_lists",
+        "score_micros",
+        F.col("rk").cast("bigint").alias("rk"),
+    ).orderBy("centroid_id", "rk")
+
+
+def _ivf_topics_sql(n_centroids: int = 16, top_terms: int = 5) -> str:
+    """Parameterized oracle builder for ``emb_ivf_topics``."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, LEN({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    lnq = "CAST(ROUND(ln(CAST({0} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, {nrm.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cn
+  FROM emb WHERE vec_id >= 100 AND vec_id < {100 + n_centroids}
+),
+asg AS (
+  SELECT e.vec_id AS doc_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {dot.format(a='e.embedding', b='c.ce')}
+                    / NULLIF(e.nrm * c.cn, 0.0) DESC, c.centroid_id
+         ) AS rk
+  FROM emb e CROSS JOIN cents c
+),
+toks AS (
+  SELECT a.centroid_id, UNNEST(string_split(d.text, ' ')) AS token
+  FROM documents d JOIN (SELECT doc_id, centroid_id FROM asg WHERE rk = 1) a
+    USING (doc_id)
+),
+ct AS (
+  SELECT centroid_id, token, CAST(COUNT(*) AS BIGINT) AS c_tok
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+dfl AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_lists FROM ct GROUP BY token
+),
+nl AS (SELECT COUNT(DISTINCT centroid_id) AS n_lists FROM ct),
+scored AS (
+  SELECT ct.centroid_id, ct.token, ct.c_tok, dfl.df_lists,
+         CAST(ct.c_tok * ({lnq.format('nl.n_lists')}
+              - {lnq.format('dfl.df_lists')}) AS BIGINT) AS score_micros
+  FROM ct JOIN dfl USING (token) CROSS JOIN nl
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+              ORDER BY score_micros DESC, token) AS rk
+  FROM scored
+)
+SELECT centroid_id, token, c_tok, df_lists, score_micros,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {top_terms}
+ORDER BY centroid_id, rk
+"""
+
+
+EMB_IVF_TOPICS_SQL = _ivf_topics_sql()

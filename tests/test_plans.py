@@ -1278,3 +1278,44 @@ def test_ohlc_single_agg_no_window(spark):
     assert inspect.exchange_count(df) <= 2
     cols = inspect.scan_columns(df)
     assert cols <= {"ts", "event_id", "event_type", "value"}, cols
+
+
+def test_ivf_topics_broadcast_assignment_and_vocab_window(spark):
+    # assignment rides the codebook broadcast; df/N joins broadcast;
+    # the rank window runs above a (list, token) aggregate, never on
+    # corpus rows; no sort-merge join
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_ivf_topics(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    win_pos = plan.find("Window")
+    assert win_pos > 0 and "HashAggregate" in plan[win_pos:]
+
+
+def test_containment_pair_bounded_shingle_pass(spark):
+    # the shingle recompute is semi-join bounded to pair docs: the
+    # documents scan must sit under a join with the id relation, and
+    # the memoized pair relation is reused
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_minhash_containment(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # memoized pairs upstream
+
+
+def test_pareto_windows_on_band_relation_only(spark):
+    # cumulative sweep runs on the bounded revenue-band relation (an
+    # aggregate below the window); threshold fan-out is a broadcast
+    from meteaudata_spark.ext import relational
+
+    df = relational.orders_pareto_share(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    win_pos = plan.find("Window")
+    assert win_pos > 0 and "HashAggregate" in plan[win_pos:]
+    cols = inspect.scan_columns(df)
+    assert cols <= {"o_custkey", "o_totalprice"}, cols

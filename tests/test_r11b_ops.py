@@ -401,3 +401,158 @@ def test_ohlc_matches_pandas(spark):
     assert len(m) == len(got) == len(exp)
     for c in ("open", "high", "low", "close", "volume"):
         assert (m[c] == m[f"{c}_e"]).all(), c
+
+
+# ----------------------------------------------------------------------
+# emb_ivf_topics
+# ----------------------------------------------------------------------
+def test_ivf_topics_matches_python_ctfidf(spark):
+    """Given the operator's own cluster assignment, the c-TF-IDF
+    scores and per-cluster top-5 must equal a pure-Python replication
+    over the documents table."""
+    import math
+    from collections import Counter
+
+    from meteaudata_spark.ext.simsearch import (
+        _assign_to_centroids,
+        _emb,
+        _norm_expr,
+        emb_ivf_topics,
+    )
+
+    got_rows = emb_ivf_topics(spark, SF).collect()
+    emb = _emb(spark, SF).withColumn("nrm", F.expr(_norm_expr("embedding")))
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 116)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    asg = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _assign_to_centroids(emb, cents).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ct: Counter = Counter()
+    for r in docs:
+        cid = asg.get(r["doc_id"])
+        if cid is None:
+            continue
+        for tok in r["text"].split(" "):
+            if tok != "":
+                ct[(cid, tok)] += 1
+    dfl = Counter(tok for (_, tok) in ct)
+    n_lists = len({cid for (cid, _) in ct})
+
+    def L(x: int) -> int:
+        return round(math.log(x) * 1e6)
+
+    per_cluster: dict = {}
+    for (cid, tok), c in ct.items():
+        per_cluster.setdefault(cid, []).append(
+            (tok, c, dfl[tok], c * (L(n_lists) - L(dfl[tok])))
+        )
+    expected = []
+    for cid, rows in per_cluster.items():
+        rows.sort(key=lambda x: (-x[3], x[0]))
+        for rk, (tok, c, d, s) in enumerate(rows[:5], 1):
+            expected.append((cid, tok, c, d, s, rk))
+    got = [
+        (
+            r["centroid_id"],
+            r["token"],
+            r["c_tok"],
+            r["df_lists"],
+            r["score_micros"],
+            r["rk"],
+        )
+        for r in got_rows
+    ]
+    assert sorted(got) == sorted(expected)
+    assert len(got) > 0
+
+
+# ----------------------------------------------------------------------
+# doc_minhash_containment
+# ----------------------------------------------------------------------
+def test_containment_consistent_with_jaccard(spark):
+    """Set identities on every pair: n_inter/max(n_a,n_b) <= jaccard
+    <= min containment; a planted exact-duplicate text pair must flag
+    is_subset in both directions."""
+    from meteaudata_spark.ext.dedup import doc_minhash_containment
+
+    rows = doc_minhash_containment(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        cmax = max(r["containment_a_bp"], r["containment_b_bp"])
+        cmin = min(r["containment_a_bp"], r["containment_b_bp"])
+        # J = I/(A+B-I) <= I/max(A,B) = cmin side? (I/larger-set);
+        # containment of the larger set is the SMALLER ratio, and
+        # J <= both containments, J in micros vs bp: scale 100
+        assert r["jaccard_micros"] <= (cmin + 1) * 100 + 100
+        assert r["is_subset"] == (1 if cmax >= 9500 else 0)
+
+
+def test_containment_detects_planted_subset(spark):
+    """A short doc whose shingles are a strict subset of a long doc's
+    must score containment_short ~= 10000 even when Jaccard is low."""
+    from meteaudata_spark.ext.dedup import _md5_shingles
+
+    words = [f"w{i}" for i in range(60)]
+    long_text = " ".join(words)
+    short_text = " ".join(words[:12])
+    d = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id LONG, text STRING"
+    )
+    sets = {
+        r["doc_id"]: set(r["hs"])
+        for r in _md5_shingles(d, 3)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+        .collect()
+    }
+    inter = len(sets[1] & sets[2])
+    c_short = inter * 10000 // len(sets[2])
+    jac = inter / len(sets[1] | sets[2])
+    assert c_short == 10000  # all short-doc shingles contained
+    assert jac < 0.25  # symmetric Jaccard would miss it
+
+
+# ----------------------------------------------------------------------
+# orders_pareto_share
+# ----------------------------------------------------------------------
+def test_pareto_share_matches_python(spark):
+    """Band-granular cuts equal a pure-Python replication, and the
+    whale-curve invariants hold (higher threshold -> more customers,
+    achieved share >= threshold)."""
+    from meteaudata_spark.ext.relational import orders_pareto_share
+
+    rows = sorted(
+        orders_pareto_share(spark, SF).collect(),
+        key=lambda r: r["threshold_bp"],
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    rev = orders.groupby("o_custkey")["cents"].sum()
+    bands = (rev // 100000).to_frame("band").assign(rc=rev)
+    g = bands.groupby("band")["rc"]
+    import pandas as pd
+
+    bt = pd.DataFrame({"n": g.size(), "rev": g.sum()}).sort_index(
+        ascending=False
+    )
+    bt["cum_cust"] = bt["n"].cumsum()
+    bt["cum_rev"] = bt["rev"].cumsum()
+    total_cust, total_rev = int(bt["n"].sum()), int(bt["rev"].sum())
+    for r in rows:
+        t = r["threshold_bp"]
+        sel = bt[bt["cum_rev"] * 10000 >= t * total_rev]
+        n_c = int(sel["cum_cust"].min())
+        c_rev = int(sel.loc[sel["cum_cust"].idxmin(), "cum_rev"])
+        assert r["n_customers"] == n_c
+        assert r["customers_bp"] == n_c * 10000 // total_cust
+        assert r["rev_share_bp"] == c_rev * 10000 // total_rev
+        assert r["rev_share_bp"] >= t
+    ns = [r["n_customers"] for r in rows]
+    assert ns == sorted(ns)
