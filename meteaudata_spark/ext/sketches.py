@@ -595,6 +595,60 @@ CROSS JOIN est_u u
 # ----------------------------------------------------------------------
 # sliding-window distinct-count rollup (mergeable registers)
 # ----------------------------------------------------------------------
+def _window_estimate(win_regs: DataFrame) -> DataFrame:
+    """(win_end, hll_uniques) from merged (win_end, b, m) register
+    rows: the raw HLL fold with the quantized-ln linear-counting
+    branch — shared by the batch sliding op and the streamed-register
+    merge path so the lambda composition is exact by construction."""
+    per_win = win_regs.groupBy("win_end").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    scaled = F.col("s") + (F.lit(_M) - F.col("nb")) * F.lit(1 << 53)
+    raw = F.floor(F.lit(_NUMER) / scaled.cast("double")).cast("bigint")
+    lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
+    lc = F.expr(
+        f"({_M} * ({lnq.format(_M)} - {lnq.format(f'({_M} - nb)')}))"
+        " div 1000000"
+    ).cast("bigint")
+    est = F.when(
+        (raw < F.lit(int(2.5 * _M))) & (F.col("nb") < F.lit(_M)), lc
+    ).otherwise(raw)
+    return per_win.select("win_end", est.alias("hll_uniques"))
+
+
+def merge_sliding_registers(
+    day_regs: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """(win_end, hll_uniques) from PER-DAY register ARRAYS — the merge
+    half of the lambda pipeline: ``streaming.hll_stream.
+    stream_hll_day_registers`` drains (day, regs[256]) rows; this fold
+    fans each day out to its covering trailing windows and max-merges,
+    exactly like the batch op's interior.  Associativity of max means
+    stream + merge == one-shot batch (asserted in
+    tests/test_r11b_ops.py)."""
+    exploded = day_regs.select(
+        F.col("day"), F.posexplode("regs").alias("b", "m")
+    ).filter(F.col("m") > 0)
+    days = day_regs.select("day").distinct()
+    win_regs = (
+        exploded.select(
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {window_days - 1}))")
+            ).alias("win_end"),
+            "b",
+            "m",
+        )
+        .join(F.broadcast(days.withColumnRenamed("day", "win_end")), "win_end")
+        .groupBy("win_end", "b")
+        .agg(F.max("m").alias("m"))
+    )
+    return _window_estimate(win_regs).withColumn(
+        "win_end", F.col("win_end").cast("timestamp")
+    )
+
+
+
 def events_hll_sliding_uniques(
     spark: SparkSession, sf_dir: str, window_days: int = 7
 ) -> DataFrame:
@@ -652,21 +706,7 @@ def events_hll_sliding_uniques(
         .groupBy("win_end", "b")
         .agg(F.max("m").alias("m"))
     )
-    per_win = win_regs.groupBy("win_end").agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("s"),
-        F.count(F.lit(1)).alias("nb"),
-    )
-    scaled = F.col("s") + (F.lit(_M) - F.col("nb")) * F.lit(1 << 53)
-    raw = F.floor(F.lit(_NUMER) / scaled.cast("double")).cast("bigint")
-    lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
-    lc = F.expr(
-        f"({_M} * ({lnq.format(_M)} - {lnq.format(f'({_M} - nb)')}))"
-        " div 1000000"
-    ).cast("bigint")
-    est = F.when(
-        (raw < F.lit(int(2.5 * _M))) & (F.col("nb") < F.lit(_M)), lc
-    ).otherwise(raw)
-    sketch = per_win.select("win_end", est.alias("hll_uniques"))
+    sketch = _window_estimate(win_regs)
     # self-evaluation: exact trailing distinct via window re-dedup
     exact = (
         ev.select(

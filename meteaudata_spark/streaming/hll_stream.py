@@ -96,3 +96,54 @@ def stream_hll_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_REGS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("regs", ArrayType(LongType())),
+    ]
+)
+
+
+def _update_hll_regs(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    regs = list(state.get[0]) if state.exists else [0] * _M
+    for pdf in pdfs:
+        for h in pdf["h"]:
+            h = int(h)
+            b = h % _M
+            r = _rho(h)
+            if r > regs[b]:
+                regs[b] = r
+    state.update((regs,))
+    yield pd.DataFrame({"key": [key[0]], "regs": [regs]})
+
+
+def stream_hll_day_registers(
+    stream_df: DataFrame, key_col: str = "key", hash_col: str = "h"
+) -> DataFrame:
+    """Per-key streaming HLL that emits the RAW register array each
+    micro-batch (update mode) instead of the folded estimate — the
+    ingestion half of the sliding-uniques lambda pipeline: drain the
+    final (day, regs) rows and feed them to
+    ``ext.sketches.merge_sliding_registers`` to get trailing-window
+    estimates identical to the one-shot batch op (register max-merge
+    is associative, so stream-then-merge == batch by construction).
+
+    State per key is the same m=256 longs as ``stream_hll_distinct``;
+    emitting registers costs nothing extra and keeps the downstream
+    merge engine-exact (no re-hash, no floats cross the boundary)."""
+    from pyspark.sql import functions as F
+
+    renamed = stream_df.select(
+        F.col(key_col).alias("key"), F.col(hash_col).alias("h")
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _update_hll_regs,
+        outputStructType=_REGS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
