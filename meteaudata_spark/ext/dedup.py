@@ -2469,3 +2469,128 @@ ORDER BY doc_a, doc_b
 
 
 DOC_MINHASH_CONTAINMENT_SQL = _minhash_containment_sql()
+
+
+# ----------------------------------------------------------------------
+# Jaccard-threshold calibration against character-level truth
+# ----------------------------------------------------------------------
+def doc_jaccard_edit_calibration(
+    spark: SparkSession,
+    sf_dir: str,
+    truth_sim_bp: int = 9000,
+    prefix: int = 2000,
+) -> DataFrame:
+    """Calibrate the shingle-Jaccard score against EXACT edit-distance
+    truth: bucket the LSH candidate pairs into Jaccard bands and
+    report how often each band clears the ``truth_sim_bp``
+    character-similarity fence — the table that picks the production
+    Jaccard threshold (and quantifies what each notch of threshold
+    costs in real duplicates kept).
+
+    Composes the memoized ``doc_minhash_lsh_pairs`` relation with one
+    Levenshtein pass over the candidate set (sanitized ``prefix``
+    chars, the ``doc_lsh_edit_verify`` engine-parity rules) — the
+    candidate universe is LSH-bounded, so the quadratic DP never
+    meets unbounded pair counts (the 16-bit SimHash universe, by
+    contrast, is collision-dense by construction and is deliberately
+    NOT evaluated this way).
+
+    Output per Jaccard band of 0.05 (band = floor(jaccard·20)):
+    (jaccard_band, n_pairs, n_edit_true, true_rate_bp,
+    avg_edit_sim_bp).  Reference analog: none (pure [EXT])."""
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir)
+    tx = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "?"), 1, prefix
+        ).alias("t"),
+    )
+    labeled = (
+        pairs.join(
+            tx.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            tx.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            "doc_b",
+        )
+        .withColumn(
+            "mx", F.greatest(F.length("ta"), F.length("tb")).cast("bigint")
+        )
+        .withColumn("lev", F.levenshtein("ta", "tb").cast("bigint"))
+        .withColumn("edit_sim_bp", F.expr("(mx - lev) * 10000 div mx"))
+        .withColumn(
+            "band", F.floor(F.col("jaccard") * 20).cast("bigint")
+        )
+    )
+    return (
+        labeled.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("edit_sim_bp") >= int(truth_sim_bp)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_edit_true"),
+        )
+        .join(
+            labeled.groupBy("band").agg(
+                F.expr("sum(edit_sim_bp) div count(1)")
+                .cast("bigint")
+                .alias("avg_edit_sim_bp")
+            ),
+            "band",
+        )
+        .select(
+            F.col("band").alias("jaccard_band"),
+            "n_pairs",
+            "n_edit_true",
+            F.expr("(n_edit_true * 10000) div n_pairs").alias(
+                "true_rate_bp"
+            ),
+            "avg_edit_sim_bp",
+        )
+        .orderBy("jaccard_band")
+    )
+
+
+def _jaccard_edit_calibration_sql(
+    truth_sim_bp: int = 9000,
+    prefix: int = 2000,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+) -> str:
+    """Parameterized oracle builder for ``doc_jaccard_edit_calibration``."""
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands, threshold)},
+tx AS (
+  SELECT doc_id,
+         substring(regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g'),
+                   1, {int(prefix)}) AS t
+  FROM documents
+),
+labeled AS (
+  SELECT CAST(FLOOR(p.jaccard * 20) AS BIGINT) AS band,
+         (CAST(GREATEST(length(a.t), length(b.t)) AS BIGINT)
+          - CAST(levenshtein(a.t, b.t) AS BIGINT)) * 10000
+          // CAST(GREATEST(length(a.t), length(b.t)) AS BIGINT)
+           AS edit_sim_bp
+  FROM mh_pairs p
+  JOIN tx a ON a.doc_id = p.doc_a
+  JOIN tx b ON b.doc_id = p.doc_b
+)
+SELECT band AS jaccard_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN edit_sim_bp >= {int(truth_sim_bp)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_edit_true,
+       CAST((SUM(CASE WHEN edit_sim_bp >= {int(truth_sim_bp)}
+                      THEN 1 ELSE 0 END) * 10000)
+            // COUNT(*) AS BIGINT) AS true_rate_bp,
+       CAST(SUM(edit_sim_bp) // COUNT(*) AS BIGINT) AS avg_edit_sim_bp
+FROM labeled
+GROUP BY band ORDER BY jaccard_band
+"""
+
+
+DOC_JACCARD_EDIT_CALIBRATION_SQL = _jaccard_edit_calibration_sql()

@@ -2270,3 +2270,116 @@ FROM hit GROUP BY threshold_bp ORDER BY threshold_bp
 
 
 ORDERS_PARETO_SHARE_SQL = _pareto_share_sql()
+
+
+# ----------------------------------------------------------------------
+# market concentration (Herfindahl–Hirschman index)
+# ----------------------------------------------------------------------
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation — the
+    Herfindahl–Hirschman index (Σ share²) antitrust economics uses,
+    here the supply-risk audit: a nation whose line-item revenue sits
+    with two suppliers (HHI → 5000+) is a single-point-of-failure in
+    the supply graph.
+
+    Determinism: per-line revenue quantizes to integer cents
+    (``round(l_extendedprice·(1−l_discount)·100)``, the RFM rule);
+    shares floor to basis points against the nation total and HHI =
+    Σ share_bp² div 10000 ∈ [0, 10000].  The share
+    cross-multiplication promotes to DECIMAL(38,0)/HUGEINT (the zipf
+    overflow rule).
+
+    Scale shape: one fact-side keyed agg to (supplier) cents, a
+    broadcast supplier→nation dim join, one keyed nation rollup —
+    windows never touch fact rows.  Reference analog: none (pure
+    [EXT])."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("cents").cast("bigint").alias("s_rev")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    by_nation = (
+        per_supp.join(F.broadcast(supp), "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("s_rev").cast("bigint").alias("total_cents"),
+        )
+    )
+    # per-supplier floored bp shares (floor semantics must match the
+    # oracle exactly, so no Σs²/T² shortcut)
+    shares = (
+        per_supp.join(F.broadcast(supp), "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .join(
+            by_nation.select("n_name", "total_cents"),
+            "n_name",
+        )
+        .select(
+            "n_name",
+            F.expr(
+                "cast((cast(s_rev as decimal(38,0)) * 10000)"
+                " div total_cents as bigint)"
+            ).alias("share_bp"),
+        )
+    )
+    hhi = shares.groupBy("n_name").agg(
+        F.expr("sum(share_bp * share_bp) div 10000")
+        .cast("bigint")
+        .alias("hhi_bp"),
+        F.max("share_bp").cast("bigint").alias("top_share_bp"),
+    )
+    return (
+        by_nation.select("n_name", "n_suppliers", "total_cents")
+        .join(hhi, "n_name")
+        .orderBy("n_name")
+    )
+
+
+ORDERS_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS s_rev
+  FROM lineitem GROUP BY l_suppkey
+),
+located AS (
+  SELECT p.l_suppkey, p.s_rev, n.n_name
+  FROM per_supp p
+  JOIN supplier s ON s.s_suppkey = p.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+),
+by_nation AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(s_rev) AS BIGINT) AS total_cents
+  FROM located GROUP BY n_name
+),
+shares AS (
+  SELECT l.n_name,
+         CAST((CAST(l.s_rev AS HUGEINT) * 10000) // b.total_cents
+              AS BIGINT) AS share_bp
+  FROM located l JOIN by_nation b USING (n_name)
+),
+hhi AS (
+  SELECT n_name,
+         CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp,
+         CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+  FROM shares GROUP BY n_name
+)
+SELECT b.n_name, b.n_suppliers, b.total_cents, h.hhi_bp, h.top_share_bp
+FROM by_nation b JOIN hhi h USING (n_name)
+ORDER BY b.n_name
+"""

@@ -1319,3 +1319,28 @@ def test_pareto_windows_on_band_relation_only(spark):
     assert win_pos > 0 and "HashAggregate" in plan[win_pos:]
     cols = inspect.scan_columns(df)
     assert cols <= {"o_custkey", "o_totalprice"}, cols
+
+
+def test_jaccard_edit_calibration_lsh_bounded(spark):
+    # DP runs only on the memoized LSH candidate relation; the band
+    # aggregate is band-relation sized
+    from meteaudata_spark.ext import dedup
+
+    df = dedup.doc_jaccard_edit_calibration(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_hhi_fact_agg_then_broadcast_dims(spark):
+    # one fact-side keyed agg; supplier/nation dims broadcast; no
+    # window over fact rows
+    from meteaudata_spark.ext import relational
+
+    df = relational.orders_hhi_concentration(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    cols = inspect.scan_columns(df)
+    assert "l_comment" not in cols and "l_orderkey" not in cols

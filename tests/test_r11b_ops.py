@@ -556,3 +556,91 @@ def test_pareto_share_matches_python(spark):
         assert r["rev_share_bp"] >= t
     ns = [r["n_customers"] for r in rows]
     assert ns == sorted(ns)
+
+
+# ----------------------------------------------------------------------
+# doc_jaccard_edit_calibration
+# ----------------------------------------------------------------------
+def test_jaccard_edit_calibration_matches_python(spark):
+    """Band counts, truth rates, and avg edit similarity must equal a
+    pure-Python replication over the same LSH candidates."""
+    from collections import defaultdict
+
+    from meteaudata_spark.ext.dedup import (
+        doc_jaccard_edit_calibration,
+        doc_minhash_lsh_pairs,
+    )
+
+    got = {
+        r["jaccard_band"]: (
+            r["n_pairs"],
+            r["n_edit_true"],
+            r["true_rate_bp"],
+            r["avg_edit_sim_bp"],
+        )
+        for r in doc_jaccard_edit_calibration(spark, SF).collect()
+    }
+    pairs = doc_minhash_lsh_pairs(spark, SF).collect()
+    texts = {
+        r["doc_id"]: re.sub(r"[^\x20-\x7e]", "?", r["text"])[:2000]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    import math
+
+    bands = defaultdict(list)
+    for p in pairs:
+        ta, tb = texts[p["doc_a"]], texts[p["doc_b"]]
+        mx = max(len(ta), len(tb))
+        sim = (mx - _py_levenshtein(ta, tb)) * 10000 // mx
+        bands[math.floor(p["jaccard"] * 20)].append(sim)
+    expected = {
+        b: (
+            len(v),
+            sum(1 for x in v if x >= 9000),
+            sum(1 for x in v if x >= 9000) * 10000 // len(v),
+            sum(v) // len(v),
+        )
+        for b, v in bands.items()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+# ----------------------------------------------------------------------
+# orders_hhi_concentration
+# ----------------------------------------------------------------------
+def test_hhi_matches_python_and_bounds(spark):
+    """HHI equals a pure-Python replication and obeys its bounds:
+    10000/n_suppliers <= hhi (floored) <= 10000, and a single-supplier
+    nation would score exactly 10000."""
+    from meteaudata_spark.ext.relational import orders_hhi_concentration
+
+    rows = orders_hhi_concentration(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    su = spark.read.parquet(f"{SF}/supplier.parquet").toPandas()
+    na = spark.read.parquet(f"{SF}/nation.parquet").toPandas()
+    import numpy as np
+
+    # HALF_UP like Spark's F.round (pandas .round is half-to-even)
+    li["cents"] = np.floor(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5
+    ).astype("int64")
+    per_supp = li.groupby("l_suppkey")["cents"].sum().reset_index()
+    per_supp = per_supp.merge(
+        su[["s_suppkey", "s_nationkey"]],
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    ).merge(na[["n_nationkey", "n_name"]], left_on="s_nationkey",
+            right_on="n_nationkey")
+    for r in rows:
+        g = per_supp[per_supp["n_name"] == r["n_name"]]
+        total = int(g["cents"].sum())
+        shares = [int(c) * 10000 // total for c in g["cents"]]
+        hhi = sum(s * s for s in shares) // 10000
+        assert r["n_suppliers"] == len(g)
+        assert r["total_cents"] == total
+        assert r["hhi_bp"] == hhi
+        assert r["top_share_bp"] == max(shares)
+        assert r["hhi_bp"] <= 10000
+        # equal-share lower bound (floored)
+        assert r["hhi_bp"] >= 10000 // r["n_suppliers"] - 1
