@@ -52,19 +52,36 @@ def _estimate(regs: list) -> int:
     return int(_NUMER / float(scaled))
 
 
+def _fold_batch(regs, pdfs) -> int:
+    """Vectorized register fold: one numpy pass per micro-batch chunk.
+
+    rho needs the exact integer bit length of w = h div m; w ≤ 2^52 is
+    exactly representable as a double, and ``np.frexp`` returns its
+    binary exponent exactly (no log2 rounding risk — the same reason
+    the batch operator uses ``bin()`` length, not ``log2``)."""
+    import numpy as np
+
+    n = 0
+    arr = np.asarray(regs, dtype=np.int64)
+    for pdf in pdfs:
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        if len(h) == 0:
+            continue
+        b = h % _M
+        w = h // _M
+        _, e = np.frexp(w.astype(np.float64))
+        r = np.where(w == 0, 53, 53 - e).astype(np.int64)
+        np.maximum.at(arr, b, r)
+        n += len(h)
+    regs[:] = arr.tolist()
+    return n
+
+
 def _update_hll(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     regs = list(state.get[0]) if state.exists else [0] * _M
-    batch_n = 0
-    for pdf in pdfs:
-        for h in pdf["h"]:
-            h = int(h)
-            b = h % _M
-            r = _rho(h)
-            if r > regs[b]:
-                regs[b] = r
-            batch_n += 1
+    batch_n = _fold_batch(regs, pdfs)
     state.update((regs,))
     yield pd.DataFrame(
         {
@@ -110,19 +127,18 @@ def _update_hll_regs(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     regs = list(state.get[0]) if state.exists else [0] * _M
-    for pdf in pdfs:
-        for h in pdf["h"]:
-            h = int(h)
-            b = h % _M
-            r = _rho(h)
-            if r > regs[b]:
-                regs[b] = r
+    _fold_batch(regs, pdfs)
     state.update((regs,))
-    yield pd.DataFrame({"key": [key[0]], "regs": [regs]})
+    # emit the ORIGINAL key (shard suffix stripped): downstream merge
+    # max-folds registers per key, so shards reassemble for free
+    yield pd.DataFrame({"key": [key[0].rsplit("|", 1)[0]], "regs": [regs]})
 
 
 def stream_hll_day_registers(
-    stream_df: DataFrame, key_col: str = "key", hash_col: str = "h"
+    stream_df: DataFrame,
+    key_col: str = "key",
+    hash_col: str = "h",
+    n_shards: int = 32,
 ) -> DataFrame:
     """Per-key streaming HLL that emits the RAW register array each
     micro-batch (update mode) instead of the folded estimate — the
@@ -132,13 +148,25 @@ def stream_hll_day_registers(
     estimates identical to the one-shot batch op (register max-merge
     is associative, so stream-then-merge == batch by construction).
 
-    State per key is the same m=256 longs as ``stream_hll_distinct``;
-    emitting registers costs nothing extra and keeps the downstream
-    merge engine-exact (no re-hash, no floats cross the boundary)."""
+    State per (key, shard) is the same m=256 longs as
+    ``stream_hll_distinct``; emitting registers costs nothing extra
+    and keeps the downstream merge engine-exact (no re-hash, no
+    floats cross the boundary).
+
+    Sharded state (the dip/spike idiom): a day's rows hash-split into
+    ``n_shards`` independent register tables so the Arrow transfer and
+    the Python fold parallelize across keys × shards instead of
+    serializing per day; register max-merge is associative, so the
+    downstream per-key fold reassembles shards exactly."""
     from pyspark.sql import functions as F
 
     renamed = stream_df.select(
-        F.col(key_col).alias("key"), F.col(hash_col).alias("h")
+        F.concat_ws(
+            "|",
+            F.col(key_col).cast("string"),
+            F.pmod(F.col(hash_col), F.lit(int(n_shards))).cast("string"),
+        ).alias("key"),
+        F.col(hash_col).alias("h"),
     )
     return renamed.groupBy("key").applyInPandasWithState(
         _update_hll_regs,

@@ -49,11 +49,22 @@ def test_streamed_day_registers_merge_equals_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    drained = spark.table("hll_day_regs").toPandas()
-    # last emitted row per key = final cumulative registers
-    final = drained.groupby("key").tail(1)
-    day_regs = spark.createDataFrame(final).select(
-        F.col("key").cast("date").alias("day"), "regs"
+    drained = spark.table("hll_day_regs")
+    # registers only grow, so the element-wise max over every drained
+    # update row per key == the final state — and with sharded state
+    # (n_shards > 1) the same max-fold reassembles the shards
+    day_regs = (
+        drained.select("key", F.posexplode("regs").alias("b", "m"))
+        .groupBy("key", "b")
+        .agg(F.max("m").alias("m"))
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("b", "m"))).alias("bm"))
+        .select(
+            F.col("key").cast("date").alias("day"),
+            F.expr(
+                "transform(bm, x -> x.m)"
+            ).alias("regs"),
+        )
     )
     merged = {
         str(r["win_end"]): r["hll_uniques"]
