@@ -3769,3 +3769,202 @@ ORDER BY centroid_id, rk
 
 
 EMB_IVF_TOPICS_SQL = _ivf_topics_sql()
+
+
+# ----------------------------------------------------------------------
+# iterated k-means trainer (multi-round Lloyd, convergence trace)
+# ----------------------------------------------------------------------
+def emb_kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 8,
+    rounds: int = 3,
+) -> DataFrame:
+    """Iterated Lloyd trainer: ``rounds`` full assign→update cycles of
+    cosine k-means with a per-round convergence trace — the embedding
+    analog of the iterated BPE trainer (``doc_bpe_train``), completing
+    the single-step ``emb_kmeans`` gate row into the training loop a
+    real codebook build runs (IVF/PQ codebooks, SemDeDup clusters).
+
+    Exactness carries the single-step proof through every round: the
+    round-0 centroids are the deterministic seed vectors; each update
+    re-sums vector components quantized to integers (round(x·2²⁰),
+    exact bigint sums, order-free), so the round-r centroid is an
+    exact integer vector both engines reconstruct identically, and
+    cosine against it is scale-invariant.  Centroid component sums
+    stay below 2^53 while Σ|q| per dimension < 2^53 ≈ 9e15 — at 2^20
+    quantization that is ~8.5e9 unit-scale vectors per cluster;
+    beyond that, drop to 2^14 quantization (documented bound, not a
+    silent overflow).
+
+    Output: (round, cluster_id, n_assigned, avg_cos) for every round
+    — the table that shows membership stabilizing and mean similarity
+    rising monotonically-ish, i.e. whether ``rounds`` was enough.
+
+    Scale shape per round: one broadcast cross-join assignment pass
+    (k centroids ride the task closure — no corpus shuffle), one
+    (k × dims)-row partial-aggregated update.  The whole trainer is a
+    single lazy DAG (no driver-side collect between rounds; the
+    centroid relation is k×dims rows flowing broadcast-join-to-
+    broadcast-join).  Reference analog: none (pure [EXT])."""
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("nrm", F.expr(_norm_expr("embedding")))
+        .filter(F.col("nrm") > 0)
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+            ),
+        )
+        .select("vec_id", "embedding", "nrm", "q")
+    )
+    # round-0 centroids: seed vectors as double arrays + their norms
+    cent = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + n_clusters)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cd"),
+    )
+    traces = []
+    for r in range(1, rounds + 1):
+        withn = cent.withColumn(
+            "cn",
+            F.expr(
+                "sqrt(aggregate(cd, CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + v * v))"
+            ),
+        )
+        sim = F.expr(_DOT.format(a="embedding", b="cd")) / F.nullif(
+            F.col("nrm") * F.col("cn"), F.lit(0.0)
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(withn))
+            .withColumn("__sim", sim)
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("__sim").desc(), F.col("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+        )
+        traces.append(
+            assigned.groupBy(F.col("centroid_id").alias("cluster_id"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+                F.sum(
+                    F.expr("CAST(round(__sim * 1000000.0) AS BIGINT)")
+                ).alias("__s6"),
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                "cluster_id",
+                "n_assigned",
+                F.round(
+                    F.col("__s6").cast("double")
+                    / (F.lit(1000000.0) * F.col("n_assigned")),
+                    4,
+                ).alias("avg_cos"),
+            )
+        )
+        if r < rounds:
+            upd = (
+                assigned.select(
+                    "centroid_id", F.posexplode("q").alias("pos", "qv")
+                )
+                .groupBy("centroid_id", "pos")
+                .agg(F.sum("qv").alias("s"))
+            )
+            cent = upd.groupBy("centroid_id").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, s))),"
+                    " p -> CAST(p.s AS DOUBLE))"
+                ).alias("cd")
+            )
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("round", "cluster_id")
+
+
+def _kmeans_train_sql(n_clusters: int = 8, rounds: int = 3) -> str:
+    """Unrolled-CTE oracle for ``emb_kmeans_train`` (the
+    ``emb_pca_power`` idiom: one CTE chain per round)."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, LEN({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    parts = [
+        f"""emb AS (
+  SELECT vec_id, embedding, {nrm.format(a='embedding')} AS nrm,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+  FROM embeddings
+  WHERE {nrm.format(a='embedding')} > 0
+),
+cent1 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+  FROM emb WHERE vec_id >= 100 AND vec_id < {100 + n_clusters}
+)"""
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""withn{r} AS (
+  SELECT centroid_id, cd,
+         sqrt(list_aggregate(list_transform(cd, v -> v * v), 'sum')) AS cn
+  FROM cent{r}
+),
+asg{r} AS (
+  SELECT e.vec_id, e.q, c.centroid_id,
+         {dot.format(a='e.embedding', b='c.cd')}
+           / NULLIF(e.nrm * c.cn, 0.0) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {dot.format(a='e.embedding', b='c.cd')}
+                    / NULLIF(e.nrm * c.cn, 0.0) DESC, c.centroid_id
+         ) AS rk
+  FROM emb e CROSS JOIN withn{r} c
+),
+stats{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, centroid_id AS cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         ROUND(CAST(SUM(CAST(round(sim * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / (1000000.0 * COUNT(*)), 4) AS avg_cos
+  FROM asg{r} WHERE rk = 1 GROUP BY centroid_id
+)"""
+        )
+        selects.append(f"SELECT * FROM stats{r}")
+        if r < rounds:
+            parts.append(
+                f"""upd{r} AS (
+  SELECT centroid_id, i, CAST(SUM(q[i]) AS BIGINT) AS s
+  FROM (SELECT q, centroid_id FROM asg{r} WHERE rk = 1)
+  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) dims
+  GROUP BY centroid_id, i
+),
+cent{r + 1} AS (
+  SELECT centroid_id,
+         list_transform(list(s ORDER BY i), x -> CAST(x AS DOUBLE)) AS cd
+  FROM upd{r} GROUP BY centroid_id
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round, cluster_id\n"
+    )
+
+
+EMB_KMEANS_TRAIN_SQL = _kmeans_train_sql()

@@ -3907,3 +3907,84 @@ LIMIT {top_k}
 
 
 DOC_SKIPGRAM_PMI_SQL = _skipgram_pmi_sql()
+
+
+# ----------------------------------------------------------------------
+# uncertainty sampling (active-learning labeling queue)
+# ----------------------------------------------------------------------
+def doc_active_uncertainty(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Active-learning labeling queue: the ``k`` documents per
+    language whose classifier logit sits closest to the decision
+    boundary — uncertainty sampling, the standard way a curation team
+    spends a human-labeling budget to improve the quality classifier
+    fastest (label where the model is least sure, not at random).
+
+    Composes the planted-classifier scorer (``classifier_score`` —
+    the same shared helper the score and PR-curve gate rows run):
+    uncertainty = |logit_micros| (boundary at 0), top-``k`` per lang
+    by (uncertainty asc, doc_id).  Integer math end to end.
+
+    Scale shape: the score table is (doc_id, logit) narrow; the
+    per-lang top-k is a distributed window over lang partitions —
+    bounded output (k × |langs| rows).  Reference analog: none (pure
+    [EXT])."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scores = classifier_score(
+        d, planted_classifier_weights(spark), dim=256
+    ).select("doc_id", "logit_micros")
+    labeled = scores.join(d.select("doc_id", "lang"), "doc_id").withColumn(
+        "uncertainty_micros", F.abs(F.col("logit_micros")).cast("bigint")
+    )
+    ranked = labeled.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("uncertainty_micros"), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("logit_micros").cast("bigint").alias("logit_micros"),
+            "uncertainty_micros",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("lang", "rk")
+    )
+
+
+def _active_uncertainty_sql(k: int = 10) -> str:
+    """Parameterized oracle builder reusing the classifier-score CTE
+    chain."""
+    base = DOC_CLASSIFIER_SCORE_SQL.strip()
+    if "ORDER BY" in base:
+        base = base[: base.rindex("ORDER BY")]
+    return f"""
+WITH scores AS MATERIALIZED (
+{base}
+),
+labeled AS (
+  SELECT s.doc_id, d.lang, s.logit_micros,
+         CAST(ABS(s.logit_micros) AS BIGINT) AS uncertainty_micros
+  FROM scores s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY uncertainty_micros, doc_id) AS rk
+  FROM labeled
+)
+SELECT lang, doc_id, CAST(logit_micros AS BIGINT) AS logit_micros,
+       uncertainty_micros, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {int(k)}
+ORDER BY lang, rk
+"""
+
+
+DOC_ACTIVE_UNCERTAINTY_SQL = _active_uncertainty_sql()

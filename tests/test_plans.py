@@ -1344,3 +1344,25 @@ def test_hhi_fact_agg_then_broadcast_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     cols = inspect.scan_columns(df)
     assert "l_comment" not in cols and "l_orderkey" not in cols
+
+
+def test_kmeans_train_broadcast_rounds_no_corpus_shuffle(spark):
+    # every round's assignment is a broadcast nested-loop against the
+    # k-row centroid relation; the only wide exchanges feed the
+    # (k x dims) update aggregates — never a corpus sort-merge join
+    from meteaudata_spark.ext import simsearch
+
+    df = simsearch.emb_kmeans_train(spark, SF, rounds=3)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_active_uncertainty_bounded_window_output(spark):
+    # scores are narrow; the per-lang ranking window is the only one
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_active_uncertainty(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

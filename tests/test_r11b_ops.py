@@ -644,3 +644,107 @@ def test_hhi_matches_python_and_bounds(spark):
         assert r["hhi_bp"] <= 10000
         # equal-share lower bound (floored)
         assert r["hhi_bp"] >= 10000 // r["n_suppliers"] - 1
+
+
+# ----------------------------------------------------------------------
+# emb_kmeans_train
+# ----------------------------------------------------------------------
+def test_kmeans_train_round1_equals_seed_assignment(spark):
+    """Round 1 of the trainer must equal the single assignment pass
+    against the raw seeds, and total membership is conserved across
+    every round."""
+    from meteaudata_spark.ext.simsearch import (
+        _assign_to_centroids,
+        _emb,
+        _norm_expr,
+        emb_kmeans_train,
+    )
+
+    rows = emb_kmeans_train(spark, SF, rounds=3).collect()
+    n_total = (
+        _emb(spark, SF)
+        .withColumn("nrm", F.expr(_norm_expr("embedding")))
+        .filter(F.col("nrm") > 0)
+        .count()
+    )
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], {})[r["cluster_id"]] = r[
+            "n_assigned"
+        ]
+    assert set(by_round) == {1, 2, 3}
+    for r, sizes in by_round.items():
+        assert sum(sizes.values()) == n_total, r
+
+    emb = _emb(spark, SF).withColumn("nrm", F.expr(_norm_expr("embedding")))
+    cents = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 108)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    seed_sizes = {
+        r["centroid_id"]: r["n"]
+        for r in _assign_to_centroids(emb.filter(F.col("nrm") > 0), cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_round[1] == seed_sizes
+
+
+def test_kmeans_train_improves_mean_similarity(spark):
+    """Lloyd's algorithm never decreases the objective: the corpus-
+    weighted mean cosine must be non-decreasing round over round
+    (allowing 1 micro of quantization slack)."""
+    from meteaudata_spark.ext.simsearch import emb_kmeans_train
+
+    rows = emb_kmeans_train(spark, SF, rounds=3).collect()
+    by_round = {}
+    for r in rows:
+        agg = by_round.setdefault(r["round"], [0, 0.0])
+        agg[0] += r["n_assigned"]
+        agg[1] += r["avg_cos"] * r["n_assigned"]
+    means = [by_round[k][1] / by_round[k][0] for k in sorted(by_round)]
+    for a, b in zip(means, means[1:]):
+        assert b >= a - 1e-4, means
+
+
+# ----------------------------------------------------------------------
+# doc_active_uncertainty
+# ----------------------------------------------------------------------
+def test_active_uncertainty_picks_boundary_docs(spark):
+    """Per lang: exactly k rows, ranked by |logit| ascending, and no
+    unsampled doc of that lang sits closer to the boundary than the
+    sampled worst."""
+    from meteaudata_spark.ext.textstats import (
+        classifier_score,
+        doc_active_uncertainty,
+        planted_classifier_weights,
+    )
+
+    k = 10
+    rows = doc_active_uncertainty(spark, SF, k=k).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    scores = (
+        classifier_score(d, planted_classifier_weights(spark), dim=256)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", "doc_id", "logit_micros")
+        .collect()
+    )
+    per_lang = {}
+    for r in scores:
+        per_lang.setdefault(r["lang"], []).append(
+            (abs(r["logit_micros"]), r["doc_id"])
+        )
+    got = {}
+    for r in rows:
+        got.setdefault(r["lang"], []).append(
+            (r["uncertainty_micros"], r["doc_id"], r["rk"])
+        )
+    for lang, v in per_lang.items():
+        v.sort()
+        expected = v[: min(k, len(v))]
+        ranked = sorted(got[lang], key=lambda x: x[2])
+        assert [(u, d_) for u, d_, _ in ranked] == expected
