@@ -3988,3 +3988,270 @@ ORDER BY lang, rk
 
 
 DOC_ACTIVE_UNCERTAINTY_SQL = _active_uncertainty_sql()
+
+
+# ----------------------------------------------------------------------
+# token-level conditional entropy rate
+# ----------------------------------------------------------------------
+def doc_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram conditional entropy H(next|prev) — the
+    token-level predictability signal that separates natural prose
+    (≈5-8 nats is typical) from templated/boilerplate text (low) and
+    token salad (high ≈ unigram entropy); complements
+    ``doc_char_entropy`` (character level) and the perplexity buckets
+    (model-relative) with a model-free corpus statistic.
+
+      H = Σ_ab (c_ab / N) · ln(c_a· / c_ab)
+        → H_micros = (Σ_ab c_ab · (L(c_a·) − L(c_ab))) div N,
+      L = round(ln·1e6), c_a· = Σ_b c_ab (the row marginal).
+
+    Integer math after the quantized lns, so engine-exact.  Scale
+    shape: map-side adjacent-pair zip (the BPE idiom), ONE keyed
+    (lang, pair) count, a vocabulary-sized row-marginal agg joined
+    back broadcast, one per-lang fold.  Reference analog: none (pure
+    [EXT])."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("lang", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (a, b) -> struct(a AS tok1, b AS tok2))"
+            )
+        ).alias("p"),
+    ).select("lang", "p.tok1", "p.tok2")
+    pc = pairs.groupBy("lang", "tok1", "tok2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    rowm = pc.groupBy("lang", "tok1").agg(
+        F.sum("c_ab").cast("bigint").alias("c_a")
+    )
+    lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
+    contrib = pc.join(rowm, ["lang", "tok1"]).withColumn(
+        "w",
+        F.expr(f"c_ab * ({lnq.format('c_a')} - {lnq.format('c_ab')})").cast(
+            "bigint"
+        ),
+    )
+    return (
+        contrib.groupBy("lang")
+        .agg(
+            F.sum("c_ab").cast("bigint").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_bigrams"),
+            F.expr("sum(w) div sum(c_ab)")
+            .cast("bigint")
+            .alias("entropy_rate_micros"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_ENTROPY_RATE_SQL = """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT lang, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+  FROM toks WHERE len(t) >= 2
+),
+pc AS (
+  SELECT lang, p[1] AS tok1, p[2] AS tok2,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY 1, 2, 3
+),
+rowm AS (
+  SELECT lang, tok1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+  FROM pc GROUP BY lang, tok1
+),
+contrib AS (
+  SELECT pc.lang, pc.c_ab,
+         pc.c_ab * (CAST(ROUND(ln(CAST(r.c_a AS DOUBLE)) * 1000000.0)
+                         AS BIGINT)
+                    - CAST(ROUND(ln(CAST(pc.c_ab AS DOUBLE)) * 1000000.0)
+                           AS BIGINT)) AS w
+  FROM pc JOIN rowm r USING (lang, tok1)
+)
+SELECT lang, CAST(SUM(c_ab) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS vocab_bigrams,
+       CAST(SUM(w) // SUM(c_ab) AS BIGINT) AS entropy_rate_micros
+FROM contrib GROUP BY lang ORDER BY lang
+"""
+
+
+# ----------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit
+# ----------------------------------------------------------------------
+def doc_heaps_fit(
+    spark: SparkSession, sf_dir: str, checkpoints: int = 8
+) -> DataFrame:
+    """Per-language Heaps'-law fit V(n) ≈ K·n^β over the word-3-gram
+    vocabulary: how fast the SHINGLE table grows with corpus size —
+    the capacity number a MinHash/LSH signature store, a Bloom
+    contamination filter, or a tokenizer-budget plan extrapolates
+    from before a 100× scale-up (the word-level vocabulary of this
+    synthetic corpus saturates in a handful of documents — ~31
+    types/lang — which is exactly WHY the fit runs on the n-gram
+    space the dedup pipeline actually stores).
+
+    Scale design — NO cumulative scan: V at a cutoff equals the count
+    of shingles whose FIRST-occurrence doc id is ≤ the cutoff, so one
+    vocabulary-sized (lang, shingle) → min(doc_id) aggregate answers
+    every checkpoint; n at a cutoff is one conditional sum over the
+    shingle stream.  Both sides take the ``checkpoints`` cutoffs
+    (doc_id·k ≤ max_id·f, pure integer) as conditional-sum columns in
+    a SINGLE pass each — never an explode, never a per-checkpoint
+    rescan.  The log-log OLS runs over ``checkpoints`` quantized-ln
+    points per lang (the ``zipf_fit`` idiom; with 8 fixed points the
+    BIGINT products stay ~1e16, far under the int64 edge that bit
+    zipf).  Reference analog: none (pure [EXT])."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2,"
+                " 0)), i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    maxid = toks.groupBy("lang").agg(F.max("doc_id").alias("max_id"))
+    k = int(checkpoints)
+    tok_m = toks.join(F.broadcast(maxid), "lang")
+    n_cols = [
+        F.sum(
+            (F.col("doc_id") * k <= F.col("max_id") * f).cast("bigint")
+        ).alias(f"n_{f}")
+        for f in range(1, k + 1)
+    ]
+    ns = tok_m.groupBy("lang").agg(*n_cols)
+    fo = toks.groupBy("lang", "token").agg(F.min("doc_id").alias("fd"))
+    fo_m = fo.join(F.broadcast(maxid), "lang")
+    v_cols = [
+        F.sum((F.col("fd") * k <= F.col("max_id") * f).cast("bigint")).alias(
+            f"v_{f}"
+        )
+        for f in range(1, k + 1)
+    ]
+    vs = fo_m.groupBy("lang").agg(*v_cols)
+    lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
+    stack_expr = "stack({k}, {items}) as (x, y)".format(
+        k=k,
+        items=", ".join(
+            f"{lnq.format(f'n_{f}')}, {lnq.format(f'v_{f}')}"
+            for f in range(1, k + 1)
+        ),
+    )
+    pts = ns.join(vs, "lang").select("lang", F.expr(stack_expr))
+    ols = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.col("n_pts") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / F.nullif(
+        (F.col("n_pts") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    full = ns.select("lang", F.col(f"n_{k}").alias("n_full")).join(
+        vs.select("lang", F.col(f"v_{k}").alias("v_full")), "lang"
+    )
+    return (
+        ols.select(
+            "lang",
+            F.round(slope * 1000000).cast("bigint").alias(
+                "heaps_beta_micros"
+            ),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx"))
+                / F.col("n_pts")
+            )
+            .cast("bigint")
+            .alias("heaps_lnk_micros"),
+        )
+        .join(full, "lang")
+        .select(
+            "lang", "n_full", "v_full", "heaps_beta_micros",
+            "heaps_lnk_micros",
+        )
+        .orderBy("lang")
+    )
+
+
+def _heaps_fit_sql(checkpoints: int = 8) -> str:
+    """Parameterized oracle builder for ``doc_heaps_fit``."""
+    k = int(checkpoints)
+    lnq = "CAST(ROUND(ln(CAST({0} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    n_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN doc_id * {k} <= max_id * {f}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_{f}"
+        for f in range(1, k + 1)
+    )
+    v_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN fd * {k} <= max_id * {f}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS v_{f}"
+        for f in range(1, k + 1)
+    )
+    pts = "\n  UNION ALL\n".join(
+        f"  SELECT lang, {lnq.format(f'n_{f}')} AS x,"
+        f" {lnq.format(f'v_{f}')} AS y FROM wide"
+        for f in range(1, k + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         UNNEST(list_transform(
+           generate_series(1, GREATEST(LEN(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS token
+  FROM documents
+),
+tk AS (SELECT * FROM toks WHERE token <> ''),
+maxid AS (SELECT lang, MAX(doc_id) AS max_id FROM tk GROUP BY lang),
+ns AS (
+  SELECT t.lang,
+         {n_cols}
+  FROM tk t JOIN maxid USING (lang) GROUP BY t.lang
+),
+fo AS (
+  SELECT lang, token, MIN(doc_id) AS fd FROM tk GROUP BY lang, token
+),
+vsq AS (
+  SELECT f.lang,
+         {v_cols}
+  FROM fo f JOIN maxid USING (lang) GROUP BY f.lang
+),
+wide AS (SELECT * FROM ns JOIN vsq USING (lang)),
+pts AS (
+{pts}
+),
+ols AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY lang
+)
+SELECT o.lang,
+       w.n_{k} AS n_full, w.v_{k} AS v_full,
+       CAST(ROUND(CAST(o.n_pts * o.sxy - o.sx * o.sy AS DOUBLE)
+            / NULLIF(CAST(o.n_pts * o.sxx - o.sx * o.sx AS DOUBLE), 0.0)
+            * 1000000) AS BIGINT) AS heaps_beta_micros,
+       CAST(ROUND((CAST(o.sy AS DOUBLE)
+            - CAST(o.n_pts * o.sxy - o.sx * o.sy AS DOUBLE)
+              / NULLIF(CAST(o.n_pts * o.sxx - o.sx * o.sx AS DOUBLE), 0.0)
+              * o.sx) / o.n_pts) AS BIGINT) AS heaps_lnk_micros
+FROM ols o JOIN wide w USING (lang)
+ORDER BY o.lang
+"""
+
+
+DOC_HEAPS_FIT_SQL = _heaps_fit_sql()

@@ -1366,3 +1366,26 @@ def test_active_uncertainty_bounded_window_output(spark):
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_entropy_rate_map_side_pairs_keyed_aggs(spark):
+    # adjacent-pair zip map-side; pair count and row marginal are
+    # keyed aggs; no window, no cartesian
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_entropy_rate(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_heaps_fit_single_pass_conditional_sums(spark):
+    # every checkpoint is a conditional-sum column: no explode by
+    # checkpoint, no window, max-id rides a broadcast
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_heaps_fit(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
