@@ -4112,9 +4112,13 @@ def doc_heaps_fit(
         "lang",
         "doc_id",
         F.explode(
+            # guard: Spark's sequence(1, n) DESCENDS for n < 1 (it
+            # would hand slice() a zero start on sub-3-word texts)
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2,"
-                " 0)), i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+                "case when size(split(text, ' ')) >= 3 then"
+                " transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+                " else array() end"
             )
         ).alias("token"),
     ).filter(F.col("token") != "")
