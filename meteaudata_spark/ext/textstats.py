@@ -4096,43 +4096,70 @@ def doc_heaps_fit(
     types/lang — which is exactly WHY the fit runs on the n-gram
     space the dedup pipeline actually stores).
 
-    Scale design — NO cumulative scan: V at a cutoff equals the count
-    of shingles whose FIRST-occurrence doc id is ≤ the cutoff, so one
-    vocabulary-sized (lang, shingle) → min(doc_id) aggregate answers
-    every checkpoint; n at a cutoff is one conditional sum over the
-    shingle stream.  Both sides take the ``checkpoints`` cutoffs
-    (doc_id·k ≤ max_id·f, pure integer) as conditional-sum columns in
-    a SINGLE pass each — never an explode, never a per-checkpoint
-    rescan.  The log-log OLS runs over ``checkpoints`` quantized-ln
-    points per lang (the ``zipf_fit`` idiom; with 8 fixed points the
-    BIGINT products stay ~1e16, far under the int64 edge that bit
-    zipf).  Reference analog: none (pure [EXT])."""
+    Scale design — NO cumulative scan, and exactly ONE corpus-sized
+    aggregate: the shingle stream collapses once to a vocabulary-ish
+    (lang, token, doc_id) → occurrence-count relation; every
+    downstream quantity — per-lang max doc id, the per-cutoff token
+    counts n_f (conditional sums of ``cnt``), and the per-cutoff
+    vocabulary sizes V_f (via first-occurrence ``min(doc_id)``) —
+    derives from that one shuffled relation, whose exchange Spark
+    reuses across the branches (ReusedExchange, plan-guarded).  The
+    ``checkpoints`` cutoffs (doc_id·k ≤ max_id·f, pure integer) are
+    conditional-sum columns — never an explode, never a
+    per-checkpoint rescan.  ``split(text)`` is projected ONCE before
+    the shingle lambda (the ``dedup._shingles`` rule: inside the
+    lambda Catalyst re-evaluates it per shingle index, O(words²) per
+    doc).  Zero-count checkpoints are filtered out of the point set
+    symmetrically on both engines before the ln (Spark's ln(0) is
+    NULL and would silently skew the OLS; DuckDB's hard-fails).  The
+    log-log OLS runs over ≤``checkpoints`` quantized-ln points per
+    lang (the ``zipf_fit`` idiom; with 8 fixed points the BIGINT
+    products stay ~1e16, far under the int64 edge that bit zipf).
+    Reference analog: none (pure [EXT])."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "lang",
-        "doc_id",
-        F.explode(
-            # guard: Spark's sequence(1, n) DESCENDS for n < 1 (it
-            # would hand slice() a zero start on sub-3-word texts)
-            F.expr(
-                "case when size(split(text, ' ')) >= 3 then"
-                " transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
-                " else array() end"
-            )
-        ).alias("token"),
-    ).filter(F.col("token") != "")
-    maxid = toks.groupBy("lang").agg(F.max("doc_id").alias("max_id"))
+    toks = (
+        d.select("lang", "doc_id", F.split("text", " ").alias("__toks"))
+        .select(
+            "lang",
+            "doc_id",
+            F.explode(
+                # guard: Spark's sequence(1, n) DESCENDS for n < 1 (it
+                # would hand slice() a zero start on sub-3-word texts)
+                F.expr(
+                    "case when size(__toks) >= 3 then"
+                    " transform(sequence(1, size(__toks) - 2),"
+                    " i -> array_join(slice(__toks, i, 3), ' '))"
+                    " else array() end"
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    # the ONE corpus-sized aggregate; all three downstream branches
+    # (maxid, n-side, V-side) read this relation.  localCheckpoint
+    # materializes it once — per-branch column pruning makes the
+    # exchanges non-identical, so ReuseExchange alone would replan
+    # the corpus explode per branch (measured: 5 Generate nodes)
+    occ = (
+        toks.groupBy("lang", "token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    maxid = occ.groupBy("lang").agg(F.max("doc_id").alias("max_id"))
     k = int(checkpoints)
-    tok_m = toks.join(F.broadcast(maxid), "lang")
+    occ_m = occ.join(F.broadcast(maxid), "lang")
     n_cols = [
         F.sum(
-            (F.col("doc_id") * k <= F.col("max_id") * f).cast("bigint")
-        ).alias(f"n_{f}")
+            F.when(
+                F.col("doc_id") * k <= F.col("max_id") * f, F.col("cnt")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias(f"n_{f}")
         for f in range(1, k + 1)
     ]
-    ns = tok_m.groupBy("lang").agg(*n_cols)
-    fo = toks.groupBy("lang", "token").agg(F.min("doc_id").alias("fd"))
+    ns = occ_m.groupBy("lang").agg(*n_cols)
+    fo = occ.groupBy("lang", "token").agg(F.min("doc_id").alias("fd"))
     fo_m = fo.join(F.broadcast(maxid), "lang")
     v_cols = [
         F.sum((F.col("fd") * k <= F.col("max_id") * f).cast("bigint")).alias(
@@ -4142,14 +4169,21 @@ def doc_heaps_fit(
     ]
     vs = fo_m.groupBy("lang").agg(*v_cols)
     lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
-    stack_expr = "stack({k}, {items}) as (x, y)".format(
+    stack_expr = "stack({k}, {items}) as (nn, vv)".format(
         k=k,
-        items=", ".join(
-            f"{lnq.format(f'n_{f}')}, {lnq.format(f'v_{f}')}"
-            for f in range(1, k + 1)
-        ),
+        items=", ".join(f"n_{f}, v_{f}" for f in range(1, k + 1)),
     )
-    pts = ns.join(vs, "lang").select("lang", F.expr(stack_expr))
+    pts = (
+        ns.join(vs, "lang")
+        .select("lang", F.expr(stack_expr))
+        # symmetric zero-checkpoint fence (ln(0) guard, both engines)
+        .filter((F.col("nn") > 0) & (F.col("vv") > 0))
+        .select(
+            "lang",
+            F.expr(lnq.format("nn")).alias("x"),
+            F.expr(lnq.format("vv")).alias("y"),
+        )
+    )
     ols = pts.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pts"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -4196,7 +4230,7 @@ def _heaps_fit_sql(checkpoints: int = 8) -> str:
     lnq = "CAST(ROUND(ln(CAST({0} AS DOUBLE)) * 1000000.0) AS BIGINT)"
     n_cols = ",\n         ".join(
         f"CAST(SUM(CASE WHEN doc_id * {k} <= max_id * {f}"
-        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_{f}"
+        f" THEN cnt ELSE 0 END) AS BIGINT) AS n_{f}"
         for f in range(1, k + 1)
     )
     v_cols = ",\n         ".join(
@@ -4204,29 +4238,35 @@ def _heaps_fit_sql(checkpoints: int = 8) -> str:
         f" THEN 1 ELSE 0 END) AS BIGINT) AS v_{f}"
         for f in range(1, k + 1)
     )
-    pts = "\n  UNION ALL\n".join(
-        f"  SELECT lang, {lnq.format(f'n_{f}')} AS x,"
-        f" {lnq.format(f'v_{f}')} AS y FROM wide"
+    stacked = "\n  UNION ALL\n".join(
+        f"  SELECT lang, n_{f} AS nn, v_{f} AS vv FROM wide"
         for f in range(1, k + 1)
     )
     return f"""
-WITH toks AS (
+WITH raw AS (
+  SELECT lang, doc_id, string_split(text, ' ') AS w FROM documents
+),
+toks AS (
   SELECT lang, doc_id,
          UNNEST(list_transform(
-           generate_series(1, GREATEST(LEN(string_split(text, ' ')) - 2, 0)),
-           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           generate_series(1, GREATEST(LEN(w) - 2, 0)),
+           i -> array_to_string(w[i:i+2], ' ')
          )) AS token
-  FROM documents
+  FROM raw
 ),
 tk AS (SELECT * FROM toks WHERE token <> ''),
-maxid AS (SELECT lang, MAX(doc_id) AS max_id FROM tk GROUP BY lang),
+occ AS (
+  SELECT lang, token, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tk GROUP BY lang, token, doc_id
+),
+maxid AS (SELECT lang, MAX(doc_id) AS max_id FROM occ GROUP BY lang),
 ns AS (
-  SELECT t.lang,
+  SELECT o.lang,
          {n_cols}
-  FROM tk t JOIN maxid USING (lang) GROUP BY t.lang
+  FROM occ o JOIN maxid USING (lang) GROUP BY o.lang
 ),
 fo AS (
-  SELECT lang, token, MIN(doc_id) AS fd FROM tk GROUP BY lang, token
+  SELECT lang, token, MIN(doc_id) AS fd FROM occ GROUP BY lang, token
 ),
 vsq AS (
   SELECT f.lang,
@@ -4234,8 +4274,12 @@ vsq AS (
   FROM fo f JOIN maxid USING (lang) GROUP BY f.lang
 ),
 wide AS (SELECT * FROM ns JOIN vsq USING (lang)),
+stacked AS (
+{stacked}
+),
 pts AS (
-{pts}
+  SELECT lang, {lnq.format('nn')} AS x, {lnq.format('vv')} AS y
+  FROM stacked WHERE nn > 0 AND vv > 0
 ),
 ols AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pts,

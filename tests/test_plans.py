@@ -1381,7 +1381,11 @@ def test_entropy_rate_map_side_pairs_keyed_aggs(spark):
 
 def test_heaps_fit_single_pass_conditional_sums(spark):
     # every checkpoint is a conditional-sum column: no explode by
-    # checkpoint, no window, max-id rides a broadcast
+    # checkpoint, no window, max-id rides a broadcast.  The corpus
+    # pays exactly ONE shingle explode + aggregate (materialized via
+    # localCheckpoint): the downstream plan reads the checkpointed
+    # relation only — no parquet rescan, and the only Generate nodes
+    # left are the lang-sized stack() pivots
     from meteaudata_spark.ext import textstats
 
     df = textstats.doc_heaps_fit(spark, SF)
@@ -1389,3 +1393,5 @@ def test_heaps_fit_single_pass_conditional_sums(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+    assert "Scan parquet" not in plan
+    assert plan.count("Generate") <= 2
