@@ -58,7 +58,11 @@ def _fold_batch(regs, pdfs) -> int:
     rho needs the exact integer bit length of w = h div m; w ≤ 2^52 is
     exactly representable as a double, and ``np.frexp`` returns its
     binary exponent exactly (no log2 rounding risk — the same reason
-    the batch operator uses ``bin()`` length, not ``log2``)."""
+    the batch operator uses ``bin()`` length, not ``log2``).  That
+    exactness HOLDS ONLY for h < 2^60 (the contract every producer in
+    this repo meets via ``& 0x0FFF...``): a full-width 64-bit hash
+    would round across a power of two in the float64 cast and skew
+    rho by one — so the contract is enforced here, loudly."""
     import numpy as np
 
     n = 0
@@ -67,6 +71,12 @@ def _fold_batch(regs, pdfs) -> int:
         h = pdf["h"].to_numpy(dtype=np.int64)
         if len(h) == 0:
             continue
+        if int(h.min()) < 0 or (int(h.max()) >> 60) != 0:
+            raise ValueError(
+                "hll fold requires non-negative hashes < 2^60 "
+                f"(got range [{int(h.min())}, {int(h.max())}]); "
+                "mask the hash (h & ((1<<60)-1)) before streaming"
+            )
         b = h % _M
         w = h // _M
         _, e = np.frexp(w.astype(np.float64))
@@ -157,14 +167,23 @@ def stream_hll_day_registers(
     ``n_shards`` independent register tables so the Arrow transfer and
     the Python fold parallelize across keys × shards instead of
     serializing per day; register max-merge is associative, so the
-    downstream per-key fold reassembles shards exactly."""
+    downstream per-key fold reassembles shards exactly.  The shard is
+    derived from ``shiftright(h, 8)`` — bits DISJOINT from the
+    register bucket ``h % 256`` — so every shard can populate the
+    full register range; sharding on the low bits (when n_shards
+    divides m) would confine each shard to m/n_shards registers and
+    inflate total state m/(m/n_shards)-fold for no extra fold
+    parallelism."""
     from pyspark.sql import functions as F
 
     renamed = stream_df.select(
         F.concat_ws(
             "|",
             F.col(key_col).cast("string"),
-            F.pmod(F.col(hash_col), F.lit(int(n_shards))).cast("string"),
+            F.pmod(
+                F.shiftright(F.col(hash_col), _M.bit_length() - 1),
+                F.lit(int(n_shards)),
+            ).cast("string"),
         ).alias("key"),
         F.col(hash_col).alias("h"),
     )
