@@ -1,0 +1,82 @@
+"""Driver-gate freshness invariant: the oracle gate only re-attests
+the FIRST 50 ``queries()`` entries each round, so with a 214-row
+surface every row must rotate through the head at least once every
+ceil(N/50) = 5 rounds.  This pins the VERDICT r11 #2 ask — the
+staleness histogram becomes self-enforcing: a queries() ordering that
+leaves any row's last driver certification more than MAX_STALE rounds
+behind the upcoming driver run fails here, not at judge time."""
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+HEAD = 50  # the driver's per-round gate window
+MAX_STALE = 5  # ceil(214 / HEAD): one full rotation period
+
+
+def _last_certified() -> tuple[dict, int]:
+    last: dict = {}
+    latest = 0
+    for f in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        latest = max(latest, r)
+        rows = json.load(open(f))
+        for k, v in rows.items():
+            ok = (
+                v.get("rows_match") is True
+                and v.get("schema_match") in (True, None)
+                and v.get("err") in (None, "")
+            )
+            if ok:
+                last[k] = max(last.get(k, 0), r)
+    return last, latest
+
+
+def test_no_gate_row_staler_than_one_rotation_period():
+    import __spark_entry__ as entry
+
+    last, latest = _last_certified()
+    upcoming = latest + 1  # the round whose driver will run this head
+    keys = list(entry.queries())
+    head = set(keys[:HEAD])
+    problems = {}
+    for k in keys:
+        eff = upcoming if k in head else last.get(k)
+        if eff is None:
+            problems[k] = "never driver-certified and not in the head-50"
+        elif upcoming - eff > MAX_STALE:
+            problems[k] = (
+                f"last driver cert r{eff}, {upcoming - eff} rounds stale "
+                f"(max {MAX_STALE}) — rotate it into the head-50"
+            )
+    assert not problems, (
+        f"{len(problems)} gate rows violate the rotation invariant: "
+        f"{problems}"
+    )
+
+
+def test_head_window_covers_the_stalest_rows_first():
+    # the head must contain EVERY row at the staleness horizon —
+    # deferring one past the cap recreates the r6 backlog this test
+    # exists to prevent
+    import __spark_entry__ as entry
+
+    last, latest = _last_certified()
+    upcoming = latest + 1
+    keys = list(entry.queries())
+    head = set(keys[:HEAD])
+    at_horizon = {
+        k
+        for k in keys
+        if k in last and upcoming - last[k] >= MAX_STALE
+    }
+    left_out = sorted(at_horizon - head)
+    assert not left_out, (
+        f"rows at the staleness horizon missing from the head-50: "
+        f"{left_out}"
+    )
