@@ -84,6 +84,52 @@ def main() -> None:
 
     ok = [t for t in timings.values() if t >= 0]
     warm_total = round(sum(warm_builds.values()), 3)
+    # Cross-run per-query MIN, folded over earlier persisted runs of
+    # the SAME tree (git rev) at the same SF: ambient host load only
+    # ever inflates timings, so the min across runs is the query's
+    # real cost — first-class here so round notes stop re-deriving it
+    # (VERDICT r11 #7). A dirty tree never matches a clean one.
+    git_rev = "unknown"
+    try:
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=here, timeout=10,
+        ).stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=here, timeout=10,
+        ).stdout.strip()
+        if dirty:
+            git_rev += "-dirty"
+    except Exception:  # noqa: BLE001 - rev tag is best-effort
+        pass
+    per_query_min = {k: v for k, v in timings.items() if v >= 0}
+    n_prior_runs = 0
+    try:
+        import glob as _glob
+
+        outdir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_results"
+        )
+        for path in _glob.glob(os.path.join(outdir, "bench_*.json")):
+            with open(path) as f:
+                prior = json.load(f)
+            if (
+                prior.get("git_rev") != git_rev
+                or git_rev.endswith("-dirty")
+                or prior.get("sf") != sf
+            ):
+                continue
+            n_prior_runs += 1
+            for q, sec in (prior.get("queries") or {}).items():
+                if sec >= 0 and q in per_query_min:
+                    per_query_min[q] = min(per_query_min[q], sec)
+    except Exception as exc:  # noqa: BLE001 - fold is best-effort
+        print(f"# WARN per_query_min fold failed: {exc}", file=sys.stderr)
+    pqm_ok = list(per_query_min.values())
     # "value" stays the honest full-session cost (one-time builds +
     # marginal queries) so round-over-round totals remain comparable
     # with the pre-warm-mode rounds, where the builds hid inside
@@ -100,6 +146,13 @@ def main() -> None:
         "warm_build_sec_total": warm_total,
         "mode": "warm" if warm_builds else "cold",
         "avg_query_sec": round(sum(ok) / len(ok), 3) if ok else -1.0,
+        "git_rev": git_rev,
+        "per_query_min": per_query_min,
+        "per_query_min_total": round(sum(pqm_ok), 3),
+        "per_query_min_avg": (
+            round(sum(pqm_ok) / len(pqm_ok), 3) if pqm_ok else -1.0
+        ),
+        "per_query_min_prior_runs": n_prior_runs,
         "sf": sf,
         "bench_runs": n_runs,
         "loadavg_1m": {
@@ -130,12 +183,20 @@ def main() -> None:
     # the totals inside the captured tail (VERDICT r10 #9).  The full
     # payload above and bench_results/ keep the complete record.
     asc = dict(sorted(((k, v) for k, v in timings.items()), key=lambda kv: kv[1]))
+    pqm_asc = dict(sorted(per_query_min.items(), key=lambda kv: kv[1]))
     print(json.dumps({
         "queries_sec_ascending": asc,
+        "per_query_min_ascending": pqm_asc,
         "marginal_query_sec_total": round(sum(ok), 3),
         "warm_build_sec_total": warm_total,
         "total_query_sec": total,
         "avg_query_sec": round(sum(ok) / len(ok), 3) if ok else -1.0,
+        "per_query_min_total": round(sum(pqm_ok), 3),
+        "per_query_min_avg": (
+            round(sum(pqm_ok) / len(pqm_ok), 3) if pqm_ok else -1.0
+        ),
+        "per_query_min_prior_runs": n_prior_runs,
+        "git_rev": git_rev,
         "n_queries": len(ok),
         "n_errors": len(timings) - len(ok),
         "sf": sf,
