@@ -4303,3 +4303,379 @@ ORDER BY o.lang
 
 
 DOC_HEAPS_FIT_SQL = _heaps_fit_sql()
+
+
+# --- unigram-LM (SentencePiece-style) tokenizer trainer -------------
+
+_ULM_NEG = -900_000_000_000_000_000  # -inf sentinel for the Viterbi DP
+
+
+def _ulm_best_expr(max_len: int) -> str:
+    """Spark SQL fold computing the Viterbi best-score array over word
+    positions: best[0]=0, best[i] = max over piece length ``len`` of
+    best[i-len] + logp(substr ending at i).  Pure BIGINT arithmetic —
+    bit-identical to the DuckDB ``list_reduce`` twin."""
+    terms = ", ".join(
+        f"CASE WHEN i >= {ln} AND"
+        f" element_at(m, cast(i * 8 + {ln} as bigint)) IS NOT NULL"
+        f" THEN element_at(acc, i - {ln} + 1)"
+        f" + element_at(m, cast(i * 8 + {ln} as bigint))"
+        f" ELSE cast({_ULM_NEG} as bigint) END"
+        for ln in range(1, max_len + 1)
+    )
+    return (
+        "aggregate(sequence(1, n), array(cast(0 as bigint)),"
+        f" (acc, i) -> array_append(acc, greatest({terms})))"
+    )
+
+
+def _ulm_backtrack_expr(max_len: int) -> str:
+    """Spark SQL fold extracting the Viterbi path pieces (longest
+    matching piece wins score ties — CASE tries lengths descending;
+    the length-1 ELSE is always feasible because every single char is
+    in the vocabulary by construction)."""
+    whens = "".join(
+        f" WHEN acc.pos >= {ln} AND"
+        f" element_at(m, cast(acc.pos * 8 + {ln} as bigint)) IS NOT NULL"
+        f" AND element_at(best, acc.pos - {ln} + 1)"
+        f" + element_at(m, cast(acc.pos * 8 + {ln} as bigint))"
+        f" = element_at(best, acc.pos + 1)"
+        f" THEN named_struct('pos', acc.pos - {ln}, 'ts',"
+        f" array_append(acc.ts, substring(word, acc.pos - {ln} + 1, {ln})))"
+        for ln in range(max_len, 1, -1)
+    )
+    return (
+        "aggregate(sequence(1, n),"
+        " named_struct('pos', n, 'ts', cast(array() as array<string>)),"
+        " (acc, x) -> CASE WHEN acc.pos <= 0 THEN acc ELSE CASE"
+        f"{whens}"
+        " ELSE named_struct('pos', acc.pos - 1, 'ts',"
+        " array_append(acc.ts, substring(word, acc.pos, 1)))"
+        " END END, acc -> acc.ts)"
+    )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_size: int = 80,
+    em_rounds: int = 3,
+    target_multi: int = 24,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece
+    model family) — the OTHER tokenizer type LLM pipelines train
+    besides BPE (``bpe_train``): seed a substring vocabulary, run
+    ``em_rounds`` of hard-EM (Viterbi attribution → count →
+    re-estimate), prune to the target size, and re-attribute once for
+    the shipped table.
+
+    Exactness (the ``bpe_train`` recipe): piece log-likelihoods are
+    integer-quantized micros (``round(ln(c/total)·1e6)``), so the
+    Viterbi DP is pure BIGINT arithmetic and both engines walk
+    bit-identical paths; ties break toward the LONGEST piece
+    (backtrack tries lengths descending).  Single characters are
+    never pruned and their counts floor at 1 (a zero-mass char would
+    take ln(0) and break segmentability); zero-mass multi-char pieces
+    drop after each round.
+
+    Scale shape — the 100 TB property: the corpus is touched ONCE
+    (the word-frequency count); the seed span relation, every EM
+    round, and the final attribution run on the VOCABULARY relation
+    (|distinct words| rows).  Per round: one broadcast join of spans
+    against the (bounded) piece table, one map-build aggregate, one
+    projection evaluating the whole per-word DP as a single
+    expression fold (no per-position join chain), one keyed count.
+    No driver collect anywhere — the trainer is one lazy DAG per
+    round, bounded by localCheckpoint (the ``bpe_train`` idiom).
+    Words longer than ``max_word_len`` chars are excluded from
+    training on both engines (pathological-token fence).
+    Reference analog: none (pure [EXT])."""
+    L = int(max_piece_len)
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(
+            (F.col("word") != "")
+            & (F.length("word") <= int(max_word_len))
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("n", F.length("word"))
+    )
+    spans = (
+        words.select(
+            "word",
+            "cnt",
+            "n",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, n), i ->"
+                    f" transform(sequence(1, least({L}, i)), len ->"
+                    " named_struct("
+                    "'k', cast(i * 8 + len as bigint),"
+                    " 'sub', substring(word, i - len + 1, len)))))"
+                )
+            ).alias("s"),
+        )
+        .select("word", "cnt", "n", "s.k", "s.sub")
+        .localCheckpoint()
+    )
+    scores = spans.groupBy(F.col("sub").alias("piece")).agg(
+        F.sum("cnt").cast("bigint").alias("c")
+    )
+    alpha = scores.filter(F.length("piece") == 1)
+    seedm = (
+        scores.filter(F.length("piece") > 1)
+        .orderBy(F.desc("c"), "piece")
+        .limit(int(seed_size))
+    )
+
+    def _with_logp(pc: DataFrame) -> DataFrame:
+        tot = pc.agg(F.sum("c").cast("bigint").alias("total"))
+        return pc.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            "c",
+            F.expr(
+                "cast(round(ln(cast(c as double) / total) * 1000000)"
+                " as bigint)"
+            ).alias("logp"),
+        )
+
+    pieces = _with_logp(alpha.unionByName(seedm)).localCheckpoint()
+
+    best_expr = _ulm_best_expr(L)
+    bt_expr = _ulm_backtrack_expr(L)
+
+    def _attribute(piece_scores: DataFrame) -> DataFrame:
+        """One Viterbi pass: piece counts over the vocabulary (chars
+        floored at 1, zero-mass multi dropped)."""
+        maps = (
+            spans.join(
+                F.broadcast(piece_scores.select("piece", "logp")),
+                spans["sub"] == F.col("piece"),
+            )
+            .groupBy("word")
+            .agg(
+                F.max("cnt").alias("cnt"),
+                F.max("n").alias("n"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("k", "logp"))
+                ).alias("m"),
+            )
+        )
+        toks = maps.withColumn("best", F.expr(best_expr)).select(
+            "word", "cnt", F.explode(F.expr(bt_expr)).alias("piece")
+        )
+        raw = toks.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("c"))
+        chars = (
+            alpha.select("piece")
+            .join(raw, "piece", "left")
+            .select(
+                "piece",
+                F.greatest(F.coalesce(F.col("c"), F.lit(0)), F.lit(1))
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+        return chars.unionByName(raw.filter(F.length("piece") > 1))
+
+    for _ in range(int(em_rounds)):
+        pieces = _with_logp(_attribute(pieces)).localCheckpoint()
+
+    pruned = (
+        pieces.filter(F.length("piece") == 1)
+        .select("piece", "logp")
+        .unionByName(
+            pieces.filter(F.length("piece") > 1)
+            .orderBy(F.desc("c"), "piece")
+            .limit(int(target_multi))
+            .select("piece", "logp")
+        )
+    )
+    final_counts = _attribute(pruned).localCheckpoint()
+    tot = final_counts.agg(F.sum("c").cast("bigint").alias("total"))
+    return (
+        final_counts.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            F.col("c").alias("final_count"),
+            F.expr(
+                "cast(round(ln(cast(c as double) / total) * 1000000)"
+                " as bigint)"
+            ).alias("logp_micros"),
+        )
+        .orderBy(F.desc("final_count"), "piece")
+    )
+
+
+def doc_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the unigram-LM piece table trained on the corpus
+    (VERDICT r11 #6 — completes the tokenizer family: BPE train/encode
+    + SentencePiece-style unigram)."""
+    return unigram_lm_train(_docs(spark, sf_dir))
+
+
+def _unigram_lm_sql(
+    max_piece_len: int = 4,
+    seed_size: int = 80,
+    em_rounds: int = 3,
+    target_multi: int = 24,
+    max_word_len: int = 32,
+) -> str:
+    """Unrolled-CTE oracle for ``unigram_lm_train``: one MATERIALIZED
+    block per EM round + the final pruned attribution.  The per-word
+    Viterbi DP is the same single fold as the Spark side — DuckDB's
+    ``list_reduce`` over a BIGINT[] accumulator with ``map_extract``
+    piece lookups — so no per-position CTE chain is needed; only the
+    EM rounds unroll (the ``bpe_train`` pattern)."""
+    L = int(max_piece_len)
+    neg = f"CAST({_ULM_NEG} AS BIGINT)"
+    best_terms = ", ".join(
+        f"CASE WHEN x[1] >= {ln}"
+        f" AND len(map_extract(m, x[1] * 8 + {ln})) > 0"
+        f" THEN acc[x[1] - {ln} + 1]"
+        f" + map_extract(m, x[1] * 8 + {ln})[1]"
+        f" ELSE {neg} END"
+        for ln in range(1, L + 1)
+    )
+    best_fold = (
+        "list_reduce("
+        "[CAST([0] AS BIGINT[])] ||"
+        " list_transform(generate_series(1, n),"
+        " i -> CAST([i] AS BIGINT[])),"
+        f" (acc, x) -> list_append(acc, GREATEST({best_terms})))"
+    )
+    # Backtrack as an APPEND-ONLY BIGINT fold (the same shape as the
+    # stable best fold): the accumulator carries the seed n plus the
+    # chosen piece LENGTH per step (0 = done), and the current
+    # position is recovered as 2n - list_sum(acc) — no VARCHAR
+    # accumulator, no list slicing inside the lambda.  DuckDB 1.0's
+    # list_reduce is NONDETERMINISTIC across runs for folds that
+    # rebuild a VARCHAR[] accumulator via slicing+concat (measured:
+    # identical inputs, three different outputs); list_append-only
+    # BIGINT folds are stable.  Piece substrings are reconstructed
+    # OUTSIDE the reduce from the length list.
+    pos = "CAST(2 * n - list_sum(acc) AS BIGINT)"
+    bt_whens = "".join(
+        f" WHEN {pos} >= {ln}"
+        f" AND len(map_extract(m, {pos} * 8 + {ln})) > 0"
+        f" AND best[{pos} - {ln} + 1]"
+        f" + map_extract(m, {pos} * 8 + {ln})[1]"
+        f" = best[{pos} + 1]"
+        f" THEN CAST({ln} AS BIGINT)"
+        for ln in range(L, 1, -1)
+    )
+    bt_fold = (
+        "list_reduce("
+        "[CAST([n] AS BIGINT[])] ||"
+        " list_transform(generate_series(1, n),"
+        " i -> CAST([i] AS BIGINT[])),"
+        " (acc, x) -> list_append(acc,"
+        f" CASE WHEN {pos} <= 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CASE"
+        f"{bt_whens}"
+        " ELSE CAST(1 AS BIGINT)"
+        " END END))"
+    )
+    lnq = (
+        "CAST(ROUND(ln(CAST({0} AS DOUBLE) / t.total) * 1000000)"
+        " AS BIGINT)"
+    )
+
+    def _round_block(r: int, src: str) -> str:
+        return f""",
+maps{r} AS MATERIALIZED (
+  SELECT s.word, MAX(s.cnt) AS cnt, MAX(s.n) AS n,
+         MAP(list(s.k ORDER BY s.k), list(p.logp ORDER BY s.k)) AS m
+  FROM spans s JOIN {src} p ON p.piece = s.sub
+  GROUP BY s.word
+),
+best{r} AS MATERIALIZED (
+  SELECT word, cnt, n, m, {best_fold} AS best FROM maps{r}
+),
+lens{r} AS MATERIALIZED (
+  SELECT word, cnt, n,
+         list_filter(({bt_fold})[2:], x -> x > 0) AS lens
+  FROM best{r}
+),
+toks{r} AS MATERIALIZED (
+  SELECT word, cnt,
+         UNNEST(list_transform(lens, (x, i) ->
+           substr(word, n - CAST(list_sum(lens[1:i]) AS INT) + 1,
+                  CAST(x AS INT)))) AS piece
+  FROM lens{r}
+),
+raw{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM toks{r} GROUP BY piece
+),
+pc{r} AS MATERIALIZED (
+  SELECT a.piece, CAST(GREATEST(COALESCE(r.c, 0), 1) AS BIGINT) AS c
+  FROM alpha a LEFT JOIN raw{r} r ON r.piece = a.piece
+  UNION ALL
+  SELECT piece, c FROM raw{r} WHERE LEN(piece) > 1
+)"""
+
+    parts = [f"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(LEN(word) AS INT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND LEN(word) <= {int(max_word_len)}
+  GROUP BY word
+),
+spans_n AS MATERIALIZED (
+  SELECT w.word, w.cnt, w.n,
+         UNNEST(flatten(list_transform(generate_series(1, w.n), i ->
+           list_transform(generate_series(1, LEAST({L}, i)), len ->
+             struct_pack(k := CAST(i * 8 + len AS BIGINT),
+                         sub := substr(w.word, i - len + 1, len)))))) AS s
+  FROM words w
+),
+spans AS MATERIALIZED (
+  SELECT word, cnt, n, s.k AS k, s.sub AS sub FROM spans_n
+),
+scores AS MATERIALIZED (
+  SELECT sub AS piece, CAST(SUM(cnt) AS BIGINT) AS c FROM spans GROUP BY sub
+),
+alpha AS MATERIALIZED (SELECT piece, c FROM scores WHERE LEN(piece) = 1),
+seedm AS MATERIALIZED (
+  SELECT piece, c FROM scores WHERE LEN(piece) > 1
+  ORDER BY c DESC, piece LIMIT {int(seed_size)}
+),
+pc0 AS MATERIALIZED (
+  SELECT * FROM alpha UNION ALL SELECT * FROM seedm
+),
+p0 AS MATERIALIZED (
+  SELECT piece, c, {lnq.format('c')} AS logp
+  FROM pc0, (SELECT CAST(SUM(c) AS BIGINT) AS total FROM pc0) t
+)"""]
+    for r in range(1, int(em_rounds) + 1):
+        parts.append(_round_block(r, f"p{r - 1}"))
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT piece, c, {lnq.format('c')} AS logp
+  FROM pc{r}, (SELECT CAST(SUM(c) AS BIGINT) AS total FROM pc{r}) t
+)""")
+    k = int(em_rounds)
+    parts.append(f""",
+prm AS MATERIALIZED (
+  SELECT piece, c, logp FROM p{k} WHERE LEN(piece) > 1
+  ORDER BY c DESC, piece LIMIT {int(target_multi)}
+),
+pfin AS MATERIALIZED (
+  SELECT piece, logp FROM p{k} WHERE LEN(piece) = 1
+  UNION ALL SELECT piece, logp FROM prm
+)""")
+    parts.append(_round_block(k + 1, "pfin"))
+    parts.append(f"""
+SELECT piece, CAST(LEN(piece) AS INT) AS piece_len, c AS final_count,
+       {lnq.format('c')} AS logp_micros
+FROM pc{k + 1},
+     (SELECT CAST(SUM(c) AS BIGINT) AS total FROM pc{k + 1}) t
+ORDER BY final_count DESC, piece
+""")
+    return "".join(parts)
+
+
+DOC_UNIGRAM_LM_SQL = _unigram_lm_sql()

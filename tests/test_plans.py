@@ -1395,3 +1395,19 @@ def test_heaps_fit_single_pass_conditional_sums(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Scan parquet" not in plan
     assert plan.count("Generate") <= 2
+
+
+def test_unigram_lm_plan_vocab_bound(spark):
+    # the trainer's emitted plan runs entirely on checkpointed
+    # vocabulary-sized relations: the corpus parquet is scanned only
+    # inside the one up-front word-count job, never in the final DAG;
+    # no window, no cartesian product (the 1-row total rides a
+    # broadcast nested loop, the repo's crossJoin(broadcast) idiom)
+    from meteaudata_spark.ext import textstats
+
+    df = textstats.doc_unigram_lm_train(spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast 1-row total

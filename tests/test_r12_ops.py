@@ -1,0 +1,168 @@
+"""Round-12 operators: the unigram-LM (SentencePiece-style) tokenizer
+trainer.  Differential strategy mirrors doc_bpe_train's: Spark ==
+plain-Python reference trainer (same integer-quantized Viterbi-EM) on
+the real corpus AND on adversarial planted corpora; the DuckDB oracle
+equivalence is the driver gate's job."""
+
+import math
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_half_away(x: float) -> int:
+    # Spark round() / DuckDB ROUND quantization (python round() is
+    # banker's and provably diverges on .5 boundaries)
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _py_unigram(words, L=4, seed=80, rounds=3, target_multi=24):
+    """Reference trainer: the exact algorithm in plain Python."""
+    spans = {}
+    for w, c in words.items():
+        n = len(w)
+        for i in range(1, n + 1):
+            for ln in range(1, min(L, i) + 1):
+                sub = w[i - ln:i]
+                spans[sub] = spans.get(sub, 0) + c
+    alpha = {p: c for p, c in spans.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in spans.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:seed]
+    pieces = dict(alpha)
+    pieces.update(dict(multi))
+
+    def logp_table(pc):
+        tot = sum(pc.values())
+        return {
+            p: _round_half_away(math.log(c / tot) * 1e6)
+            for p, c in pc.items()
+        }
+
+    def attribute(lp):
+        raw = {}
+        for w, c in words.items():
+            n = len(w)
+            best = [0] * (n + 1)
+            for i in range(1, n + 1):
+                b = None
+                for ln in range(1, min(L, i) + 1):
+                    p = w[i - ln:i]
+                    if p in lp:
+                        v = best[i - ln] + lp[p]
+                        if b is None or v > b:
+                            b = v
+                best[i] = b
+            pos = n
+            while pos > 0:
+                chosen = 1
+                for ln in range(min(L, pos), 1, -1):
+                    p = w[pos - ln:pos]
+                    if p in lp and best[pos - ln] + lp[p] == best[pos]:
+                        chosen = ln
+                        break
+                piece = w[pos - chosen:pos]
+                raw[piece] = raw.get(piece, 0) + c
+                pos -= chosen
+        pc = {p: max(raw.get(p, 0), 1) for p in alpha}
+        pc.update({p: c2 for p, c2 in raw.items() if len(p) > 1})
+        return pc
+
+    lp = logp_table(pieces)
+    pc = pieces
+    for _ in range(rounds):
+        pc = attribute(lp)
+        lp = logp_table(pc)
+    multi_k = sorted(
+        ((p, c) for p, c in pc.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:target_multi]
+    pruned = {p: lp[p] for p in pc if len(p) == 1}
+    pruned.update({p: lp[p] for p, _ in multi_k})
+    fin = attribute(pruned)
+    tot = sum(fin.values())
+    return sorted(
+        (
+            (p, len(p), c, _round_half_away(math.log(c / tot) * 1e6))
+            for p, c in fin.items()
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )
+
+
+def _word_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.textstats import _docs
+
+    rows = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= 32))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    return {r["word"]: r["count"] for r in rows}
+
+
+def test_unigram_lm_matches_python_reference_on_corpus(spark):
+    from meteaudata_spark.ext.textstats import doc_unigram_lm_train
+
+    got = doc_unigram_lm_train(spark, SF).toPandas()
+    ref = pd.DataFrame(
+        _py_unigram(_word_counts(spark, SF)),
+        columns=["piece", "piece_len", "final_count", "logp_micros"],
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False
+    )
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        # same-char runs: every span is a power of one char
+        ["aaaa aaaa aa a", "aaa a aaaa"],
+        # singleton chars + a dominating repeated word
+        ["xy xy xy xy z q", "xy xy w"],
+        # words at and past typical piece length
+        ["abcdefgh abcd efgh abcdefgh", "ab cd ef gh"],
+    ],
+)
+def test_unigram_lm_matches_python_reference_planted(spark, texts, tmp_path):
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.textstats import unigram_lm_train
+
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = unigram_lm_train(df).toPandas()
+    words = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w and len(w) <= 32:
+                words[w] = words.get(w, 0) + 1
+    ref = pd.DataFrame(
+        _py_unigram(words),
+        columns=["piece", "piece_len", "final_count", "logp_micros"],
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False
+    )
+
+
+def test_unigram_lm_single_chars_never_pruned(spark):
+    from meteaudata_spark.ext.textstats import doc_unigram_lm_train
+
+    got = doc_unigram_lm_train(spark, SF).toPandas()
+    alphabet = {
+        ch
+        for w in _word_counts(spark, SF)
+        for ch in w
+    }
+    kept = set(got[got.piece_len == 1].piece)
+    assert alphabet <= kept
+    assert (got[got.piece_len == 1].final_count >= 1).all()
