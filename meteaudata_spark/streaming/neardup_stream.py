@@ -33,7 +33,15 @@ State is bounded by DISTINCT BUCKET cardinality, not stream length
 (sharding only changes how buckets pack into groups); production
 deployments should pass ``ttl_minutes`` so idle buckets expire —
 entries are pruned inside each shard on every invocation and fully
-idle shards drop via the processing-time timeout.
+idle shards drop via the processing-time timeout.  For replayed or
+event-timed streams where wall-clock TTL is meaningless, pass
+``evict_after_us`` (+ ``ts_col``; mutually exclusive with
+``ttl_minutes``) instead: per-bucket EVENT-TIME eviction — a bucket
+whose most recent occurrence falls behind the shard's max event time
+by more than the horizon is dropped (the ``dipspike_stream`` policy).
+Revival trade-off: a later collision in an evicted bucket re-seeds it
+as first-seen, so the pre-gap occupant is never reported — exactly
+the pair a watermark would have discarded.
 """
 
 from __future__ import annotations
@@ -188,11 +196,15 @@ def _update_bucket(
         yield pd.DataFrame(rows)
 
 
-def _make_shard_update(ttl_minutes: int | None):
+def _make_shard_update(
+    ttl_minutes: int | None, evict_after_us: int | None = None
+):
     """Shard-keyed update: a bucket→(first_doc, n_seen, last_seen) map
     in parallel-array state; per-bucket semantics identical to
-    ``_update_bucket`` (differential-tested).  Per-bucket TTL pruning
-    happens inline; the group timeout only reaps fully idle shards."""
+    ``_update_bucket`` (differential-tested).  Per-bucket pruning
+    happens inline — last_seen holds wall-clock seconds under
+    ``ttl_minutes``, event-time MICROSECONDS under ``evict_after_us``
+    — and the group timeout only reaps fully idle shards."""
 
     def update(key, pdfs, state):
         import time as _time
@@ -220,17 +232,31 @@ def _make_shard_update(ttl_minutes: int | None):
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["band", "bucket", "doc_id"], kind="mergesort"
             )
-            for band, bucket, doc_id in zip(
+            if evict_after_us is not None:
+                # event-time horizon BEFORE applying the batch: drop
+                # buckets whose newest occurrence trails the shard's
+                # max event time by more than the horizon
+                batch_max = int(pdf["tsu"].max())
+                held_max = max(
+                    (v[2] for v in m.values()), default=-(1 << 62)
+                )
+                cutoff = max(batch_max, held_max) - int(evict_after_us)
+                m = {b: v for b, v in m.items() if v[2] >= cutoff}
+                tsus = pdf["tsu"].to_numpy()
+            else:
+                tsus = None
+            for i, (band, bucket, doc_id) in enumerate(zip(
                 pdf["band"], pdf["bucket"], pdf["doc_id"]
-            ):
+            )):
                 band, doc_id = int(band), int(doc_id)
+                stamp = int(tsus[i]) if tsus is not None else now
                 bk = f"{band}|{bucket}"
                 ent = m.get(bk)
                 if ent is None:
-                    m[bk] = [doc_id, 1, now]
+                    m[bk] = [doc_id, 1, stamp]
                     continue
                 ent[1] += 1
-                ent[2] = now
+                ent[2] = max(ent[2], stamp)
                 rows["band"].append(band)
                 rows["bucket"].append(bucket)
                 rows["doc_id"].append(doc_id)
@@ -263,6 +289,8 @@ def stream_near_dup_candidates(
     n: int = 3,
     ttl_minutes: int | None = None,
     state_shards: int = 4096,
+    evict_after_us: int | None = None,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """(doc_id, text) stream → candidate near-dup rows; see module
     docstring.  One output row per (band, colliding doc); consumers
@@ -271,11 +299,22 @@ def stream_near_dup_candidates(
     ``state_shards`` caps the state GROUP count (buckets hash into
     shards; per-bucket entries live in a map inside each shard) — size
     it so expected live buckets per shard stay in the hundreds-to-
-    thousands; the default suits up to ~10M live buckets."""
+    thousands; the default suits up to ~10M live buckets.
+
+    ``evict_after_us`` (requires ``ts_col``, mutually exclusive with
+    ``ttl_minutes``): per-bucket event-time horizon — see module
+    docstring."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     if state_shards <= 0:
         raise ValueError("state_shards must be positive")
+    if evict_after_us is not None and ttl_minutes is not None:
+        raise ValueError(
+            "evict_after_us (event time) and ttl_minutes (processing"
+            " time) are mutually exclusive"
+        )
+    if evict_after_us is not None and evict_after_us <= 0:
+        raise ValueError("evict_after_us must be positive")
 
     @F.pandas_udf(ArrayType(StringType()))
     def band_sigs(texts: pd.Series) -> pd.Series:
@@ -284,13 +323,25 @@ def stream_near_dup_candidates(
             index=texts.index,
         )
 
+    sel = ["doc_id", band_sigs("text").alias("sigs")]
+    extra = []
+    if evict_after_us is not None:
+        sel.append(
+            (F.col(ts_col).cast("timestamp").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("tsu")
+        )
+        extra = ["tsu"]
     exploded = (
-        stream_df.select("doc_id", band_sigs("text").alias("sigs"))
-        .select("doc_id", F.posexplode("sigs").alias("band", "bucket"))
+        stream_df.select(*sel)
+        .select(
+            "doc_id", *extra, F.posexplode("sigs").alias("band", "bucket")
+        )
         .select(
             F.col("band").cast("long").alias("band"),
             "bucket",
             "doc_id",
+            *extra,
             F.pmod(F.xxhash64("band", "bucket"), F.lit(state_shards)).alias(
                 "shard"
             ),
@@ -298,7 +349,7 @@ def stream_near_dup_candidates(
     )
 
     return exploded.groupBy("shard").applyInPandasWithState(
-        _make_shard_update(ttl_minutes),
+        _make_shard_update(ttl_minutes, evict_after_us),
         outputStructType=_CANDIDATE_SCHEMA,
         stateStructType=_SHARD_STATE_SCHEMA,
         outputMode="append",

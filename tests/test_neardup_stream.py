@@ -129,3 +129,78 @@ def test_vectorized_batch_signatures_match_reference():
     got2 = _band_signatures_batch(texts, 12, 6, 2)
     want2 = [_band_signatures(t, 12, 6, 2) for t in texts]
     assert got2 == want2
+
+
+def test_event_time_horizon_evicts_buckets(spark, tmp_path):
+    """evict_after_us: an exact re-send AFTER the horizon re-seeds its
+    buckets instead of being flagged (the pre-gap occupant aged out on
+    its stored recency); a re-send INSIDE the horizon is flagged."""
+    from meteaudata_spark.streaming.neardup_stream import (
+        stream_near_dup_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark catalyst tungsten arrow"
+    rows = [
+        # (doc_id, text, event ts)
+        (1, base, "2024-01-01 00:00:00"),
+        (2, other, "2024-01-01 01:00:00"),
+        (3, other, "2024-01-01 02:00:00"),   # inside horizon -> flagged
+        (4, base, "2024-01-01 09:00:00"),    # 9h gap > 3h -> re-seeded
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    schema = None
+    for i, (doc_id, text, ts) in enumerate(rows):
+        staging = str(tmp_path / f"stage{i}")
+        pdf = pd.DataFrame(
+            [(doc_id, text, ts)], columns=["doc_id", "text", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dst = f"{src}/{i}.parquet"
+        shutil.copy(f"{staging}/{part}", dst)
+        os.utime(dst, (now - 300 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = stream_near_dup_candidates(
+        stream, evict_after_us=3 * 3_600_000_000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("neardup_evict").toPandas()
+    # doc 3 flagged against doc 2 (inside horizon, all 4 bands);
+    # doc 4 NOT flagged anywhere: doc 1's buckets aged out
+    assert set(got["doc_id"]) == {3}, got
+    assert (got[got["doc_id"] == 3]["first_doc_id"] == 2).all(), got
+
+
+def test_neardup_horizon_knob_validation(spark):
+    from meteaudata_spark.streaming.neardup_stream import (
+        stream_near_dup_candidates,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c"]})
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        stream_near_dup_candidates(df, ttl_minutes=5, evict_after_us=1)
+    with pytest.raises(ValueError, match="positive"):
+        stream_near_dup_candidates(df, evict_after_us=-1)

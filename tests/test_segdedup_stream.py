@@ -118,3 +118,87 @@ def test_stream_segment_dedup_validates_knobs(spark):
         stream_segment_dedup(d, seg_words=0)
     with pytest.raises(ValueError):
         stream_segment_dedup(d, state_shards=0)
+
+
+def test_event_time_horizon_evicts_and_readmits(spark, tmp_path):
+    """evict_after_us: a segment unseen for longer than the horizon is
+    dropped from the seen set and its next occurrence re-admits; a
+    segment kept fresh by recurring dups stays fenced (recency
+    refreshes on every occurrence)."""
+    from meteaudata_spark.streaming.segdedup_stream import (
+        stream_segment_dedup,
+    )
+
+    seg_a = "a b"          # recurs every batch -> stays fenced
+    seg_b = "x y"          # silent past the horizon -> re-admitted
+    hours = 3_600_000_000  # us
+    batches = [
+        # (doc_id, text, ts)
+        [(1, f"{seg_a} {seg_b}", "2024-01-01 00:00:00")],
+        [(2, f"{seg_a}", "2024-01-01 01:00:00")],   # a refreshed; b ages
+        [(3, f"{seg_a} {seg_b}", "2024-01-01 05:00:00")],
+        # horizon 3h: b last seen 00:00, max now 05:00 -> evicted,
+        # so b re-admits (kept for doc 3); a seen 01:00... also >3h?
+        # a refreshed at 01:00, 05:00-01:00=4h > 3h -> a ALSO evicted
+        # and re-admitted. Use a tighter cadence for a:
+    ]
+    # rebuild: a recurs hourly (always fresh), b silent 5 hours
+    batches = [
+        [(1, f"{seg_a} {seg_b}", "2024-01-01 00:00:00")],
+        [(2, seg_a, "2024-01-01 01:00:00")],
+        [(3, seg_a, "2024-01-01 02:00:00")],
+        [(4, seg_a, "2024-01-01 03:00:00")],
+        [(5, seg_a, "2024-01-01 04:00:00")],
+        [(6, f"{seg_a} {seg_b}", "2024-01-01 05:00:00")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        now = time.time()
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                p = os.path.join(src, f)
+                if os.path.getmtime(p) > now - 1:
+                    os.utime(p, (now - 600 + i * 10,) * 2)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = stream_segment_dedup(
+        stream, seg_words=2, evict_after_us=3 * hours
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("segdedup_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("segdedup_evict").toPandas()
+    kept = sorted(
+        map(tuple, got[["doc_id", "segment"]].itertuples(index=False))
+    )
+    # seg_a kept once (doc 1), refreshed by every dup -> never again;
+    # seg_b kept at doc 1 AND re-admitted at doc 6 (aged out)
+    assert kept == [(1, seg_a), (1, seg_b), (6, seg_b)], kept
+
+
+def test_horizon_and_ttl_mutually_exclusive(spark):
+    from meteaudata_spark.streaming.segdedup_stream import (
+        stream_segment_dedup,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        stream_segment_dedup(df, ttl_minutes=5, evict_after_us=1)
+    with pytest.raises(ValueError, match="positive"):
+        stream_segment_dedup(df, evict_after_us=0)

@@ -214,3 +214,156 @@ def test_rejects_bad_knobs(spark):
         stream_semantic_dup_candidates(df, [])
     with pytest.raises(ValueError):
         stream_semantic_dup_candidates(df, [(0, [1.0, 0.0])], max_reps=0)
+
+
+def test_chunked_update_matches_sequential_reference():
+    """The r12 chunked two-phase _update_cluster must reproduce the
+    old per-arrival sequential semantics decision-for-decision:
+    randomized streams with planted near-dups, tiny max_reps (heavy
+    ring eviction), and chunk-boundary-straddling dup chains."""
+    import numpy as np
+    import pandas as pd
+
+    from meteaudata_spark.streaming.semdedup_stream import _update_cluster
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+    def reference(stream, threshold, max_reps, dim):
+        """The pre-r12 per-arrival loop, verbatim semantics."""
+        reps, nrm, ids, out = [], [], [], []
+        for vid, x in stream:
+            x = np.asarray(x, dtype=np.float64)
+            xn = x / max(float(np.linalg.norm(x)), 1e-300)
+            if reps:
+                m = np.stack(reps)
+                sims = (m @ xn) / np.asarray(nrm)
+                b = int(sims.argmax())
+                if round(float(sims[b]), 6) >= threshold:
+                    out.append((vid, ids[b], round(float(sims[b]), 6)))
+                    continue
+            reps.append(x)
+            nrm.append(max(float(np.linalg.norm(x)), 1e-300))
+            ids.append(vid)
+            if len(reps) > max_reps:
+                reps.pop(0), nrm.pop(0), ids.pop(0)
+        return out, ids
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    for trial, (n, max_reps, thr, dup_rate) in enumerate(
+        [(400, 8, 0.95, 0.3), (600, 64, 0.9, 0.05),
+         (300, 3, 0.99, 0.5), (500, 200, 0.92, 0.8)]
+    ):
+        base = rng.normal(size=(n, dim))
+        stream = []
+        for i in range(n):
+            if i > 4 and rng.random() < dup_rate:
+                j = int(rng.integers(max(0, i - 2 * max_reps), i))
+                v = base[j] + rng.normal(scale=1e-4, size=dim)
+            else:
+                v = base[i]
+            stream.append((i, v.tolist()))
+        # the operator quantizes inputs to float32 at ingestion; the
+        # reference sees the same quantized values
+        stream = [
+            (v, np.asarray(e, dtype=np.float32).astype(np.float64))
+            for v, e in stream
+        ]
+        ref_out, ref_ids = reference(stream, thr, max_reps, dim)
+
+        st = FakeState()
+        # feed in several micro-batches with awkward split points,
+        # packed the way the mapInPandas stage packs (and split into
+        # two blobs per batch to exercise multi-blob unpack+sort)
+        got = []
+        for sl in (slice(0, n // 3), slice(n // 3, n // 2),
+                   slice(n // 2, n)):
+            part = stream[sl]
+            vids = np.array([v for v, _ in part], dtype=np.int64)
+            embs = np.array(
+                [e for _, e in part], dtype=np.float32
+            ).reshape(len(part), dim)
+            h = max(1, len(part) // 2)
+            pdf = pd.DataFrame(
+                {
+                    "centroid_id": [42, 42],
+                    "vec_ids": [
+                        vids[h:].tobytes(), vids[:h].tobytes()
+                    ],
+                    "embs": [
+                        np.ascontiguousarray(embs[h:]).tobytes(),
+                        np.ascontiguousarray(embs[:h]).tobytes(),
+                    ],
+                }
+            )
+            for res in _update_cluster(
+                (42,), iter([pdf]), st, thr, max_reps, dim
+            ):
+                got.extend(
+                    (int(r.vec_id), int(r.rep_id), float(r.cosine))
+                    for r in res.itertuples()
+                )
+        assert got == ref_out, f"trial {trial}: decisions diverge"
+        got_ids = np.frombuffer(st.get[0], dtype=np.int64).tolist()
+        assert got_ids == ref_ids, f"trial {trial}: state diverges"
+
+
+def test_intra_cluster_shards_still_catch_resends(spark, tmp_path):
+    """R>1: content-addressed slices — exact re-sends route to the
+    same slice as their original and are still flagged; knob
+    validation."""
+    from meteaudata_spark.streaming.semdedup_stream import (
+        stream_semantic_dup_candidates,
+    )
+
+    rows = [(i, _vec(i % 2, i)) for i in range(1, 7)]
+    rows += [(100 + i, _vec(i % 2, i)) for i in range(1, 7)]  # re-sends
+    src, schema = _write_one_per_batch(spark, tmp_path, rows)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = stream_semantic_dup_candidates(
+        stream, _centroids(), threshold=0.9999, intra_cluster_shards=4
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("semdup_shards")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("semdup_shards").toPandas().sort_values("vec_id")
+    # every re-send flagged against its exact original, and the
+    # emitted centroid_id is the ORIGINAL cluster id (slice stripped)
+    assert list(got["vec_id"]) == [101, 102, 103, 104, 105, 106], got
+    assert list(got["rep_id"]) == [1, 2, 3, 4, 5, 6], got
+    assert set(got["centroid_id"]) <= {100, 101}, got
+    assert (got["cosine"] == 1.0).all(), got
+
+    with pytest.raises(ValueError, match="positive"):
+        stream_semantic_dup_candidates(
+            spark.createDataFrame(
+                pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 0.0]]})
+            ),
+            _centroids(),
+            intra_cluster_shards=0,
+        )

@@ -115,3 +115,46 @@ def test_explicit_url_column(spark):
     assert out.kept_doc_id.tolist() == [10, 14]
     assert out.n_docs.tolist() == [4, 1]
     assert out.n_removed.tolist() == [3, 0]
+
+
+def test_windowed_horizon_ledger(spark, tmp_path):
+    """horizon: the ledger keys become tumbling windows behind a
+    watermark — a URL recurring in a later window is re-admitted as
+    that window's keeper (bounded-state revival trade-off), while
+    same-window repeats dedup as usual.  Static-frame run pins the
+    windowed aggregation semantics."""
+    import pandas as pd
+
+    from meteaudata_spark.streaming.urldedup_stream import stream_url_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "url": [
+                "https://ex.com/a?utm_source=x",
+                "https://ex.com/a",
+                "https://ex.com/a",
+            ],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:10:00",
+                    "2024-01-01 00:20:00",
+                    "2024-01-02 05:00:00",
+                ]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = stream_url_dedup(
+        df, url_col="url", horizon="1 day"
+    ).toPandas().sort_values("win_start")
+    assert list(out.columns) == [
+        "win_start", "win_end", "norm_url", "kept_doc_id", "n_docs",
+        "n_removed",
+    ]
+    # day 1: docs 10+11 normalize together -> keeper 10, one removed;
+    # day 2: doc 12 re-admitted as its window's keeper
+    assert len(out) == 2, out
+    assert list(out["kept_doc_id"]) == [10, 12], out
+    assert list(out["n_docs"]) == [2, 1], out
+    assert list(out["n_removed"]) == [1, 0], out

@@ -26,6 +26,7 @@ from meteaudata_spark.streaming.semdedup_stream import (  # noqa: E402
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     max_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+    r_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_dups = n_vecs // 200  # 0.5% re-sent vectors
     dim, n_cent = 64, 64
 
@@ -84,7 +85,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out = stream_semantic_dup_candidates(
-        stream, cents, threshold=0.999999, max_reps=max_reps
+        stream, cents, threshold=0.999999, max_reps=max_reps,
+        intra_cluster_shards=r_shards,
     )
     q = (
         out.writeStream.format("memory")
@@ -100,7 +102,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
     total = n_vecs + n_dups
     print(
-        f"semdedup-stream {total:,} vecs ({n_dups} re-sends): {dt:.1f} s "
+        f"semdedup-stream {total:,} vecs ({n_dups} re-sends,"
+        f" max_reps={max_reps}, R={r_shards}): {dt:.1f} s "
         f"-> {total / dt:,.0f} vecs/s, {n_flagged} flagged "
         f"({n_planted}/{n_dups} planted re-sends caught)"
     )
