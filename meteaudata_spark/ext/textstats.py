@@ -4392,6 +4392,65 @@ def unigram_lm_train(
     Words longer than ``max_word_len`` chars are excluded from
     training on both engines (pathological-token fence).
     Reference analog: none (pure [EXT])."""
+    core = _unigram_lm_core(
+        df, text_col, max_piece_len, seed_size, em_rounds, target_multi,
+        max_word_len,
+    )
+    return _ulm_vocab_table(core)
+
+
+def _ulm_vocab_table(core: dict) -> DataFrame:
+    """Final piece table from a trained core (the train-row tail)."""
+    final_counts = core["attribute"](core["pruned"]).localCheckpoint()
+    tot = final_counts.agg(F.sum("c").cast("bigint").alias("total"))
+    return (
+        final_counts.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            F.col("c").alias("final_count"),
+            F.expr(
+                "cast(round(ln(cast(c as double) / total) * 1000000)"
+                " as bigint)"
+            ).alias("logp_micros"),
+        )
+        .orderBy(F.desc("final_count"), "piece")
+    )
+
+
+_ULM_MEMO: dict = {}
+
+
+def _unigram_lm_core_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Session-memoized trainer core at the gate defaults: the
+    trained vocabulary is the shared upstream of the train AND encode
+    gate rows (the ``memo_relation`` compose-don't-recompute
+    contract; the core's relations are localCheckpointed, so reuse
+    costs nothing beyond the first build)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    core = _ULM_MEMO.get(key)
+    if core is None:
+        core = _unigram_lm_core(_docs(spark, sf_dir))
+        _ULM_MEMO[key] = core
+        while len(_ULM_MEMO) > 8:
+            _ULM_MEMO.pop(next(iter(_ULM_MEMO)))
+    return core
+
+
+def _unigram_lm_core(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_size: int = 80,
+    em_rounds: int = 3,
+    target_multi: int = 24,
+    max_word_len: int = 32,
+) -> dict:
+    """Shared trainer core for ``unigram_lm_train`` (final piece
+    table) and ``unigram_lm_encode_stats`` (corpus tokenization with
+    the trained vocabulary): seed → hard-EM rounds → prune, returning
+    the span relation, the alphabet, the PRUNED scored vocabulary and
+    the attribution helpers."""
     L = int(max_piece_len)
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
@@ -4493,20 +4552,119 @@ def unigram_lm_train(
             .select("piece", "logp")
         )
     )
-    final_counts = _attribute(pruned).localCheckpoint()
-    tot = final_counts.agg(F.sum("c").cast("bigint").alias("total"))
-    return (
-        final_counts.crossJoin(F.broadcast(tot))
-        .select(
-            "piece",
-            F.length("piece").cast("int").alias("piece_len"),
-            F.col("c").alias("final_count"),
-            F.expr(
-                "cast(round(ln(cast(c as double) / total) * 1000000)"
-                " as bigint)"
-            ).alias("logp_micros"),
+
+    def _maps(piece_scores: DataFrame) -> DataFrame:
+        return (
+            spans.join(
+                F.broadcast(piece_scores.select("piece", "logp")),
+                spans["sub"] == F.col("piece"),
+            )
+            .groupBy("word")
+            .agg(
+                F.max("cnt").alias("cnt"),
+                F.max("n").alias("n"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("k", "logp"))
+                ).alias("m"),
+            )
         )
-        .orderBy(F.desc("final_count"), "piece")
+
+    return {
+        "spans": spans,
+        "alpha": alpha,
+        "pruned": pruned,
+        "attribute": _attribute,
+        "maps": _maps,
+        "best_expr": best_expr,
+        "bt_expr": bt_expr,
+    }
+
+
+def unigram_lm_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_piece_len: int = 4,
+    seed_size: int = 80,
+    em_rounds: int = 3,
+    target_multi: int = 24,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Tokenize the corpus with the pruned vocabulary
+    ``unigram_lm_train`` learns — the ENCODE half of the unigram-LM
+    lifecycle (the ``bpe_encode_stats`` analog): per group, the word
+    count, the character baseline, the token count under the trained
+    piece table's Viterbi segmentation, and the saving in basis
+    points.
+
+    The 100 TB trick is ``bpe_encode_stats``'s: a word's segmentation
+    is a pure function of the word, so the Viterbi runs ONCE per
+    distinct word (the vocabulary relation) and the corpus pays one
+    explode + keyed join + keyed agg.  Words longer than
+    ``max_word_len`` are excluded from vocabulary AND corpus counts on
+    both engines (the trainer's fence).  The gate oracle re-trains the
+    same vocabulary from the same corpus, so one row certifies train
+    AND encode.  Reference analog: none (pure [EXT])."""
+    core = _unigram_lm_core(
+        df, text_col, max_piece_len, seed_size, em_rounds, target_multi,
+        max_word_len,
+    )
+    return _ulm_encode_table(core, df, text_col, group_col, max_word_len)
+
+
+def _ulm_encode_table(
+    core: dict,
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_word_len: int = 32,
+) -> DataFrame:
+    word_tokens = (
+        core["maps"](core["pruned"])
+        .withColumn("best", F.expr(core["best_expr"]))
+        .select(
+            "word",
+            F.col("n").cast("bigint").alias("n_chars_word"),
+            F.size(F.expr(core["bt_expr"]))
+            .cast("bigint")
+            .alias("n_tokens_word"),
+        )
+    )
+    exploded = df.select(
+        group_col,
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(
+        (F.col("word") != "") & (F.length("word") <= int(max_word_len))
+    )
+    joined = exploded.join(word_tokens, "word")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars_word").cast("bigint").alias("n_char_tokens"),
+            F.sum("n_tokens_word").cast("bigint").alias("n_unigram_tokens"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_char_tokens",
+            "n_unigram_tokens",
+            F.expr(
+                "(n_char_tokens - n_unigram_tokens) * 10000"
+                " div n_char_tokens"
+            ).alias("saving_bp"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def doc_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: encode the corpus with the trained unigram-LM
+    vocabulary; per-language token counts and compression (completes
+    the unigram lifecycle train → encode, like ``doc_bpe_encode``).
+    Shares the session-memoized trainer core with the train row."""
+    return _ulm_encode_table(
+        _unigram_lm_core_for(spark, sf_dir), _docs(spark, sf_dir)
     )
 
 
@@ -4514,7 +4672,7 @@ def doc_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: the unigram-LM piece table trained on the corpus
     (VERDICT r11 #6 — completes the tokenizer family: BPE train/encode
     + SentencePiece-style unigram)."""
-    return unigram_lm_train(_docs(spark, sf_dir))
+    return _ulm_vocab_table(_unigram_lm_core_for(spark, sf_dir))
 
 
 def _unigram_lm_sql(
@@ -4678,4 +4836,47 @@ ORDER BY final_count DESC, piece
     return "".join(parts)
 
 
+def _unigram_lm_encode_sql(
+    max_piece_len: int = 4,
+    seed_size: int = 80,
+    em_rounds: int = 3,
+    target_multi: int = 24,
+    max_word_len: int = 32,
+) -> str:
+    """Oracle for ``unigram_lm_encode_stats``: re-learns the pruned
+    vocabulary with ``_unigram_lm_sql``'s CTE chain, then reads each
+    word's FINAL-attribution segment count straight from the
+    lens{k+1} relation (the Viterbi path lengths) and joins the
+    corpus once — certifying train AND encode in one row."""
+    k = int(em_rounds)
+    vocab_sql = _unigram_lm_sql(
+        max_piece_len, seed_size, em_rounds, target_multi, max_word_len
+    )
+    # keep the WITH chain, swap the final vocab SELECT for the
+    # corpus-encode aggregation
+    chain = vocab_sql.rsplit("\nSELECT piece,", 1)[0]
+    return f"""{chain},
+wt AS (
+  SELECT word, CAST(n AS BIGINT) AS n_chars_word,
+         CAST(LEN(lens) AS BIGINT) AS n_tokens_word
+  FROM lens{k + 1}
+),
+corpus AS (
+  SELECT lang, word FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+  )
+  WHERE word <> '' AND LEN(word) <= {int(max_word_len)}
+)
+SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_chars_word) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(w.n_tokens_word) AS BIGINT) AS n_unigram_tokens,
+       CAST((SUM(w.n_chars_word) - SUM(w.n_tokens_word)) * 10000
+            // SUM(w.n_chars_word) AS BIGINT) AS saving_bp
+FROM corpus c JOIN wt w ON w.word = c.word
+GROUP BY c.lang
+ORDER BY c.lang
+"""
+
+
 DOC_UNIGRAM_LM_SQL = _unigram_lm_sql()
+DOC_UNIGRAM_LM_ENCODE_SQL = _unigram_lm_encode_sql()

@@ -166,3 +166,69 @@ def test_unigram_lm_single_chars_never_pruned(spark):
     kept = set(got[got.piece_len == 1].piece)
     assert alphabet <= kept
     assert (got[got.piece_len == 1].final_count >= 1).all()
+
+
+def test_unigram_lm_encode_matches_python_reference(spark):
+    """Encode == reference: per-group token counts from the reference
+    trainer's final-vocab Viterbi paths."""
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.textstats import (
+        _docs,
+        doc_unigram_lm_encode,
+    )
+
+    got = doc_unigram_lm_encode(spark, SF).toPandas()
+
+    words = _word_counts(spark, SF)
+    vocab_rows = _py_unigram(words)
+    lp = {p: logp for p, _, _, logp in vocab_rows}
+
+    def viterbi_len(w, L=4):
+        n = len(w)
+        best = [0] * (n + 1)
+        for i in range(1, n + 1):
+            b = None
+            for ln in range(1, min(L, i) + 1):
+                p = w[i - ln:i]
+                if p in lp:
+                    v = best[i - ln] + lp[p]
+                    if b is None or v > b:
+                        b = v
+            best[i] = b
+        pos, cnt = n, 0
+        while pos > 0:
+            chosen = 1
+            for ln in range(min(L, pos), 1, -1):
+                p = w[pos - ln:pos]
+                if p in lp and best[pos - ln] + lp[p] == best[pos]:
+                    chosen = ln
+                    break
+            cnt += 1
+            pos -= chosen
+        return cnt
+
+    wt = {w: viterbi_len(w) for w in words}
+    rows = (
+        _docs(spark, SF)
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= 32))
+        .collect()
+    )
+    agg = {}
+    for r in rows:
+        lang, w = r["lang"], r["word"]
+        nw, nc, nt = agg.get(lang, (0, 0, 0))
+        agg[lang] = (nw + 1, nc + len(w), nt + wt[w])
+    ref = sorted(
+        (
+            lang,
+            nw,
+            nc,
+            nt,
+            (nc - nt) * 10000 // nc,
+        )
+        for lang, (nw, nc, nt) in agg.items()
+    )
+    got_rows = sorted(map(tuple, got.itertuples(index=False)))
+    assert got_rows == ref
