@@ -98,8 +98,11 @@ def main() -> None:
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, cwd=here, timeout=10,
         ).stdout.strip() or "unknown"
+        # untracked files (e.g. this run's own bench_results output)
+        # cannot change code behavior — only modified tracked files
+        # make a tree non-comparable
         dirty = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "--untracked-files=no"],
             capture_output=True, text=True, cwd=here, timeout=10,
         ).stdout.strip()
         if dirty:

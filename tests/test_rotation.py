@@ -16,7 +16,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 HEAD = 50  # the driver's per-round gate window
-MAX_STALE = 5  # ceil(214 / HEAD): one full rotation period
+
+
+def _max_stale(n_rows: int) -> int:
+    # one full rotation period: every row must pass through the head
+    # at least once every ceil(N / HEAD) rounds
+    return -(-n_rows // HEAD)
 
 
 def _last_certified() -> tuple[dict, int]:
@@ -43,16 +48,17 @@ def test_no_gate_row_staler_than_one_rotation_period():
     last, latest = _last_certified()
     upcoming = latest + 1  # the round whose driver will run this head
     keys = list(entry.queries())
+    max_stale = _max_stale(len(keys))
     head = set(keys[:HEAD])
     problems = {}
     for k in keys:
         eff = upcoming if k in head else last.get(k)
         if eff is None:
             problems[k] = "never driver-certified and not in the head-50"
-        elif upcoming - eff > MAX_STALE:
+        elif upcoming - eff > max_stale:
             problems[k] = (
                 f"last driver cert r{eff}, {upcoming - eff} rounds stale "
-                f"(max {MAX_STALE}) — rotate it into the head-50"
+                f"(max {max_stale}) — rotate it into the head-50"
             )
     assert not problems, (
         f"{len(problems)} gate rows violate the rotation invariant: "
@@ -73,7 +79,7 @@ def test_head_window_covers_the_stalest_rows_first():
     at_horizon = {
         k
         for k in keys
-        if k in last and upcoming - last[k] >= MAX_STALE
+        if k in last and upcoming - last[k] >= _max_stale(len(keys))
     }
     left_out = sorted(at_horizon - head)
     assert not left_out, (
