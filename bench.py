@@ -98,11 +98,13 @@ def main() -> None:
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, cwd=here, timeout=10,
         ).stdout.strip() or "unknown"
-        # untracked files (e.g. this run's own bench_results output)
-        # cannot change code behavior — only modified tracked files
-        # make a tree non-comparable
+        # bench output (untracked run files AND the tracked
+        # latest.json pointer a previous run rewrote) cannot change
+        # code behavior — only modified tracked SOURCE files make a
+        # tree non-comparable
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", ":!bench_results"],
             capture_output=True, text=True, cwd=here, timeout=10,
         ).stdout.strip()
         if dirty:
