@@ -1452,14 +1452,19 @@ def doc_substring_spans(
     nd = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words")
     )
+    # split(text) projected ONCE before the lambda (the ``_shingles``
+    # rule: inside the lambda Catalyst re-evaluates it per gram index,
+    # O(words²) per doc)
     grams = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size(split(text, ' ')) >= {k} THEN "
-                f"transform(sequence(1, size(split(text, ' ')) - {k - 1}), "
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(1, size(__toks) - {k - 1}), "
                 f"i -> struct(i AS pos, "
-                f"array_join(slice(split(text, ' '), i, {k}), ' ') AS gram)) "
+                f"array_join(slice(__toks, i, {k}), ' ') AS gram)) "
                 f"ELSE CAST(array() AS array<struct<pos:int, gram:string>>) END"
             )
         ).alias("g"),
@@ -1590,14 +1595,20 @@ def substring_scrub(
     from pyspark.sql import Window
 
     k = n_words
+    # split(text) projected ONCE before the lambda (the ``_shingles``
+    # rule: inside the lambda Catalyst re-evaluates it per gram index,
+    # O(words²) per doc)
     grams = d.select(
         F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).select(
+        "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-                f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(1, size(__toks) - {k - 1}), "
                 f"i -> struct(i AS pos, "
-                f"array_join(slice(split({text_col}, ' '), i, {k}), ' ') AS gram)) "
+                f"array_join(slice(__toks, i, {k}), ' ') AS gram)) "
                 f"ELSE CAST(array() AS array<struct<pos:int, gram:string>>) END"
             )
         ).alias("g"),
@@ -2122,13 +2133,20 @@ def boilerplate_report(
     windows, no pairs, no quadratic term.
     Reference analog: none (pure [EXT])."""
     w = seg_words
+    # split(text) projected ONCE before the lambda (the ``_shingles``
+    # rule: inside the lambda Catalyst re-evaluates it per segment
+    # index, O(words²) per doc) — matches the oracle's ``toks`` CTE
     segs = d.select(
+        id_col,
+        group_col,
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).select(
         id_col,
         group_col,
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) / {w}.0) as int) - 1), "
-                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i * {w} + 1, {w})))"
+                f"transform(sequence(0, cast(ceil(size(__toks) / {w}.0) as int) - 1), "
+                f"i -> concat_ws(' ', slice(__toks, i * {w} + 1, {w})))"
             )
         ).alias("seg_idx", "segment"),
     )

@@ -1269,14 +1269,19 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
+    # split(text) projected ONCE before the lambda (the
+    # ``dedup._shingles`` rule: inside the lambda Catalyst
+    # re-evaluates it per gram index, O(words²) per doc)
     grams = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
-                    f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-                    f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')) "
+                    f"CASE WHEN size(__toks) >= {n} THEN "
+                    f"transform(sequence(1, size(__toks) - {n - 1}), "
+                    f"i -> array_join(slice(__toks, i, {n}), ' ')) "
                     f"ELSE CAST(array() AS array<string>) END"
                 )
             )

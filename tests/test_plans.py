@@ -1411,3 +1411,61 @@ def test_unigram_lm_plan_vocab_bound(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast 1-row total
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    # extract every balanced-paren lambdafunction(...) body from an
+    # optimized-plan string
+    out, i, tag = [], 0, "lambdafunction("
+    while True:
+        j = plan.find(tag, i)
+        if j < 0:
+            break
+        k = j + len(tag)
+        depth, s = 1, k
+        while depth and k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[s : k - 1])
+        i = k
+    return out
+
+
+def test_no_split_inside_any_lambda(spark):
+    # the O(words²) tripwire (VERDICT r12 #2): split(text) inside a
+    # transform/filter lambda is re-evaluated by Catalyst once PER
+    # ARRAY INDEX, turning an O(words) projection into O(words²) per
+    # document — invisible to the sf0.1→sf1 row-count exponent guard
+    # because the blowup is per-row, not per-rowcount.  House rule
+    # (ext/dedup.py::_shingles): project split() to a __toks column
+    # BEFORE the lambda.  CollapseProject keeps the separate Project
+    # because split is non-cheap and multiply-referenced.  This guard
+    # walks the OPTIMIZED plan (post-collapse) of every corpus query
+    # that shingles/segments text and fails if any lambda body ever
+    # contains a split( again.
+    from meteaudata_spark.ext import corpus_ops, dedup, textstats
+
+    d = dedup._docs(spark, SF)
+    cases = {
+        "doc_substring_spans": dedup.doc_substring_spans(spark, SF),
+        "substring_scrub": dedup.substring_scrub(d),
+        "doc_boilerplate_report": dedup.doc_boilerplate_report(spark, SF),
+        "doc_ngram_novelty": textstats.doc_ngram_novelty(spark, SF),
+        "doc_heaps_fit": textstats.doc_heaps_fit(spark, SF),
+        "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs(spark, SF),
+        "doc_segment_dedup": dedup.doc_segment_dedup(spark, SF),
+        "doc_chunk_text": corpus_ops.doc_chunk_text(spark, SF),
+    }
+    offenders = {}
+    for name, df in cases.items():
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = [b[:120] for b in _lambda_bodies(opt) if "split(" in b]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"split() re-evaluated inside a lambda (O(words²)/doc): "
+        f"{offenders}"
+    )
