@@ -4457,6 +4457,15 @@ def _unigram_lm_core(
     the span relation, the alphabet, the PRUNED scored vocabulary and
     the attribution helpers."""
     L = int(max_piece_len)
+    if L > 8:
+        # span keys are packed as k = pos*8 + len — injective only for
+        # len <= 8; beyond that keys silently collide and corrupt the
+        # Viterbi DP identically on BOTH engines, so the differential
+        # gate cannot catch it (ADVICE r12)
+        raise ValueError(
+            f"max_piece_len={L} > 8: span-key packing (pos*8 + len) "
+            "would collide; widen the stride before raising the cap"
+        )
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(
@@ -4694,6 +4703,12 @@ def _unigram_lm_sql(
     piece lookups — so no per-position CTE chain is needed; only the
     EM rounds unroll (the ``bpe_train`` pattern)."""
     L = int(max_piece_len)
+    if L > 8:
+        # same packing bound as _unigram_lm_core: k = pos*8 + len
+        raise ValueError(
+            f"max_piece_len={L} > 8: span-key packing (pos*8 + len) "
+            "would collide; widen the stride before raising the cap"
+        )
     neg = f"CAST({_ULM_NEG} AS BIGINT)"
     best_terms = ", ".join(
         f"CASE WHEN x[1] >= {ln}"

@@ -303,7 +303,15 @@ def stream_near_dup_candidates(
 
     ``evict_after_us`` (requires ``ts_col``, mutually exclusive with
     ``ttl_minutes``): per-bucket event-time horizon — see module
-    docstring."""
+    docstring.
+
+    CHECKPOINT CONTRACT: the eviction mode is baked into the persisted
+    state — ``last_seen`` holds wall-clock SECONDS under
+    ``ttl_minutes`` but event-time MICROSECONDS under
+    ``evict_after_us``.  Restarting a checkpointed query with the
+    other mode silently misinterprets recency (second-scale stamps all
+    fall behind a microsecond horizon, wiping the bucket map).
+    Changing the mode requires a fresh checkpoint location."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     if state_shards <= 0:

@@ -155,7 +155,15 @@ def stream_segment_dedup(
 
     ``evict_after_us`` (requires ``ts_col``, mutually exclusive with
     ``ttl_minutes``): per-segment event-time horizon — see module
-    docstring."""
+    docstring.
+
+    CHECKPOINT CONTRACT: the eviction mode is baked into the persisted
+    state — ``last_tsu`` holds zeros under ``ttl_minutes`` but
+    event-time MICROSECONDS under ``evict_after_us``.  Restarting a
+    checkpointed query with the other mode silently misinterprets
+    recency (zero/second-scale stamps all fall behind a microsecond
+    horizon, wiping the seen set).  Changing the mode requires a fresh
+    checkpoint location."""
     if seg_words <= 0:
         raise ValueError("seg_words must be positive")
     if state_shards <= 0:

@@ -92,9 +92,6 @@ def _update_cluster(
     max_reps: int,
     dim: int,
 ) -> Iterator[pd.DataFrame]:
-    import os as _os, time as _time, sys as _sys
-    _t00 = _time.perf_counter()
-    _dbg = _os.environ.get("SEMDEDUP_DEBUG_TIMING") == "1"
     if state.hasTimedOut:
         state.remove()
         return
@@ -268,19 +265,12 @@ def _update_cluster(
                     hi += m
                     lo = max(lo, hi - max_reps)
             start = end
-        _t1 = _time.perf_counter()
         rep_ids = ids[lo:hi].tobytes()
         reps_out = buf[lo:hi].astype(np.float32).tobytes()
     else:
-        _t1 = _time.perf_counter()
         rep_ids = np.asarray(rep_ids0, dtype=np.int64).tobytes()
         reps_out = np.asarray(reps0).astype(np.float32).tobytes()
-    _t2 = _time.perf_counter()
     state.update((rep_ids, reps_out))
-    _t3 = _time.perf_counter()
-    if _dbg:
-        print(f"TIMING key={key[0]} n_in={n_in} w_end={hi-lo if chunks else -1} "
-              f"compute={_t1-_t00:.2f} listify={_t2-_t1:.2f} stateupd={_t3-_t2:.2f}", file=_sys.stderr, flush=True)
     if rows["vec_id"]:
         yield pd.DataFrame(rows)
 

@@ -171,3 +171,35 @@ def test_pinned_relations_survive_fifo_churn(spark):
     opcache.release_operator_caches()
     assert not opcache._pinned and not opcache._active
     assert not pinned.storageLevel.useMemory
+
+
+def test_memo_hit_heals_evicted_persist(spark):
+    """The r12 watch item (doc_dedup_agreement memo-read drift): when
+    per-query cache_intermediate churn FIFO-evicts a memoized
+    relation's persist, a later memo HIT must re-persist it instead of
+    letting every downstream execution silently recompute the mining
+    (measured 4-15x at r11).  Fails if memo_relation ever returns an
+    unpersisted hit again."""
+    from meteaudata_spark.plans import opcache
+
+    opcache.release_operator_caches()
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(7).selectExpr("id AS v")
+
+    a = opcache.memo_relation(spark, ("heal_probe", "x"), build)
+    a.count()
+    assert a.storageLevel.useMemory and len(builds) == 1
+    # churn the FIFO past the cap so the memoized persist is evicted
+    for i in range(opcache._MAX_ACTIVE + 5):
+        opcache.cache_intermediate(spark.range(i + 100))
+    assert not a.storageLevel.useMemory, "precondition: persist evicted"
+    # memo hit must self-heal: same relation, re-registered persist
+    b = opcache.memo_relation(spark, ("heal_probe", "x"), build)
+    assert b is a and len(builds) == 1
+    assert id(a) in opcache._active
+    b.count()  # one recompute re-materializes the cache...
+    assert a.storageLevel.useMemory
+    opcache.release_operator_caches()

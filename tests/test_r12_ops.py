@@ -232,3 +232,25 @@ def test_unigram_lm_encode_matches_python_reference(spark):
     )
     got_rows = sorted(map(tuple, got.itertuples(index=False)))
     assert got_rows == ref
+
+
+def test_unigram_lm_rejects_max_piece_len_over_8(spark):
+    # span keys pack as pos*8 + len — injective only for len <= 8;
+    # beyond that keys collide IDENTICALLY on both engines, so the
+    # differential gate could never catch the corruption (ADVICE r12).
+    # Both the Spark core and the DuckDB oracle builder must refuse.
+    from meteaudata_spark.ext.textstats import (
+        _unigram_lm_core,
+        _unigram_lm_sql,
+        unigram_lm_train,
+    )
+
+    d = spark.createDataFrame([("hello world",)], ["text"])
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_lm_train(d, max_piece_len=9)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        _unigram_lm_core(d, max_piece_len=9)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        _unigram_lm_sql(max_piece_len=9)
+    # the boundary itself stays legal
+    assert "8" in _unigram_lm_sql(max_piece_len=8)
