@@ -4689,6 +4689,116 @@ def doc_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ulm_vocab_table(_unigram_lm_core_for(spark, sf_dir))
 
 
+def _ulm_eval_table(
+    core: dict,
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer evaluation table (the row every tokenizer pipeline
+    needs once train+encode exist, VERDICT r12 #6): per group —
+
+    - ``coverage_bp``: share of word occurrences the tokenizer can
+      encode at all (within the trainer's ``max_word_len`` fence; the
+      OOV complement is exactly the fence overflow),
+    - ``fertility_micros``: tokens per encodable word ×1e6 (the
+      canonical per-language fertility metric),
+    - ``compression_micros``: characters per token ×1e6 — the
+      compression ratio vs the byte/char baseline (a char-level
+      tokenizer scores exactly 1e6),
+    - ``single_token_bp``: share of encodable occurrences that encode
+      to ONE piece (whole-word vocabulary hit rate).
+
+    All integer floor-div arithmetic — exact cross-engine.  The
+    per-distinct-word Viterbi relation is the same one the encode row
+    builds (one DP per vocabulary word, never per occurrence); the
+    corpus pays one explode + keyed LEFT join (out-of-fence words
+    count toward ``n_words`` only) + keyed agg.  100 TB shape: the
+    word-token relation is vocabulary-sized; the corpus-side explode
+    is map-only before the join's shuffle-on-word.
+    Reference analog: none (pure [EXT])."""
+    word_tokens = (
+        core["maps"](core["pruned"])
+        .withColumn("best", F.expr(core["best_expr"]))
+        .select(
+            "word",
+            F.col("n").cast("bigint").alias("n_chars_word"),
+            F.size(F.expr(core["bt_expr"]))
+            .cast("bigint")
+            .alias("n_tokens_word"),
+        )
+    )
+    exploded = df.select(
+        group_col,
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = exploded.join(word_tokens, "word", "left")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.count("n_tokens_word").cast("bigint").alias("n_encodable"),
+            F.sum(F.coalesce(F.col("n_chars_word"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_tokens_word"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum((F.col("n_tokens_word") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_single"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_encodable",
+            F.expr("n_encodable * 10000 div n_words").alias("coverage_bp"),
+            F.expr(
+                "n_tokens * 1000000 div nullif(n_encodable, 0)"
+            ).alias("fertility_micros"),
+            F.expr(
+                "n_chars * 1000000 div nullif(n_tokens, 0)"
+            ).alias("compression_micros"),
+            F.expr(
+                "n_single * 10000 div nullif(n_encodable, 0)"
+            ).alias("single_token_bp"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def unigram_lm_eval_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_piece_len: int = 4,
+    seed_size: int = 80,
+    em_rounds: int = 3,
+    target_multi: int = 24,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Library surface for the tokenizer evaluation (see
+    ``_ulm_eval_table``): trains the unigram-LM vocabulary on ``df``
+    and scores coverage / fertility / compression / whole-word hit
+    rate per ``group_col``."""
+    core = _unigram_lm_core(
+        df, text_col, max_piece_len, seed_size, em_rounds, target_multi,
+        max_word_len,
+    )
+    return _ulm_eval_table(core, df, text_col, group_col)
+
+
+def doc_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-language tokenizer evaluation — coverage,
+    fertility, compression-vs-char-baseline and whole-word hit rate
+    for the trained unigram-LM vocabulary (VERDICT r12 #6).  Shares
+    the session-memoized trainer core with the train and encode rows —
+    zero re-training after either ran."""
+    return _ulm_eval_table(
+        _unigram_lm_core_for(spark, sf_dir), _docs(spark, sf_dir)
+    )
+
+
 def _unigram_lm_sql(
     max_piece_len: int = 4,
     seed_size: int = 80,
@@ -4898,5 +5008,60 @@ ORDER BY c.lang
 """
 
 
+def _tokenizer_eval_sql(
+    max_piece_len: int = 4,
+    seed_size: int = 80,
+    em_rounds: int = 3,
+    target_multi: int = 24,
+    max_word_len: int = 32,
+) -> str:
+    """Oracle for ``doc_tokenizer_eval``: re-learns the vocabulary
+    with ``_unigram_lm_sql``'s CTE chain, reads per-word Viterbi
+    lengths from lens{k+1} (same as the encode oracle) and LEFT-joins
+    the UNFENCED corpus, so out-of-fence words count toward coverage's
+    denominator only.  CAST(bool AS INT) keeps the single-token
+    indicator NULL-preserving on both engines."""
+    k = int(em_rounds)
+    vocab_sql = _unigram_lm_sql(
+        max_piece_len, seed_size, em_rounds, target_multi, max_word_len
+    )
+    chain = vocab_sql.rsplit("\nSELECT piece,", 1)[0]
+    return f"""{chain},
+wt AS (
+  SELECT word, CAST(n AS BIGINT) AS n_chars_word,
+         CAST(LEN(lens) AS BIGINT) AS n_tokens_word
+  FROM lens{k + 1}
+),
+corpus AS (
+  SELECT lang, word FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents
+  )
+  WHERE word <> ''
+),
+j AS (
+  SELECT c.lang, w.n_chars_word, w.n_tokens_word
+  FROM corpus c LEFT JOIN wt w ON w.word = c.word
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(n_tokens_word) AS BIGINT) AS n_encodable,
+       CAST(COUNT(n_tokens_word) * 10000 // COUNT(*) AS BIGINT)
+         AS coverage_bp,
+       CAST(SUM(n_tokens_word) * 1000000
+            // NULLIF(COUNT(n_tokens_word), 0) AS BIGINT)
+         AS fertility_micros,
+       CAST(SUM(n_chars_word) * 1000000
+            // NULLIF(SUM(n_tokens_word), 0) AS BIGINT)
+         AS compression_micros,
+       CAST(SUM(CAST(n_tokens_word = 1 AS INT)) * 10000
+            // NULLIF(COUNT(n_tokens_word), 0) AS BIGINT)
+         AS single_token_bp
+FROM j
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 DOC_UNIGRAM_LM_SQL = _unigram_lm_sql()
 DOC_UNIGRAM_LM_ENCODE_SQL = _unigram_lm_encode_sql()
+DOC_TOKENIZER_EVAL_SQL = _tokenizer_eval_sql()

@@ -1469,3 +1469,23 @@ def test_no_split_inside_any_lambda(spark):
         f"split() re-evaluated inside a lambda (O(words²)/doc): "
         f"{offenders}"
     )
+
+
+def test_tokenizer_eval_plan_one_corpus_scan(spark):
+    # the eval row joins the corpus explode against the (checkpointed,
+    # vocabulary-sized) per-word Viterbi relation: exactly one parquet
+    # scan (the corpus side), no window, no cartesian product — same
+    # bound as the encode row it composes with
+    from meteaudata_spark.ext import textstats
+
+    import re
+
+    for fn in (textstats.doc_tokenizer_eval, textstats.doc_unigram_lm_encode):
+        df = fn(spark, SF)
+        plan = inspect.formatted_plan(df)
+        # count scan NODES (the formatted detail section repeats each
+        # node's name, so a raw substring count double-counts)
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans <= 1, (fn.__name__, n_scans)
+        assert "Window" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__

@@ -18,7 +18,8 @@ def _round_half_away(x: float) -> int:
     return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
 
-def _py_unigram(words, L=4, seed=80, rounds=3, target_multi=24):
+def _py_unigram(words, L=4, seed=80, rounds=3, target_multi=24,
+                return_pruned=False):
     """Reference trainer: the exact algorithm in plain Python."""
     spans = {}
     for w, c in words.items():
@@ -83,6 +84,8 @@ def _py_unigram(words, L=4, seed=80, rounds=3, target_multi=24):
     pruned = {p: lp[p] for p in pc if len(p) == 1}
     pruned.update({p: lp[p] for p, _ in multi_k})
     fin = attribute(pruned)
+    if return_pruned:
+        return pruned
     tot = sum(fin.values())
     return sorted(
         (
@@ -254,3 +257,71 @@ def test_unigram_lm_rejects_max_piece_len_over_8(spark):
         _unigram_lm_sql(max_piece_len=9)
     # the boundary itself stays legal
     assert "8" in _unigram_lm_sql(max_piece_len=8)
+
+
+def test_tokenizer_eval_matches_python_reference(spark):
+    """doc_tokenizer_eval vs a plain-Python reference: train the
+    pruned vocabulary with _py_unigram, Viterbi-segment every corpus
+    word in Python, and aggregate coverage / fertility / compression /
+    single-token share per lang with exact integer floor-division."""
+    from pyspark.sql import functions as F
+
+    from meteaudata_spark.ext.textstats import _docs, doc_tokenizer_eval
+
+    got = (
+        doc_tokenizer_eval(spark, SF)
+        .toPandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    lp = _py_unigram(_word_counts(spark, SF), return_pruned=True)
+    L = 4
+
+    def n_tok(w):
+        n = len(w)
+        best = [0] * (n + 1)
+        for i in range(1, n + 1):
+            b = None
+            for ln in range(1, min(L, i) + 1):
+                p = w[i - ln:i]
+                if p in lp:
+                    v = best[i - ln] + lp[p]
+                    if b is None or v > b:
+                        b = v
+            best[i] = b
+        cnt, pos = 0, n
+        while pos > 0:
+            chosen = 1
+            for ln in range(min(L, pos), 1, -1):
+                p = w[pos - ln:pos]
+                if p in lp and best[pos - ln] + lp[p] == best[pos]:
+                    chosen = ln
+                    break
+            cnt += 1
+            pos -= chosen
+        return cnt
+
+    rows = (
+        _docs(spark, SF)
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .collect()
+    )
+    agg: dict = {}
+    for r in rows:
+        a = agg.setdefault(r["lang"], [0, 0, 0, 0, 0])
+        a[0] += 1  # n_words
+        if len(r["word"]) <= 32:
+            t = n_tok(r["word"])
+            a[1] += 1            # n_encodable
+            a[2] += len(r["word"])  # chars
+            a[3] += t            # tokens
+            a[4] += 1 if t == 1 else 0
+    assert sorted(agg) == list(got.index)
+    for lang, (nw, ne, nc, nt, ns) in sorted(agg.items()):
+        g = got.loc[lang]
+        assert g["n_words"] == nw and g["n_encodable"] == ne, lang
+        assert g["coverage_bp"] == ne * 10000 // nw, lang
+        assert g["fertility_micros"] == nt * 1000000 // ne, lang
+        assert g["compression_micros"] == nc * 1000000 // nt, lang
+        assert g["single_token_bp"] == ns * 10000 // ne, lang
