@@ -1,0 +1,90 @@
+"""Round-13 operators: incremental IVF-PQ index maintenance
+(VERDICT r12 #7) and the tokenizer-eval row's guards.
+
+Strategy: the delta-append path must be BIT-IDENTICAL to a full
+rebuild whenever the codebook-training vectors live in the base —
+pinned here for both the in-memory composition (ivfpq_delta_topk) and
+the persisted index (build → append_ivfpq_delta → search); the
+driver's DuckDB oracle certifies the same equivalence independently
+(the delta row's oracle IS the full-rebuild SQL)."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivfpq_delta_append_matches_full_rebuild(spark, tmp_path):
+    from meteaudata_spark.ext.simsearch import (
+        append_ivfpq_delta,
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    is_delta = (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    assert delta.count() > 0
+
+    full_idx = str(tmp_path / "full")
+    inc_idx = str(tmp_path / "inc")
+    build_ivfpq_index(emb, full_idx)
+    build_ivfpq_index(base, inc_idx)
+    append_ivfpq_delta(spark, inc_idx, delta)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivfpq_search(spark, inc_idx, queries).collect()
+    want = ivfpq_search(spark, full_idx, queries).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 30
+
+
+def test_ivfpq_delta_append_only_touches_delta_rows(spark, tmp_path):
+    """The append must not rewrite existing code files: the codes
+    relation afterwards holds base + delta rows exactly once each."""
+    from meteaudata_spark.ext.simsearch import (
+        append_ivfpq_delta,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    is_delta = (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    idx = str(tmp_path / "inc")
+    build_ivfpq_index(base, idx)
+    before = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/codes").select("vec_id").distinct().collect()
+    }
+    append_ivfpq_delta(spark, idx, delta)
+    codes = spark.read.parquet(f"{idx}/codes")
+    per_vec = codes.groupBy("vec_id").count().collect()
+    # every vector has exactly 8 code rows (one per subspace)
+    assert all(r["count"] == 8 for r in per_vec)
+    after = {r["vec_id"] for r in codes.select("vec_id").distinct().collect()}
+    assert after == before | {r["vec_id"] for r in delta.select("vec_id").collect()}
+
+
+def test_ivfpq_delta_encode_is_map_only(spark):
+    """The delta encode plan: two tiny broadcasts, no shuffle of the
+    delta rows themselves (no Exchange above the delta scan), no
+    window — the FAISS add() shape that makes appends O(delta)."""
+    from meteaudata_spark.ext.simsearch import (
+        _ivfpq_cb_arrays,
+        _ivfpq_encode,
+        _ivfpq_index,
+        _q64,
+    )
+    from meteaudata_spark.plans import inspect
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    coarse, rcb, _ = _ivfpq_index(emb.filter(F.col("vec_id") < 200))
+    cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
+    delta = emb.filter(F.col("vec_id") >= 200).select(
+        "vec_id", _q64("embedding").alias("qe")
+    )
+    plan = inspect.formatted_plan(_ivfpq_encode(delta, cb_arr, rcb_arr))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only joins are broadcast (codebooks ride to the delta rows)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
