@@ -84,6 +84,20 @@ _CLUSTER_STATE_SCHEMA = StructType(
 )
 
 
+_TRI_CACHE: dict = {}
+
+
+def _tri_mask(nb: int) -> np.ndarray:
+    """Strictly-lower-triangular bool mask, cached per chunk size (the
+    chunk loop re-allocated it ~39k times per 10M-row batch)."""
+    m = _TRI_CACHE.get(nb)
+    if m is None:
+        m = np.tri(nb, k=-1, dtype=bool)
+        if len(_TRI_CACHE) < 8:
+            _TRI_CACHE[nb] = m
+    return m
+
+
 def _update_cluster(
     key: Tuple[int],
     pdfs: Iterator[pd.DataFrame],
@@ -99,17 +113,16 @@ def _update_cluster(
         rep_ids_raw, reps_flat = state.get
         rep_ids0 = np.frombuffer(rep_ids_raw, dtype=np.int64)
         k0 = len(rep_ids0)
-        # float32 at rest (inputs are float32-quantized, so the
-        # float64 round trip is exact), float64 in flight
-        reps0 = (
-            np.frombuffer(reps_flat, dtype=np.float32)
-            .reshape(-1, dim)
-            .astype(np.float64)
+        # float32 at rest AND in the ring (inputs are float32-
+        # quantized, so every float64 view of these values is exact);
+        # float64 twins materialize only on the rare candidate path
+        reps0 = np.frombuffer(reps_flat, dtype=np.float32).reshape(
+            -1, dim
         )
     else:
         k0 = 0
         rep_ids0 = np.empty(0, dtype=np.int64)
-        reps0 = np.empty((0, dim), dtype=np.float64)
+        reps0 = np.empty((0, dim), dtype=np.float32)
     rows = {k: [] for k in ("vec_id", "centroid_id", "rep_id", "cosine")}
     # deterministic arrival order within the micro-batch: the iterator
     # yields ARROW-CHUNK-sized frames whose boundaries depend on the
@@ -139,13 +152,16 @@ def _update_cluster(
         # appends only at the end, so the live window is always a
         # contiguous slice [lo:hi) of an append-only matrix.
         cap = k0 + n_in
-        buf = np.empty((cap, dim), dtype=np.float64)
+        # the ring rides in float32 (exactly the at-rest values);
+        # norms stay float64 and are computed from the exact float64
+        # view, so the candidate path's arithmetic is unchanged
+        buf = np.empty((cap, dim), dtype=np.float32)
         nrm = np.empty(cap, dtype=np.float64)
         ids = np.empty(cap, dtype=np.int64)
         if k0:
             buf[:k0] = reps0
             nrm[:k0] = np.maximum(
-                np.linalg.norm(reps0, axis=1), 1e-300
+                np.linalg.norm(reps0.astype(np.float64), axis=1), 1e-300
             )
             ids[:k0] = rep_ids0
         lo, hi = 0, k0
@@ -167,15 +183,28 @@ def _update_cluster(
         #    all admit/drop decisions come from float64 only.
         # Ties keep the argmax-first semantics: existing reps precede
         # new ones, admission order within new.
-        X = np.vstack(emb_parts)[srt].astype(np.float64)
-        Xnrm = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
-        Xn = X / Xnrm[:, None]
-        Xn32 = Xn.astype(np.float32)
+        X32 = np.vstack(emb_parts)[srt]
+        # norms + normalized float32 rows, CHUNKED through a float64
+        # scratch (values identical to the old whole-batch float64
+        # pipeline — norm and divide are row-wise, so chunking cannot
+        # change the arithmetic — without ever holding the 2×8-byte
+        # n×dim twins that dominated memory traffic at 10M rows)
+        Xnrm = np.empty(n_in, dtype=np.float64)
+        Xn32 = np.empty((n_in, dim), dtype=np.float32)
+        for a in range(0, n_in, 65536):
+            b = min(a + 65536, n_in)
+            t64 = X32[a:b].astype(np.float64)
+            Xnrm[a:b] = np.maximum(
+                np.linalg.norm(t64, axis=1), 1e-300
+            )
+            Xn32[a:b] = (t64 / Xnrm[a:b, None]).astype(np.float32)
         vec_ids = vec_ids_all[srt]
         # normalized float32 twin of the rep ring (fence side only)
         bufn32 = np.empty((cap, dim), dtype=np.float32)
         if k0:
-            bufn32[:k0] = (reps0 / nrm[:k0, None]).astype(np.float32)
+            bufn32[:k0] = (
+                reps0.astype(np.float64) / nrm[:k0, None]
+            ).astype(np.float32)
         # fence safety margin: a float32 dot of two unit vectors
         # carries at most ~dim·2⁻²⁴ rounding error (plus the 6-dp
         # output rounding of the exact path); 32× that bound keeps
@@ -207,7 +236,7 @@ def _update_cluster(
             if nb > 1:
                 P32 = Xc32 @ Xc32.T
                 bp32 = np.where(
-                    np.tri(nb, k=-1, dtype=bool), P32, -np.inf
+                    _tri_mask(nb), P32, -np.inf
                 ).max(axis=1)
                 fence = np.maximum(be32, bp32)
             else:
@@ -215,31 +244,35 @@ def _update_cluster(
             cand = fence >= threshold - FENCE_EPS
             if not cand.any():
                 # fast path: every row of the chunk is admitted
-                buf[hi : hi + nb] = X[start:end]
+                buf[hi : hi + nb] = X32[start:end]
                 nrm[hi : hi + nb] = Xnrm[start:end]
                 ids[hi : hi + nb] = vec_ids[start:end]
                 bufn32[hi : hi + nb] = Xc32
                 hi += nb
                 lo = max(lo, hi - max_reps)
             else:
+                # float64 twins of the chunk-start window and the
+                # chunk rows, materialized ONCE per candidate chunk
+                # (float32→float64 is exact, so the arithmetic below
+                # is bit-identical to the old always-float64 ring)
+                W64 = buf[lo:hi].astype(np.float64)
+                X64c = X32[start:end].astype(np.float64)
                 admitted: list[int] = []  # chunk-local, arrival order
                 for i in range(nb):
                     if not cand[i]:
                         admitted.append(i)  # fence says non-dup
                         continue
                     ev = max(0, w + len(admitted) - max_reps)
-                    xn_i = Xn[start + i]
+                    xn_i = X64c[i] / Xnrm[start + i]
                     be, bei = -np.inf, -1
                     if w - ev > 0:
-                        row = (buf[lo + ev : hi] @ xn_i) / nrm[
-                            lo + ev : hi
-                        ]
+                        row = (W64[ev:] @ xn_i) / nrm[lo + ev : hi]
                         r = int(row.argmax())
                         be, bei = float(row[r]), ev + r
                     bn, bni = -np.inf, -1
                     if admitted:
                         idxa = np.asarray(admitted, dtype=np.int64)
-                        arr = (X[start + idxa] @ xn_i) / Xnrm[
+                        arr = (X64c[idxa] @ xn_i) / Xnrm[
                             start + idxa
                         ]
                         r = int(arr.argmax())
@@ -258,7 +291,7 @@ def _update_cluster(
                 if admitted:
                     idx = np.asarray(admitted, dtype=np.int64)
                     m = len(idx)
-                    buf[hi : hi + m] = X[start:end][idx]
+                    buf[hi : hi + m] = X32[start:end][idx]
                     nrm[hi : hi + m] = Xnrm[start:end][idx]
                     ids[hi : hi + m] = vec_ids[start:end][idx]
                     bufn32[hi : hi + m] = Xc32[idx]
@@ -266,10 +299,10 @@ def _update_cluster(
                     lo = max(lo, hi - max_reps)
             start = end
         rep_ids = ids[lo:hi].tobytes()
-        reps_out = buf[lo:hi].astype(np.float32).tobytes()
+        reps_out = np.ascontiguousarray(buf[lo:hi]).tobytes()
     else:
         rep_ids = np.asarray(rep_ids0, dtype=np.int64).tobytes()
-        reps_out = np.asarray(reps0).astype(np.float32).tobytes()
+        reps_out = np.ascontiguousarray(reps0, dtype=np.float32).tobytes()
     state.update((rep_ids, reps_out))
     if rows["vec_id"]:
         yield pd.DataFrame(rows)
@@ -319,7 +352,7 @@ def stream_semantic_dup_candidates(
     c_sq = (cm * cm).sum(axis=1)
     dim = cm.shape[1]
 
-    # One mapInPandas pass per input partition: quantize embeddings to
+    # One mapInArrow pass per input partition: quantize embeddings to
     # float32 (the embeddings table's own element type — lossless for
     # real sources; float64 feeds quantize once at ingestion), assign
     # each vector to its nearest centroid with the exact integer
@@ -328,16 +361,32 @@ def stream_semantic_dup_candidates(
     # stateful stage then shuffles and Arrow-feeds thousands of fat
     # rows per micro-batch instead of one row per vector — at 10M
     # events the per-row serializer overhead was the dominant cost.
-    def pack(it):
-        for pdf in it:
-            if not len(pdf):
+    # ARROW-NATIVE (r13, the "fuse pack into the source read" lever):
+    # the list column's values buffer is reshaped to an (n, dim)
+    # matrix in one zero-copy flatten — the prior mapInPandas pass
+    # materialized a python object per ROW (np.stack over 10M
+    # per-row arrays measured ~18 s of a 99 s run; this pass is one
+    # vectorized cast per BATCH).
+    import pyarrow as pa
+
+    def pack(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            vid = pdf["vec_id"].to_numpy().astype(np.int64)
-            X32 = np.stack(
-                [
-                    np.asarray(e, dtype=np.float32)
-                    for e in pdf["embedding"].to_numpy()
-                ]
+            cols = {name: i for i, name in enumerate(batch.schema.names)}
+            vid = (
+                batch.column(cols["vec_id"])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = (
+                batch.column(cols["embedding"])
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            X32 = np.ascontiguousarray(
+                flat.reshape(n, dim), dtype=np.float32
             )
             xq = np.round(X32.astype(np.float64) * _Q)
             dists = (
@@ -360,16 +409,21 @@ def stream_semantic_dup_candidates(
             bounds = np.flatnonzero(
                 np.r_[True, cid_s[1:] != cid_s[:-1], True]
             )
-            out = {"centroid_id": [], "vec_ids": [], "embs": []}
+            out_cid, out_vids, out_embs = [], [], []
             for a, b in zip(bounds[:-1], bounds[1:]):
-                out["centroid_id"].append(int(cid_s[a]))
-                out["vec_ids"].append(vid_s[a:b].tobytes())
-                out["embs"].append(
-                    np.ascontiguousarray(x_s[a:b]).tobytes()
-                )
-            yield pd.DataFrame(out)
+                out_cid.append(int(cid_s[a]))
+                out_vids.append(vid_s[a:b].tobytes())
+                out_embs.append(np.ascontiguousarray(x_s[a:b]).tobytes())
+            yield pa.record_batch(
+                [
+                    pa.array(out_cid, type=pa.int64()),
+                    pa.array(out_vids, type=pa.binary()),
+                    pa.array(out_embs, type=pa.binary()),
+                ],
+                names=["centroid_id", "vec_ids", "embs"],
+            )
 
-    routed = stream_df.mapInPandas(
+    routed = stream_df.mapInArrow(
         pack, "centroid_id long, vec_ids binary, embs binary"
     )
 

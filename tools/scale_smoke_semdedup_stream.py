@@ -43,7 +43,10 @@ def main() -> None:
                 * (np.arange(dim, dtype=np.int64)[None, :] + 7)
                 * 2654435761
             ) % 2147483647
-            base = (((grid % 100_000) / 50_000.0) - 1.0).astype(np.float64)
+            # float32 — the embeddings table's own element type (the
+            # detector's ingestion contract quantizes float64 feeds to
+            # float32 anyway, so a float64 source just doubles scan bytes)
+            base = (((grid % 100_000) / 50_000.0) - 1.0).astype(np.float32)
             yield pd.DataFrame(
                 {"vec_id": ids, "embedding": [v.tolist() for v in base]}
             )
@@ -51,7 +54,7 @@ def main() -> None:
     originals = (
         spark.range(n_vecs)
         .repartition(32)
-        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
     )
     # re-send the LAST n_dups originals: their representatives are
     # the newest ring entries, so a BOUNDED max_reps still holds
@@ -96,6 +99,10 @@ def main() -> None:
         .start()
     )
     q.awaitTermination(1200)
+    for p in q.recentProgress:
+        d = p["durationMs"] if isinstance(p, dict) else p.durationMs
+        n_rows = (p["numInputRows"] if isinstance(p, dict) else p.numInputRows)
+        print(f"  batch: rows={n_rows:,} durationMs={d}")
     flagged = spark.table("semdup_smoke")
     n_flagged = flagged.count()
     n_planted = flagged.filter(F.col("vec_id") >= 10_000_000).count()
