@@ -1710,6 +1710,99 @@ def append_ivfpq_delta(spark: SparkSession, path: str, delta_emb: DataFrame) -> 
     ).parquet(f"{path}/codes")
 
 
+def delete_ivfpq_ids(spark: SparkSession, path: str, dead_ids: DataFrame) -> None:
+    """Physical delete from a persisted IVF-PQ index (the maintenance
+    twin of ``append_ivfpq_delta``): drop every code row whose vec_id
+    appears in ``dead_ids``, rewriting ONLY the inverted lists
+    (centroid_id partitions) that actually hold deleted vectors —
+    dynamic partition overwrite leaves the other lists' files
+    untouched (mtime-asserted in tests/test_r13_ops.py).
+
+    Codebooks are frozen, so (full index) − (deleted codes) is
+    BIT-IDENTICAL to rebuilding from the surviving vectors whenever
+    the training rows survive — the ``emb_ivfpq_delete_topk`` gate row
+    certifies exactly that against DuckDB's independent
+    build-on-survivors oracle.  At 100 TB the rewrite cost is
+    O(affected lists), not O(index): the locating scan reads only the
+    (vec_id, centroid_id) columns."""
+    codes = spark.read.parquet(f"{path}/codes")
+    # materialize the tombstones first: callers may derive them from
+    # the very index being rewritten (overwrite-from-self hazard)
+    dead = dead_ids.select("vec_id").distinct().localCheckpoint()
+    affected = sorted(
+        r["centroid_id"]
+        for r in codes.join(F.broadcast(dead), "vec_id")
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return
+    # snapshot the surviving rows of the affected lists before
+    # touching their files (same self-read hazard as above); bounded
+    # by the affected lists' size, never the whole index
+    survivors = (
+        codes.filter(F.col("centroid_id").isin(affected))
+        .join(F.broadcast(dead), "vec_id", "left_anti")
+        .localCheckpoint()
+    )
+    live = {
+        r["centroid_id"]
+        for r in survivors.select("centroid_id").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # written data — a fully-emptied list writes zero rows and would
+    # silently keep its stale files; drop those directories explicitly
+    # (Hadoop FileSystem API, so any scheme works)
+    emptied = [c for c in affected if c not in live]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for c in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/codes/centroid_id={c}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+
+
+def ivfpq_delete_topk(
+    emb: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_probe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """IVF-PQ search after a LOGICAL delete: the index is built on the
+    full vector set, then a deterministic ~20% slice (vec_id ≥ 200
+    with vec_id%5==2) is dropped from the codes relation — codebooks
+    frozen, surviving codes untouched.  Training rows and query
+    vectors survive, so the result is provably identical to rebuilding
+    the index from the survivors — which is what the gate oracle
+    computes independently."""
+    dead = (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 200)
+    coarse, rcb, codes = _ivfpq_index(emb)
+    codes = codes.filter(~dead)
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    return _ivfpq_search_relations(coarse, rcb, codes, qv, k, n_probe)
+
+
+def emb_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: delete-maintained IVF-PQ 10-NN — the Spark side
+    drops a 20% tombstone slice from the frozen-codebook full index;
+    the DuckDB oracle rebuilds from the survivors.  A value match IS
+    the delete-equivalence certificate."""
+    return ivfpq_delete_topk(_emb(spark, sf_dir))
+
+
 def ivfpq_delta_topk(
     emb: DataFrame,
     n_queries: int = 3,
@@ -1834,6 +1927,16 @@ ORDER BY query_id, rank
 # independently builds the whole index from scratch.  Matching values
 # certify incremental == rebuild (VERDICT r12 #7's equivalence gate).
 EMB_IVFPQ_DELTA_TOPK_SQL = EMB_IVFPQ_TOPK_SQL
+
+# Oracle for the DELETE row builds on the SURVIVORS from scratch; the
+# Spark side drops tombstoned codes from the frozen-codebook full
+# index.  Training rows (coarse 100..115, PQ <16) and queries (<3)
+# survive the predicate, so match == delete-equivalence certificate.
+EMB_IVFPQ_DELETE_TOPK_SQL = EMB_IVFPQ_TOPK_SQL.replace(
+    "  FROM embeddings\n)",
+    "  FROM embeddings\n  WHERE NOT (vec_id % 5 = 2 AND vec_id >= 200)\n)",
+    1,
+)
 
 
 # ----------------------------------------------------------------------

@@ -88,3 +88,83 @@ def test_ivfpq_delta_encode_is_map_only(spark):
     assert "CartesianProduct" not in plan
     # the only joins are broadcast (codebooks ride to the delta rows)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivfpq_delete_matches_rebuild_on_survivors(spark, tmp_path):
+    from meteaudata_spark.ext.simsearch import (
+        build_ivfpq_index,
+        delete_ivfpq_ids,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dead = (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 200)
+    survivors = emb.filter(~dead)
+    assert emb.count() > survivors.count()
+
+    full_idx = str(tmp_path / "full")
+    ref_idx = str(tmp_path / "ref")
+    build_ivfpq_index(emb, full_idx)
+    build_ivfpq_index(survivors, ref_idx)
+    delete_ivfpq_ids(spark, full_idx, emb.filter(dead).select("vec_id"))
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivfpq_search(spark, full_idx, queries).collect()
+    want = ivfpq_search(spark, ref_idx, queries).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 30
+    # deleted ids are really gone from the codes relation
+    import pyspark.sql.functions as SF_
+
+    left = spark.read.parquet(f"{full_idx}/codes")
+    assert left.filter(
+        (SF_.col("vec_id") % 5 == 2) & (SF_.col("vec_id") >= 200)
+    ).count() == 0
+
+
+def test_ivfpq_delete_rewrites_only_affected_lists(spark, tmp_path):
+    """Dynamic partition overwrite: inverted lists holding no deleted
+    vector keep their files byte-for-byte (mtime + size unchanged)."""
+    import os
+
+    from meteaudata_spark.ext.simsearch import (
+        build_ivfpq_index,
+        delete_ivfpq_ids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(emb, idx)
+    codes = spark.read.parquet(f"{idx}/codes")
+    # delete every vector of exactly ONE list (so every other list
+    # must stay untouched)
+    target = codes.groupBy("centroid_id").count().orderBy("count").collect()[0][
+        "centroid_id"
+    ]
+    dead = codes.filter(F.col("centroid_id") == target).select("vec_id").distinct()
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(f"{idx}/codes"):
+            if not d.startswith("centroid_id="):
+                continue
+            p = f"{idx}/codes/{d}"
+            out[d] = sorted(
+                (f, os.path.getmtime(f"{p}/{f}"), os.path.getsize(f"{p}/{f}"))
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before = snapshot()
+    delete_ivfpq_ids(spark, idx, dead)
+    after = snapshot()
+    # deleting EVERY vector of the list empties it: dynamic partition
+    # overwrite alone would leave its stale files (writes zero rows
+    # for it), so delete_ivfpq_ids must drop the directory explicitly
+    assert f"centroid_id={target}" not in after
+    untouched = [d for d in before if d != f"centroid_id={target}"]
+    assert all(before[d] == after[d] for d in untouched), "other lists rewritten"
+    # and the codes relation no longer holds the list
+    left = spark.read.parquet(f"{idx}/codes")
+    assert left.filter(F.col("centroid_id") == target).count() == 0
