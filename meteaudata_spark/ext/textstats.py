@@ -5008,6 +5008,85 @@ ORDER BY c.lang
 """
 
 
+def doc_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: BPE vs unigram-LM head-to-head per language — the
+    comparison every tokenizer pipeline runs before choosing.  Per
+    lang: each tokenizer's fertility (tokens per word ×1e6) and
+    compression (chars per token ×1e6) from its OWN encode stats
+    (BPE over all words, unigram over its max_word_len fence — each
+    exactly its gate row's population), plus the compression winner.
+    Composes the two memoized trainer/encode paths (zero re-training
+    after either gate row ran) through one lang-keyed join of two
+    5-row relations.  All integer floor-div — exact cross-engine.
+    Reference analog: none (pure [EXT])."""
+    bpe = doc_bpe_encode(spark, sf_dir).select(
+        "lang",
+        F.expr("n_bpe_tokens * 1000000 div n_words").alias(
+            "bpe_fertility_micros"
+        ),
+        F.expr(
+            "n_char_tokens * 1000000 div nullif(n_bpe_tokens, 0)"
+        ).alias("bpe_compression_micros"),
+    )
+    ulm = doc_unigram_lm_encode(spark, sf_dir).select(
+        "lang",
+        F.expr("n_unigram_tokens * 1000000 div n_words").alias(
+            "ulm_fertility_micros"
+        ),
+        F.expr(
+            "n_char_tokens * 1000000 div nullif(n_unigram_tokens, 0)"
+        ).alias("ulm_compression_micros"),
+    )
+    return (
+        bpe.join(ulm, "lang")
+        .select(
+            "lang",
+            "bpe_fertility_micros",
+            "ulm_fertility_micros",
+            "bpe_compression_micros",
+            "ulm_compression_micros",
+            F.expr(
+                "CASE WHEN ulm_compression_micros > bpe_compression_micros"
+                " THEN 'unigram'"
+                " WHEN bpe_compression_micros > ulm_compression_micros"
+                " THEN 'bpe' ELSE 'tie' END"
+            ).alias("compression_winner"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tokenizer_compare_sql() -> str:
+    """Oracle for ``doc_tokenizer_compare``: each encode oracle rides
+    as a nested-WITH subquery (self-contained CTE chains — no name
+    collisions), joined on lang."""
+    bpe = DOC_BPE_ENCODE_SQL.rsplit("ORDER BY", 1)[0]
+    ulm = DOC_UNIGRAM_LM_ENCODE_SQL.rsplit("ORDER BY", 1)[0]
+    return f"""
+SELECT b.lang,
+       CAST(b.n_bpe_tokens * 1000000 // b.n_words AS BIGINT)
+         AS bpe_fertility_micros,
+       CAST(u.n_unigram_tokens * 1000000 // u.n_words AS BIGINT)
+         AS ulm_fertility_micros,
+       CAST(b.n_char_tokens * 1000000 // NULLIF(b.n_bpe_tokens, 0)
+            AS BIGINT) AS bpe_compression_micros,
+       CAST(u.n_char_tokens * 1000000 // NULLIF(u.n_unigram_tokens, 0)
+            AS BIGINT) AS ulm_compression_micros,
+       CASE WHEN u.n_char_tokens * 1000000 // NULLIF(u.n_unigram_tokens, 0)
+               > b.n_char_tokens * 1000000 // NULLIF(b.n_bpe_tokens, 0)
+            THEN 'unigram'
+            WHEN b.n_char_tokens * 1000000 // NULLIF(b.n_bpe_tokens, 0)
+               > u.n_char_tokens * 1000000 // NULLIF(u.n_unigram_tokens, 0)
+            THEN 'bpe' ELSE 'tie' END AS compression_winner
+FROM (
+{bpe}
+) b JOIN (
+{ulm}
+) u USING (lang)
+ORDER BY b.lang
+"""
+
+
 def _tokenizer_eval_sql(
     max_piece_len: int = 4,
     seed_size: int = 80,
@@ -5065,3 +5144,4 @@ ORDER BY lang
 DOC_UNIGRAM_LM_SQL = _unigram_lm_sql()
 DOC_UNIGRAM_LM_ENCODE_SQL = _unigram_lm_encode_sql()
 DOC_TOKENIZER_EVAL_SQL = _tokenizer_eval_sql()
+DOC_TOKENIZER_COMPARE_SQL = _tokenizer_compare_sql()

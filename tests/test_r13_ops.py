@@ -168,3 +168,30 @@ def test_ivfpq_delete_rewrites_only_affected_lists(spark, tmp_path):
     # and the codes relation no longer holds the list
     left = spark.read.parquet(f"{idx}/codes")
     assert left.filter(F.col("centroid_id") == target).count() == 0
+
+
+def test_tokenizer_compare_consistent_with_component_rows(spark):
+    """doc_tokenizer_compare == exact floor-div recombination of the
+    two encode gate rows (same memoized cores, one lang join)."""
+    from meteaudata_spark.ext.textstats import (
+        doc_bpe_encode,
+        doc_tokenizer_compare,
+        doc_unigram_lm_encode,
+    )
+
+    got = doc_tokenizer_compare(spark, SF).toPandas().set_index("lang")
+    bpe = doc_bpe_encode(spark, SF).toPandas().set_index("lang")
+    ulm = doc_unigram_lm_encode(spark, SF).toPandas().set_index("lang")
+    assert list(got.index) == sorted(set(bpe.index) & set(ulm.index))
+    for lang in got.index:
+        b, u, g = bpe.loc[lang], ulm.loc[lang], got.loc[lang]
+        bf = b["n_bpe_tokens"] * 1000000 // b["n_words"]
+        uf = u["n_unigram_tokens"] * 1000000 // u["n_words"]
+        bc = b["n_char_tokens"] * 1000000 // b["n_bpe_tokens"]
+        uc = u["n_char_tokens"] * 1000000 // u["n_unigram_tokens"]
+        assert g["bpe_fertility_micros"] == bf, lang
+        assert g["ulm_fertility_micros"] == uf, lang
+        assert g["bpe_compression_micros"] == bc, lang
+        assert g["ulm_compression_micros"] == uc, lang
+        want = "unigram" if uc > bc else ("bpe" if bc > uc else "tie")
+        assert g["compression_winner"] == want, lang
