@@ -195,3 +195,47 @@ def test_tokenizer_compare_consistent_with_component_rows(spark):
         assert g["ulm_compression_micros"] == uc, lang
         want = "unigram" if uc > bc else ("bpe" if bc > uc else "tie")
         assert g["compression_winner"] == want, lang
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark, tmp_path):
+    """The winnowing theorem (k=4, w=4): any shared run of >= w+k-1 =
+    7 words yields at least one SHARED fingerprint; disjoint texts
+    share none; density ~ 2/(w+1)."""
+    import pandas as pd
+
+    from meteaudata_spark.ext.dedup import doc_winnow_fingerprints
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                uniq("a", 20) + " " + shared_run + " " + uniq("b", 20),
+                uniq("c", 20) + " " + shared_run + " " + uniq("d", 20),
+                uniq("e", 50),
+            ],
+            "lang": ["en"] * 3,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in doc_winnow_fingerprints(spark, sf).collect()
+    }
+    assert out[1]["n_shared_fp"] >= 1 and out[2]["n_shared_fp"] >= 1
+    assert out[3]["n_shared_fp"] == 0
+    # density: expected 2/(w+1) = 4000 bp; winnowing guarantees
+    # density <= 1 and >= 1/w
+    for i in (1, 2, 3):
+        assert 2500 <= out[i]["density_bp"] <= 10000, out[i]
+    # short doc: fewer than k+w-1 words -> zero windows, zero rows
+    pdf2 = pd.DataFrame(
+        {"doc_id": [9], "text": ["one two three"], "lang": ["en"]}
+    )
+    sf2 = str(tmp_path / "short")
+    spark.createDataFrame(pdf2).write.parquet(f"{sf2}/documents.parquet")
+    r = doc_winnow_fingerprints(spark, sf2).collect()[0]
+    assert r["n_windows"] == 0 and r["n_fingerprints"] == 0
+    assert r["density_bp"] is None
