@@ -1679,6 +1679,161 @@ def doc_winnow_fingerprints(
     )
 
 
+def doc_cdc_chunks(
+    spark: SparkSession, sf_dir: str, mod: int = 8
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/gear-hash family, at
+    word granularity): a word whose 60-bit hash ≡ 0 (mod ``mod``)
+    STARTS a new chunk, so chunk boundaries are a pure function of
+    LOCAL content — inserting or deleting a sentence shifts only the
+    chunks it touches, where fixed-width segmentation
+    (``segment_dedup``) re-frames everything downstream.  The report
+    measures each document's chunk profile and the corpus-shared
+    chunk mass — the dedup-able bytes a CDC-based store would
+    actually coalesce.
+
+    Plan: one positional word explode (split projected ONCE — the
+    ``_shingles`` rule, plan-guarded) → boundary flags → chunk ids via
+    ONE doc-keyed running sum → (doc, chunk) agg rebuilding each
+    chunk's text order-exactly (sorted struct collect; DuckDB twin
+    uses ``string_agg(... ORDER BY pos)``) → chunk-hash-keyed share
+    rollup (chunk-vocabulary-sized) → per-doc rollup LEFT-joined so
+    empty docs report zeros.  Shuffles ride the doc id or the chunk
+    hash; nothing pairwise, no corpus rescan.
+
+    Output: (doc_id, n_words, n_chunks, n_shared_chunks,
+    shared_words, shared_bp).  Reference analog: none (pure [EXT])."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.posexplode("__toks").alias("pos0", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = words.withColumn(
+        "chunk_id",
+        F.sum((_h60("word") % mod == 0).cast("int")).over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    chunks = (
+        flagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words_chunk"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "n_words_chunk",
+            _h60("chunk_text").alias("chunk_h"),
+        )
+    )
+    shared = chunks.groupBy("chunk_h").agg(
+        F.countDistinct("doc_id").alias("__nd")
+    )
+    perdoc = (
+        chunks.join(shared, "chunk_h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_words_chunk").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("__nd") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.col("n_words_chunk")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("shared_words"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_shared_chunks", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.coalesce("shared_words", F.lit(0))
+            .cast("bigint")
+            .alias("shared_words"),
+            F.expr(
+                "coalesce(shared_words, 0) * 10000"
+                " div nullif(coalesce(n_words, 0), 0)"
+            ).alias("shared_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cdc_chunks_sql(mod: int = 8) -> str:
+    hw = _H60_DUCK.format(col="word")
+    hc = _H60_DUCK.format(col="chunk_text")
+    return f"""
+WITH words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS t(i)
+  WHERE tk[i] <> ''
+),
+flagged AS (
+  SELECT doc_id, pos, word,
+         SUM(CASE WHEN {hw} % {mod} = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM words
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words_chunk,
+         {hc.replace("chunk_text", "string_agg(word, ' ' ORDER BY pos)")} AS chunk_h
+  FROM flagged GROUP BY doc_id, chunk_id
+),
+shared AS (
+  SELECT chunk_h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk_h
+),
+perdoc AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.n_words_chunk) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_chunks,
+         CAST(SUM(CASE WHEN s.nd >= 2 THEN c.n_words_chunk ELSE 0 END)
+              AS BIGINT) AS shared_words
+  FROM chunks c JOIN shared s USING (chunk_h) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_shared_chunks, 0) AS BIGINT) AS n_shared_chunks,
+       CAST(COALESCE(p.shared_words, 0) AS BIGINT) AS shared_words,
+       CAST(COALESCE(p.shared_words, 0) * 10000
+            // NULLIF(COALESCE(p.n_words, 0), 0) AS BIGINT) AS shared_bp
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+DOC_CDC_CHUNKS_SQL = _cdc_chunks_sql()
+
+
 def _winnow_sql(k: int = 4, w: int = 4) -> str:
     h = _H60_DUCK.format(col="array_to_string(tk[i:i + {km1}], ' ')").format(
         km1=k - 1

@@ -1457,6 +1457,7 @@ def test_no_split_inside_any_lambda(spark):
         "doc_heaps_fit": textstats.doc_heaps_fit(spark, SF),
         "doc_minhash_lsh_pairs": dedup.doc_minhash_lsh_pairs(spark, SF),
         "doc_winnow_fingerprints": dedup.doc_winnow_fingerprints(spark, SF),
+        "doc_cdc_chunks": dedup.doc_cdc_chunks(spark, SF),
         "doc_segment_dedup": dedup.doc_segment_dedup(spark, SF),
         "doc_chunk_text": corpus_ops.doc_chunk_text(spark, SF),
     }

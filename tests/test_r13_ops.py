@@ -239,3 +239,40 @@ def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark, tmp_path):
     r = doc_winnow_fingerprints(spark, sf2).collect()[0]
     assert r["n_windows"] == 0 and r["n_fingerprints"] == 0
     assert r["density_bp"] is None
+
+
+def test_cdc_chunks_insertion_robust(spark, tmp_path):
+    """The CDC property fixed-width segmentation lacks: inserting one
+    word near the head re-frames only the chunk it lands in — chunks
+    after the next content-defined boundary stay identical, so the
+    two versions still share most of their chunk mass."""
+    import pandas as pd
+
+    from meteaudata_spark.ext.dedup import doc_cdc_chunks
+
+    base = " ".join(f"w{i}" for i in range(200))
+    edited = "INSERTED " + base  # one-word insertion at the head
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, edited, " ".join(f"z{i}" for i in range(200))],
+            "lang": ["en"] * 3,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in doc_cdc_chunks(spark, sf).collect()}
+    # both versions share the chunks after the first boundary: the
+    # overwhelming majority of their word mass
+    assert out[1]["shared_bp"] >= 9000, out[1]
+    assert out[2]["shared_bp"] >= 9000, out[2]
+    # the unrelated doc shares nothing
+    assert out[3]["n_shared_chunks"] == 0 and out[3]["shared_bp"] == 0
+    # chunk accounting is exact: chunk words sum to doc words
+    assert out[1]["n_words"] == 200 and out[2]["n_words"] == 201
+    # empty doc reports zeros with NULL share
+    pdf2 = pd.DataFrame({"doc_id": [9], "text": [""], "lang": ["en"]})
+    sf2 = str(tmp_path / "empty")
+    spark.createDataFrame(pdf2).write.parquet(f"{sf2}/documents.parquet")
+    r = doc_cdc_chunks(spark, sf2).collect()[0]
+    assert r["n_words"] == 0 and r["n_chunks"] == 0 and r["shared_bp"] is None
