@@ -847,6 +847,109 @@ ORDER BY doc_id
 """
 
 
+_GOPHER_RULE_NAMES = [
+    "ok_word_count",
+    "ok_mean_word_len",
+    "ok_symbol_ratio",
+    "ok_bullet_lines",
+    "ok_ellipsis_lines",
+    "ok_alpha_words",
+    "ok_stopwords",
+]
+
+
+def doc_gopher_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter rule attribution (the table a pipeline owner
+    tunes thresholds with): for each Gopher rule — how many documents
+    fail it at all, how many fail ONLY it (the rule's exclusive kill:
+    relaxing just that threshold would recover exactly these docs),
+    and the word mass behind both counts.  Joint-vs-exclusive kill is
+    the standard filtering-ablation readout (cf. Gopher §A1.1 /
+    RefinedWeb's rule-removal tables).
+
+    Plan: composes ``doc_gopher_rules``'s flag table (one map-only
+    corpus pass, no shuffle), folds all 7×4 conditional sums + the
+    doc total into ONE global aggregate row, and unpivots it with a
+    ``stack`` into 7 rule rows — corpus scanned once, output
+    rule-sized.  All integers.  Reference analog: none ([EXT])."""
+    g = doc_gopher_rules(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for r in _GOPHER_RULE_NAMES:
+        fail = ~F.col(r)
+        others = None
+        for o in _GOPHER_RULE_NAMES:
+            if o == r:
+                continue
+            others = F.col(o) if others is None else (others & F.col(o))
+        excl = fail & others
+        aggs += [
+            F.sum(fail.cast("bigint")).cast("bigint").alias(f"__f_{r}"),
+            F.sum(excl.cast("bigint")).cast("bigint").alias(f"__e_{r}"),
+            F.sum(F.when(fail, F.col("n_words")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"__fw_{r}"),
+            F.sum(F.when(excl, F.col("n_words")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"__ew_{r}"),
+        ]
+    wide = g.agg(*aggs)
+    stack = ", ".join(
+        f"'{r}', __f_{r}, __e_{r}, __fw_{r}, __ew_{r}"
+        for r in _GOPHER_RULE_NAMES
+    )
+    return (
+        wide.select(
+            "n_docs",
+            F.expr(
+                f"stack({len(_GOPHER_RULE_NAMES)}, {stack}) AS "
+                "(rule, n_failed, n_exclusive, failed_words,"
+                " exclusive_words)"
+            ),
+        )
+        .select(
+            "rule",
+            "n_failed",
+            "n_exclusive",
+            "failed_words",
+            "exclusive_words",
+            F.expr("n_failed * 10000 div n_docs").alias("failed_bp"),
+        )
+        .orderBy("rule")
+    )
+
+
+def _gopher_ablation_sql() -> str:
+    base = DOC_GOPHER_RULES_SQL.rsplit("ORDER BY", 1)[0]
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n_docs"]
+    for r in _GOPHER_RULE_NAMES:
+        others = " AND ".join(o for o in _GOPHER_RULE_NAMES if o != r)
+        sums += [
+            f"CAST(SUM(CASE WHEN NOT {r} THEN 1 ELSE 0 END) AS BIGINT) AS f_{r}",
+            f"CAST(SUM(CASE WHEN NOT {r} AND {others} THEN 1 ELSE 0 END) AS BIGINT) AS e_{r}",
+            f"CAST(SUM(CASE WHEN NOT {r} THEN n_words ELSE 0 END) AS BIGINT) AS fw_{r}",
+            f"CAST(SUM(CASE WHEN NOT {r} AND {others} THEN n_words ELSE 0 END) AS BIGINT) AS ew_{r}",
+        ]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, f_{r} AS n_failed, e_{r} AS n_exclusive,"
+        f" fw_{r} AS failed_words, ew_{r} AS exclusive_words,"
+        f" CAST(f_{r} * 10000 // n_docs AS BIGINT) AS failed_bp FROM wide"
+        for r in _GOPHER_RULE_NAMES
+    )
+    return f"""
+WITH g AS (
+{base}
+),
+wide AS (
+  SELECT {', '.join(sums)} FROM g
+)
+{rows}
+ORDER BY rule
+"""
+
+
+DOC_GOPHER_ABLATION_SQL = _gopher_ablation_sql()
+
+
 _BM25_QUERY = ["spark", "table", "row", "data", "query"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75

@@ -276,3 +276,29 @@ def test_cdc_chunks_insertion_robust(spark, tmp_path):
     spark.createDataFrame(pdf2).write.parquet(f"{sf2}/documents.parquet")
     r = doc_cdc_chunks(spark, sf2).collect()[0]
     assert r["n_words"] == 0 and r["n_chunks"] == 0 and r["shared_bp"] is None
+
+
+def test_gopher_ablation_consistent_with_flag_table(spark):
+    """Ablation row == exact recombination of the per-doc flag table:
+    per rule, failed/exclusive doc and word counts."""
+    from meteaudata_spark.ext.textstats import (
+        _GOPHER_RULE_NAMES,
+        doc_gopher_ablation,
+        doc_gopher_rules,
+    )
+
+    flags = doc_gopher_rules(spark, SF).toPandas()
+    got = doc_gopher_ablation(spark, SF).toPandas().set_index("rule")
+    assert list(got.index) == sorted(_GOPHER_RULE_NAMES)
+    n_docs = len(flags)
+    for r in _GOPHER_RULE_NAMES:
+        fail = ~flags[r]
+        others = flags[[o for o in _GOPHER_RULE_NAMES if o != r]].all(axis=1)
+        excl = fail & others
+        g = got.loc[r]
+        assert g["n_failed"] == int(fail.sum()), r
+        assert g["n_exclusive"] == int(excl.sum()), r
+        assert g["failed_words"] == int(flags.loc[fail, "n_words"].sum()), r
+        assert g["exclusive_words"] == int(flags.loc[excl, "n_words"].sum()), r
+        assert g["failed_bp"] == int(fail.sum()) * 10000 // n_docs, r
+        assert g["n_exclusive"] <= g["n_failed"]
