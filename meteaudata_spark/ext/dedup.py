@@ -1679,6 +1679,113 @@ def doc_winnow_fingerprints(
     )
 
 
+def doc_continuation_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """Crawl continuation detection (pagination stitching): document
+    B continues document A when A's last ``k`` words equal B's first
+    ``k`` words — the overlap crawlers leave when one logical page is
+    split across fetches ("page 2 repeats the last paragraph").  The
+    pairs feed a stitcher (concat A+B, drop the overlap) or a dedup
+    pass (keep the stitched version).
+
+    The synthetic corpus has no continuations, so the gate PLANTS
+    them deterministically (the ``doc_gopher_rules`` decoration
+    policy): every doc with doc_id % 97 == 0 gets its successor's
+    first ``k`` words appended — the join arithmetic both engines run
+    is real, and organic matches (if any) must agree too.
+
+    Plan: one keyed self-join on doc_id+1 for the planting, two
+    map-only boundary projections (first-k / last-k phrase strings —
+    joined on the STRING, so no hash parity question), one equi-join
+    keyed on the phrase.  Boundary relations are doc-count-sized with
+    ~15-word payloads; at 100 TB both sides shuffle on the phrase key
+    — never all-pairs.  Output: (prev_doc, next_doc).
+    Reference analog: none (pure [EXT])."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    first_k = F.when(
+        F.size("__toks") >= k,
+        F.array_join(F.slice("__toks", 1, k), " "),
+    )
+    heads = toks.select("doc_id", first_k.alias("head_phrase")).filter(
+        F.col("head_phrase").isNotNull()
+    )
+    planted = (
+        toks.join(
+            heads.select(
+                (F.col("doc_id") - 1).alias("doc_id"),
+                F.col("head_phrase").alias("__next_head"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "__toks",
+            F.when(
+                (F.col("doc_id") % 97 == 0)
+                & F.col("__next_head").isNotNull(),
+                F.concat(
+                    F.col("__toks"), F.split(F.col("__next_head"), " ")
+                ),
+            ).otherwise(F.col("__toks")),
+        )
+        .select("doc_id", "__toks")
+    )
+    last_k = F.when(
+        F.size("__toks") >= k,
+        F.array_join(
+            F.slice("__toks", F.size("__toks") - (k - 1), k), " "
+        ),
+    )
+    tails = planted.select(
+        F.col("doc_id").alias("prev_doc"), last_k.alias("tail_phrase")
+    ).filter(F.col("tail_phrase").isNotNull())
+    return (
+        tails.join(
+            heads.select(
+                F.col("doc_id").alias("next_doc"),
+                F.col("head_phrase").alias("tail_phrase"),
+            ),
+            "tail_phrase",
+        )
+        .filter(F.col("prev_doc") != F.col("next_doc"))
+        .select("prev_doc", "next_doc")
+        .orderBy("prev_doc", "next_doc")
+    )
+
+
+def _continuation_pairs_sql(k: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+heads AS (
+  SELECT doc_id, array_to_string(tk[1:{k}], ' ') AS head_phrase
+  FROM toks WHERE len(tk) >= {k}
+),
+planted AS (
+  SELECT t.doc_id,
+         CASE WHEN t.doc_id % 97 = 0 AND h.head_phrase IS NOT NULL
+              THEN t.tk || string_split(h.head_phrase, ' ')
+              ELSE t.tk END AS tk
+  FROM toks t LEFT JOIN heads h ON h.doc_id = t.doc_id + 1
+),
+tails AS (
+  SELECT doc_id AS prev_doc,
+         array_to_string(tk[len(tk) - {k - 1}:len(tk)], ' ') AS tail_phrase
+  FROM planted WHERE len(tk) >= {k}
+)
+SELECT t.prev_doc, h.doc_id AS next_doc
+FROM tails t JOIN heads h ON h.head_phrase = t.tail_phrase
+WHERE t.prev_doc <> h.doc_id
+ORDER BY t.prev_doc, next_doc
+"""
+
+
+DOC_CONTINUATION_PAIRS_SQL = _continuation_pairs_sql()
+
+
 def doc_cdc_chunks(
     spark: SparkSession, sf_dir: str, mod: int = 8
 ) -> DataFrame:

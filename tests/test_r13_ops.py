@@ -302,3 +302,30 @@ def test_gopher_ablation_consistent_with_flag_table(spark):
         assert g["exclusive_words"] == int(flags.loc[excl, "n_words"].sum()), r
         assert g["failed_bp"] == int(fail.sum()) * 10000 // n_docs, r
         assert g["n_exclusive"] <= g["n_failed"]
+
+
+def test_continuation_pairs_recover_planted_links(spark):
+    """Every planted (doc_id % 97 == 0) -> successor link is
+    recovered, and each recovered pair's boundary phrases really
+    match (first/last k words equality re-checked in pandas)."""
+    from meteaudata_spark.ext.dedup import _docs, doc_continuation_pairs
+
+    pairs = doc_continuation_pairs(spark, SF).toPandas()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in _docs(spark, SF).collect()
+    }
+    k = 8
+    planted = {
+        (i, i + 1)
+        for i in docs
+        if i % 97 == 0 and (i + 1) in docs and len(docs[i + 1]) >= k
+        and len(docs[i]) >= k
+    }
+    got = set(zip(pairs["prev_doc"], pairs["next_doc"]))
+    assert planted <= got, planted - got
+    # every emitted pair's boundary really matches (planted tail =
+    # original tail + successor head)
+    for p, n in got:
+        tail = docs[p] + (docs[n][:k] if p % 97 == 0 else [])
+        assert tail[-k:] == docs[n][:k], (p, n)
