@@ -2887,12 +2887,41 @@ def _bpe_train_loop(
     return merges, cur
 
 
+_BPE_MEMO: dict = {}
+
+
+def _bpe_core_for(spark: SparkSession, sf_dir: str):
+    """Session-memoized BPE trainer core at the gate defaults
+    (n_merges=10, full final apply, word kept): the learned merge
+    table AND the fully re-tokenized vocabulary are the shared
+    upstream of the train, encode and tokenizer-compare gate rows —
+    the ``_unigram_lm_core_for`` compose-don't-recompute contract.
+    The merge list is independent of ``keep_word``/``apply_last``, so
+    train and encode read the SAME core (values unchanged —
+    re-verified vs DuckDB)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    core = _BPE_MEMO.get(key)
+    if core is None:
+        core = _bpe_train_loop(
+            _docs(spark, sf_dir), "text", 10, keep_word=True,
+            apply_last=True,
+        )
+        _BPE_MEMO[key] = core
+        while len(_BPE_MEMO) > 8:
+            _BPE_MEMO.pop(next(iter(_BPE_MEMO)))
+    return core
+
+
 def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: the 10-rule BPE merge table trained on the corpus
-    (VERDICT r10 #3 — the tokenizer-training inner loop, iterated)."""
-    return bpe_train(_docs(spark, sf_dir), n_merges=10).orderBy(
-        "merge_rank"
-    )
+    (VERDICT r10 #3 — the tokenizer-training inner loop, iterated).
+    Reads the session-memoized trainer core shared with the encode
+    and tokenizer-compare rows."""
+    merges, _cur = _bpe_core_for(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank BIGINT, tok1 STRING, tok2 STRING, pair_count BIGINT",
+    ).orderBy("merge_rank")
 
 
 def _bpe_train_sql(n_merges: int = 10) -> str:
@@ -2978,6 +3007,7 @@ def bpe_encode_stats(
     text_col: str = "text",
     group_col: str = "lang",
     n_merges: int = 10,
+    core=None,
 ) -> DataFrame:
     """Tokenize the corpus with the merge table ``bpe_train`` learns —
     the second half of the tokenizer lifecycle (train → ENCODE), and
@@ -2999,7 +3029,7 @@ def bpe_encode_stats(
     and tie-breaks are ``bpe_train``'s (the oracle re-learns the same
     table from the same corpus, so the gate certifies train AND
     encode in one row).  Reference analog: none (pure [EXT])."""
-    _merges, cur = _bpe_train_loop(
+    _merges, cur = core if core is not None else _bpe_train_loop(
         df, text_col, n_merges, keep_word=True, apply_last=True
     )
     vocab = cur.select(
@@ -3035,8 +3065,13 @@ def bpe_encode_stats(
 
 def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: encode the corpus with the 10-rule learned merge
-    table; per-language token counts and compression."""
-    return bpe_encode_stats(_docs(spark, sf_dir), n_merges=10)
+    table; per-language token counts and compression.  Reads the
+    session-memoized trainer core shared with the train and
+    tokenizer-compare rows."""
+    return bpe_encode_stats(
+        _docs(spark, sf_dir), n_merges=10,
+        core=_bpe_core_for(spark, sf_dir),
+    )
 
 
 def _bpe_encode_sql(n_merges: int = 10) -> str:

@@ -37,6 +37,13 @@ def warm_pair_relations(spark: SparkSession, sf_dir: str) -> dict:
         "dedup_clusters": lambda: dedup.doc_dedup_clusters(spark, sf_dir),
         "quality_score": lambda: textstats.doc_quality_score(spark, sf_dir),
         "domain_pagerank": lambda: graph.doc_domain_pagerank(spark, sf_dir),
+        # tokenizer trainer cores (r13): train/encode/eval/compare all
+        # read these; the loops localCheckpoint internally, so touching
+        # the core once materializes it for the session
+        "bpe_core": lambda: textstats.doc_bpe_train(spark, sf_dir),
+        "unigram_core": lambda: textstats.doc_unigram_lm_train(
+            spark, sf_dir
+        ),
     }
     from meteaudata_spark.plans.opcache import pin_caches
 
