@@ -1680,9 +1680,38 @@ def ivfpq_search(
     return _ivfpq_search_relations(coarse, rcb, codes, qv, k, n_probe)
 
 
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str, variant: str = "full"):
+    """Session-memoized IVF-PQ index relations (coarse, rcb, codes)
+    for ``sf_dir`` — the shared upstream of the topk, delete and
+    delta gate rows (the compose-don't-recompute contract; each
+    relation persists via ``memo_relation``'s FIFO-bounded,
+    self-healing cache).  ``variant='base'`` is the delta row's
+    75% pre-delta subset."""
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    emb = _emb(spark, sf_dir)
+    if variant == "base":
+        emb = emb.filter(
+            ~((F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200))
+        )
+    coarse, rcb, codes = _ivfpq_index(emb)
+    return (
+        memo_relation(spark, ("ivfpq_coarse", variant, sf_dir), lambda: coarse),
+        memo_relation(spark, ("ivfpq_rcb", variant, sf_dir), lambda: rcb),
+        memo_relation(spark, ("ivfpq_codes", variant, sf_dir), lambda: codes),
+    )
+
+
 def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: IVF-PQ 10-NN for 3 queries, 4 probed lists."""
-    return ivfpq_topk(_emb(spark, sf_dir))
+    """Gate query: IVF-PQ 10-NN for 3 queries, 4 probed lists.
+    Reads the session-memoized index relations shared with the
+    delete row."""
+    emb = _emb(spark, sf_dir)
+    coarse, rcb, codes = _ivfpq_index_for(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    return _ivfpq_search_relations(coarse, rcb, codes, qv, 10, _IVFPQ_NPROBE)
 
 
 def append_ivfpq_delta(spark: SparkSession, path: str, delta_emb: DataFrame) -> None:
@@ -1799,8 +1828,19 @@ def emb_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: delete-maintained IVF-PQ 10-NN — the Spark side
     drops a 20% tombstone slice from the frozen-codebook full index;
     the DuckDB oracle rebuilds from the survivors.  A value match IS
-    the delete-equivalence certificate."""
-    return ivfpq_delete_topk(_emb(spark, sf_dir))
+    the delete-equivalence certificate.  Reads the session-memoized
+    full-index relations shared with the topk row (the delete is a
+    filter over the SAME codes relation — exactly the persisted-path
+    semantics)."""
+    emb = _emb(spark, sf_dir)
+    coarse, rcb, codes = _ivfpq_index_for(spark, sf_dir)
+    dead = (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 200)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    return _ivfpq_search_relations(
+        coarse, rcb, codes.filter(~dead), qv, 10, _IVFPQ_NPROBE
+    )
 
 
 def ivfpq_delta_topk(
@@ -1839,8 +1879,24 @@ def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: delta-maintained IVF-PQ 10-NN — the Spark side
     appends a 25% vector delta to a frozen-codebook base index; the
     DuckDB oracle rebuilds the full index from scratch.  A value
-    match IS the incremental-equivalence certificate."""
-    return ivfpq_delta_topk(_emb(spark, sf_dir))
+    match IS the incremental-equivalence certificate.  The base-index
+    relations are session-memoized (variant='base')."""
+    emb = _emb(spark, sf_dir)
+    is_delta = (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200)
+    coarse, rcb, base_codes = _ivfpq_index_for(spark, sf_dir, "base")
+    cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
+    delta_codes = _ivfpq_encode(
+        emb.filter(is_delta).select(
+            "vec_id", _q64("embedding").alias("qe")
+        ),
+        cb_arr,
+        rcb_arr,
+    )
+    codes = base_codes.unionByName(delta_codes)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    return _ivfpq_search_relations(coarse, rcb, codes, qv, 10, _IVFPQ_NPROBE)
 
 
 EMB_IVFPQ_TOPK_SQL = f"""
