@@ -86,3 +86,35 @@ def test_head_window_covers_the_stalest_rows_first():
         f"rows at the staleness horizon missing from the head-50: "
         f"{left_out}"
     )
+
+
+def test_ordering_is_derived_and_selfhealing_for_future_rounds():
+    """VERDICT r13 #1(b): queries() derives its order from the
+    CORRECTNESS history, so landing a new driver artifact can never
+    turn the tree red.  Simulate 12 future rounds: each round certify
+    the current head-50, fold into the history, recompute — both
+    rotation invariants must hold at every step."""
+    import __spark_entry__ as entry
+
+    last, latest = _last_certified()
+    sim = dict(last)
+    for upcoming in range(latest + 1, latest + 13):
+        orig = entry._certification_history
+        entry._certification_history = lambda: dict(sim)
+        try:
+            keys = list(entry.queries())
+        finally:
+            entry._certification_history = orig
+        max_stale = _max_stale(len(keys))
+        head = set(keys[:HEAD])
+        for k in keys:
+            eff = upcoming if k in head else sim.get(k)
+            assert eff is not None, (upcoming, k, "never certified")
+            assert upcoming - eff <= max_stale, (upcoming, k, eff)
+        at_horizon = {
+            k for k in keys
+            if k in sim and upcoming - sim[k] >= max_stale
+        }
+        assert not (at_horizon - head), (upcoming, at_horizon - head)
+        for k in head:
+            sim[k] = upcoming
