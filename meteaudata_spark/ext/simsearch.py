@@ -1651,7 +1651,10 @@ def ivfpq_search(
     ``query_emb`` has (vec_id, embedding); results match the
     in-memory ``ivfpq_topk`` bit-for-bit (equality-tested).  The
     codes scan carries the probed ``centroid_id`` partition filter,
-    so only n_probe/16 of the index files are read."""
+    so only n_probe/16 of the index files are read.  Raises if the
+    index carries a ``_delete_pending`` marker (a crashed
+    ``delete_ivfpq_ids`` — see its docstring)."""
+    _marker_check(spark, path)
     coarse = spark.read.parquet(f"{path}/coarse")
     rcb = spark.read.parquet(f"{path}/codebook")
     codes = spark.read.parquet(f"{path}/codes")
@@ -1729,11 +1732,24 @@ def append_ivfpq_delta(spark: SparkSession, path: str, delta_emb: DataFrame) -> 
     independent full-rebuild oracle.  Cost is one map-only encode of
     the delta (two tiny broadcasts) + an append of delta-sized
     parquet — at 100 TB the delta never re-reads the corpus-sized
-    codes relation, which a rebuild must."""
+    codes relation, which a rebuild must.
+
+    IDEMPOTENT (ADVICE r13): vec_ids already present in the index are
+    anti-joined out of the delta before encoding, so re-running the
+    same delta (retry after a partial failure, duplicate trigger)
+    appends nothing instead of silently duplicating code rows.  The
+    guard reads ONLY the ``vec_id`` column of the codes relation
+    (column-pruned scan) and the anti-join keys on the slim delta
+    side."""
+    _marker_check(spark, path)
     coarse = spark.read.parquet(f"{path}/coarse")
     rcb = spark.read.parquet(f"{path}/codebook")
     cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
-    q = delta_emb.select("vec_id", _q64("embedding").alias("qe"))
+    existing = (
+        spark.read.parquet(f"{path}/codes").select("vec_id").distinct()
+    )
+    fresh = delta_emb.join(existing, "vec_id", "left_anti")
+    q = fresh.select("vec_id", _q64("embedding").alias("qe"))
     _ivfpq_encode(q, cb_arr, rcb_arr).write.mode("append").partitionBy(
         "centroid_id"
     ).parquet(f"{path}/codes")
@@ -1753,7 +1769,19 @@ def delete_ivfpq_ids(spark: SparkSession, path: str, dead_ids: DataFrame) -> Non
     certifies exactly that against DuckDB's independent
     build-on-survivors oracle.  At 100 TB the rewrite cost is
     O(affected lists), not O(index): the locating scan reads only the
-    (vec_id, centroid_id) columns."""
+    (vec_id, centroid_id) columns.
+
+    CRASH-SAFE (ADVICE r13): a ``_delete_pending`` marker is written
+    under ``path`` before any file is touched and removed only after
+    the delete fully applies; ``ivfpq_search`` refuses to read an
+    index carrying the marker, so a partially-applied delete is
+    DETECTABLE instead of silently resurrecting dead vectors.
+    Re-running ``delete_ivfpq_ids`` with the same tombstones is the
+    repair path (the operation is idempotent) and clears the marker.
+    Fully-emptied list directories are dropped BEFORE the overwrite —
+    every row in them is dead, so that order is safe — closing the
+    window where the dynamic overwrite committed but the directory
+    drop had not happened."""
     codes = spark.read.parquet(f"{path}/codes")
     # materialize the tombstones first: callers may derive them from
     # the very index being rewritten (overwrite-from-self hazard)
@@ -1779,6 +1807,16 @@ def delete_ivfpq_ids(spark: SparkSession, path: str, dead_ids: DataFrame) -> Non
         r["centroid_id"]
         for r in survivors.select("centroid_id").distinct().collect()
     }
+    _marker_set(spark, path)
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # written data — a fully-emptied list writes zero rows and would
+    # silently keep its stale files; drop those directories explicitly
+    # (Hadoop FileSystem API, so any scheme works).  Done FIRST: every
+    # row in an emptied list is dead, so dropping it before the
+    # overwrite is always safe, and the marker covers the gap.
+    emptied = [c for c in affected if c not in live]
+    for c in emptied:
+        _hadoop_delete(spark, f"{path}/codes/centroid_id={c}")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -1787,41 +1825,41 @@ def delete_ivfpq_ids(spark: SparkSession, path: str, dead_ids: DataFrame) -> Non
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # dynamic overwrite only replaces partitions PRESENT in the
-    # written data — a fully-emptied list writes zero rows and would
-    # silently keep its stale files; drop those directories explicitly
-    # (Hadoop FileSystem API, so any scheme works)
-    emptied = [c for c in affected if c not in live]
-    if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for c in emptied:
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/codes/centroid_id={c}")
-            fs = p.getFileSystem(conf)
-            if fs.exists(p):
-                fs.delete(p, True)
+    _marker_clear(spark, path)
 
 
-def ivfpq_delete_topk(
-    emb: DataFrame,
-    n_queries: int = 3,
-    k: int = 10,
-    n_probe: int = _IVFPQ_NPROBE,
-) -> DataFrame:
-    """IVF-PQ search after a LOGICAL delete: the index is built on the
-    full vector set, then a deterministic ~20% slice (vec_id ≥ 200
-    with vec_id%5==2) is dropped from the codes relation — codebooks
-    frozen, surviving codes untouched.  Training rows and query
-    vectors survive, so the result is provably identical to rebuilding
-    the index from the survivors — which is what the gate oracle
-    computes independently."""
-    dead = (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 200)
-    coarse, rcb, codes = _ivfpq_index(emb)
-    codes = codes.filter(~dead)
-    qv = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
-    )
-    return _ivfpq_search_relations(coarse, rcb, codes, qv, k, n_probe)
+_DELETE_MARKER = "_delete_pending"
+
+
+def _hadoop_path(spark: SparkSession, p: str):
+    jp = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return jp, jp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _hadoop_delete(spark: SparkSession, p: str) -> None:
+    jp, fs = _hadoop_path(spark, p)
+    if fs.exists(jp):
+        fs.delete(jp, True)
+
+
+def _marker_set(spark: SparkSession, path: str) -> None:
+    jp, fs = _hadoop_path(spark, f"{path}/{_DELETE_MARKER}")
+    fs.create(jp, True).close()
+
+
+def _marker_clear(spark: SparkSession, path: str) -> None:
+    _hadoop_delete(spark, f"{path}/{_DELETE_MARKER}")
+
+
+def _marker_check(spark: SparkSession, path: str) -> None:
+    jp, fs = _hadoop_path(spark, f"{path}/{_DELETE_MARKER}")
+    if fs.exists(jp):
+        raise RuntimeError(
+            f"IVF-PQ index at {path} carries a {_DELETE_MARKER} marker: "
+            "a delete_ivfpq_ids run did not complete and the codes "
+            "relation may resurrect deleted vectors. Re-run "
+            "delete_ivfpq_ids with the same tombstones to repair."
+        )
 
 
 def emb_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

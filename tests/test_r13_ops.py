@@ -329,3 +329,69 @@ def test_continuation_pairs_recover_planted_links(spark):
     for p, n in got:
         tail = docs[p] + (docs[n][:k] if p % 97 == 0 else [])
         assert tail[-k:] == docs[n][:k], (p, n)
+
+
+def test_ivfpq_delta_append_is_idempotent(spark, tmp_path):
+    """ADVICE r13: re-running the same delta (retry, duplicate
+    trigger) must append nothing — vec_ids already in the index are
+    anti-joined out."""
+    from meteaudata_spark.ext.simsearch import (
+        append_ivfpq_delta,
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    is_delta = (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(base, idx)
+    append_ivfpq_delta(spark, idx, delta)
+    queries = emb.filter(F.col("vec_id") < 3)
+    want = [tuple(r) for r in ivfpq_search(spark, idx, queries).collect()]
+    n_rows = spark.read.parquet(f"{idx}/codes").count()
+
+    append_ivfpq_delta(spark, idx, delta)  # duplicate trigger
+    assert spark.read.parquet(f"{idx}/codes").count() == n_rows
+    per_vec = (
+        spark.read.parquet(f"{idx}/codes").groupBy("vec_id").count().collect()
+    )
+    assert all(r["count"] == 8 for r in per_vec)  # still 8 rows/vector
+    got = [tuple(r) for r in ivfpq_search(spark, idx, queries).collect()]
+    assert got == want
+
+
+def test_ivfpq_delete_pending_marker_makes_partial_delete_detectable(
+    spark, tmp_path
+):
+    """ADVICE r13: a crashed delete must be detectable — searches and
+    appends refuse an index carrying the _delete_pending marker, and a
+    completed delete clears it."""
+    import os
+
+    import pytest
+
+    from meteaudata_spark.ext.simsearch import (
+        append_ivfpq_delta,
+        build_ivfpq_index,
+        delete_ivfpq_ids,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") < 1)
+
+    # simulate a crash mid-delete: marker present, files half-mutated
+    open(f"{idx}/_delete_pending", "w").close()
+    with pytest.raises(RuntimeError, match="_delete_pending"):
+        ivfpq_search(spark, idx, queries)
+    with pytest.raises(RuntimeError, match="_delete_pending"):
+        append_ivfpq_delta(spark, idx, emb.filter(F.col("vec_id") < 0))
+
+    # re-running the delete is the repair path and clears the marker
+    dead = (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 200)
+    delete_ivfpq_ids(spark, idx, emb.filter(dead).select("vec_id"))
+    assert not os.path.exists(f"{idx}/_delete_pending")
+    assert len(ivfpq_search(spark, idx, queries).collect()) == 10
