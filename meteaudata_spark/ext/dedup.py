@@ -1595,7 +1595,11 @@ def doc_winnow_fingerprints(
     shuffle is keyed on the doc id or the fingerprint hash; nothing
     pairwise.  100 TB shape: the window is per-doc (parallel in docs);
     the share rollup touches only selected fingerprints (~2/(w+1) of
-    grams).
+    grams).  ``n_windows`` is the per-doc row count of the
+    full-window selection relation itself (VERDICT r13 #2) — exactly
+    one ``split`` per corpus scan, no re-tokenization of the corpus
+    for the denominator; the count aggregates on the window's own
+    doc_id partitioning, so it adds no exchange.
 
     Output: (doc_id, n_windows, n_fingerprints, n_shared_fp,
     density_bp, shared_bp).  Reference analog: none (pure [EXT])."""
@@ -1647,19 +1651,21 @@ def doc_winnow_fingerprints(
             .alias("n_shared_fp"),
         )
     )
-    nw = d.select(
-        "doc_id",
-        F.greatest(
-            F.size(F.split(F.col("text"), " ")) - (k + w - 2), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_windows"),
+    # sel holds exactly the full windows (pos <= n_grams-(w-1)), so
+    # its per-doc row count IS n_windows == max(n_toks-(k+w-2), 0);
+    # docs too short for any gram/window join-miss and coalesce to 0
+    nwin = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
     )
     return (
-        nw.join(perdoc, "doc_id", "left")
+        d.select("doc_id")
+        .join(nwin, "doc_id", "left")
+        .join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_windows",
+            F.coalesce("n_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
             F.coalesce("n_fingerprints", F.lit(0))
             .cast("bigint")
             .alias("n_fingerprints"),

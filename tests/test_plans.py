@@ -1461,15 +1461,44 @@ def test_no_split_inside_any_lambda(spark):
         "doc_segment_dedup": dedup.doc_segment_dedup(spark, SF),
         "doc_chunk_text": corpus_ops.doc_chunk_text(spark, SF),
     }
+    # VERDICT r13 #2: ceilings on top-level split() occurrences per
+    # optimized plan — a new redundant corpus re-tokenization (the
+    # doc_winnow_fingerprints n_windows double this pins the fix of)
+    # bumps the count and fails here.  For winnow specifically the
+    # bound is one split PER SCAN (splits <= relation count).
+    max_splits = {
+        "doc_substring_spans": 2,
+        "substring_scrub": 2,
+        "doc_boilerplate_report": 2,
+        "doc_ngram_novelty": 1,
+        "doc_heaps_fit": 0,
+        "doc_minhash_lsh_pairs": 4,
+        "doc_winnow_fingerprints": 3,
+        "doc_cdc_chunks": 6,
+        "doc_segment_dedup": 1,
+        "doc_chunk_text": 2,
+    }
     offenders = {}
     for name, df in cases.items():
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         bad = [b[:120] for b in _lambda_bodies(opt) if "split(" in b]
         if bad:
             offenders[name] = bad
+        n_split = opt.count("split(")
+        if n_split > max_splits[name]:
+            offenders[name] = offenders.get(name, []) + [
+                f"{n_split} split() occurrences (ceiling "
+                f"{max_splits[name]}) — redundant re-tokenization"
+            ]
+        if name == "doc_winnow_fingerprints":
+            n_rel = opt.count("Relation")
+            if n_split > n_rel:
+                offenders[name] = offenders.get(name, []) + [
+                    f"{n_split} splits > {n_rel} scans"
+                ]
     assert not offenders, (
-        f"split() re-evaluated inside a lambda (O(words²)/doc): "
-        f"{offenders}"
+        f"split() re-evaluated inside a lambda (O(words²)/doc) or "
+        f"re-tokenization ceiling exceeded: {offenders}"
     )
 
 
