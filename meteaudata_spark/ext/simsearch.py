@@ -1475,7 +1475,7 @@ def _ivfpq_index(emb: DataFrame):
     (coarse centroids, residual codebook, per-vector codes).  Shared
     by the in-memory search (``ivfpq_topk``), the persisted index
     (``build_ivfpq_index``/``ivfpq_search``) and the delta-append
-    equivalence row (``ivfpq_delta_topk``)."""
+    equivalence row (``emb_ivfpq_delta_topk``)."""
     q = emb.select("vec_id", _q64("embedding").alias("qe"))
     coarse = q.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVFPQ_COARSE)
@@ -1879,38 +1879,6 @@ def emb_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search_relations(
         coarse, rcb, codes.filter(~dead), qv, 10, _IVFPQ_NPROBE
     )
-
-
-def ivfpq_delta_topk(
-    emb: DataFrame,
-    n_queries: int = 3,
-    k: int = 10,
-    n_probe: int = _IVFPQ_NPROBE,
-) -> DataFrame:
-    """IVF-PQ search over an index maintained INCREMENTALLY: a
-    deterministic ~25% slice of the vectors (vec_id ≥ 200 with
-    vec_id%4==3) arrives as a delta AFTER the base index is built;
-    the delta is encoded against the frozen base codebooks
-    (``_ivfpq_encode``) and unioned with the base codes — never a
-    rebuild.  Training rows (coarse sample 100..115, PQ vectors <16)
-    and the query vectors (<3) are all in the base, so the result is
-    provably identical to a full rebuild — which is exactly what the
-    gate oracle computes independently."""
-    is_delta = (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200)
-    base = emb.filter(~is_delta)
-    delta = emb.filter(is_delta)
-    coarse, rcb, base_codes = _ivfpq_index(base)
-    cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
-    delta_codes = _ivfpq_encode(
-        delta.select("vec_id", _q64("embedding").alias("qe")),
-        cb_arr,
-        rcb_arr,
-    )
-    codes = base_codes.unionByName(delta_codes)
-    qv = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
-    )
-    return _ivfpq_search_relations(coarse, rcb, codes, qv, k, n_probe)
 
 
 def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,7 +3,7 @@
 
 Strategy: the delta-append path must be BIT-IDENTICAL to a full
 rebuild whenever the codebook-training vectors live in the base —
-pinned here for both the in-memory composition (ivfpq_delta_topk) and
+pinned here for both the gate-row composition (emb_ivfpq_delta_topk) and
 the persisted index (build → append_ivfpq_delta → search); the
 driver's DuckDB oracle certifies the same equivalence independently
 (the delta row's oracle IS the full-rebuild SQL)."""
