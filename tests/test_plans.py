@@ -1511,7 +1511,11 @@ def test_tokenizer_eval_plan_one_corpus_scan(spark):
 
     import re
 
-    for fn in (textstats.doc_tokenizer_eval, textstats.doc_unigram_lm_encode):
+    for fn in (
+        textstats.doc_tokenizer_eval,
+        textstats.doc_unigram_lm_encode,
+        textstats.doc_tokenizer_roundtrip,
+    ):
         df = fn(spark, SF)
         plan = inspect.formatted_plan(df)
         # count scan NODES (the formatted detail section repeats each

@@ -1,0 +1,144 @@
+"""Round-14 operators: tokenizer round-trip fidelity (VERDICT r13 #6).
+
+Strategy mirrors the r12 tokenizer rows: Spark == plain-Python
+reference (same integer-quantized Viterbi + decode) on the real corpus
+AND on a planted corpus that exercises the out-of-fence loss path the
+gate corpus cannot (every sf word fits the 32-char fence); the DuckDB
+oracle equivalence is the driver gate's job."""
+
+from pyspark.sql import functions as F
+
+from tests.test_r12_ops import _py_unigram, _word_counts
+
+SF = "/root/testdata/sf0.001"
+L = 4
+
+
+def _py_segment(w, lp):
+    """Viterbi-segment ``w`` with the trained log-prob table ``lp``;
+    returns the piece list in position order (the reference decode
+    just concatenates it)."""
+    n = len(w)
+    best = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b = None
+        for ln in range(1, min(L, i) + 1):
+            p = w[i - ln:i]
+            if p in lp:
+                v = best[i - ln] + lp[p]
+                if b is None or v > b:
+                    b = v
+        best[i] = b
+    pieces, pos = [], n
+    while pos > 0:
+        chosen = 1
+        for ln in range(min(L, pos), 1, -1):
+            p = w[pos - ln:pos]
+            if p in lp and best[pos - ln] + lp[p] == best[pos]:
+                chosen = ln
+                break
+        pieces.append(w[pos - chosen:pos])
+        pos -= chosen
+    return list(reversed(pieces))
+
+
+def _py_roundtrip_table(rows, lp, max_word_len=32):
+    agg: dict = {}
+    for lang, word in rows:
+        a = agg.setdefault(lang, [0, 0, 0, 0, 0])
+        a[0] += 1                 # n_words
+        a[3] += len(word)         # n_chars_total
+        if len(word) <= max_word_len:
+            a[1] += 1             # n_encodable
+            a[2] += 1 if "".join(_py_segment(word, lp)) == word else 0
+        else:
+            a[4] += len(word)     # chars_lost
+    out = {}
+    for lang, (nw, ne, nrt, nc, lost) in agg.items():
+        out[lang] = (
+            nw,
+            ne,
+            nrt,
+            nrt * 10000 // ne if ne else None,
+            lost,
+            lost * 10000 // nc if nc else None,
+        )
+    return out
+
+
+def test_tokenizer_roundtrip_matches_python_reference(spark):
+    """doc_tokenizer_roundtrip vs the plain-Python reference on the
+    real corpus: train with _py_unigram, segment + decode every word
+    occurrence in Python, aggregate per lang."""
+    from meteaudata_spark.ext.textstats import _docs, doc_tokenizer_roundtrip
+
+    got = {
+        r["lang"]: (
+            r["n_words"],
+            r["n_encodable"],
+            r["n_roundtrip"],
+            r["roundtrip_bp"],
+            r["chars_lost"],
+            r["chars_lost_bp"],
+        )
+        for r in doc_tokenizer_roundtrip(spark, SF).collect()
+    }
+    lp = _py_unigram(_word_counts(spark, SF), return_pruned=True)
+    rows = [
+        (r["lang"], r["word"])
+        for r in _docs(spark, SF)
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .collect()
+    ]
+    want = _py_roundtrip_table(rows, lp)
+    assert got == want
+    # the certificate itself: every encodable word decodes back exactly
+    assert all(v[3] == 10000 for v in got.values())
+
+
+def test_tokenizer_roundtrip_quantifies_out_of_fence_loss(spark):
+    """Planted corpus with words LONGER than the trainer fence: the
+    loss columns must count exactly those characters (the gate corpus
+    has no out-of-fence words, so this path is only exercised here)."""
+    from meteaudata_spark.ext.textstats import unigram_lm_roundtrip_stats
+
+    long_word = "x" * 40  # > max_word_len=32 -> never encodable
+    df = spark.createDataFrame(
+        [
+            ("aa", "the cat sat on the mat " + long_word),
+            ("aa", "the cat " + long_word + " " + long_word),
+            ("bb", "wholly encodable words only here"),
+        ],
+        ["lang", "text"],
+    )
+    got = {
+        r["lang"]: (
+            r["n_words"],
+            r["n_encodable"],
+            r["n_roundtrip"],
+            r["roundtrip_bp"],
+            r["chars_lost"],
+            r["chars_lost_bp"],
+        )
+        for r in unigram_lm_roundtrip_stats(df).collect()
+    }
+    words = {}
+    rows = []
+    for lang, text in [
+        ("aa", "the cat sat on the mat " + long_word),
+        ("aa", "the cat " + long_word + " " + long_word),
+        ("bb", "wholly encodable words only here"),
+    ]:
+        for w in text.split(" "):
+            if w:
+                rows.append((lang, w))
+                if len(w) <= 32:
+                    words[w] = words.get(w, 0) + 1
+    lp = _py_unigram(words, return_pruned=True)
+    want = _py_roundtrip_table(rows, lp)
+    assert got == want
+    # 3 planted long words x 40 chars land in lang 'aa'
+    assert got["aa"][4] == 120 and got["bb"][4] == 0
+    assert got["aa"][1] == got["aa"][0] - 3  # 3 non-encodable occurrences
+    assert 0 < got["aa"][5] < 10000
