@@ -1737,22 +1737,39 @@ def append_ivfpq_delta(spark: SparkSession, path: str, delta_emb: DataFrame) -> 
     IDEMPOTENT (ADVICE r13): vec_ids already present in the index are
     anti-joined out of the delta before encoding, so re-running the
     same delta (retry after a partial failure, duplicate trigger)
-    appends nothing instead of silently duplicating code rows.  The
-    guard reads ONLY the ``vec_id`` column of the codes relation
-    (column-pruned scan) and the anti-join keys on the slim delta
-    side."""
+    appends nothing instead of silently duplicating code rows.
+
+    The guard's shuffle is O(delta), never O(index): the codes
+    relation contributes one column-pruned map-side scan (vec_id of
+    the ``sub_id = 0`` rows — one row per indexed vector, no
+    8-way-duplicate ``distinct`` shuffle) semi-joined against the
+    BROADCAST delta ids; the resulting hit set is ≤ |delta| and rides
+    back as a broadcast anti-join.  Deltas are bounded by contract
+    (micro-batches / incremental loads — a corpus-sized "delta" is a
+    rebuild, use ``build_ivfpq_index``).
+
+    Each append writes AT MOST ONE FILE PER AFFECTED LIST (the encoded
+    delta is repartitioned on ``centroid_id`` first).  Without that, a
+    W-task batch appends up to W files into every list it touches and
+    a long-running stream degrades every later scan, listing, and
+    maintenance pass — the small-files failure mode.  Periodic
+    ``compact_ivfpq_lists`` keeps the per-list file count bounded."""
     _marker_check(spark, path)
     coarse = spark.read.parquet(f"{path}/coarse")
     rcb = spark.read.parquet(f"{path}/codebook")
     cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
+    delta_ids = delta_emb.select("vec_id")
     existing = (
-        spark.read.parquet(f"{path}/codes").select("vec_id").distinct()
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("sub_id") == 0)
+        .select("vec_id")
     )
-    fresh = delta_emb.join(existing, "vec_id", "left_anti")
+    hits = existing.join(F.broadcast(delta_ids), "vec_id", "left_semi")
+    fresh = delta_emb.join(F.broadcast(hits), "vec_id", "left_anti")
     q = fresh.select("vec_id", _q64("embedding").alias("qe"))
-    _ivfpq_encode(q, cb_arr, rcb_arr).write.mode("append").partitionBy(
-        "centroid_id"
-    ).parquet(f"{path}/codes")
+    _ivfpq_encode(q, cb_arr, rcb_arr).repartition("centroid_id").write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(f"{path}/codes")
 
 
 def delete_ivfpq_ids(spark: SparkSession, path: str, dead_ids: DataFrame) -> None:
@@ -1862,6 +1879,71 @@ def _marker_check(spark: SparkSession, path: str) -> None:
         )
 
 
+def compact_ivfpq_lists(
+    spark: SparkSession, path: str, max_files_per_list: int = 4
+) -> int:
+    """Compact fragmented inverted lists of a persisted IVF-PQ index:
+    every ``centroid_id`` partition holding more than
+    ``max_files_per_list`` parquet files is rewritten into ONE file.
+    Pure physical re-layout — row set, schema, and search results are
+    unchanged (pinned by tests); lists under the threshold keep their
+    files untouched (mtime-asserted).
+
+    Why it exists: each streaming/batch append adds at most one file
+    per affected list (``append_ivfpq_delta``), so a long-running
+    ingest accumulates one file per micro-batch per list.  At 100 TB
+    that is the classic small-files failure — list scans, file
+    listings, and maintenance passes all degrade linearly in file
+    count.  Periodic compaction (e.g. every N micro-batches from the
+    ingest's ``foreachBatch``) bounds per-list file count at N+threshold.
+
+    Cost is O(fragmented lists), never O(index): the driver lists the
+    partition directories (bounded by n_lists), reads ONLY the
+    fragmented partitions (partition-pruned scan), and dynamic
+    partition overwrite rewrites only those directories.  Crash-safe
+    via the same ``_delete_pending`` maintenance marker as
+    ``delete_ivfpq_ids``: searches refuse a mid-compaction index, and
+    re-running the compaction repairs it (idempotent).
+
+    Returns the number of lists compacted."""
+    _marker_check(spark, path)
+    jp, fs = _hadoop_path(spark, f"{path}/codes")
+    frag = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if not name.startswith("centroid_id="):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n_files > int(max_files_per_list):
+            frag.append(int(name.split("=", 1)[1]))
+    if not frag:
+        return 0
+    # snapshot before touching files (overwrite-from-self hazard, the
+    # delete_ivfpq_ids pattern); bounded by the fragmented lists' size
+    rows = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("centroid_id").isin(frag))
+        .localCheckpoint()
+    )
+    _marker_set(spark, path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # repartition on the partition column: each list lands whole in
+        # exactly one task -> exactly one output file per list
+        rows.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{path}/codes")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _marker_clear(spark, path)
+    return len(frag)
+
+
 def emb_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: delete-maintained IVF-PQ 10-NN — the Spark side
     drops a 20% tombstone slice from the frozen-codebook full index;
@@ -1903,6 +1985,66 @@ def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
     )
     return _ivfpq_search_relations(coarse, rcb, codes, qv, 10, _IVFPQ_NPROBE)
+
+
+_REFINE_C = 30
+
+
+def emb_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: IVF-PQ search with an EXACT re-rank tail — the
+    FAISS ``IndexRefineFlat`` pattern.  The PQ stage nominates the
+    approximate top-``_REFINE_C`` candidates per query (8-byte codes,
+    probed lists only); the refine stage re-scores exactly those
+    candidates with the full 2²⁰-quantized vectors and re-ranks the
+    final top-10 by EXACT squared L2.  Compression error in the PQ
+    distances can reorder (or even exclude) true neighbors; refining a
+    small candidate set recovers the exact ordering at the cost of one
+    keyed point-lookup join against the vector store — candidates
+    broadcast, corpus never re-scanned beyond the join's pruned side.
+
+    100 TB shape: candidates are queries×C rows (tiny, broadcast);
+    the exact re-score reads only those vec_ids from the store (a
+    bucketed/Z-ordered store serves it as point lookups).  The DuckDB
+    oracle independently recomputes candidate generation AND the exact
+    re-rank, so a value match certifies both stages.  All integer
+    arithmetic (max |q| ≤ 2²⁰, dim 64 → sums < 2⁴⁶) — exact
+    cross-engine.  Reference analog: none (pure [EXT])."""
+    emb = _emb(spark, sf_dir)
+    coarse, rcb, codes = _ivfpq_index_for(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    cand = _ivfpq_search_relations(
+        coarse, rcb, codes, qv, _REFINE_C, _IVFPQ_NPROBE
+    )
+    store = emb.select("vec_id", _q64("embedding").alias("qe"))
+    exact = (
+        store.join(
+            F.broadcast(cand.select("query_id", "vec_id")), "vec_id"
+        )
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "exact_sqdist", F.expr(_PQ_SQDIST.format(a="q_qe", b="qe"))
+        )
+    )
+    ranked = exact.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                "exact_sqdist", F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            "exact_sqdist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 EMB_IVFPQ_TOPK_SQL = f"""
@@ -1998,6 +2140,34 @@ EMB_IVFPQ_DELETE_TOPK_SQL = EMB_IVFPQ_TOPK_SQL.replace(
     "  FROM embeddings\n)",
     "  FROM embeddings\n  WHERE NOT (vec_id % 5 = 2 AND vec_id >= 200)\n)",
     1,
+)
+
+# Oracle for the REFINE row: the same candidate chain ranked to
+# top-_REFINE_C, then an independent exact re-rank joining the
+# quantized store twice (candidate vector + query vector).
+EMB_IVFPQ_REFINE_TOPK_SQL = (
+    EMB_IVFPQ_TOPK_SQL.rsplit("\nSELECT query_id,", 1)[0]
+    + f""",
+refine AS (
+  SELECT r.query_id, r.vec_id,
+         CAST(list_aggregate(list_transform(generate_series(1, 64),
+           i -> (qq.qe[i] - v.qe[i]) * (qq.qe[i] - v.qe[i])), 'sum')
+           AS BIGINT) AS exact_sqdist
+  FROM ranked r
+  JOIN q v ON v.vec_id = r.vec_id
+  JOIN q qq ON qq.vec_id = r.query_id
+  WHERE r.rank <= {_REFINE_C}
+),
+rranked AS (
+  SELECT query_id, vec_id, exact_sqdist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY exact_sqdist, vec_id) AS rank
+  FROM refine
+)
+SELECT query_id, vec_id, exact_sqdist, CAST(rank AS BIGINT) AS rank
+FROM rranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
 )
 
 

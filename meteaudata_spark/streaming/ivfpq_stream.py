@@ -43,6 +43,8 @@ def stream_append_ivfpq(
     path: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    compact_every: int = 0,
+    max_files_per_list: int = 4,
 ):
     """Start a streaming query appending (vec_id, embedding) rows into
     the persisted IVF-PQ index at ``path`` (built by
@@ -51,8 +53,20 @@ def stream_append_ivfpq(
 
     Restart safety: the checkpoint replays uncommitted micro-batches;
     the vec_id anti-join inside ``append_ivfpq_delta`` makes the
-    replay a no-op for rows that already landed."""
-    from meteaudata_spark.ext.simsearch import append_ivfpq_delta
+    replay a no-op for rows that already landed.
+
+    ``compact_every=N`` runs ``compact_ivfpq_lists`` after every Nth
+    micro-batch: each append adds at most one file per affected list,
+    so without compaction a long-running ingest accumulates one file
+    per batch per list (the small-files failure mode at 100 TB);
+    periodic compaction bounds the per-list file count at
+    ``N + max_files_per_list``.  Compaction is itself idempotent and
+    crash-safe (maintenance marker), so a replayed batch that re-runs
+    it is harmless."""
+    from meteaudata_spark.ext.simsearch import (
+        append_ivfpq_delta,
+        compact_ivfpq_lists,
+    )
 
     cols = set(stream_df.columns)
     if not {"vec_id", "embedding"} <= cols:
@@ -62,6 +76,10 @@ def stream_append_ivfpq(
 
     def write_batch(bdf, batch_id: int) -> None:
         append_ivfpq_delta(bdf.sparkSession, path, bdf)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ivfpq_lists(
+                bdf.sparkSession, path, max_files_per_list
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)

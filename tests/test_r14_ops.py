@@ -14,6 +14,15 @@ SF = "/root/testdata/sf0.001"
 L = 4
 
 
+def _q64_np(v):
+    """Spark round() emulation: half AWAY FROM ZERO (np.round is
+    banker's and diverges on exact .5 products)."""
+    import numpy as np
+
+    x = v * (1 << 20)
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
 def _py_segment(w, lp):
     """Viterbi-segment ``w`` with the trained log-prob table ``lp``;
     returns the piece list in position order (the reference decode
@@ -64,6 +73,100 @@ def _py_roundtrip_table(rows, lp, max_word_len=32):
             lost * 10000 // nc if nc else None,
         )
     return out
+
+
+def test_ivfpq_refine_distances_are_exact_and_reorder_approx(spark):
+    """The refine tail must (a) report TRUE quantized squared-L2
+    distances (verified against a NumPy recomputation), (b) rank by
+    them, and (c) actually differ from the PQ-approximate row —
+    otherwise it is a shadow of emb_ivfpq_topk."""
+    import numpy as np
+
+    from meteaudata_spark.ext.simsearch import (
+        emb_ivfpq_refine_topk,
+        emb_ivfpq_topk,
+    )
+
+    got = emb_ivfpq_refine_topk(spark, SF).collect()
+    emb = {
+        r["vec_id"]: _q64_np(np.array(r["embedding"], dtype=np.float64))
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    for r in got:
+        d = emb[r["query_id"]] - emb[r["vec_id"]]
+        assert int((d * d).sum()) == r["exact_sqdist"], (r["query_id"], r["vec_id"])
+    # ranks ascend by exact distance within each query
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["exact_sqdist"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [x[0] for x in rows] == list(range(1, len(rows) + 1)), q
+        assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:])), q
+    approx = [
+        (r["query_id"], r["vec_id"]) for r in emb_ivfpq_topk(spark, SF).collect()
+    ]
+    refined = [(r["query_id"], r["vec_id"]) for r in got]
+    assert approx != refined  # compression error visibly corrected
+
+
+def test_ivfpq_refine_recovers_exact_topk_within_probed_lists(spark):
+    """With the candidate pool widened to the whole probed-list
+    population, the refined top-10 equals the EXACT top-10 over those
+    lists — the recall-recovery certificate for the refine stage."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from meteaudata_spark.ext import simsearch as ss
+
+    emb_df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = ss._emb(spark, SF)
+    coarse, rcb, codes = ss._ivfpq_index(emb)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), ss._q64("embedding").alias("q_qe")
+    )
+    big_c = emb_df.count()  # candidate pool = everything PQ can see
+    cand = ss._ivfpq_search_relations(
+        coarse, rcb, codes, qv, big_c, ss._IVFPQ_NPROBE
+    )
+    pool = {
+        (r["query_id"], r["vec_id"]) for r in cand.collect()
+    }
+    store = {
+        r["vec_id"]: _q64_np(np.array(r["embedding"], dtype=np.float64))
+        for r in emb_df.collect()
+    }
+    # exact refine over the widened pool (reuse the production tail)
+    exact = (
+        emb.select("vec_id", ss._q64("embedding").alias("qe"))
+        .join(F.broadcast(cand.select("query_id", "vec_id")), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "exact_sqdist", F.expr(ss._PQ_SQDIST.format(a="q_qe", b="qe"))
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "exact_sqdist", F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .collect()
+    )
+    got = {
+        q: [v for _, v in sorted((r["rank"], r["vec_id"]) for r in exact if r["query_id"] == q)]
+        for q in {r["query_id"] for r in exact}
+    }
+    for q in got:
+        dists = sorted(
+            (int(((store[q] - store[v]) ** 2).sum()), v)
+            for (qq, v) in pool
+            if qq == q
+        )
+        want = [v for _, v in dists[:10]]
+        assert got[q] == want, q
 
 
 def test_tokenizer_roundtrip_matches_python_reference(spark):
