@@ -1739,6 +1739,198 @@ ORDER BY event_type
 """
 
 
+_TS_PAIR_LAG = 12  # banded pairs: up to 12 five-minute buckets = 1 h
+
+
+def _bucket_pairs(ev: DataFrame) -> DataFrame:
+    """Banded bucket-pair relation shared by the robust-trend rows
+    (``ts_theil_sen`` / ``ts_mann_kendall``): 5-minute bucket means
+    per event type, paired with every bucket up to ``_TS_PAIR_LAG``
+    steps ahead.
+
+    Shape: the bucket relation is bounded by the TIME RANGE, not the
+    row count (8 640 five-minute buckets per type per month no matter
+    the SF), so the pair relation is buckets × lag — never the
+    quadratic all-pairs of classical Theil-Sen.  The band rides an
+    EQUI-join: the left side explodes the lag offsets 1..L and joins
+    on the computed (event_type, i + d) key, so Catalyst plans a plain
+    hash join (no range-condition post-filter over an all-pairs
+    build).  Bucket means are 6-dp rounded BEFORE pairing so both
+    engines difference identical doubles — sign statistics would
+    otherwise flip on last-ulp AVG noise."""
+    b = cache_intermediate(
+        ev.groupBy(
+            "event_type",
+            (F.floor(epoch_seconds(F.col("ts")) / 300))
+            .cast("bigint")
+            .alias("bi"),
+        ).agg(_r6(F.avg("value")).alias("y"))
+    )
+    left = (
+        b.select("event_type", F.col("bi").alias("i"), F.col("y").alias("yi"))
+        .withColumn("d", F.explode(F.expr(f"sequence(1, {_TS_PAIR_LAG})")))
+        .withColumn("j", (F.col("i") + F.col("d")).cast("bigint"))
+    )
+    right = b.select(
+        "event_type", F.col("bi").alias("j"), F.col("y").alias("yj")
+    )
+    return left.join(right, ["event_type", "j"])
+
+
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: bounded-lag Theil–Sen robust trend per event type —
+    the LOWER MEDIAN of pairwise slopes (value per hour, integer
+    micros) over all bucket pairs up to one hour apart.  The median
+    slope shrugs off the outliers that drag ``ts_trend_slope``'s OLS
+    line; the two rows together are the classic robust-vs-classical
+    drift panel.
+
+    Exactness: slopes quantize to integer micros per pair
+    (``round(((yj−yi)/d)·12·1e6)`` — identical doubles in, identical
+    bigints out) and the median is DISCRETE (the sorted multiset's
+    element at position ⌈n/2⌉ via row_number) — no interpolation, so
+    no float averaging to diverge.  100 TB shape: the only input-sized
+    work is the bucket agg; everything after runs on the
+    range-bounded pair relation.  Reference analog: none ([EXT])."""
+    return theil_sen_trend(_events(spark, sf_dir))
+
+
+def theil_sen_trend(ev: DataFrame) -> DataFrame:
+    """Library surface for ``ts_theil_sen`` over any events-shaped
+    frame (event_type, ts, value)."""
+    pairs = _bucket_pairs(ev)
+    slopes = pairs.select(
+        "event_type",
+        F.expr(
+            "cast(round(((yj - yi) / d) * 12000000) as bigint)"
+        ).alias("slope_micros"),
+    )
+    counts = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    ranked = slopes.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("slope_micros")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(counts), "event_type")
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("slope_micros").alias("median_slope_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: bounded-lag Mann–Kendall trend test per event type
+    — concordant/discordant/tied pair counts, the S statistic, and the
+    bounded-lag Kendall tau (S / n_pairs, integer micros) over the
+    same banded pair relation as ``ts_theil_sen``.  Sign statistics
+    are pure integer counts of sign(yj − yi) over 6-dp-rounded bucket
+    means — exact cross-engine with no float aggregation at all.
+    Reference analog: none ([EXT])."""
+    return mann_kendall_trend(_events(spark, sf_dir))
+
+
+def mann_kendall_trend(ev: DataFrame) -> DataFrame:
+    """Library surface for ``ts_mann_kendall`` over any events-shaped
+    frame (event_type, ts, value)."""
+    pairs = _bucket_pairs(ev)
+    sgn = pairs.select(
+        "event_type",
+        F.expr(
+            "cast(case when yj > yi then 1 when yj < yi then -1 else 0 end"
+            " as bigint)"
+        ).alias("s"),
+    )
+    return (
+        sgn.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("s") == 1).cast("bigint")).alias("concordant"),
+            F.sum((F.col("s") == -1).cast("bigint")).alias("discordant"),
+            F.sum((F.col("s") == 0).cast("bigint")).alias("ties"),
+            F.sum("s").cast("bigint").alias("s_stat"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "ties",
+            "s_stat",
+            F.expr(
+                "cast(round(s_stat * 1000000.0 / n_pairs) as bigint)"
+            ).alias("tau_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS_PAIRS_DUCK = f"""
+b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bi,
+         ROUND(AVG(value) * 1000000.0) / 1000000.0 AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.y AS yi, c.y AS yj, c.bi - a.bi AS d
+  FROM b a JOIN b c
+    ON c.event_type = a.event_type
+   AND c.bi > a.bi AND c.bi <= a.bi + {_TS_PAIR_LAG}
+)
+"""
+
+TS_THEIL_SEN_SQL = f"""
+WITH {_TS_PAIRS_DUCK},
+slopes AS (
+  SELECT event_type,
+         CAST(ROUND(((yj - yi) / d) * 12000000) AS BIGINT) AS slope_micros
+  FROM pairs
+),
+counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM slopes GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, slope_micros,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope_micros) AS rn
+  FROM slopes
+)
+SELECT r.event_type, c.n_pairs,
+       r.slope_micros AS median_slope_micros
+FROM ranked r JOIN counts c USING (event_type)
+WHERE r.rn = (c.n_pairs + 1) // 2
+ORDER BY r.event_type
+"""
+
+TS_MANN_KENDALL_SQL = f"""
+WITH {_TS_PAIRS_DUCK},
+sgn AS (
+  SELECT event_type,
+         CAST(CASE WHEN yj > yi THEN 1 WHEN yj < yi THEN -1 ELSE 0 END
+              AS BIGINT) AS s
+  FROM pairs
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+       CAST(SUM(s) AS BIGINT) AS s_stat,
+       CAST(ROUND(SUM(s) * 1000000.0 / COUNT(*)) AS BIGINT) AS tau_micros
+FROM sgn
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + trend) per event
     type over the 5-minute bucket means — the PREDICTION-family

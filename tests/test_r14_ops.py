@@ -75,6 +75,150 @@ def _py_roundtrip_table(rows, lp, max_word_len=32):
     return out
 
 
+def _py_trend(rows, lag=12):
+    """Reference bounded-lag Theil-Sen + Mann-Kendall over
+    (event_type, ts_epoch, value) rows, mirroring the 6-dp bucket-mean
+    rounding and integer-micros quantization."""
+    import math
+
+    buckets: dict = {}
+    for et, ep, v in rows:
+        buckets.setdefault(et, {}).setdefault(int(ep // 300), []).append(v)
+    out = {}
+    for et, bs in buckets.items():
+        ys = {
+            i: round(sum(vs) / len(vs) * 1e6) / 1e6 for i, vs in bs.items()
+        }
+        slopes, s_cnt = [], [0, 0, 0]  # conc, disc, ties
+        for i in sorted(ys):
+            for d in range(1, lag + 1):
+                j = i + d
+                if j not in ys:
+                    continue
+                diff = ys[j] - ys[i]
+                x = (diff / d) * 12000000
+                slopes.append(
+                    int(math.copysign(math.floor(abs(x) + 0.5), x))
+                )
+                if diff > 0:
+                    s_cnt[0] += 1
+                elif diff < 0:
+                    s_cnt[1] += 1
+                else:
+                    s_cnt[2] += 1
+        slopes.sort()
+        n = len(slopes)
+        s_stat = s_cnt[0] - s_cnt[1]
+        t = s_stat * 1e6 / n
+        out[et] = {
+            "n_pairs": n,
+            "median_slope_micros": slopes[(n + 1) // 2 - 1],
+            "concordant": s_cnt[0],
+            "discordant": s_cnt[1],
+            "ties": s_cnt[2],
+            "s_stat": s_stat,
+            "tau_micros": int(math.copysign(math.floor(abs(t) + 0.5), t)),
+        }
+    return out
+
+
+def test_trend_rows_match_python_reference(spark):
+    from meteaudata_spark.ext.timeseries_queries import (
+        _events,
+        ts_mann_kendall,
+        ts_theil_sen,
+    )
+
+    rows = [
+        (r["event_type"], r["ep"], r["value"])
+        for r in _events(spark, SF)
+        .select(
+            "event_type",
+            F.unix_timestamp("ts").alias("ep"),
+            "value",
+        )
+        .collect()
+    ]
+    want = _py_trend(rows)
+    ts_rows = {r["event_type"]: r for r in ts_theil_sen(spark, SF).collect()}
+    mk_rows = {r["event_type"]: r for r in ts_mann_kendall(spark, SF).collect()}
+    assert set(ts_rows) == set(want) == set(mk_rows)
+    for et, w in want.items():
+        assert ts_rows[et]["n_pairs"] == w["n_pairs"], et
+        assert (
+            ts_rows[et]["median_slope_micros"] == w["median_slope_micros"]
+        ), et
+        for k in ("concordant", "discordant", "ties", "s_stat", "tau_micros"):
+            assert mk_rows[et][k] == w[k], (et, k)
+
+
+def test_theil_sen_is_robust_where_ols_is_not(spark):
+    """Planted series: a clean +1/bucket trend with one colossal
+    outlier.  The pairwise-median slope stays at the true trend while
+    the OLS estimate is dragged far off — the reason this row exists
+    next to ts_trend_slope."""
+    import datetime
+
+    from meteaudata_spark.ext.timeseries_queries import theil_sen_trend
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        v = float(i)
+        if i == 30:
+            v = 1e6  # the outlier bucket
+        rows.append(("s", base + datetime.timedelta(minutes=5 * i), v))
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = theil_sen_trend(ev).collect()
+    assert len(got) == 1
+    # true slope: +1 per bucket = +12/hour = 12_000_000 micros
+    assert got[0]["median_slope_micros"] == 12_000_000
+    # OLS on the same data is dragged orders of magnitude away
+    import numpy as np
+
+    xs = np.arange(60, dtype=float)
+    ys = np.array([1e6 if i == 30 else float(i) for i in range(60)])
+    ols = np.polyfit(xs, ys, 1)[0] * 12
+    assert abs(ols - 12) > 100  # dragged ~28x off the true +12/h
+
+
+def test_ivfpq_arrow_encode_bit_identical_to_expression_encode(spark):
+    """The Arrow-vectorized append-path encode must match the
+    expression-fold encode row-for-row (same coarse assignment, same
+    PQ codes, same tie-breaks) — integer-exact float64 GEMM vs the
+    SQL fold.  Codebooks trained on a SUBSET so plenty of encoded
+    vectors sit far from training data (stressing ties/ordering)."""
+    from meteaudata_spark.ext import simsearch as ss
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    coarse, rcb, _ = ss._ivfpq_index(emb.filter(F.col("vec_id") < 300))
+    cb_arr, rcb_arr = ss._ivfpq_cb_arrays(coarse, rcb)
+    q = emb.select("vec_id", ss._q64("embedding").alias("qe"))
+    a = sorted(map(tuple, ss._ivfpq_encode(q, cb_arr, rcb_arr).collect()))
+    b = sorted(
+        map(tuple, ss._ivfpq_encode_arrow(q, cb_arr, rcb_arr).collect())
+    )
+    assert len(a) == emb.count() * 8
+    assert a == b
+
+
+def test_trend_rows_plan_one_scan_banded_equijoin(spark):
+    """The pair relation must ride the cached bucket agg (one events
+    scan total) and an EQUI-join on the computed lag key — never a
+    cartesian/range-filtered all-pairs build."""
+    import re
+
+    from meteaudata_spark.ext import timeseries_queries as tsq
+    from meteaudata_spark.plans import inspect
+
+    for fn in (tsq.ts_theil_sen, tsq.ts_mann_kendall):
+        plan = inspect.formatted_plan(fn(spark, SF))
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans <= 1, (fn.__name__, n_scans)
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
 def test_ivfpq_refine_distances_are_exact_and_reorder_approx(spark):
     """The refine tail must (a) report TRUE quantized squared-L2
     distances (verified against a NumPy recomputation), (b) rank by
