@@ -2075,6 +2075,54 @@ def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search_relations(coarse, rcb, codes, qv, 10, _IVFPQ_NPROBE)
 
 
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: PQ quantization-distortion report per inverted
+    list — the index-health table every PQ deployment tunes against
+    (FAISS's imbalance/quantization-error diagnostics).  Per
+    centroid: vector count, total / average / max distortion, where a
+    vector's distortion is Σ over subspaces of the winning
+    ‖residual_sub − codeword‖² — exactly the error the PQ code commits
+    to, so ``avg_distortion`` directly predicts how wrong
+    ``approx_sqdist`` runs and how much an exact refine tail
+    (``emb_ivfpq_refine_topk``) buys.
+
+    Fat lists with high average distortion say "split this list /
+    retrain"; it is the measurement half of the build→search→
+    append→delete→compact lifecycle.  All quantities are exact
+    bigints (quantized integer residuals), so the DuckDB oracle
+    matches bit-for-bit.  Shape: one keyed min per (vector, sub)
+    against the broadcast codebook + two keyed aggs — corpus touched
+    once.  Reference analog: none (pure [EXT])."""
+    emb = _emb(spark, sf_dir)
+    coarse, rcb, _codes = _ivfpq_index_for(spark, sf_dir)
+    cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
+    q = emb.select("vec_id", _q64("embedding").alias("qe"))
+    rsubs = _ivfpq_rsubs(q, cb_arr)
+    rdist = _PQ_SQDIST.format(a="rv", b="c.cvec")
+    per_sub = rsubs.join(F.broadcast(rcb_arr), "sub_id").select(
+        "vec_id",
+        "centroid_id",
+        F.expr(
+            f"array_min(transform(cb, c -> {rdist}))"
+        ).alias("sub_distortion"),
+    )
+    per_vec = per_sub.groupBy("vec_id", "centroid_id").agg(
+        F.sum("sub_distortion").cast("bigint").alias("distortion")
+    )
+    return (
+        per_vec.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("distortion").cast("bigint").alias("total_distortion"),
+            F.expr("sum(distortion) div count(1)")
+            .cast("bigint")
+            .alias("avg_distortion"),
+            F.max("distortion").cast("bigint").alias("max_distortion"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 _REFINE_C = 30
 
 
@@ -2228,6 +2276,36 @@ EMB_IVFPQ_DELETE_TOPK_SQL = EMB_IVFPQ_TOPK_SQL.replace(
     "  FROM embeddings\n)",
     "  FROM embeddings\n  WHERE NOT (vec_id % 5 = 2 AND vec_id >= 200)\n)",
     1,
+)
+
+# Oracle for the DISTORTION report: the same training chain up to the
+# rsubs/rcb CTEs, then an independent per-(vector, sub) winning-error
+# min and the per-list rollup.  Integer-exact throughout.
+EMB_PQ_DISTORTION_SQL = (
+    EMB_IVFPQ_TOPK_SQL.split(",\ncodes AS (", 1)[0]
+    + f""",
+per_sub AS (
+  SELECT v.vec_id, v.centroid_id,
+         MIN(list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+           i -> (v.rv[i] - c.cvec[i]) * (v.rv[i] - c.cvec[i])), 'sum'))
+           AS sub_distortion
+  FROM rsubs v JOIN rcb c ON c.sub_id = v.sub_id
+  GROUP BY v.vec_id, v.centroid_id, v.sub_id
+),
+per_vec AS (
+  SELECT vec_id, centroid_id,
+         CAST(SUM(sub_distortion) AS BIGINT) AS distortion
+  FROM per_sub GROUP BY vec_id, centroid_id
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(distortion) AS BIGINT) AS total_distortion,
+       CAST(SUM(distortion) // COUNT(*) AS BIGINT) AS avg_distortion,
+       CAST(MAX(distortion) AS BIGINT) AS max_distortion
+FROM per_vec
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
 )
 
 # Oracle for the REFINE row: the same candidate chain ranked to

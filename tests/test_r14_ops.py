@@ -202,6 +202,64 @@ def test_ivfpq_arrow_encode_bit_identical_to_expression_encode(spark):
     assert a == b
 
 
+def test_pq_distortion_matches_numpy_reference(spark):
+    """Per-list distortion rollup vs a NumPy recomputation of
+    Σ_subs min_code ||resid_sub − codeword||² for every vector."""
+    import numpy as np
+
+    from meteaudata_spark.ext import simsearch as ss
+
+    got = {
+        r["centroid_id"]: (
+            r["n_vecs"],
+            r["total_distortion"],
+            r["avg_distortion"],
+            r["max_distortion"],
+        )
+        for r in ss.emb_pq_distortion(spark, SF).collect()
+    }
+    store = {
+        r["vec_id"]: _q64_np(np.array(r["embedding"], dtype=np.float64))
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    cents = {
+        cid: store[cid] for cid in range(100, 100 + ss._IVFPQ_COARSE)
+    }
+    cid_sorted = sorted(cents)
+    C = np.array([cents[c] for c in cid_sorted])
+
+    def assign(v):
+        d = ((v - C) ** 2).sum(axis=1)
+        return cid_sorted[int(d.argmin())]
+
+    # codebook = residual subvectors of the training vectors (<16)
+    cb: dict = {}
+    for vid in range(ss._PQ_CODES):
+        r = store[vid] - cents[assign(store[vid])]
+        for s in range(ss._PQ_SUBS):
+            cb.setdefault(s, []).append(
+                r[s * ss._PQ_SUBDIM : (s + 1) * ss._PQ_SUBDIM]
+            )
+    agg: dict = {}
+    for vid, v in store.items():
+        c = assign(v)
+        resid = v - cents[c]
+        dist = 0
+        for s in range(ss._PQ_SUBS):
+            sub = resid[s * ss._PQ_SUBDIM : (s + 1) * ss._PQ_SUBDIM]
+            dist += int(
+                min(((sub - w) ** 2).sum() for w in cb[s])
+            )
+        a = agg.setdefault(c, [0, 0, 0])
+        a[0] += 1
+        a[1] += dist
+        a[2] = max(a[2], dist)
+    want = {
+        c: (n, tot, tot // n, mx) for c, (n, tot, mx) in agg.items()
+    }
+    assert got == want
+
+
 def test_trend_rows_plan_one_scan_banded_equijoin(spark):
     """The pair relation must ride the cached bucket agg (one events
     scan total) and an EQUI-join on the computed lag key — never a
