@@ -1739,6 +1739,100 @@ ORDER BY event_type
 """
 
 
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: first-significant-digit distribution of event
+    values per type vs Benford's law — the classic at-scale
+    data-quality screen (fabricated, clipped, unit-mixed, or
+    merge-duplicated numeric feeds bend the digit histogram long
+    before summary stats move).  Per (event_type, digit 1–9): count,
+    observed share, the Benford expectation log₁₀(1+1/d), and the
+    delta — all in integer micros.
+
+    Exactness: the first digit comes from the integer CENTS
+    (``round(value·100)`` — the feed's own precision), so digit
+    extraction is pure integer/string work on both engines; shares
+    are integer floor-div micros; the Benford constant is the rounded
+    micro value of a plain double log10 — identical cross-engine.
+    Shape: one keyed count + one 5-row broadcast total join; the
+    45-row digit spine guarantees zero-count digits surface.
+    Reference analog: none (pure [EXT])."""
+    ev = _events(spark, sf_dir)
+    digits = ev.select(
+        "event_type",
+        F.expr(
+            "cast(substring(cast(cast(round(value * 100) as bigint)"
+            " as string), 1, 1) as bigint)"
+        ).alias("digit"),
+    )
+    counts = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    spine = (
+        totals.select("event_type", "total")
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").alias("digit"))
+            )
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "digit"], "left")
+        .select(
+            "event_type",
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 div total")
+            .cast("bigint")
+            .alias("share_micros"),
+            F.expr(
+                "cast(round(log10(1.0 + 1.0 / digit) * 1000000) as bigint)"
+            ).alias("benford_micros"),
+            F.expr(
+                "coalesce(n, 0) * 1000000 div total"
+                " - cast(round(log10(1.0 + 1.0 / digit) * 1000000) as bigint)"
+            )
+            .cast("bigint")
+            .alias("delta_micros"),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+EVENTS_BENFORD_SQL = """
+WITH digits AS (
+  SELECT event_type,
+         CAST(SUBSTRING(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR),
+                        1, 1) AS BIGINT) AS digit
+  FROM events
+),
+counts AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM digits GROUP BY event_type, digit
+),
+totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT t.event_type, t.total, d.digit
+  FROM totals t, (SELECT UNNEST(generate_series(1, 9)) AS digit) d
+)
+SELECT s.event_type, s.digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(c.n, 0) * 1000000 // s.total AS BIGINT) AS share_micros,
+       CAST(ROUND(log10(1.0 + 1.0 / s.digit) * 1000000) AS BIGINT)
+         AS benford_micros,
+       CAST(COALESCE(c.n, 0) * 1000000 // s.total
+            - CAST(ROUND(log10(1.0 + 1.0 / s.digit) * 1000000) AS BIGINT)
+            AS BIGINT) AS delta_micros
+FROM spine s LEFT JOIN counts c USING (event_type, digit)
+ORDER BY s.event_type, s.digit
+"""
+
+
 _TS_PAIR_LAG = 12  # banded pairs: up to 12 five-minute buckets = 1 h
 
 

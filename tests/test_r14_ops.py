@@ -202,6 +202,50 @@ def test_ivfpq_arrow_encode_bit_identical_to_expression_encode(spark):
     assert a == b
 
 
+def test_events_benford_matches_python_reference(spark):
+    import math
+
+    from meteaudata_spark.ext.timeseries_queries import (
+        _events,
+        events_benford,
+    )
+
+    got = {
+        (r["event_type"], r["digit"]): (
+            r["n"],
+            r["share_micros"],
+            r["benford_micros"],
+            r["delta_micros"],
+        )
+        for r in events_benford(spark, SF).collect()
+    }
+    agg: dict = {}
+    for r in _events(spark, SF).select("event_type", "value").collect():
+        cents = int(
+            math.copysign(
+                math.floor(abs(r["value"] * 100) + 0.5), r["value"] * 100
+            )
+        )
+        d = int(str(cents)[0])
+        agg[(r["event_type"], d)] = agg.get((r["event_type"], d), 0) + 1
+    totals: dict = {}
+    for (et, _d), n in agg.items():
+        totals[et] = totals.get(et, 0) + n
+    want = {}
+    for et in totals:
+        for d in range(1, 10):
+            n = agg.get((et, d), 0)
+            share = n * 1000000 // totals[et]
+            x = math.log10(1.0 + 1.0 / d) * 1000000
+            bf = int(math.copysign(math.floor(abs(x) + 0.5), x))
+            want[(et, d)] = (n, share, bf, share - bf)
+    assert got == want
+    # every type has the full 1..9 spine and shares sum to ~1e6
+    for et in totals:
+        s = sum(got[(et, d)][1] for d in range(1, 10))
+        assert 1000000 - 9 <= s <= 1000000
+
+
 def test_probe_sweep_invariants(spark):
     """Candidate coverage must be monotone non-decreasing in n_probe
     per query, post-PQ-ranking hits can never exceed coverage, and the
