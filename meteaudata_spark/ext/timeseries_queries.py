@@ -1886,13 +1886,29 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float averaging to diverge.  100 TB shape: the only input-sized
     work is the bucket agg; everything after runs on the
     range-bounded pair relation.  Reference analog: none ([EXT])."""
-    return theil_sen_trend(_events(spark, sf_dir))
+    return _theil_sen_from_pairs(_pairs_for(spark, sf_dir))
+
+
+def _pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized banded bucket-pair relation shared by the two
+    robust-trend gate rows (one bucket agg + one pair join serves
+    both — the memo_relation compose-don't-recompute contract)."""
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    return memo_relation(
+        spark,
+        ("ts_bucket_pairs", sf_dir),
+        lambda: _bucket_pairs(_events(spark, sf_dir)),
+    )
 
 
 def theil_sen_trend(ev: DataFrame) -> DataFrame:
     """Library surface for ``ts_theil_sen`` over any events-shaped
     frame (event_type, ts, value)."""
-    pairs = _bucket_pairs(ev)
+    return _theil_sen_from_pairs(_bucket_pairs(ev))
+
+
+def _theil_sen_from_pairs(pairs: DataFrame) -> DataFrame:
     slopes = pairs.select(
         "event_type",
         F.expr(
@@ -1928,13 +1944,16 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pure integer counts of sign(yj − yi) over 6-dp-rounded bucket
     means — exact cross-engine with no float aggregation at all.
     Reference analog: none ([EXT])."""
-    return mann_kendall_trend(_events(spark, sf_dir))
+    return _mann_kendall_from_pairs(_pairs_for(spark, sf_dir))
 
 
 def mann_kendall_trend(ev: DataFrame) -> DataFrame:
     """Library surface for ``ts_mann_kendall`` over any events-shaped
     frame (event_type, ts, value)."""
-    pairs = _bucket_pairs(ev)
+    return _mann_kendall_from_pairs(_bucket_pairs(ev))
+
+
+def _mann_kendall_from_pairs(pairs: DataFrame) -> DataFrame:
     sgn = pairs.select(
         "event_type",
         F.expr(
