@@ -31,12 +31,16 @@ from pyspark.sql import DataFrame
 # (doc_minhash_lsh_pairs 0.08 s → 1.31 s).  Round 11 re-measured the
 # same failure at 24 (the incremental-ledger rows add ~7 entries per
 # bench pass and the rotation runs them before the dedup readers:
-# memo-read rows regressed 4-15×), so the cap is now 48 AND the warm
-# relations are PINNED outside the FIFO (``pin_caches``).  Entries are
-# driver-side handles; the data lives in executor storage memory and
-# spills to disk under pressure, so the cap bounds bookkeeping, not
-# heap.
-_MAX_ACTIVE = 48
+# memo-read rows regressed 4-15×), so the cap was raised to 48 AND the
+# warm relations are PINNED outside the FIFO (``pin_caches``).  Round
+# 14 raised it again to 96: the gate grew to 231 rows (each pass
+# registers well over 48 entries, so every shared core was evicted and
+# re-healed once per pass — non-uniform multi-second penalties landed
+# on whichever rows hit the re-heal, e.g. ts_forecast_eval 0.79→5.7 s
+# while neighbors moved ~1.5×).  Entries are driver-side handles; the
+# data lives in executor storage memory and spills to disk under
+# pressure, so the cap bounds bookkeeping, not heap.
+_MAX_ACTIVE = 96
 _active: "OrderedDict[int, DataFrame]" = OrderedDict()
 _pinned: "OrderedDict[int, DataFrame]" = OrderedDict()
 _pin_mode = False
