@@ -1447,15 +1447,22 @@ def test_no_split_inside_any_lambda(spark):
     # that shingles/segments text and fails if any lambda body ever
     # contains a split( again.
     from meteaudata_spark.ext import corpus_ops, dedup, textstats
+    from meteaudata_spark.plans.opcache import release_operator_caches
+
+    # HERMETIC CACHE STATE (r14): the split ceilings assume each
+    # query's shared relations are PERSISTED when its optimized plan
+    # is walked (an InMemoryRelation hides its build plan).  Walking
+    # thunks one at a time was not enough — a memo HIT returns a
+    # relation whose INNER cache_intermediate persists may have been
+    # FIFO-evicted by earlier suite churn, and the self-heal re-persist
+    # then snapshots a cachedPlan with the inner build INLINED (seen as
+    # "16 split() occurrences" on doc_minhash_lsh_pairs only after the
+    # full suite ran).  Dropping every memo + persist first makes each
+    # thunk build cold with fresh inner persists — deterministic plan
+    # shape regardless of suite order.
+    release_operator_caches()
 
     d = dedup._docs(spark, SF)
-    # lazy thunks, walked ONE AT A TIME right after construction: the
-    # split ceilings assume each query's shared relations are still
-    # PERSISTED when its optimized plan is walked (an InMemoryRelation
-    # hides its build plan).  Building all ten eagerly let later
-    # constructions FIFO-evict earlier persists — suite-order-dependent
-    # flake, seen as "16 split() occurrences" on doc_minhash_lsh_pairs
-    # only when the whole suite's cache churn preceded this test.
     cases = {
         "doc_substring_spans": lambda: dedup.doc_substring_spans(spark, SF),
         "substring_scrub": lambda: dedup.substring_scrub(d),
