@@ -74,6 +74,26 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-heavy Python-map
+    chains (r14 optimization, guide §2.5 input skew / §4).
+
+    The synthesized-asset fixtures feed per-row codec work (encode +
+    decode + numpy feature extraction) into ``mapInPandas``; their
+    upstream is a SMALL parquet scan whose file has a single row
+    group, so Spark plans ONE input split and the entire Python stage
+    runs on one core while the other 31 idle.  Repartition round-robin
+    to the session's default parallelism — but ONLY when the scan
+    yields fewer partitions, so on a real deployment (thousands of
+    input splits) this is a no-op and no shuffle is ever added.  The
+    shuffled bytes here are the slim pre-synthesis rows (ids +
+    digests), never the payloads."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # deterministic fake codec: payload = "FAKE:" + repeated byte pattern.
 # Real deployments replace _decode_payload with PIL / librosa / pyav.
 FAKE_MAGIC = b"FAKE:"
@@ -789,47 +809,71 @@ def audio_features(
         raise ValueError("frame_ms and hop_ms must be positive")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r14 optimization (guide §4.2): framing + reductions run once
+        # per same-shape ROW GROUP instead of ~10 numpy calls per row.
+        # Per-row math is unchanged — each frame's mean reduces the
+        # identical contiguous float64 slice, the frame means average
+        # along the frame axis exactly as before, and the final
+        # rounding is the same half-even ``round`` — so rms/peak/zcr
+        # micros are bit-identical.  Decode stays per row (RIFF walk).
         for pdf in it:
-            rows = {k: [] for k in (
-                "asset_id", "sample_rate", "n_samples", "duration_ms",
-                "n_frames", "rms_micros", "peak", "zcr_micros",
-            )}
+            decoded: dict[tuple, list] = {}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(payload)
                 if not p.startswith(b"RIFF"):
                     continue
                 samples, rate = decode_audio(p)
-                x = samples.astype(np.float64)
-                n = len(x)
+                decoded.setdefault((len(samples), rate), []).append(
+                    (int(asset_id), samples)
+                )
+            rows = {k: [] for k in (
+                "asset_id", "sample_rate", "n_samples", "duration_ms",
+                "n_frames", "rms_micros", "peak", "zcr_micros",
+            )}
+            for (n, rate), grp in decoded.items():
                 flen = max(1, rate * frame_ms // 1000)
                 hop = max(1, rate * hop_ms // 1000)
+                S = np.stack([g[1] for g in grp])  # (rows, n) int16
+                X = S.astype(np.float64)
                 if n >= flen:
                     n_frames = 1 + (n - flen) // hop
                     idx = (
                         np.arange(flen)[None, :]
                         + hop * np.arange(n_frames)[:, None]
                     )
-                    frames = x[idx]
+                    frames = X[:, idx]  # (rows, n_frames, flen)
+                    rms_v = (
+                        np.mean(np.sqrt(np.mean(frames**2, axis=2)), axis=1)
+                        / 32767.0
+                    )
                 else:
                     n_frames = 1
-                    frames = x[None, :]
-                rms = float(
-                    np.mean(np.sqrt(np.mean(frames**2, axis=1))) / 32767.0
+                    rms_v = np.sqrt(np.mean(X**2, axis=1)) / 32767.0
+                signs = np.signbit(X)
+                if n > 1:
+                    zcr_v = (
+                        np.count_nonzero(
+                            signs[:, 1:] != signs[:, :-1], axis=1
+                        ).astype(np.float64)
+                        / n
+                    )
+                else:
+                    zcr_v = np.zeros(len(grp))
+                peak_v = (
+                    np.max(np.abs(S), axis=1)
+                    if n
+                    else np.zeros(len(grp), dtype=S.dtype)
                 )
-                signs = np.signbit(x)
-                zcr = (
-                    float(np.count_nonzero(signs[1:] != signs[:-1])) / n
-                    if n > 1
-                    else 0.0
-                )
-                rows["asset_id"].append(int(asset_id))
-                rows["sample_rate"].append(int(rate))
-                rows["n_samples"].append(n)
-                rows["duration_ms"].append(round(n * 1000 / rate))
-                rows["n_frames"].append(int(n_frames))
-                rows["rms_micros"].append(round(rms * 1_000_000))
-                rows["peak"].append(int(np.max(np.abs(samples))) if n else 0)
-                rows["zcr_micros"].append(round(zcr * 1_000_000))
+                dur = round(n * 1000 / rate)
+                for i, (asset_id, _) in enumerate(grp):
+                    rows["asset_id"].append(asset_id)
+                    rows["sample_rate"].append(int(rate))
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(dur)
+                    rows["n_frames"].append(int(n_frames))
+                    rows["rms_micros"].append(round(float(rms_v[i]) * 1_000_000))
+                    rows["peak"].append(int(peak_v[i]))
+                    rows["zcr_micros"].append(round(float(zcr_v[i]) * 1_000_000))
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "payload").mapInPandas(
@@ -968,6 +1012,10 @@ def _digest_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sid"),
         (F.col("doc_id") % 20 == 17).alias("perturb"),
     )
+    # NOTE(r14): _spread was tried here and REGRESSED (1.06→3.1 s at
+    # sf0.1) — the per-row PPM work is too small to amortize 32-way
+    # task + Python-worker overhead, and the repartition exchange
+    # feeds every downstream join branch.  Left single-split.
     withm = src.join(
         base.select(F.col("doc_id").alias("sid"), "m"), "sid"
     ).select("doc_id", "m", "perturb")
@@ -1325,23 +1373,54 @@ def audio_segments(
         raise ValueError("frame_ms and hop_ms must be positive")
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r14 optimization (guide §4.2): the per-FRAME Python loop ran
+        # ~16 numpy calls per 200-sample frame (80k frames per sf0.1
+        # batch ≈ 1.2 s of per-call overhead).  Decode stays per row
+        # (RIFF walk), but framing + RMS now reduce a whole
+        # same-shape row group in ONE numpy pass.  Exactness: each
+        # frame's mean/sqrt reduces the identical contiguous float64
+        # slice (numpy reduces the last axis per-slice with the same
+        # pairwise algorithm), and rounding is the same half-even
+        # ``round`` per value — bit-identical rms_micros.
         for pdf in it:
-            out = {"asset_id": [], "frame_no": [], "rms_micros": []}
+            decoded: dict[tuple, list] = {}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     samples, rate = decode_audio(bytes(payload))
                 except Exception:
                     continue
+                decoded.setdefault((len(samples), rate), []).append(
+                    (int(asset_id), samples)
+                )
+            out = {"asset_id": [], "frame_no": [], "rms_micros": []}
+            for (n_samp, rate), rows in decoded.items():
                 flen = max(1, rate * frame_ms // 1000)
                 hop = max(1, rate * hop_ms // 1000)
-                x = samples.astype(np.float64) / 32768.0
-                n = 1 + max(0, (len(x) - flen)) // hop
-                for i in range(n):
-                    fr = x[i * hop : i * hop + flen]
-                    rms = float(np.sqrt(np.mean(fr * fr)))
-                    out["asset_id"].append(asset_id)
-                    out["frame_no"].append(i)
-                    out["rms_micros"].append(int(round(rms * 1e6)))
+                n = 1 + max(0, (n_samp - flen)) // hop
+                ids = np.array([r[0] for r in rows], dtype=np.int64)
+                x = (
+                    np.stack([r[1] for r in rows]).astype(np.float64)
+                    / 32768.0
+                )
+                idx = (
+                    hop * np.arange(n)[:, None] + np.arange(flen)[None, :]
+                )
+                idx = np.minimum(idx, n_samp - 1)  # matches the short
+                # trailing slice only when flen > n_samp (then n == 1
+                # and the slice clamps exactly as x[0:flen] would)
+                if flen <= n_samp:
+                    fr = x[:, idx]  # (rows, n, flen)
+                    rms = np.sqrt(np.mean(fr * fr, axis=2))
+                else:
+                    # single short frame: reduce the true slice
+                    rms = np.sqrt(np.mean(x * x, axis=1))[:, None]
+                out["asset_id"].extend(np.repeat(ids, n))
+                out["frame_no"].extend(
+                    np.tile(np.arange(n, dtype=np.int64), len(rows))
+                )
+                out["rms_micros"].extend(
+                    int(round(v)) for v in (rms * 1e6).reshape(-1)
+                )
             yield pd.DataFrame(out)
 
     f = assets.mapInPandas(
@@ -1388,8 +1467,10 @@ def _digest_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames make every frame statistic pure integer logic on the
     digest bytes, so the DuckDB oracles reproduce decode-side numbers
     from the digest hex."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.md5("text").alias("digest")
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.md5("text").alias("digest")
+        )
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1965,20 +1965,40 @@ def orders_market_basket(
 
     Reference analog: none (pure [EXT]).
     """
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # r14 optimization (guide §2.3/§2.4): one groupBy(l_orderkey)
+    # collect_set replaces the distinct + keyed SELF-JOIN chain.  The
+    # old plan shuffled the (order, part) fact three ways — once for
+    # the distinct, once per self-join side on l_orderkey — before the
+    # pair aggregation; the new plan shuffles it ONCE (map-side
+    # partial collect_set, one row per order), and both the pair
+    # explode and the per-part counts read that single exchange
+    # (ReusedExchange).  Pair fan-out is unchanged (k ≤ lines/order,
+    # array_sort makes part_a < part_b deterministic); n_both / n_a /
+    # n_b are set-semantics identical to the distinct self-join, so
+    # the oracle hash is byte-identical.
     n_orders = _t(spark, sf_dir, "orders").groupBy().agg(
         F.count(F.lit(1)).alias("__n_orders")
     )
-    part_counts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("n_orders_part")
+    order_parts = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__ps"))
     )
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    part_counts = order_parts.select(
+        F.explode("__ps").alias("pk")
+    ).groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders_part"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        order_parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ps, (x, i) -> "
+                    "transform(slice(__ps, i + 2, size(__ps) - i - 1), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("__pair")
+        )
+        .select(F.col("__pair.part_a"), F.col("__pair.part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
