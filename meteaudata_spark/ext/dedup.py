@@ -30,7 +30,29 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r14: scale-adaptive parallelism floor (see _spread) — the whole
+    # doc family tokenizes/hashes the corpus in narrow chains off this
+    # loader, and a single-split test parquet pins them to one core.
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for the corpus tokenize /
+    shingle chains (r14 optimization, guide §2.5 input skew).
+
+    The documents parquet of a small test SF has a single row group,
+    so Spark plans ONE input split and every narrow shingle chain —
+    split, n-gram transform, md5 hashing — runs on one core while the
+    rest idle (measured 1.6 s single-core for the sf0.1 5-gram
+    explode alone).  Repartition round-robin to the session's default
+    parallelism, but ONLY when the upstream yields fewer partitions:
+    on a production corpus (thousands of splits) the condition is
+    false and no shuffle is ever added.  The shuffled bytes are the
+    slim pre-tokenization rows (doc_id + text), paid once per scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +95,8 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
         f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))) END"
     )
     return (
-        d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        _spread(d)
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
     )
 

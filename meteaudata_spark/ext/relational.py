@@ -1786,29 +1786,6 @@ ORDER BY status, changed_cols
 """
 
 
-def _thirds_by_value(df: DataFrame, col: str, out: str) -> DataFrame:
-    """Append ``out`` = the thirds bucket (0/1/2) of ``col`` by exact
-    value-histogram rank: the running count of strictly-lower values
-    floor-divided by n (same mechanics as doc_perplexity_buckets, so
-    tied values always share a bucket and no row-level window exists).
-    The window runs over the per-value histogram, whose size is
-    bounded by the column's VALUE RANGE (days / order counts /
-    kilocents), not by customer count."""
-    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.orderBy(col)
-    cum = hist.withColumn(
-        "__cum_lt",
-        F.coalesce(
-            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).withColumn("__n", F.sum("__c").over(Window.partitionBy()))
-    buckets = cum.select(
-        col, F.expr("(__cum_lt * 3) div __n").alias(out)
-    )
-    return df.join(buckets, col)
-
-
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic marketing cut: score
     every customer into thirds on Recency (days since last order,
@@ -1819,9 +1796,10 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism mechanics: monetary quantizes PER ORDER to integer
     cents before the sum (order-invariant integer math — summing the
     raw doubles first would make the cents rounding depend on
-    aggregation order); each dimension buckets via the exact
-    value-histogram thirds of ``_thirds_by_value`` (ties share a
-    bucket); monetary buckets on kilocents so the histogram is
+    aggregation order); each dimension buckets via exact
+    value-histogram thirds (ties share a bucket), all three
+    histograms computed through one melted (dim, value) window
+    chain; monetary buckets on kilocents so the histogram is
     bounded by the VALUE RANGE rather than customer count.  Bucket 2
     = highest value; for recency that means the LONGEST-dormant third
     (segment labels read R2 = coldest, F2/M2 = best).
@@ -1858,9 +1836,51 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteaudata_spark.plans.opcache import cache_intermediate
 
     cust = cache_intermediate(cust)
-    cust = _thirds_by_value(cust, "recency_days", "r_bucket")
-    cust = _thirds_by_value(cust, "frequency", "f_bucket")
-    cust = _thirds_by_value(cust, "__m_kc", "m_bucket")
+    # r14 optimization (guide §2.4): the three per-dimension value
+    # histograms used to run as three independent window chains — 3×
+    # (groupBy exchange + two SINGLE-PARTITION window exchanges).
+    # Melting the three dimensions into one (dim, v) relation computes
+    # all three histograms through ONE exchange and ONE keyed window
+    # chain (partitionBy dim), then each bucket table joins back
+    # broadcast exactly as before.  Per-dim math is unchanged
+    # (identical histogram, identical (cum_lt*3) div n), so buckets —
+    # and the gate hash — are byte-identical.
+    melted = cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("dim"),
+                    F.col("recency_days").alias("v"),
+                ),
+                F.struct(F.lit("f").alias("dim"), F.col("frequency").alias("v")),
+                F.struct(F.lit("m").alias("dim"), F.col("__m_kc").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.dim", "e.v")
+    hist = melted.groupBy("dim", "v").agg(F.count(F.lit(1)).alias("__c"))
+    wd = Window.partitionBy("dim").orderBy("v")
+    buckets = (
+        hist.withColumn(
+            "__cum_lt",
+            F.coalesce(
+                F.sum("__c").over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__n", F.sum("__c").over(Window.partitionBy("dim")))
+        .select("dim", "v", F.expr("(__cum_lt * 3) div __n").alias("b"))
+    )
+    for dim, col, out in (
+        ("r", "recency_days", "r_bucket"),
+        ("f", "frequency", "f_bucket"),
+        ("m", "__m_kc", "m_bucket"),
+    ):
+        side = buckets.filter(F.col("dim") == dim).select(
+            F.col("v").alias(col), F.col("b").alias(out)
+        )
+        cust = cust.join(F.broadcast(side), col)
     segment = F.concat(
         F.lit("R"),
         F.col("r_bucket").cast("string"),

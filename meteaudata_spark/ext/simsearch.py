@@ -28,7 +28,14 @@ _DOT = (
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # r14: scale-adaptive parallelism floor (dedup._spread) — the
+    # embedding queries' expensive work (norms, 2^20 quantization,
+    # broadcast-join dot products) is all NARROW off this scan, and
+    # the single-row-group test parquet pins it to one core.  No-op on
+    # any multi-split production store.
+    from meteaudata_spark.ext.dedup import _spread
+
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _norm_expr(col: str) -> str:
@@ -1231,9 +1238,22 @@ def pq_assign(emb: DataFrame, codebook: Optional[DataFrame] = None) -> DataFrame
     )
 
 
+def _pq_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized full PQ assignment (r14 optimization): the
+    codes table IS the serving index — the ``_ivfpq_index_for``
+    precedent applied to the flat-PQ rows, which re-ran the map-only
+    assignment (corpus × subs × 16 centroid distances) on every
+    gate-row call."""
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    return memo_relation(
+        spark, ("pq_codes", sf_dir), lambda: pq_assign(_emb(spark, sf_dir))
+    )
+
+
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: PQ code + quantization error per (vector, subspace)."""
-    return pq_assign(_emb(spark, sf_dir))
+    return _pq_codes_for(spark, sf_dir)
 
 
 EMB_PQ_CODES_SQL = f"""
@@ -1269,7 +1289,10 @@ ORDER BY vec_id, sub_id
 
 
 def pq_topk(
-    emb: DataFrame, n_queries: int = 3, k: int = 10
+    emb: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    codes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the serving-side half
     of product quantization.
@@ -1288,7 +1311,9 @@ def pq_topk(
     ``operators.rank.global_rank`` per query or per-partition heaps;
     the LUT/codes shape is unchanged.
     """
-    codes = pq_assign(emb).select("vec_id", "sub_id", "code")
+    if codes is None:
+        codes = pq_assign(emb)
+    codes = codes.select("vec_id", "sub_id", "code")
     q_subs = _pq_quantized_subs(
         emb.filter(F.col("vec_id") < n_queries)
     ).select(
@@ -1334,8 +1359,11 @@ def pq_topk(
 
 
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: PQ asymmetric-distance 10-NN for 3 queries."""
-    return pq_topk(_emb(spark, sf_dir))
+    """Gate query: PQ asymmetric-distance 10-NN for 3 queries (reads
+    the session-memoized codes index, r14)."""
+    return pq_topk(
+        _emb(spark, sf_dir), codes=_pq_codes_for(spark, sf_dir)
+    )
 
 
 EMB_PQ_TOPK_SQL = f"""
@@ -2172,22 +2200,32 @@ def emb_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("xrank") <= 10)
         .select("query_id", "vec_id")
     )
-    points = None
-    for p in _PROBE_SWEEP:
-        topk = (
-            scored.filter(F.col("pr") <= p)
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        "approx_sqdist", F.col("vec_id")
-                    )
-                ),
-            )
-            .filter(F.col("rank") <= 10)
-            .select(F.lit(p).cast("bigint").alias("n_probe"), "query_id", "vec_id")
+    # r14 optimization (guide §2.4): the sweep used to union four
+    # filter+window branches over the cached scored relation — four
+    # exchanges and four sorts by query_id.  A vector's rank at probe
+    # depth p depends only on the candidate set {pr <= p}, so one
+    # window keyed by (n_probe, query_id) over the probe-exploded
+    # relation ranks all four sweep points in a single exchange+sort
+    # — identical per-point ranking, byte-identical output.
+    probes_rel = F.broadcast(
+        spark.createDataFrame(
+            [(int(p),) for p in _PROBE_SWEEP], "n_probe BIGINT"
         )
-        points = topk if points is None else points.unionByName(topk)
+    )
+    points = (
+        scored.crossJoin(probes_rel)
+        .filter(F.col("pr") <= F.col("n_probe"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("n_probe", "query_id").orderBy(
+                    "approx_sqdist", F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("n_probe", "query_id", "vec_id")
+    )
     hits = points.join(exact, ["query_id", "vec_id"]).groupBy(
         "n_probe", "query_id"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
@@ -2196,27 +2234,12 @@ def emb_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PQ-ranking error the distortion/refine rows quantify
     cand = (
         exact.join(scored.select("query_id", "vec_id", "pr"), ["query_id", "vec_id"])
-        .crossJoin(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(int(p),) for p in _PROBE_SWEEP], ["n_probe"]
-                )
-            )
-        )
+        .crossJoin(probes_rel)
         .filter(F.col("pr") <= F.col("n_probe"))
         .groupBy("n_probe", "query_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cand_hits"))
     )
-    spine = (
-        qv.select("query_id")
-        .crossJoin(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(int(p),) for p in _PROBE_SWEEP], ["n_probe"]
-                )
-            )
-        )
-    )
+    spine = qv.select("query_id").crossJoin(probes_rel)
     return (
         spine.join(hits, ["n_probe", "query_id"], "left")
         .join(cand, ["n_probe", "query_id"], "left")
@@ -4518,8 +4541,12 @@ def emb_ivf_topics(
     asg = _assign_to_centroids(emb, cents).select(
         F.col("vec_id").alias("doc_id"), "centroid_id"
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    from meteaudata_spark.ext.dedup import _spread
+
+    docs = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
     )
     toks = (
         docs.join(asg, "doc_id")
@@ -4662,7 +4689,28 @@ def emb_kmeans_train(
     (k × dims)-row partial-aggregated update.  The whole trainer is a
     single lazy DAG (no driver-side collect between rounds; the
     centroid relation is k×dims rows flowing broadcast-join-to-
-    broadcast-join).  Reference analog: none (pure [EXT])."""
+    broadcast-join).  Reference analog: none (pure [EXT]).
+
+    Session-memoized (r14 optimization): the trainer is the embedding
+    analog of ``doc_bpe_train``'s memoized core — a real deployment
+    trains the codebook once per corpus and serves it; re-running the
+    3-round assign/update DAG on every call re-paid both the large
+    plan construction and the per-round corpus windows."""
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    return memo_relation(
+        spark,
+        ("kmeans_train", sf_dir, n_clusters, rounds),
+        lambda: _emb_kmeans_train_build(spark, sf_dir, n_clusters, rounds),
+    )
+
+
+def _emb_kmeans_train_build(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 8,
+    rounds: int = 3,
+) -> DataFrame:
     emb = (
         _emb(spark, sf_dir)
         .withColumn("nrm", F.expr(_norm_expr("embedding")))

@@ -498,14 +498,21 @@ def doc_corpus_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_u = estimate(merged.select(F.lit(1).alias("g"), "b", "m"), ["g"]).select(
         F.col("est").alias("est_union")
     )
-    exact = grams.groupBy().agg(
-        F.countDistinct(F.when(F.col("split") == "A", F.col("h"))).alias(
-            "exact_a"
-        ),
-        F.countDistinct(F.when(F.col("split") == "B", F.col("h"))).alias(
-            "exact_b"
-        ),
-        F.countDistinct("h").alias("exact_union"),
+    # r14 optimization (guide §2.3): the three countDistinct()s
+    # planned as an Expand — every distinct (split, h) row copied 3×
+    # through one shuffle.  grams is ALREADY distinct on (split, h),
+    # so one groupBy(h) rollup (partial-aggregated, shuffles ≤2 slim
+    # flags per distinct h) derives all three exact counts: per-h
+    # membership flags, then sum/count — integer-identical to the
+    # countDistinct formulation.
+    per_h = grams.groupBy("h").agg(
+        F.max((F.col("split") == "A").cast("int")).alias("__in_a"),
+        F.max((F.col("split") == "B").cast("int")).alias("__in_b"),
+    )
+    exact = per_h.groupBy().agg(
+        F.sum("__in_a").cast("bigint").alias("exact_a"),
+        F.sum("__in_b").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
     )
     row = (
         exact.crossJoin(F.broadcast(est_a))

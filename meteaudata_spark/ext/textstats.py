@@ -17,7 +17,15 @@ from meteaudata_spark.plans.opcache import cache_intermediate, memo_relation
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r14: scale-adaptive parallelism floor — every query in this
+    # module tokenizes the corpus in a narrow chain, and the small-SF
+    # parquet is a single split (one core does all the splitting /
+    # hashing; measured 1.6 s single-core for a 5-gram explode at
+    # sf0.1).  No-op whenever the scan already yields >= default
+    # parallelism partitions, i.e. on any real multi-split corpus.
+    from meteaudata_spark.ext.dedup import _spread
+
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +566,14 @@ def doc_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # r14: the bigram explode feeds FOUR plan references (two count
+    # tables + two scoring joins) with three different keys, so no
+    # exchange is shareable and the corpus tokenize+explode re-ran per
+    # branch.  Bounded-registry persist computes it once (the minhash
+    # `sigs` precedent).
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    bigrams = cache_intermediate(bigrams)
     bg_counts = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_bg")
     )
@@ -4283,10 +4299,19 @@ def doc_heaps_fit(
     # materializes it once — per-branch column pruning makes the
     # exchanges non-identical, so ReuseExchange alone would replan
     # the corpus explode per branch (measured: 5 Generate nodes)
-    occ = (
-        toks.groupBy("lang", "token", "doc_id")
+    # r14: the checkpointed occurrence core is session-memoized — the
+    # eager localCheckpoint ran the corpus shingle aggregate during
+    # DataFrame CONSTRUCTION on every call (~1.3 s/call at sf0.1
+    # before any action), the same recompute class as the memoized
+    # minhash signature table.
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    occ = memo_relation(
+        spark,
+        ("heaps_occ", sf_dir),
+        lambda: toks.groupBy("lang", "token", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(),
     )
     maxid = occ.groupBy("lang").agg(F.max("doc_id").alias("max_id"))
     k = int(checkpoints)

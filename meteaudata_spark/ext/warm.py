@@ -44,6 +44,15 @@ def warm_pair_relations(spark: SparkSession, sf_dir: str) -> dict:
         "unigram_core": lambda: textstats.doc_unigram_lm_train(
             spark, sf_dir
         ),
+        # r14: newly memoized shared cores — the kmeans trainer (the
+        # embedding analog of the bpe core) and the flat-PQ codes
+        # index (the _ivfpq_index_for precedent) — built here so their
+        # one-time cost is EXPLICITLY accounted in warm_build_sec
+        # instead of hiding inside whichever run pays the memo miss.
+        "kmeans_train_core": lambda: simsearch.emb_kmeans_train(
+            spark, sf_dir
+        ),
+        "pq_codes": lambda: simsearch.emb_pq_codes(spark, sf_dir),
     }
     from meteaudata_spark.plans.opcache import pin_caches
 

@@ -51,6 +51,19 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def keyed_exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges excluding the round-robin spreads that the
+    scale-adaptive ``_spread`` parallelism floor inserts at small test
+    SFs (r14): those exist ONLY when the input scan yields fewer
+    splits than the session parallelism (single-row-group test
+    parquet) and vanish on any real multi-split input, so plan-shape
+    guards about the distributed ALGORITHM (map-only, one keyed agg,
+    shuffle budgets) must not count them."""
+    plan = formatted_plan(df)
+    n_rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan)) - n_rr
+
+
 def scan_columns(df: DataFrame, table_hint: str = "") -> set[str]:
     """Union of columns read by scans whose path contains table_hint."""
     cols: set[str] = set()

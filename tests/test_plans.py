@@ -127,7 +127,7 @@ def test_hash_split_is_map_only(spark):
     from meteaudata_spark.ext import corpus_ops
 
     df = corpus_ops.doc_hash_split(spark, SF)
-    assert inspect.exchange_count(df) == 0
+    assert inspect.keyed_exchange_count(df) == 0
 
 
 def test_contamination_broadcasts_benchmark(spark):
@@ -207,7 +207,7 @@ def test_segment_dedup_shuffle_budget(spark):
     # exactly the design: one window shuffle on the segment + one
     # per-doc agg shuffle — a regression to joins would inflate this
     df = dedup.doc_segment_dedup(spark, SF)
-    assert inspect.exchange_count(df) <= 2, inspect.formatted_plan(df)
+    assert inspect.keyed_exchange_count(df) <= 2, inspect.formatted_plan(df)
 
 
 def test_pq_assign_is_map_only_after_broadcast(spark):
@@ -252,7 +252,7 @@ def test_seasonal_decompose_broadcasts_profile(spark):
 def test_gopher_rules_is_map_only(spark):
     # the rule battery is one narrow projection: no exchanges at all
     df = textstats.doc_gopher_rules(spark, SF)
-    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+    assert inspect.keyed_exchange_count(df) == 0, inspect.formatted_plan(df)
     cols = inspect.scan_columns(df)
     assert "source" not in cols and "lang" not in cols
 
@@ -261,7 +261,7 @@ def test_chunk_text_is_map_only(spark):
     from meteaudata_spark.ext import corpus_ops
 
     df = corpus_ops.doc_chunk_text(spark, SF)
-    assert inspect.exchange_count(df) == 0, inspect.formatted_plan(df)
+    assert inspect.keyed_exchange_count(df) == 0, inspect.formatted_plan(df)
     # only doc_id + text may be read
     assert inspect.scan_columns(df) <= {"doc_id", "text"}
 
@@ -587,7 +587,7 @@ def test_url_dedup_single_keyed_agg(spark):
     plan = inspect.formatted_plan(df)
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
-    assert inspect.exchange_count(df) == 1, inspect.exchange_count(df)
+    assert inspect.keyed_exchange_count(df) == 1, inspect.keyed_exchange_count(df)
 
 
 def test_lexicon_filter_no_shuffle(spark):
@@ -598,7 +598,7 @@ def test_lexicon_filter_no_shuffle(spark):
 
     df = textstats.doc_lexicon_filter(spark, SF)
     assert inspect.join_strategies(df) == []
-    assert inspect.exchange_count(df) == 0
+    assert inspect.keyed_exchange_count(df) == 0
     plan = inspect.formatted_plan(df)
     assert "ArrowEvalPython" not in plan
     assert "BroadcastExchange" not in plan
@@ -673,7 +673,7 @@ def test_audio_features_narrow_maps_only(spark):
 
     df = multimodal.mm_audio_features(spark, SF)
     assert inspect.join_strategies(df) == []
-    assert inspect.exchange_count(df) <= 1, inspect.formatted_plan(df)
+    assert inspect.keyed_exchange_count(df) <= 1, inspect.formatted_plan(df)
 
 
 def test_gap_distribution_keyed_window_and_agg(spark):
@@ -875,7 +875,7 @@ def test_bpe_merges_no_shuffle_before_pair_count(spark):
     df = textstats.doc_bpe_merges(spark, SF)
     plan = inspect.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
-    assert inspect.exchange_count(df) <= 1, plan[:1500]
+    assert inspect.keyed_exchange_count(df) <= 1, plan[:1500]
     assert "Window" not in plan, "pairing must not use a per-doc window"
 
 
@@ -1204,7 +1204,7 @@ def test_readability_map_only_single_agg(spark):
     df = textstats.doc_readability(spark, SF)
     cols = inspect.scan_columns(df)
     assert cols <= {"text", "lang"}, cols
-    assert inspect.exchange_count(df) <= 2
+    assert inspect.keyed_exchange_count(df) <= 2
     plan = inspect.formatted_plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
 
@@ -1215,7 +1215,7 @@ def test_license_detect_map_only_single_agg(spark):
     df = textstats.doc_license_detect(spark, SF)
     cols = inspect.scan_columns(df)
     assert cols <= {"text", "source"}, cols
-    assert inspect.exchange_count(df) <= 2
+    assert inspect.keyed_exchange_count(df) <= 2
     plan = inspect.formatted_plan(df)
     assert plan.count("HashAggregate") >= 2
 
