@@ -1109,16 +1109,45 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zorder_bucket", F.shiftright("__z", 2 * _Z_BITS - 6)
     )
 
-    def _layout(col: str) -> DataFrame:
-        per_bucket = keyed.groupBy(F.col(col).alias("bucket")).agg(
-            F.count(F.lit(1)).alias("n"),
+    # r14 (guide §2.3/§2.4): ONE corpus pass for both layouts.  The
+    # two candidate layouts used to be aggregated by two separate
+    # plan branches, each re-reading the events scan and re-computing
+    # the Morton key.  Exploding a 2-element (layout, bucket) array
+    # per row doubles rows ONLY map-side: the partial hash aggregate
+    # collapses them to ≤128 (layout, bucket) groups per task before
+    # the exchange, so shuffle bytes are unchanged while the scan +
+    # anchor broadcast + bit-interleave compute run once, not twice.
+    # Per-layout arithmetic is untouched — values byte-identical.
+    per_bucket = (
+        keyed.select(
+            "user_id",
+            "minute",
+            "u_span_all",
+            "t_span_all",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("natural").alias("layout"),
+                        F.col("natural_bucket").alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.col("zorder_bucket").alias("bucket"),
+                    ),
+                )
+            ).alias("lb"),
+        )
+        .groupBy(F.col("lb.layout").alias("layout"), F.col("lb.bucket").alias("bucket"))
+        .agg(
             (F.max("user_id") - F.min("user_id")).alias("us"),
             (F.max("minute") - F.min("minute")).alias("ts"),
             F.first("u_span_all").alias("ua"),
             F.first("t_span_all").alias("ta"),
         )
-        return per_bucket.agg(
-            F.lit(col.replace("_bucket", "")).alias("layout"),
+    )
+    return (
+        per_bucket.groupBy("layout")
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.expr("sum(us * 10000 div ua) div count(1)").alias(
                 "avg_user_span_bp"
@@ -1128,14 +1157,13 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_ts_span_bp"
             ),
             F.expr("max(ts * 10000 div ta)").alias("max_ts_span_bp"),
-        ).select(
+        )
+        .select(
             "layout", "n_buckets", "avg_user_span_bp", "max_user_span_bp",
             "avg_ts_span_bp", "max_ts_span_bp",
         )
-
-    return _layout("natural_bucket").unionAll(
-        _layout("zorder_bucket")
-    ).orderBy("layout")
+        .orderBy("layout")
+    )
 
 
 EVENTS_ZORDER_SQL = f"""

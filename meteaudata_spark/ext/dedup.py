@@ -1656,11 +1656,23 @@ def doc_winnow_fingerprints(
         )
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
     )
-    fps = sel.select(
-        "doc_id",
-        F.col("s.h").alias("h"),
-        (-F.col("s.negpos")).alias("fp_pos"),
-    ).distinct()
+    # r14 batch 3 (guide §5): the tokenize→gram-hash→window chain is
+    # referenced THREE times downstream (the fingerprint distinct
+    # twice via fps, the window count once via nwin) — persist the
+    # slim per-window selection once per call so the corpus pass runs
+    # once, not once per consumer.  The persisted relation retains the
+    # window's doc_id hash partitioning, so every doc-keyed aggregate
+    # below it is exchange-free.
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    perwin = cache_intermediate(
+        sel.select(
+            "doc_id",
+            F.col("s.h").alias("h"),
+            (-F.col("s.negpos")).alias("fp_pos"),
+        )
+    )
+    fps = perwin.distinct()
     shared = fps.groupBy("h").agg(
         F.countDistinct("doc_id").alias("__nd")
     )
@@ -1677,7 +1689,7 @@ def doc_winnow_fingerprints(
     # sel holds exactly the full windows (pos <= n_grams-(w-1)), so
     # its per-doc row count IS n_windows == max(n_toks-(k+w-2), 0);
     # docs too short for any gram/window join-miss and coalesce to 0
-    nwin = sel.groupBy("doc_id").agg(
+    nwin = perwin.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_windows")
     )
     return (
@@ -1876,6 +1888,14 @@ def doc_cdc_chunks(
             _h60("chunk_text").alias("chunk_h"),
         )
     )
+    # r14 batch 3 (guide §5): the chunk relation (word explode +
+    # per-word md5 + running-sum window + order-exact rebuild) feeds
+    # BOTH the share rollup and the per-doc rollup — persist the slim
+    # (doc_id, n_words_chunk, chunk_h) rows so the corpus pass runs
+    # once per call, not once per consumer.
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    chunks = cache_intermediate(chunks)
     shared = chunks.groupBy("chunk_h").agg(
         F.countDistinct("doc_id").alias("__nd")
     )
@@ -2273,24 +2293,33 @@ def doc_dedup_cascade(
     costs three keyed aggs + two keyed joins beyond its upstream.
     The stage counts are 1-row aggregates crossJoined back together
     (scalar broadcasts).  Reference analog: none (pure [EXT])."""
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
     d = _docs(spark, sf_dir)
     norm = normalize_url(decorated_url(F.col("doc_id")))
-    s1 = (
+    # r14 batch 3 (guide §5): each stage relation feeds BOTH the next
+    # stage and its own 1-row count — persist the slim survivor-id
+    # frames once per call so the URL-normalize / md5 / cluster-join
+    # passes run once, not once per reference (s2c alone sat on three
+    # plan paths).
+    s1 = cache_intermediate(
         d.select("doc_id", norm.alias("norm_url"))
         .groupBy("norm_url")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     s1_docs = s1.join(d.select("doc_id", "text"), "doc_id")
-    s2 = (
+    s2 = cache_intermediate(
         s1_docs.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     if clusters is None:
         clusters = doc_dedup_clusters(spark, sf_dir)
-    s2c = s2.join(
-        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+    s2c = cache_intermediate(
+        s2.join(
+            clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+        )
     )
     keep = (
         s2c.filter(F.col("cluster_id").isNotNull())
@@ -2854,7 +2883,12 @@ def doc_minhash_containment(
         .distinct()
     )
     subset = _docs(spark, sf_dir).join(ids, "doc_id")
-    sets = (
+    # r14 batch 3 (guide §5): the pair-doc shingle sets join the pair
+    # relation on BOTH sides — persist the slim (doc_id, hs) rows so
+    # the bounded shingle pass runs once per call, not per side.
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    sets = cache_intermediate(
         _md5_shingles(subset, n)
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("h")).alias("hs"))

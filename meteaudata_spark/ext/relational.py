@@ -1999,7 +1999,12 @@ def orders_market_basket(
     n_orders = _t(spark, sf_dir, "orders").groupBy().agg(
         F.count(F.lit(1)).alias("__n_orders")
     )
-    order_parts = (
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    # persisted once per call: the per-order part sets feed BOTH the
+    # per-part counts and the pair explode (guide §5) — without the
+    # persist each consumer re-merges the collect_set shuffle
+    order_parts = cache_intermediate(
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
@@ -2022,16 +2027,35 @@ def orders_market_basket(
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    enriched = (
-        pairs.join(
-            part_counts.select(
-                F.col("pk").alias("part_a"), F.col("n_orders_part").alias("n_a")
+    # r14 batch 3 (guide §3.1 / §2.3): take the top-k FIRST, then
+    # enrich.  The ranking key (n_both desc, part_a, part_b) is fully
+    # available on the pair aggregate, and the per-part-count joins
+    # are 1:1 (every part in a pair has a count row by construction),
+    # so selecting before joining is value-identical — and the two
+    # enrichment joins now move ``top_k`` rows instead of the whole
+    # pair relation (two pair-sized sort-merge joins with their
+    # exchanges+sorts, measured as the row's dominant cost).  The
+    # count side rides a broadcast: per-part order counts are
+    # dimension-sized at any fact scale.
+    top_pairs = pairs.orderBy(
+        F.col("n_both").desc(), "part_a", "part_b"
+    ).limit(top_k)
+    return (
+        top_pairs.join(
+            F.broadcast(
+                part_counts.select(
+                    F.col("pk").alias("part_a"),
+                    F.col("n_orders_part").alias("n_a"),
+                )
             ),
             "part_a",
         )
         .join(
-            part_counts.select(
-                F.col("pk").alias("part_b"), F.col("n_orders_part").alias("n_b")
+            F.broadcast(
+                part_counts.select(
+                    F.col("pk").alias("part_b"),
+                    F.col("n_orders_part").alias("n_b"),
+                )
             ),
             "part_b",
         )
@@ -2049,10 +2073,8 @@ def orders_market_basket(
             .cast("bigint")
             .alias("lift_micros"),
         )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
     )
-    return enriched.orderBy(
-        F.col("n_both").desc(), "part_a", "part_b"
-    ).limit(top_k)
 
 
 ORDERS_MARKET_BASKET_SQL = """

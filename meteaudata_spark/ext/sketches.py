@@ -454,7 +454,14 @@ def doc_corpus_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis-point division so Spark's truncating ``div`` and DuckDB's
     flooring ``//`` agree."""
     d = _docs(spark, sf_dir)
-    grams = (
+    # r14 batch 3 (guide §5): the distinct (split, h) gram relation is
+    # the upstream of the register tables (twice: per-split + merged
+    # estimates) AND the exact-count rollup — persist it once per call
+    # so the shingle explode + md5 pass and the distinct merge run
+    # once, not once per consumer.
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    grams = cache_intermediate(
         _shingles(d, 3)
         .select(
             F.when(F.col("doc_id") % 2 == 0, "A").otherwise("B").alias(

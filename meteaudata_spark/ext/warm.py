@@ -53,6 +53,22 @@ def warm_pair_relations(spark: SparkSession, sf_dir: str) -> dict:
             spark, sf_dir
         ),
         "pq_codes": lambda: simsearch.emb_pq_codes(spark, sf_dir),
+        # r14 batch 3: the exact / IVF eval rankings (shared by the
+        # topk gate rows + ann_recall + recall_curve + matryoshka +
+        # hybrid) and the BM25 rankings (search/ndcg/hybrid share the
+        # single-query core; multi/mmr the multi-query core)
+        "exact_topk_core": lambda: simsearch.emb_cosine_topk(
+            spark, sf_dir, n_queries=10, k=20
+        ),
+        "ivf_topk_core": lambda: simsearch.emb_ivf_topk(
+            spark, sf_dir, n_queries=10, k=10
+        ),
+        "bm25_single_core": lambda: textstats.doc_bm25_search(
+            spark, sf_dir
+        ),
+        "bm25_multi_core": lambda: textstats.bm25_multi_candidates(
+            spark, sf_dir
+        ),
     }
     from meteaudata_spark.plans.opcache import pin_caches
 

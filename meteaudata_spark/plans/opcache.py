@@ -45,7 +45,10 @@ _active: "OrderedDict[int, DataFrame]" = OrderedDict()
 _pinned: "OrderedDict[int, DataFrame]" = OrderedDict()
 _pin_mode = False
 
-_MEMO_CAP = 32
+# Above the count of DISTINCT memo keys a full 231-row gate pass
+# touches (~26 after the r14 batch-3 shared rankers); overflow would
+# silently evict + rebuild prewarmed cores mid-pass.
+_MEMO_CAP = 64
 _memo: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
 
