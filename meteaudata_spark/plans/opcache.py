@@ -24,30 +24,31 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 
-# Sized ABOVE the standing working set (6 prewarmed shared relations +
-# minhash signatures + the odd per-query intermediate): at 8, the
-# round-10 bench measured the FIFO evicting the prewarmed relations'
-# persists mid-run — memoized queries then silently recomputed
-# (doc_minhash_lsh_pairs 0.08 s → 1.31 s).  Round 11 re-measured the
-# same failure at 24 (the incremental-ledger rows add ~7 entries per
-# bench pass and the rotation runs them before the dedup readers:
-# memo-read rows regressed 4-15×), so the cap was raised to 48 AND the
-# warm relations are PINNED outside the FIFO (``pin_caches``).  Round
-# 14 raised it again to 96: the gate grew to 231 rows (each pass
-# registers well over 48 entries, so every shared core was evicted and
-# re-healed once per pass — non-uniform multi-second penalties landed
-# on whichever rows hit the re-heal, e.g. ts_forecast_eval 0.79→5.7 s
-# while neighbors moved ~1.5×).  Entries are driver-side handles; the
-# data lives in executor storage memory and spills to disk under
-# pressure, so the cap bounds bookkeeping, not heap.
-_MAX_ACTIVE = 96
+# Per-QUERY intermediates only (r14 batch 4).  The registry history:
+# round 10 measured the FIFO at 8 evicting prewarmed shared relations
+# mid-pass (doc_minhash_lsh_pairs 0.08 s → 1.31 s); round 11 re-measured
+# the same failure at 24 and raised it to 48 + PINNED the warm
+# relations; round 14 first raised it to 96 when the 231-row gate's
+# churn evicted non-pinned memo persists once per pass.  96 then
+# produced the OPPOSITE failure, measured in the post-batch-3 bench:
+# up to 96 persisted per-query intermediates (token/shingle/window
+# explodes, tens of MB each) stayed alive across the whole pass inside
+# the one local-mode JVM — storage pressure + GC taxed every row ~0.3-
+# 0.7 s, and the churn STILL evicted memoized cores between a query's
+# bench runs (doc_heaps_fit 1.4 s → 4.0 s in-pass, 1.38 s isolated).
+# The structural fix: memo-backed persists now live in their own
+# registry (``_memo`` below) that per-query churn can never touch, so
+# this FIFO only needs to outlive ONE query's bench runs (≤ ~5
+# registrations per call × 3 runs; 24 gives 60% headroom) instead of
+# holding the whole pass's history.
+_MAX_ACTIVE = 24
 _active: "OrderedDict[int, DataFrame]" = OrderedDict()
 _pinned: "OrderedDict[int, DataFrame]" = OrderedDict()
 _pin_mode = False
 
 # Above the count of DISTINCT memo keys a full 231-row gate pass
-# touches (~26 after the r14 batch-3 shared rankers); overflow would
-# silently evict + rebuild prewarmed cores mid-pass.
+# touches (~26 after the r14 batch-3 shared rankers); overflow
+# unpersists + rebuilds the evicted core on its next use.
 _MEMO_CAP = 64
 _memo: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
@@ -58,31 +59,38 @@ def memo_relation(spark, key: tuple, build) -> DataFrame:
     (VERDICT r8 #3: ``doc_dedup_keep_best`` re-ran pair mining +
     clustering + scoring on every call).
 
-    The built DataFrame is persisted via ``cache_intermediate`` (FIFO-
-    bounded storage); the memo itself is FIFO-bounded too.  Keys
-    include the Spark application id so a memo never leaks across
+    The built DataFrame is persisted and registered in the MEMO
+    registry itself (r14 batch 4) — NOT the per-query FIFO — so
+    per-query ``cache_intermediate`` churn can never evict a memoized
+    core (the round-14 batch-3 bench measured exactly that: non-pinned
+    cores evicted between a query's bench runs rebuilt once per run,
+    doc_heaps_fit 1.4 s → 4.0 s in-pass).  The memo is FIFO-bounded at
+    ``_MEMO_CAP``; an overflowing entry is unpersisted on eviction.
+    Keys include the Spark application id so a memo never leaks across
     sessions.
 
     SELF-HEAL (VERDICT r11 nit / r12 watch item — the
     ``doc_dedup_agreement`` 4-15× memo-read drift): a memo HIT whose
-    persist was FIFO-evicted by later ``cache_intermediate`` churn
-    used to recompute its corpus mining on EVERY downstream execution
-    — silently, since the lazy plan stays valid.  A hit is now
-    re-registered (re-persisted) when its storage level has been
-    dropped, so an evicted relation recomputes at most once and is
-    cached again.  Pinned by
+    persist was dropped externally (``release_operator_caches`` /
+    manual unpersist) is re-persisted, so a dropped relation recomputes
+    at most once and is cached again.  Pinned by
     tests/test_opcache_memo.py::test_memo_hit_heals_evicted_persist."""
     k = (spark.sparkContext.applicationId,) + tuple(key)
     df = _memo.get(k)
     if df is None:
-        df = cache_intermediate(build())
+        df = build()
+        df.persist()
         _memo[k] = df
         while len(_memo) > _MEMO_CAP:
-            _memo.popitem(last=False)
+            _, old = _memo.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass  # session may already be stopped
     else:
         sl = df.storageLevel
         if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
-            cache_intermediate(df)  # evicted by FIFO churn: re-persist
+            df.persist()  # dropped externally: re-persist
     return df
 
 
@@ -126,11 +134,10 @@ class pin_caches:
 
 
 def release_operator_caches() -> int:
-    """Unpersist every registered intermediate (pinned included);
-    returns how many."""
-    _memo.clear()
-    n = len(_active) + len(_pinned)
-    for reg in (_active, _pinned):
+    """Unpersist every registered intermediate (pinned and memoized
+    included); returns how many."""
+    n = len(_active) + len(_pinned) + len(_memo)
+    for reg in (_active, _pinned, _memo):
         while reg:
             _, old = reg.popitem(last=False)
             try:

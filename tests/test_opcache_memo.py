@@ -173,13 +173,14 @@ def test_pinned_relations_survive_fifo_churn(spark):
     assert not pinned.storageLevel.useMemory
 
 
-def test_memo_hit_heals_evicted_persist(spark):
-    """The r12 watch item (doc_dedup_agreement memo-read drift): when
-    per-query cache_intermediate churn FIFO-evicts a memoized
-    relation's persist, a later memo HIT must re-persist it instead of
-    letting every downstream execution silently recompute the mining
-    (measured 4-15x at r11).  Fails if memo_relation ever returns an
-    unpersisted hit again."""
+def test_memo_persist_immune_to_query_churn(spark):
+    """r14 batch 4 (the structural fix for the r12 watch item /
+    post-batch-3 bench regression): memoized relations persist in the
+    MEMO registry, so per-query cache_intermediate churn can NEVER
+    evict them — the old design let a full bench pass evict non-pinned
+    cores between a query's runs (doc_heaps_fit 1.4 s → 4.0 s in-pass
+    vs 1.38 s isolated).  Fails if memo persists ever re-enter the
+    per-query FIFO."""
     from meteaudata_spark.plans import opcache
 
     opcache.release_operator_caches()
@@ -192,14 +193,59 @@ def test_memo_hit_heals_evicted_persist(spark):
     a = opcache.memo_relation(spark, ("heal_probe", "x"), build)
     a.count()
     assert a.storageLevel.useMemory and len(builds) == 1
-    # churn the FIFO past the cap so the memoized persist is evicted
+    # churn the per-query FIFO far past its cap
     for i in range(opcache._MAX_ACTIVE + 5):
         opcache.cache_intermediate(spark.range(i + 100))
-    assert not a.storageLevel.useMemory, "precondition: persist evicted"
-    # memo hit must self-heal: same relation, re-registered persist
+    assert a.storageLevel.useMemory, "memo persist must survive churn"
     b = opcache.memo_relation(spark, ("heal_probe", "x"), build)
     assert b is a and len(builds) == 1
-    assert id(a) in opcache._active
+
+
+def test_memo_hit_heals_externally_dropped_persist(spark):
+    """A memo HIT whose persist was dropped externally (manual
+    unpersist / a stray release) must re-persist instead of letting
+    every downstream execution silently recompute the mining (the r12
+    doc_dedup_agreement 4-15× drift class)."""
+    from meteaudata_spark.plans import opcache
+
+    opcache.release_operator_caches()
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(7).selectExpr("id AS v")
+
+    a = opcache.memo_relation(spark, ("heal_probe2", "x"), build)
+    a.count()
+    a.unpersist(blocking=True)
+    assert not a.storageLevel.useMemory, "precondition: persist dropped"
+    b = opcache.memo_relation(spark, ("heal_probe2", "x"), build)
+    assert b is a and len(builds) == 1
     b.count()  # one recompute re-materializes the cache...
     assert a.storageLevel.useMemory
+
+
+def test_memo_overflow_unpersists_evicted_relation(spark):
+    """Memo FIFO overflow must unpersist the evicted relation — the
+    registry bounds storage, not just bookkeeping."""
+    from meteaudata_spark.plans import opcache
+
+    opcache.release_operator_caches()
+    first = opcache.memo_relation(
+        spark, ("overflow_probe", -1), lambda: spark.range(3)
+    )
+    first.count()
+    assert first.storageLevel.useMemory
+    for i in range(opcache._MEMO_CAP + 1):
+        opcache.memo_relation(
+            spark, ("overflow_probe", i), lambda: spark.range(1)
+        )
+    assert len(opcache._memo) <= opcache._MEMO_CAP
+    import time
+
+    for _ in range(50):  # unpersist is async (blocking=False)
+        if not first.storageLevel.useMemory:
+            break
+        time.sleep(0.1)
+    assert not first.storageLevel.useMemory
     opcache.release_operator_caches()
