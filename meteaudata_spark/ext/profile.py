@@ -3,16 +3,18 @@ large-scale ingestion job runs before trusting a new drop — null
 counts, exact distinct cardinality, numeric/string min-max — emitted
 as one long-format relation.
 
-Scale design: null counts and min/max come from ONE no-distinct
-aggregation pass (pure map-side combine); exact distinct counts come
-from one column-pruned two-stage aggregate PER COLUMN, unioned — each
-branch scans only its own parquet column and its shuffle carries only
-the column's map-side-deduplicated distinct values.  This beats the
-tempting single multi-distinct agg, which Spark plans as an Expand
-(n_cols+1 copies of every row through ONE shuffle — measured 22 s vs
-3 s on the sf0.1 gate table).  At 100 TB you would swap the exact
-distincts for ``approx_count_distinct`` (HLL, one pass, mergeable) —
-the gate keeps exact counts so the DuckDB oracle can hash-match.
+Scale design: ONE column-pruned two-stage aggregate PER COLUMN,
+unioned — each branch scans only its own parquet column, its shuffle
+carries only the column's map-side-deduplicated distinct values, and
+every base stat (row/null counts, min/max) folds into the same branch
+off the grouped relation (r14: the former full-width no-distinct base
+pass is gone — sum of group counts ≡ COUNT(*), min over distinct
+values ≡ min over rows).  This beats the tempting single
+multi-distinct agg, which Spark plans as an Expand (n_cols+1 copies
+of every row through ONE shuffle — measured 22 s vs 3 s on the sf0.1
+gate table).  At 100 TB you would swap the exact distincts for
+``approx_count_distinct`` (HLL, one pass, mergeable) — the gate keeps
+exact counts so the DuckDB oracle can hash-match.
 
 Timestamps are profiled as epoch MICROS cast to double (exact below
 2^53): Spark renders sub-second timestamp strings differently from
@@ -43,65 +45,66 @@ _LINEITEM_COLS: list[tuple[str, str]] = [
 
 
 def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
-    """Column profile of ``df`` over the (name, kind) spec: one
-    no-distinct base pass + one pruned distinct-count branch per
-    column (see module docstring for why not a multi-distinct agg)."""
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    """Column profile of ``df`` over the (name, kind) spec: ONE pruned
+    two-stage aggregate per column, unioned (see module docstring for
+    why not a multi-distinct agg).
+
+    r14 optimization (guide §2.3 aggregate-before-shuffle / §2.4 fewer
+    passes): the base stats (row count, null count, min/max) used to
+    come from a separate full-width no-distinct pass over all columns
+    joined against the per-column distinct branches.  Every base stat
+    is exactly recoverable from the per-column ``groupBy(value)``
+    relation each distinct branch already builds — ``n_rows`` is the
+    sum of group counts, ``n_null`` the null group's count, min/max
+    over distinct values equal min/max over rows — so the base pass
+    (a single-task full-width decode on a one-row-group test input)
+    and the broadcast join are gone, and each column is ONE pruned
+    scan + one distinct-values-sized shuffle.  The per-column branches
+    run as independent concurrent stages on both the old and new
+    shape; dropping the full-width pass also drops one corpus read at
+    any scale."""
+    parts = None
     for c, kind in cols:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn")
+        g = (
+            df.select(F.col(c).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
         )
         if kind == "num":
-            mn = F.min(F.col(c)).cast("double")
-            mx = F.max(F.col(c)).cast("double")
+            mn = F.min("__v").cast("double")
+            mx = F.max("__v").cast("double")
         elif kind == "ts":
             # NTZ-safe micros: cast through LTZ (session tz pinned to
             # UTC) then to micros-exact double via epoch seconds ×1e6
-            mn = epoch_seconds(F.min(F.col(c))) * 1000000.0
-            mx = epoch_seconds(F.max(F.col(c))) * 1000000.0
+            mn = epoch_seconds(F.min("__v")) * 1000000.0
+            mx = epoch_seconds(F.max("__v")) * 1000000.0
         else:
             mn = F.lit(None).cast("double")
             mx = F.lit(None).cast("double")
-        aggs.append(mn.alias(f"{c}__mn"))
-        aggs.append(mx.alias(f"{c}__mx"))
         if kind == "str":
-            aggs.append(F.min(F.col(c)).alias(f"{c}__mns"))
-            aggs.append(F.max(F.col(c)).alias(f"{c}__mxs"))
+            mns = F.min("__v").cast("string")
+            mxs = F.max("__v").cast("string")
         else:
-            aggs.append(F.lit(None).cast("string").alias(f"{c}__mns"))
-            aggs.append(F.lit(None).cast("string").alias(f"{c}__mxs"))
-    row = df.agg(*aggs)
-    structs = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.col("__n_rows").alias("n_rows"),
-            F.col(f"{c}__nn").cast("bigint").alias("n_null"),
-            F.col(f"{c}__mn").alias("min_num"),
-            F.col(f"{c}__mx").alias("max_num"),
-            F.col(f"{c}__mns").alias("min_str"),
-            F.col(f"{c}__mxs").alias("max_str"),
-        )
-        for c, _ in cols
-    ]
-    base = row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
-    # exact distincts: one pruned two-stage agg per column, unioned —
-    # each shuffle carries only that column's partially-deduplicated
-    # distinct values, and the 11 branches run as independent stages
-    dparts = None
-    for c, _ in cols:
-        dc = df.select(F.col(c).alias("__v")).groupBy("__v").agg(
-            F.lit(1).alias("__one")
-        )
-        part = dc.agg(
+            mns = F.lit(None).cast("string")
+            mxs = F.lit(None).cast("string")
+        part = g.agg(
+            # coalesce: an empty input has no groups, and the old base
+            # pass reported COUNT(*) = 0 there, not NULL
+            F.coalesce(F.sum("__cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("n_rows"),
+            F.sum(F.when(F.col("__v").isNull(), F.col("__cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
             F.sum(F.when(F.col("__v").isNotNull(), 1).otherwise(0))
             .cast("bigint")
-            .alias("n_distinct")
-        ).select(F.lit(c).alias("column_name"), "n_distinct")
-        dparts = part if dparts is None else dparts.unionAll(part)
-    return (
-        base.join(F.broadcast(dparts), "column_name")
-        .select(
-            "column_name",
+            .alias("n_distinct"),
+            mn.alias("min_num"),
+            mx.alias("max_num"),
+            mns.alias("min_str"),
+            mxs.alias("max_str"),
+        ).select(
+            F.lit(c).alias("column_name"),
             "n_rows",
             "n_null",
             "n_distinct",
@@ -110,8 +113,8 @@ def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
             "min_str",
             "max_str",
         )
-        .orderBy("column_name")
-    )
+        parts = part if parts is None else parts.unionAll(part)
+    return parts.orderBy("column_name")
 
 
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

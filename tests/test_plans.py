@@ -397,12 +397,13 @@ def test_lineitem_profile_single_scan(spark):
     df = prof.lineitem_profile(spark, SF)
     plan = inspect.formatted_plan(df)
     # NO multi-distinct Expand (the n_cols× row-multiplication through
-    # one shuffle): distinct counts run as pruned per-column branches,
-    # min/max/null in one no-distinct base pass → 12 scan nodes total
+    # one shuffle): every per-column stat (distinct count AND the base
+    # null/min/max stats, folded in r14) runs as one pruned per-column
+    # branch → exactly 11 scan nodes, no full-width base pass
     import re
 
     assert "Expand" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 12, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 11, plan
     assert "CartesianProduct" not in inspect.join_strategies(df)
 
 
