@@ -23,6 +23,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _kspread(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive KEYED parallelism floor for high-cardinality
+    pre-aggregates over a fact scan (r14 optimization, guide §2.5
+    input skew / §2.4 share one exchange).
+
+    A single-row-group test parquet plans ONE scan task, so the
+    partial hash-aggregate of a high-cardinality key (e.g. 150k
+    orderkeys × decimal sums over 600k lineitems) builds its whole
+    hash table on one core while 31 idle — measured 1.15 s for the
+    per-order revenue pre-aggregate alone, 0.54 s after this spread.
+    Repartitioning BY THE GROUPING KEY inserts exactly one exchange
+    that the downstream groupBy (and any later equi-join on the same
+    key) reuses: the scan task only decodes and shuffle-writes raw
+    rows, and all aggregation work runs at session parallelism.
+
+    On any real multi-split input the condition is false and no
+    exchange is added — the planner's partial-agg-on-scan-tasks shape
+    is already parallel there and shuffles strictly less.  Only ever
+    used with high-cardinality keys (order/part/supplier/customer
+    ids), where hash partitioning cannot skew."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *keys)
+    return df
+
+
 def _dec(col: str, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})")
 
@@ -781,7 +807,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     big = (
-        li.groupBy("l_orderkey")
+        _kspread(li.select("l_orderkey", "l_quantity"), "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > F.lit(250).cast("decimal(18,2)"))
     )
@@ -866,7 +893,13 @@ def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
     per_ps = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        _kspread(
+            li.select(
+                "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+            ),
+            "l_partkey",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(
