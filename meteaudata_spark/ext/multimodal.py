@@ -1466,7 +1466,10 @@ def _digest_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (``mm_audio_vad``, ``mm_audio_features``).  Constant
     frames make every frame statistic pure integer logic on the
     digest bytes, so the DuckDB oracles reproduce decode-side numbers
-    from the digest hex."""
+    from the digest hex.  (Session-memoizing this relation was
+    measured and REJECTED in r14: the persist-materialization build
+    cost more than the ~0.3 s the two consumer rows saved; the synth
+    batch loop is vectorized instead.)"""
     docs = _spread(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", F.md5("text").alias("digest")
@@ -1474,18 +1477,36 @@ def _digest_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r14 (guide §4.2): one vectorized pass per batch — all
+        # payloads share (rate, length), so samples come from ONE
+        # byte-matrix repeat and the WAV header is a constant prefix;
+        # per-row work is just the header + row-bytes concat.  The
+        # bytes are identical to the old per-row encode_wav loop (same
+        # header fields, same little-endian int16 payload).
         for pdf in it:
-            rows = {"asset_id": [], "payload": []}
-            for doc_id, digest in zip(pdf["doc_id"], pdf["digest"]):
-                raw = bytes.fromhex(digest)
-                vals = (
-                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128)
-                    * 256
-                ).astype(np.int16)
-                samples = np.repeat(vals, 200)
-                rows["asset_id"].append(int(doc_id))
-                rows["payload"].append(encode_wav(samples, 8000))
-            yield pd.DataFrame(rows)
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"asset_id": [], "payload": []})
+                continue
+            raw = np.frombuffer(
+                b"".join(bytes.fromhex(d) for d in pdf["digest"]),
+                dtype=np.uint8,
+            ).reshape(n, 16)
+            vals = ((raw.astype(np.int64) - 128) * 256).astype(np.int16)
+            samples = np.repeat(vals, 200, axis=1)  # (n, 3200)
+            header = encode_wav(samples[0], 8000)[:44]
+            body = samples.astype("<i2").tobytes()
+            row_nbytes = samples.shape[1] * 2
+            payloads = [
+                header + body[i * row_nbytes : (i + 1) * row_nbytes]
+                for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
 
     return docs.mapInPandas(batches, "asset_id bigint, payload binary")
 
