@@ -807,6 +807,16 @@ def audio_features(
     micro-unit rounding out."""
     if frame_ms <= 0 or hop_ms <= 0:
         raise ValueError("frame_ms and hop_ms must be positive")
+    return assets.select("asset_id", "payload").mapInPandas(
+        _audio_features_gen(frame_ms, hop_ms), AUDIO_FEATURE_SCHEMA
+    )
+
+
+def _audio_features_gen(frame_ms: int, hop_ms: int):
+    """mapInPandas generator behind ``audio_features`` — factored out
+    so gate fixtures can compose it with the synthesis generator in
+    ONE Python pass (guide §4.1: the payload bytes then never cross
+    the JVM↔Python boundary at all)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # r14 optimization (guide §4.2): framing + reductions run once
@@ -876,9 +886,7 @@ def audio_features(
                     rows["zcr_micros"].append(round(float(zcr_v[i]) * 1_000_000))
             yield pd.DataFrame(rows)
 
-    return assets.select("asset_id", "payload").mapInPandas(
-        batches, AUDIO_FEATURE_SCHEMA
-    )
+    return batches
 
 
 def image_ahash_blocks(assets: DataFrame) -> DataFrame:
@@ -1355,33 +1363,33 @@ def video_scene_changes(
     )
 
 
-def audio_segments(
-    assets: DataFrame,
-    frame_ms: int = 25,
-    hop_ms: int = 25,
-    silence_rms_micros: int = 10000,
-) -> DataFrame:
-    """Silence/speech segmentation over PCM16 WAV payloads: frame the
-    signal, threshold frame RMS, and merge consecutive same-state
-    frames into segments (gaps-and-islands) — the voice-activity step
-    before transcription or audio dedup.
+AUDIO_SEGMENT_SCHEMA = (
+    "asset_id bigint, segment_no bigint, state string, "
+    "start_ms bigint, end_ms bigint, n_frames bigint"
+)
 
-    Per asset: (segment_no, state, start_ms, end_ms, n_frames).
-    Framing reuses the ``audio_features`` stride-view recipe; the
-    segment merge is a keyed lag + running-sum window per asset."""
-    if frame_ms <= 0 or hop_ms <= 0:
-        raise ValueError("frame_ms and hop_ms must be positive")
 
-    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # r14 optimization (guide §4.2): the per-FRAME Python loop ran
-        # ~16 numpy calls per 200-sample frame (80k frames per sf0.1
-        # batch ≈ 1.2 s of per-call overhead).  Decode stays per row
-        # (RIFF walk), but framing + RMS now reduce a whole
-        # same-shape row group in ONE numpy pass.  Exactness: each
-        # frame's mean/sqrt reduces the identical contiguous float64
-        # slice (numpy reduces the last axis per-slice with the same
-        # pairwise algorithm), and rounding is the same half-even
-        # ``round`` per value — bit-identical rms_micros.
+def _audio_segments_gen(
+    frame_ms: int, hop_ms: int, silence_rms_micros: int
+):
+    """mapInPandas generator: WAV payload batches → merged segments.
+
+    r14 optimization (guide §2.4 remove shuffles outright): every
+    frame of an asset derives from that asset's single payload row, so
+    the threshold + gaps-and-islands merge is per-row-LOCAL work — the
+    old shape shuffled the whole frame table (16 frames × every asset)
+    through a keyed lag window, a running-sum window and a hash
+    aggregate just to merge runs the Python pass already held in
+    memory.  Framing + RMS are the same vectorized pass as before
+    (identical float64 slices, same half-even ``round`` — bit-identical
+    rms_micros); the merge reproduces the lag + running-sum semantics
+    on those same ints, so segment rows match byte-for-byte."""
+
+    def segs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "segment_no", "state",
+            "start_ms", "end_ms", "n_frames",
+        ]
         for pdf in it:
             decoded: dict[tuple, list] = {}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -1392,7 +1400,9 @@ def audio_segments(
                 decoded.setdefault((len(samples), rate), []).append(
                     (int(asset_id), samples)
                 )
-            out = {"asset_id": [], "frame_no": [], "rms_micros": []}
+            ids_parts: list = []
+            fno_parts: list = []
+            rms_parts: list = []
             for (n_samp, rate), rows in decoded.items():
                 flen = max(1, rate * frame_ms // 1000)
                 hop = max(1, rate * hop_ms // 1000)
@@ -1414,67 +1424,99 @@ def audio_segments(
                 else:
                     # single short frame: reduce the true slice
                     rms = np.sqrt(np.mean(x * x, axis=1))[:, None]
-                out["asset_id"].extend(np.repeat(ids, n))
-                out["frame_no"].extend(
+                ids_parts.append(np.repeat(ids, n))
+                fno_parts.append(
                     np.tile(np.arange(n, dtype=np.int64), len(rows))
                 )
-                out["rms_micros"].extend(
-                    int(round(v)) for v in (rms * 1e6).reshape(-1)
+                rms_parts.append(
+                    np.array(
+                        [int(round(v)) for v in (rms * 1e6).reshape(-1)],
+                        dtype=np.int64,
+                    )
                 )
-            yield pd.DataFrame(out)
+            if not ids_parts:
+                yield pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols}
+                ).astype({"state": "object"})
+                continue
+            fdf = pd.DataFrame(
+                {
+                    "asset_id": np.concatenate(ids_parts),
+                    "frame_no": np.concatenate(fno_parts),
+                    "rms_micros": np.concatenate(rms_parts),
+                }
+            )
+            fdf["state"] = np.where(
+                fdf["rms_micros"] < silence_rms_micros, "silence", "speech"
+            )
+            # an asset's frames are contiguous and ascending by
+            # construction, so the keyed lag + running-sum merge is a
+            # cumsum over "state changed or new asset" per asset
+            new_seg = (
+                fdf["asset_id"].ne(fdf["asset_id"].shift())
+                | fdf["state"].ne(fdf["state"].shift())
+            ).astype(np.int64)
+            fdf["segment_no"] = new_seg.groupby(fdf["asset_id"]).cumsum()
+            out = (
+                fdf.groupby(
+                    ["asset_id", "segment_no", "state"], sort=False
+                )
+                .agg(
+                    start_ms=("frame_no", "min"),
+                    end_ms=("frame_no", "max"),
+                    n_frames=("frame_no", "size"),
+                )
+                .reset_index()
+            )
+            out["start_ms"] = out["start_ms"] * hop_ms
+            out["end_ms"] = out["end_ms"] * hop_ms + frame_ms
+            yield out[cols]
 
-    f = assets.mapInPandas(
-        frames, "asset_id bigint, frame_no bigint, rms_micros bigint"
-    ).withColumn(
-        "state",
-        F.when(F.col("rms_micros") < silence_rms_micros, "silence").otherwise(
-            "speech"
-        ),
-    )
-    from pyspark.sql import Window
+    return segs
 
-    w = Window.partitionBy("asset_id").orderBy("frame_no")
-    seg = f.withColumn(
-        "new_seg",
-        F.when(
-            F.lag("state").over(w).isNull()
-            | (F.lag("state").over(w) != F.col("state")),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "segment_no",
-        F.sum("new_seg").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+
+def audio_segments(
+    assets: DataFrame,
+    frame_ms: int = 25,
+    hop_ms: int = 25,
+    silence_rms_micros: int = 10000,
+) -> DataFrame:
+    """Silence/speech segmentation over PCM16 WAV payloads: frame the
+    signal, threshold frame RMS, and merge consecutive same-state
+    frames into segments (gaps-and-islands) — the voice-activity step
+    before transcription or audio dedup.
+
+    Per asset: (segment_no, state, start_ms, end_ms, n_frames).
+    Framing reuses the ``audio_features`` stride-view recipe; the
+    segment merge runs INSIDE the Arrow map (per-asset local — no
+    exchange at all beyond the presentation sort; guide §2.4)."""
+    if frame_ms <= 0 or hop_ms <= 0:
+        raise ValueError("frame_ms and hop_ms must be positive")
     return (
-        seg.groupBy("asset_id", "segment_no", "state")
-        .agg(
-            (F.min("frame_no") * hop_ms).alias("start_ms"),
-            (F.max("frame_no") * hop_ms + frame_ms).alias("end_ms"),
-            F.count(F.lit(1)).alias("n_frames"),
+        assets.select("asset_id", "payload")
+        .mapInPandas(
+            _audio_segments_gen(frame_ms, hop_ms, silence_rms_micros),
+            AUDIO_SEGMENT_SCHEMA,
         )
         .orderBy("asset_id", "segment_no")
     )
 
 
-def _digest_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 3200-sample PCM16 WAV asset table from
-    ``md5(text)``: the 16 digest bytes each held constant for one
-    25 ms frame (200 samples at 8 kHz, ``sample = (byte − 128)·256``),
-    encoded with ``encode_wav`` — the shared fixture of the audio gate
-    queries (``mm_audio_vad``, ``mm_audio_features``).  Constant
-    frames make every frame statistic pure integer logic on the
-    digest bytes, so the DuckDB oracles reproduce decode-side numbers
-    from the digest hex.  (Session-memoizing this relation was
-    measured and REJECTED in r14: the persist-materialization build
-    cost more than the ~0.3 s the two consumer rows saved; the synth
-    batch loop is vectorized instead.)"""
-    docs = _spread(
+def _digest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, digest) relation feeding the digest-WAV fixture —
+    spread so the Python synthesis/decode chain parallelizes past the
+    single-row-group test scan."""
+    return _spread(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", F.md5("text").alias("digest")
         )
     )
+
+
+def _digest_synth_gen():
+    """mapInPandas generator: (doc_id, digest) batches → PCM16 WAV
+    payload batches, factored out so the audio gate rows can compose
+    it with the decode-side generator in ONE Python pass."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # r14 (guide §4.2): one vectorized pass per batch — all
@@ -1508,7 +1550,24 @@ def _digest_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(batches, "asset_id bigint, payload binary")
+    return batches
+
+
+def _digest_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3200-sample PCM16 WAV asset table from
+    ``md5(text)``: the 16 digest bytes each held constant for one
+    25 ms frame (200 samples at 8 kHz, ``sample = (byte − 128)·256``),
+    encoded with ``encode_wav`` — the shared fixture of the audio gate
+    queries (``mm_audio_vad``, ``mm_audio_features``).  Constant
+    frames make every frame statistic pure integer logic on the
+    digest bytes, so the DuckDB oracles reproduce decode-side numbers
+    from the digest hex.  (Session-memoizing this relation was
+    measured and REJECTED in r14: the persist-materialization build
+    cost more than the ~0.3 s the two consumer rows saved; the synth
+    batch loop is vectorized instead.)"""
+    return _digest_docs(spark, sf_dir).mapInPandas(
+        _digest_synth_gen(), "asset_id bigint, payload binary"
+    )
 
 
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1530,11 +1589,30 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       round-HALF-EVEN with integer logic instead of SQL ROUND.
 
     Any WAV header, sample-width, striding, or reduction bug breaks
-    the value match.  Scale shape: synthesis + framing are narrow
-    Arrow maps; no shuffle at all beyond the final sort.
-    Reference analog: none (pure [EXT])."""
-    assets = _digest_wav_assets(spark, sf_dir)
-    return audio_features(assets, frame_ms=25, hop_ms=25).orderBy("asset_id")
+    the value match.  Scale shape: synthesis + framing are FUSED into
+    one narrow Arrow map (r14, guide §4.1: the WAV bytes are encoded
+    and decoded inside a single Python pass, so the 6.4 KB payloads
+    never cross the JVM↔Python boundary); no shuffle at all beyond
+    the final sort.  Reference analog: none (pure [EXT])."""
+    synth, feat = _digest_synth_gen(), _audio_features_gen(25, 25)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return feat(synth(it))
+
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    # persist before the presentation sort: the range exchange SAMPLES
+    # its child to pick sort bounds, which would re-run the whole
+    # Python pass a second time (guide §2.4/§5) — the persist makes the
+    # sampling read 5k tiny feature rows instead
+    return (
+        cache_intermediate(
+            _digest_docs(spark, sf_dir).mapInPandas(
+                fused, AUDIO_FEATURE_SCHEMA
+            )
+        )
+        .orderBy("asset_id")
+    )
 
 
 # Oracle: every statistic is integer logic on the digest bytes (see
@@ -1599,13 +1677,32 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching audio bytes.  Any WAV header, sample-width, or
     framing bug breaks the value match.
 
-    Scale shape: synthesis and framing are narrow Arrow maps; the
-    segment merge is a per-asset keyed window (no global shuffle
-    beyond the asset_id hash).  Reference analog: none (pure [EXT]).
-    """
-    assets = _digest_wav_assets(spark, sf_dir)
-    return audio_segments(
-        assets, frame_ms=25, hop_ms=25, silence_rms_micros=500_000
+    Scale shape: synthesis, framing AND the segment merge are FUSED
+    into one narrow Arrow map (r14, guide §2.4/§4.1: every frame of
+    an asset derives from its single payload row, so the
+    gaps-and-islands merge is per-row-local — the WAV bytes never
+    cross the JVM↔Python boundary and the old frame-table shuffle +
+    two windows are gone); the only exchange is the presentation
+    sort.  Reference analog: none (pure [EXT])."""
+    synth = _digest_synth_gen()
+    seg = _audio_segments_gen(25, 25, 500_000)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return seg(synth(it))
+
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    # persist before the presentation sort: the range exchange SAMPLES
+    # its child to pick sort bounds, which would re-run the whole
+    # Python pass a second time (guide §2.4/§5) — the persist makes the
+    # sampling read 42k tiny segment rows instead
+    return (
+        cache_intermediate(
+            _digest_docs(spark, sf_dir).mapInPandas(
+                fused, AUDIO_SEGMENT_SCHEMA
+            )
+        )
+        .orderBy("asset_id", "segment_no")
     )
 
 
