@@ -795,7 +795,6 @@ def group_sample_exact(
         )
         .filter(F.col("smp_rank") <= k)
         .select("doc_id", F.col("grp").alias(group_col), "smp_rank")
-        .orderBy(group_col, "smp_rank")
     )
 
 
@@ -865,7 +864,6 @@ def doc_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_fill_bp"
             ),
         )
-        .orderBy("lang")
     )
 
 
@@ -1162,7 +1160,6 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "layout", "n_buckets", "avg_user_span_bp", "max_user_span_bp",
             "avg_ts_span_bp", "max_ts_span_bp",
         )
-        .orderBy("layout")
     )
 
 
@@ -1257,7 +1254,7 @@ def shuffle_shards(
 def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: epoch-0 shuffle address for every document."""
     d = _docs(spark, sf_dir)
-    return shuffle_shards(d).orderBy("shard", "pos")
+    return shuffle_shards(d)
 
 
 def _shuffle_shards_sql(n_shards: int = 8, salt: str = "shuffle") -> str:
@@ -1324,7 +1321,7 @@ def k_anonymity_report(
         F.expr("(suppressed_rows * 10000) div n_rows").alias(
             "suppression_bp"
         ),
-    ).orderBy("k")
+    )
 
 
 def doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,7 +1396,7 @@ def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") - F.col("distinct_texts")).alias("dup_excess"),
         F.expr("q_sum div n_docs").alias("mean_quality_micros"),
         F.expr("(short_docs * 10000) div n_docs").alias("short_docs_bp"),
-    ).orderBy("lang")
+    )
 
 
 def _corpus_datacard_sql() -> str:
@@ -1458,7 +1455,7 @@ def events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((n_events - n_distinct) * 10000) div n_events").alias(
             "dup_bp"
         ),
-    ).orderBy("window_start")
+    )
 
 
 EVENTS_WINDOWED_DEDUP_SQL = """
@@ -1563,7 +1560,7 @@ def mixture_plan(
             " as bigint)"
         ),
     )
-    return out.orderBy(group_col)
+    return out
 
 
 def doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,7 +1674,6 @@ def doc_curriculum_stages(
             F.min("q_micros").cast("bigint").alias("min_q_micros"),
             F.max("q_micros").cast("bigint").alias("max_q_micros"),
         )
-        .orderBy("stage")
     )
 
 

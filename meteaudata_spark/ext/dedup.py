@@ -1716,7 +1716,6 @@ def doc_winnow_fingerprints(
                 " div nullif(coalesce(n_fingerprints, 0), 0)"
             ).alias("shared_bp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1792,7 +1791,6 @@ def doc_continuation_pairs(
         )
         .filter(F.col("prev_doc") != F.col("next_doc"))
         .select("prev_doc", "next_doc")
-        .orderBy("prev_doc", "next_doc")
     )
 
 
@@ -1935,7 +1933,6 @@ def doc_cdc_chunks(
                 " div nullif(coalesce(n_words, 0), 0)"
             ).alias("shared_bp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2362,7 +2359,6 @@ def doc_dedup_cascade(
             ).alias("s")
         )
         .select("s.*")
-        .orderBy("stage")
     )
 
 
@@ -2446,7 +2442,6 @@ def doc_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("jaccard").alias("min_jaccard"),
             F.max("jaccard").alias("max_jaccard"),
         )
-        .orderBy("jaccard_bucket")
     )
 
 
@@ -2669,7 +2664,6 @@ def boilerplate_report(
                 "boilerplate_bp"
             ),
         )
-        .orderBy(group_col)
     )
 
 
@@ -2801,7 +2795,6 @@ def doc_lsh_edit_verify(
             "lev",
             "edit_sim_bp",
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2937,7 +2930,6 @@ def doc_minhash_containment(
             "containment_b_bp",
             "is_subset",
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -3055,7 +3047,6 @@ def doc_jaccard_edit_calibration(
             ),
             "avg_edit_sim_bp",
         )
-        .orderBy("jaccard_band")
     )
 
 

@@ -987,7 +987,6 @@ def image_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1599,19 +1598,13 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return feat(synth(it))
 
-    from meteaudata_spark.plans.opcache import cache_intermediate
-
-    # persist before the presentation sort: the range exchange SAMPLES
-    # its child to pick sort bounds, which would re-run the whole
-    # Python pass a second time (guide §2.4/§5) — the persist makes the
-    # sampling read 5k tiny feature rows instead
-    return (
-        cache_intermediate(
-            _digest_docs(spark, sf_dir).mapInPandas(
-                fused, AUDIO_FEATURE_SCHEMA
-            )
-        )
-        .orderBy("asset_id")
+    # no presentation sort: the driver's value gate is row-order-
+    # insensitive (guide §2.4 — "an orderBy used only to make output
+    # deterministic" is an accidental exchange; here its range
+    # partitioner would also SAMPLE the child, re-running the whole
+    # Python pass a second time)
+    return _digest_docs(spark, sf_dir).mapInPandas(
+        fused, AUDIO_FEATURE_SCHEMA
     )
 
 
@@ -1690,19 +1683,13 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return seg(synth(it))
 
-    from meteaudata_spark.plans.opcache import cache_intermediate
-
-    # persist before the presentation sort: the range exchange SAMPLES
-    # its child to pick sort bounds, which would re-run the whole
-    # Python pass a second time (guide §2.4/§5) — the persist makes the
-    # sampling read 42k tiny segment rows instead
-    return (
-        cache_intermediate(
-            _digest_docs(spark, sf_dir).mapInPandas(
-                fused, AUDIO_SEGMENT_SCHEMA
-            )
-        )
-        .orderBy("asset_id", "segment_no")
+    # no presentation sort: the driver's value gate is row-order-
+    # insensitive (guide §2.4 — "an orderBy used only to make output
+    # deterministic" is an accidental exchange; here its range
+    # partitioner would also SAMPLE the child, re-running the whole
+    # Python pass a second time)
+    return _digest_docs(spark, sf_dir).mapInPandas(
+        fused, AUDIO_SEGMENT_SCHEMA
     )
 
 

@@ -114,7 +114,7 @@ def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
             "max_str",
         )
         parts = part if parts is None else parts.unionAll(part)
-    return parts.orderBy("column_name")
+    return parts
 
 
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +202,7 @@ def orders_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = row if out is None else out.unionAll(row)
-    return out.orderBy("relationship")
+    return out
 
 
 ORDERS_INTEGRITY_SQL = """

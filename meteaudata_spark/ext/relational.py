@@ -1771,7 +1771,6 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("status", "changed_cols")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("status", "changed_cols")
     )
 
 
@@ -1934,7 +1933,6 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_monetary_cents"
             ),
         )
-        .orderBy("segment")
     )
 
 
@@ -2106,7 +2104,6 @@ def orders_market_basket(
             .cast("bigint")
             .alias("lift_micros"),
         )
-        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
     )
 
 
@@ -2193,7 +2190,6 @@ def orders_cohort_ltv(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("cents").alias("revenue_cents"),
         )
-        .orderBy("cohort_month", "months_since")
     )
 
 
@@ -2314,7 +2310,6 @@ def orders_pareto_share(
                 " div __tr as bigint)"
             ).alias("rev_share_bp"),
         )
-        .orderBy("threshold_bp")
     )
 
 
@@ -2440,7 +2435,6 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         by_nation.select("n_name", "n_suppliers", "total_cents")
         .join(hhi, "n_name")
-        .orderBy("n_name")
     )
 
 

@@ -65,7 +65,6 @@ def emb_cosine_topk(
             .filter(
                 (F.col("query_id") < n_queries) & (F.col("rank") <= k)
             )
-            .orderBy("query_id", "rank")
         )
     return _cosine_topk_build(spark, sf_dir, n_queries, k)
 
@@ -649,7 +648,6 @@ def emb_ivf_topk(
             .filter(
                 (F.col("query_id") < n_queries) & (F.col("rank") <= k)
             )
-            .orderBy("query_id", "rank")
         )
     return _ivf_topk_build(spark, sf_dir, n_queries, k, n_centroids, n_probe)
 
@@ -1447,7 +1445,6 @@ def pq_topk(
             "approx_sqdist",
             F.col("rank").cast("bigint").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -1776,7 +1773,6 @@ def _ivfpq_search_relations(
             "approx_sqdist",
             F.col("rank").cast("bigint").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -2353,7 +2349,6 @@ def emb_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cand_recall_bp"),
         )
-        .orderBy("n_probe", "query_id")
     )
 
 
@@ -2401,7 +2396,6 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_distortion"),
             F.max("distortion").cast("bigint").alias("max_distortion"),
         )
-        .orderBy("centroid_id")
     )
 
 
@@ -2461,7 +2455,6 @@ def emb_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_sqdist",
             F.col("rank").cast("bigint").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -3116,7 +3109,7 @@ def emb_incremental_semdedup(
         spark,
         ("incremental_semdedup", sf_dir, n_shards, threshold),
         _build,
-    ).orderBy("vec_a", "vec_b")
+    )
 
 
 def _incremental_semdedup_sql(
@@ -3437,7 +3430,7 @@ def emb_pca_power(
         F.round("nrm").cast("bigint").alias("growth_q"),
     ).select(
         F.col("dim").cast("bigint").alias("dim"), "loading_q", "growth_q"
-    ).orderBy("dim")
+    )
 
 
 def _pca_power_sql(n_iter: int = 3) -> str:
@@ -3561,7 +3554,7 @@ def emb_knn_accuracy(
         F.round(F.col("n_correct") * 1000000.0 / F.col("n_queries"))
         .cast("bigint")
         .alias("acc_micros"),
-    ).orderBy("true_label")
+    )
 
 
 EMB_KNN_ACCURACY_SQL = """
@@ -3683,7 +3676,6 @@ def emb_outliers(
             .alias("n_outliers"),
             F.max("dist").alias("max_dist"),
         )
-        .orderBy("centroid_id")
     )
 
 
@@ -3776,7 +3768,7 @@ def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         norm_shift.alias("mean_shift_micros"),
-    ).orderBy("label")
+    )
 
 
 EMB_DRIFT_SQL = """
@@ -3924,7 +3916,6 @@ def emb_bq_topk(
             "cosine",
             F.col("rank").cast("bigint").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -4067,7 +4058,6 @@ def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cosine").alias("min_cosine"),
             F.max("cosine").alias("max_cosine"),
         )
-        .orderBy("cos_bucket")
     )
 
 
@@ -4150,7 +4140,6 @@ def emb_recall_curve(
             .cast("bigint")
             .alias("macro_recall_micros"),
         )
-        .orderBy("k")
     )
 
 
@@ -4242,7 +4231,6 @@ def emb_ivf_balance(
                 "hot_factor_bp"
             ),
         )
-        .orderBy("centroid_id")
     )
 
 
@@ -4349,7 +4337,6 @@ def hard_negatives(
             "cosine",
             F.col("rank").cast("bigint").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -4514,7 +4501,6 @@ def emb_sq_topk(
             "cosine",
             F.col("rank").cast("bigint").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -4684,7 +4670,7 @@ def emb_ivf_topics(
         "df_lists",
         "score_micros",
         F.col("rk").cast("bigint").alias("rk"),
-    ).orderBy("centroid_id", "rk")
+    )
 
 
 def _ivf_topics_sql(n_centroids: int = 16, top_terms: int = 5) -> str:

@@ -743,7 +743,6 @@ def events_hll_sliding_uniques(
             ).cast("bigint"),
         )
         .withColumn("win_end", F.col("win_end").cast("timestamp"))
-        .orderBy("win_end")
     )
 
 

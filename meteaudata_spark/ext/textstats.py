@@ -930,7 +930,6 @@ def doc_gopher_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exclusive_words",
             F.expr("n_failed * 10000 div n_docs").alias("failed_bp"),
         )
-        .orderBy("rule")
     )
 
 
@@ -1537,7 +1536,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target domain (the lang-ID column stands in for the curated
     target corpus)."""
     d = _docs(spark, sf_dir)
-    return dsir_weights(d, F.col("lang") == "en").orderBy("doc_id")
+    return dsir_weights(d, F.col("lang") == "en")
 
 
 _H60_TOK = "CAST(CONCAT('0x', SUBSTR(md5(token), 1, 15)) AS BIGINT)"
@@ -1809,7 +1808,6 @@ def bm25_multi_search(
             "n_terms_hit",
             F.col("rank").cast("bigint").alias("rank"),
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -1987,7 +1985,6 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("max_score_micros"),
         )
-        .orderBy("decile")
     )
 
 
@@ -2141,7 +2138,6 @@ def doc_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("e").cast("bigint").alias("n_emails"),
             F.sum("n").cast("bigint").alias("n_numbers"),
         )
-        .orderBy("lang")
     )
 
 
@@ -2307,7 +2303,6 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_score_micros",
             "max_score_micros",
         )
-        .orderBy("lang", "bucket")
     )
 
 
@@ -2381,7 +2376,7 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_lang",
         "n_docs",
         F.expr("__num div __tot").alias("share_bp"),
-    ).orderBy("lang", "pred_lang")
+    )
 
 
 def _lang_confusion_sql() -> str:
@@ -2499,7 +2494,7 @@ def doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return classifier_score(
         d, planted_classifier_weights(spark), dim=256
-    ).orderBy("doc_id")
+    )
 
 
 DOC_CLASSIFIER_SCORE_SQL = f"""
@@ -2600,7 +2595,7 @@ def classifier_pr_curve(
         .otherwise(F.lit(None))
         .cast("bigint")
         .alias("recall_bp"),
-    ).orderBy("threshold_micros")
+    )
 
 
 def doc_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2721,7 +2716,6 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_low_entropy"),
         )
-        .orderBy("lang")
     )
 
 
@@ -2957,7 +2951,7 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges,
         "merge_rank BIGINT, tok1 STRING, tok2 STRING, pair_count BIGINT",
-    ).orderBy("merge_rank")
+    )
 
 
 def _bpe_train_sql(n_merges: int = 10) -> str:
@@ -3095,7 +3089,6 @@ def bpe_encode_stats(
                 " div n_char_tokens"
             ).alias("saving_bp"),
         )
-        .orderBy(group_col)
     )
 
 
@@ -3245,7 +3238,6 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sampled_tokens"),
         )
-        .orderBy("lang")
     )
 
 
@@ -3648,7 +3640,6 @@ def mmr_rerank(
     return (
         enriched.groupBy("query_id")
         .applyInPandas(_greedy, schema)
-        .orderBy("query_id", "mmr_rank")
     )
 
 
@@ -3833,7 +3824,6 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("hard_bp"),
         )
-        .orderBy("lang")
     )
 
 
@@ -3916,7 +3906,6 @@ def doc_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("flagged_bp"),
         )
-        .orderBy("source")
     )
 
 
@@ -4135,7 +4124,6 @@ def doc_active_uncertainty(
             "uncertainty_micros",
             F.col("rk").cast("bigint").alias("rk"),
         )
-        .orderBy("lang", "rk")
     )
 
 
@@ -4224,7 +4212,6 @@ def doc_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("entropy_rate_micros"),
         )
-        .orderBy("lang")
     )
 
 
@@ -4408,7 +4395,6 @@ def doc_heaps_fit(
             "lang", "n_full", "v_full", "heaps_beta_micros",
             "heaps_lnk_micros",
         )
-        .orderBy("lang")
     )
 
 
@@ -4851,7 +4837,6 @@ def _ulm_encode_table(
                 " div n_char_tokens"
             ).alias("saving_bp"),
         )
-        .orderBy(group_col)
     )
 
 
@@ -4946,7 +4931,6 @@ def _ulm_eval_table(
                 "n_single * 10000 div nullif(n_encodable, 0)"
             ).alias("single_token_bp"),
         )
-        .orderBy(group_col)
     )
 
 
@@ -5062,7 +5046,6 @@ def _ulm_roundtrip_table(
                 "chars_lost * 10000 div nullif(n_chars_total, 0)"
             ).alias("chars_lost_bp"),
         )
-        .orderBy(group_col)
     )
 
 
@@ -5351,7 +5334,6 @@ def doc_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " THEN 'bpe' ELSE 'tie' END"
             ).alias("compression_winner"),
         )
-        .orderBy("lang")
     )
 
 

@@ -1797,7 +1797,6 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("delta_micros"),
         )
-        .orderBy("event_type", "digit")
     )
 
 
@@ -1932,7 +1931,6 @@ def _theil_sen_from_pairs(pairs: DataFrame) -> DataFrame:
             "n_pairs",
             F.col("slope_micros").alias("median_slope_micros"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1981,7 +1979,6 @@ def _mann_kendall_from_pairs(pairs: DataFrame) -> DataFrame:
                 "cast(round(s_stat * 1000000.0 / n_pairs) as bigint)"
             ).alias("tau_micros"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -2599,7 +2596,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return full.select(
         F.col("anchor").alias("b5"), corr.alias("rolling_corr")
-    ).orderBy("b5")
+    )
 
 
 TS_ROLLING_CORR_SQL = """
@@ -2669,7 +2666,6 @@ def ts_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.ts").alias("ts"),
             F.col("p.value").alias("value"),
         )
-        .orderBy("user_id", "event_type")
     )
 
 
@@ -2741,7 +2737,7 @@ def ts_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b5",
         "n",
         _r6(F.col("sum_micros") / F.col("n") / 1000000.0).alias("avg_value"),
-    ).orderBy("event_type", "b5")
+    )
 
 
 TS_INCREMENTAL_ROLLUP_SQL = """
@@ -2795,7 +2791,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("__trend")).alias("trend"),
         _r6(F.col("__seasonal")).alias("seasonal"),
         _r6(F.col("__forecast_next")).alias("forecast_next"),
-    ).orderBy("event_type", "b1h")
+    )
 
 
 TS_HOLT_WINTERS_SQL = """
@@ -3024,7 +3020,6 @@ def ts_attribution_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_purchases"),
             F.sum("credit_micros").alias("credit_micros"),
         )
-        .orderBy("click_id")
     )
 
 
@@ -3212,7 +3207,6 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robust_z",
             "votes",
         )
-        .orderBy("event_type", "b5")
     )
 
 
@@ -3382,7 +3376,6 @@ def ts_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_sec").alias("min_gap_sec"),
             F.max("gap_sec").alias("max_gap_sec"),
         )
-        .orderBy("event_type", "gap_bucket_min")
     )
 
 
@@ -3457,7 +3450,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(strength * 1_000_000)
         .cast("bigint")
         .alias("strength_micros"),
-    ).orderBy("event_type")
+    )
 
 
 def _seasonal_strength_sql() -> str:
@@ -3559,7 +3552,7 @@ def ts_downtime_report(
         )
         .cast("bigint")
         .alias("availability_bp"),
-    ).orderBy("event_type")
+    )
 
 
 TS_DOWNTIME_REPORT_SQL = """
@@ -3656,7 +3649,6 @@ def ts_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "last_burst"
             ),
         )
-        .orderBy("event_type")
     )
 
 
@@ -3769,7 +3761,6 @@ def ts_dip_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dip_depth_micros").alias("max_dip_depth_micros"),
             F.max("spike_height_micros").alias("max_spike_height_micros"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -3858,7 +3849,6 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "k").alias("close"),
             F.count(F.lit(1)).cast("bigint").alias("volume"),
         )
-        .orderBy("event_type", "day")
     )
 
 

@@ -1562,3 +1562,39 @@ def test_tokenizer_eval_plan_one_corpus_scan(spark):
         assert n_scans <= 1, (fn.__name__, n_scans)
         assert "Window" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_no_presentation_sort_on_swept_gate_rows(spark):
+    """r14 batch 6 (guide §2.4): the driver's value gate is row-order-
+    insensitive (certified no-sort rows hash-match ORDER BY oracles
+    every round), so a trailing global orderBy is a pure presentation
+    cost — a range exchange whose partitioner re-executes everything
+    above the last shuffle to sample sort bounds.  Guard a
+    representative row per swept family so the Sort+rangepartitioning
+    pair cannot quietly return."""
+    from meteaudata_spark.ext import (
+        corpus_ops,
+        dedup,
+        multimodal,
+        profile,
+        simsearch,
+        sketches,
+    )
+
+    rows = [
+        simsearch.emb_ivfpq_probe_sweep,
+        simsearch.emb_sq_topk,
+        relational.orders_rfm_segments,
+        tsq.ts_anomaly_consensus,
+        textstats.doc_perplexity_buckets,
+        dedup.doc_cdc_chunks,
+        corpus_ops.events_zorder_layout,
+        sketches.events_hll_sliding_uniques,
+        multimodal.mm_audio_vad,
+        profile.lineitem_profile,
+    ]
+    for fn in rows:
+        plan = inspect.formatted_plan(fn(spark, SF))
+        assert "rangepartitioning" not in plan, (
+            f"{fn.__name__}: presentation sort reintroduced"
+        )

@@ -257,7 +257,12 @@ def test_cohort_ltv_builder_parameterizes_clamp(spark):
     want = con.execute(_cohort_ltv_sql(3)).df()
     assert got["months_since"].max() <= 3
     assert len(got) == len(want)
-    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+    # value-set compare, order-insensitive (the gate row carries no
+    # presentation sort; the driver hash is order-insensitive too)
+    keys = ["cohort_month", "months_since"]
+    got_s = got.sort_values(keys).reset_index(drop=True)
+    want_s = want.sort_values(keys).reset_index(drop=True)
+    assert got_s["revenue_cents"].tolist() == want_s["revenue_cents"].tolist()
 
 
 def test_shuffle_shards_builder_parameterizes(spark):
