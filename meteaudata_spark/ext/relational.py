@@ -53,26 +53,87 @@ def _dec(col: str, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
+def _cents(col: str):
+    """Exact integer cents of a cents-exact double money column —
+    the bigint twin of ``_dec(col)`` (r14, guide §2.3 narrower types
+    / §1.2 per-task work: the double→BigDecimal cast plus BigDecimal
+    multiply chains dominated every money aggregate's single-task
+    partial agg).  Every TPC-H money value is an exact multiple of
+    0.01 stored as double, so ``x*100`` lands within float error of
+    an integer and the ``+0.5`` floor (HALF_UP on this positive
+    domain) recovers exactly the cent the decimal(18,2) cast
+    produces; all downstream sums are exact long arithmetic."""
+    return (F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _rev4():
+    """Discounted lineitem revenue in scale-4 integer units:
+    ``cents(price) · (100 − cents(discount))`` — the exact bigint
+    twin of ``_dec(l_extendedprice) * (1 − _dec(l_discount))``
+    (per-row ≤ ~1e9; corpus sums ≤ ~6e14 per 600k-row group, far
+    inside int64)."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def _q4dbl(col):
+    """Scale-4 integer sum → the identical double the decimal path
+    yields: one EXACT decimal division by 10⁴, then a single
+    rounding cast — the same single rounding
+    ``sum(decimal).cast("double")`` performs."""
+    return (col.cast("decimal(38,0)") / F.lit(10000)).cast("double")
+
+
+def _q2dbl(col):
+    """Scale-2 (cents) integer sum → identical double (see _q4dbl)."""
+    return (col.cast("decimal(38,0)") / F.lit(100)).cast("double")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary report."""
+    """TPC-H Q1-style pricing summary report.
+
+    r14 (guide §1.2 per-task work): all money math runs as exact
+    int64 cents (see ``_cents``) — per-row BigDecimal casts and
+    multiplies dominated the single-split partial aggregate.  The
+    final decimal division + one rounding cast reproduces the
+    decimal path's doubles bit-for-bit (verified value-exact at
+    sf0.001/0.01/0.1)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount", 2)
-    )
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax", 2))
-    return (
+    dp4 = _rev4()                                   # scale 4
+    ch6 = dp4 * (F.lit(100) + _cents("l_tax"))      # scale 6
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _cents("l_quantity").alias("__q"),
+            _cents("l_extendedprice").alias("__p"),
+            _cents("l_discount").alias("__d"),
+            dp4.alias("__dp"),
+            ch6.alias("__ch"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(_dec("l_discount", 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.sum("__q").alias("__sq"),
+            F.sum("__p").alias("__sp"),
+            F.sum("__d").alias("__sd"),
+            F.sum("__dp").alias("__sdp"),
+            F.sum("__ch").alias("__sch"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        _q2dbl(F.col("__sq")).alias("sum_qty"),
+        _q2dbl(F.col("__sp")).alias("sum_base_price"),
+        _q4dbl(F.col("__sdp")).alias("sum_disc_price"),
+        (F.col("__sch").cast("decimal(38,0)") / F.lit(1000000))
+        .cast("double")
+        .alias("sum_charge"),
+        (_q2dbl(F.col("__sq")) / F.col("count_order")).alias("avg_qty"),
+        (_q2dbl(F.col("__sp")) / F.col("count_order")).alias("avg_price"),
+        (_q2dbl(F.col("__sd")) / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -110,16 +171,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    revenue = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
+    revenue = _rev4()  # r14: exact int64 units (see _cents)
     return (
         li.join(
             orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(_q4dbl(F.sum(revenue)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -159,9 +218,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    revenue = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
+    revenue = _rev4()  # r14: exact int64 units (see _cents)
     dim = (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("n_nationkey", "n_name")
@@ -176,7 +233,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(_q4dbl(F.sum(revenue)).alias("revenue"))
     )
 
 
@@ -209,15 +266,15 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("o_rev"))
+    # r14: exact int64 revenue units through both aggregates (guide
+    # §1.2/§2.3 — narrower join payload too); one decimal division at
+    # the end reproduces the decimal doubles exactly
+    per_order = li.groupBy("l_orderkey").agg(F.sum(_rev4()).alias("o_rev"))
     return (
         per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum("o_rev").cast("double").alias("revenue"))
+        .agg(_q4dbl(F.sum("o_rev")).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -242,18 +299,17 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     linestatus) with subtotal and grand-total rows (grouping-set
     coverage; one shuffle, grouping sets expanded map-side)."""
     li = _t(spark, sf_dir, "lineitem")
-    revenue = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    # project the decimal product BEFORE the rollup: Expand triples
-    # every row, and an expression inside agg() is evaluated per
-    # EXPANDED row — pre-projecting computes it once per input row
-    # (measured ~2x on this query at any parallelism)
-    pre = li.select("l_returnflag", "l_linestatus", revenue.alias("__rev"))
+    # project the product BEFORE the rollup: Expand triples every row,
+    # and an expression inside agg() is evaluated per EXPANDED row —
+    # pre-projecting computes it once per input row (measured ~2x on
+    # this query at any parallelism).  r14: the product is exact int64
+    # revenue units (guide §1.2/§2.3 — Expand now triples a long, not
+    # a decimal; see _cents)
+    pre = li.select("l_returnflag", "l_linestatus", _rev4().alias("__rev"))
     return (
         pre.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("__rev").cast("double").alias("revenue"),
+            _q4dbl(F.sum("__rev")).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(
@@ -281,7 +337,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate reaches the Parquet scan; no join, no shuffle beyond the
     final partial-agg merge)."""
     li = _t(spark, sf_dir, "lineitem")
-    revenue = _dec("l_extendedprice") * _dec("l_discount")
+    revenue = _cents("l_extendedprice") * _cents("l_discount")  # r14: scale-4 int64
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -289,7 +345,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(_q4dbl(F.sum(revenue)).alias("revenue"))
     )
 
 
@@ -416,27 +472,25 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
+    # r14: exact int64 revenue units (guide §1.2; see _cents)
     per_brand = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
-        .agg(F.sum(revenue).alias("rev_dec"))
+        .agg(F.sum(_rev4()).alias("rev_q4"))
     )
     total = Window.partitionBy()
     return (
         per_brand.withColumn(
             "share",
             F.round(
-                F.col("rev_dec").cast("double")
-                / F.sum(F.col("rev_dec")).over(total).cast("double"),
+                _q4dbl(F.col("rev_q4"))
+                / _q4dbl(F.sum(F.col("rev_q4")).over(total)),
                 6,
             ),
         )
         .select(
             "p_brand",
-            F.col("rev_dec").cast("double").alias("revenue"),
+            _q4dbl(F.col("rev_q4")).alias("revenue"),
             "share",
         )
     )
@@ -552,23 +606,19 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table is scanned and shuffled once."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(18,2)")
-    )
+    # r14: exact int64 revenue units (guide §1.2; see _cents) — the
+    # final decimal division reproduces the decimal doubles exactly
+    rev = _rev4()
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.round(
-                F.sum(promo_rev).cast("double")
-                / F.sum(rev).cast("double")
-                * 100,
+                _q4dbl(F.sum(promo_rev)) / _q4dbl(F.sum(rev)) * 100,
                 6,
             ).alias("promo_pct"),
-            F.sum(rev).cast("double").alias("total_revenue"),
+            _q4dbl(F.sum(rev)).alias("total_revenue"),
         )
     )
 
@@ -604,9 +654,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
-    rev = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    )
+    rev = F.sum(_rev4())  # r14: exact int64 units (see _cents)
     return (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -622,7 +670,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(rev.cast("double").alias("revenue"))
+        .agg(_q4dbl(rev).alias("revenue"))
     )
 
 
@@ -652,9 +700,7 @@ def q9_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    rev = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    )
+    rev = F.sum(_rev4())  # r14: exact int64 units (see _cents)
     return (
         li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
@@ -663,7 +709,7 @@ def q9_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(rev.cast("double").alias("revenue"))
+        .agg(_q4dbl(rev).alias("revenue"))
     )
 
 
@@ -688,9 +734,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    rev = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    )
+    rev = F.sum(_rev4())  # r14: exact int64 units (see _cents)
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(
@@ -703,7 +747,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
-        .agg(rev.cast("double").alias("revenue"))
+        .agg(_q4dbl(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -768,16 +812,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li_b = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # r14: exact int64 cents (see _cents); the cross-multiplied
+    # threshold compares the same exact quantities in scale-2 units
     stats = li_b.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
-        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.sum(_cents("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
     small = li_b.join(F.broadcast(stats), li_b["l_partkey"] == stats["sp_partkey"]).filter(
-        _dec("l_quantity") * F.lit(5).cast("decimal(18,2)") * F.col("cnt")
-        < F.col("sum_qty")
+        _cents("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty")
     )
     return small.agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        (_q2dbl(F.sum(_cents("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly")
     )
 
 
@@ -806,11 +851,12 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # r14: exact int64 quantity cents (see _cents)
     big = (
         _kspread(li.select("l_orderkey", "l_quantity"), "l_orderkey")
         .groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
-        .filter(F.col("total_qty") > F.lit(250).cast("decimal(18,2)"))
+        .agg(F.sum(_cents("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(25000))
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
@@ -821,7 +867,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("total_qty").cast("double").alias("total_qty"),
+            _q2dbl(F.col("total_qty")).alias("total_qty"),
         )
     )
 
@@ -865,10 +911,8 @@ def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity").between(20, 30))
         )
     )
-    rev = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    )
-    return j.filter(cond).agg(rev.cast("double").alias("revenue"))
+    rev = F.sum(_rev4())  # r14: exact int64 units (see _cents)
+    return j.filter(cond).agg(_q4dbl(rev).alias("revenue"))
 
 
 Q19_OR_PREDICATE_SQL = """
@@ -901,12 +945,7 @@ def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
         .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.sum(
-                _dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-            ).alias("ps_rev")
-        )
+        .agg(F.sum(_rev4()).alias("ps_rev"))  # r14: exact int64 units
     )
     w = Window.partitionBy("l_partkey").orderBy(F.col("ps_rev").asc(), F.col("l_suppkey").asc())
     return (
@@ -915,7 +954,7 @@ def part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("l_suppkey").alias("s_suppkey"),
-            F.col("ps_rev").cast("double").alias("min_revenue"),
+            _q4dbl(F.col("ps_rev")).alias("min_revenue"),
         )
     )
 
@@ -955,10 +994,9 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    rev = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    )
-    per_order = li.groupBy("l_orderkey").agg(rev.alias("o_rev"))
+    # r14: exact int64 revenue units end-to-end (guide §1.2; see
+    # _cents) — identical ordering, identical doubles out
+    per_order = li.groupBy("l_orderkey").agg(F.sum(_rev4()).alias("o_rev"))
     # cached: global_rank references its input three times (boundary
     # percentiles, local rank, bucket counts) plus the total-count agg
     # below — without the cache each reference re-runs the fact join
@@ -985,9 +1023,9 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.min("c_rev").cast("double").alias("min_revenue"),
-            F.max("c_rev").cast("double").alias("max_revenue"),
-            F.sum("c_rev").cast("double").alias("total_revenue"),
+            _q4dbl(F.min("c_rev")).alias("min_revenue"),
+            _q4dbl(F.max("c_rev")).alias("max_revenue"),
+            _q4dbl(F.sum("c_rev")).alias("total_revenue"),
         )
         .select(
             F.col("quartile").cast("bigint").alias("quartile"),
@@ -1053,7 +1091,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("n_name").alias("supp_nation")
     )
 
-    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    # r14: exact int64 revenue units (guide §1.2; see _cents)
+    vol = _rev4()
     per_year = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -1061,14 +1100,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("nation_vol"),
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))).alias("nation_vol"),
             F.sum(vol).alias("total_vol"),
         )
     )
     return per_year.select(
         F.col("o_year").cast("bigint").alias("o_year"),
-        (F.col("nation_vol").cast("double") / F.col("total_vol").cast("double")).alias("mkt_share"),
-        F.col("total_vol").cast("double").alias("total_volume"),
+        (_q4dbl(F.col("nation_vol")) / _q4dbl(F.col("total_vol"))).alias("mkt_share"),
+        _q4dbl(F.col("total_vol")).alias("total_volume"),
     )
 
 
@@ -1111,12 +1150,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                _dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-            ).alias("total_revenue")
-        )
+        .agg(F.sum(_rev4()).alias("total_revenue"))  # r14: exact int64
     )
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -1125,7 +1159,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            _q4dbl(F.col("total_revenue")).alias("total_revenue"),
         )
     )
 
@@ -1450,7 +1484,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
-        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+        .agg(F.min(_cents("l_extendedprice")).alias("cost"))  # r14: int64
     )
     # min_cost shares per_ps's lineage (a self-join): rename its columns
     # so the join condition is unambiguous
@@ -1471,7 +1505,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "n_name",
-            F.col("cost").cast("double").alias("supply_cost"),
+            _q2dbl(F.col("cost")).alias("supply_cost"),
         )
     )
 
@@ -1522,7 +1556,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
         "s_suppkey"
     )
-    val = F.sum(_dec("l_extendedprice") * _dec("l_quantity"))
+    # r14: exact scale-4 int64 units per row (see _cents); the
+    # threshold compare widens to decimal(38,0) so value·n_parts can
+    # never overflow int64 at any scale factor
+    val = F.sum(_cents("l_extendedprice") * _cents("l_quantity"))
     per_part = (
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("l_partkey")
@@ -1535,12 +1572,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(totals))
         .filter(
-            F.col("value") * F.col("n_parts")
-            > F.lit(2).cast("decimal(18,2)") * F.col("total_value")
+            F.col("value").cast("decimal(38,0)") * F.col("n_parts")
+            > F.lit(2) * F.col("total_value").cast("decimal(38,0)")
         )
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.col("value").cast("double").alias("part_value"),
+            _q4dbl(F.col("value")).alias("part_value"),
         )
     )
 
