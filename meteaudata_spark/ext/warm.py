@@ -69,6 +69,22 @@ def warm_pair_relations(spark: SparkSession, sf_dir: str) -> dict:
         "bm25_multi_core": lambda: textstats.bm25_multi_candidates(
             spark, sf_dir
         ),
+        # r14 batch 8: the IVF-PQ index memos (full + base variants,
+        # incl. the frozen-codebook delta encode) and the kmeans
+        # refine centroids — their builds hid inside whichever bench
+        # run paid the memo miss; account them here explicitly
+        "ivfpq_full_index": lambda: simsearch.emb_ivfpq_topk(
+            spark, sf_dir
+        ),
+        "ivfpq_base_delta": lambda: simsearch.emb_ivfpq_delta_topk(
+            spark, sf_dir
+        ),
+        "kmeans_refine_cents": lambda: simsearch.emb_kmeans_refine(
+            spark, sf_dir
+        ),
+        "ivfpq_sweep_cores": lambda: simsearch.emb_ivfpq_probe_sweep(
+            spark, sf_dir
+        ),
     }
     from meteaudata_spark.plans.opcache import pin_caches
 
