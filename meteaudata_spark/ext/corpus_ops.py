@@ -158,6 +158,10 @@ def contamination(
     corp = _shingles(corpus, n).select(
         "doc_id", _h60("shingle").alias("h")
     ).distinct()
+    return _contamination_tail(bench_grams, corp)
+
+
+def _contamination_tail(bench_grams: DataFrame, corp: DataFrame) -> DataFrame:
     marked = corp.join(
         F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "h", "left"
     )
@@ -175,10 +179,38 @@ def contamination(
     )
 
 
+def _contam_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized distinct (doc_id, 5-gram) relation over the
+    WHOLE corpus — the shared upstream of ``doc_contamination`` and
+    ``doc_contamination_bloom``, which split it into bench (< 50) and
+    corpus (≥ 50) sides with filters (r14, guide §5: each row re-ran
+    the corpus shingle explode + distinct per call)."""
+    from meteaudata_spark.plans.opcache import memo_relation
+
+    return memo_relation(
+        spark,
+        ("contam_grams5", sf_dir),
+        lambda: _shingles(_docs(spark, sf_dir), 5).distinct(),
+    )
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: docs 50+ checked against docs 0-49 as the 'benchmark'."""
-    d = _docs(spark, sf_dir)
-    return contamination(d.filter(F.col("doc_id") >= 50), d.filter(F.col("doc_id") < 50))
+    """Gate query: docs 50+ checked against docs 0-49 as the 'benchmark'.
+    Composes the memoized corpus gram relation; hashing + the second
+    distinct run on the (small) deduplicated gram sets, value-identical
+    to shingling each side separately."""
+    grams = _contam_grams(spark, sf_dir)
+    bench_grams = (
+        grams.filter(F.col("doc_id") < 50)
+        .select(_h60("shingle").alias("h"))
+        .distinct()
+    )
+    corp = (
+        grams.filter(F.col("doc_id") >= 50)
+        .select("doc_id", _h60("shingle").alias("h"))
+        .distinct()
+    )
+    return _contamination_tail(bench_grams, corp)
 
 
 _SHINGLE5_DUCK = """
@@ -415,6 +447,13 @@ def contamination_bloom(
     (pure [EXT]).
     """
     bench_grams = _shingles(benchmark, n).select("shingle").distinct()
+    corp = _shingles(corpus, n).distinct()
+    return _contamination_bloom_tail(bench_grams, corp, m_bits, k)
+
+
+def _contamination_bloom_tail(
+    bench_grams: DataFrame, corp: DataFrame, m_bits: int, k: int
+) -> DataFrame:
     bit_cols = [
         F.pmod(
             _h60(F.concat(F.lit(f"{i}:"), F.col("shingle"))), F.lit(m_bits)
@@ -426,7 +465,6 @@ def contamination_bloom(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    corp = _shingles(corpus, n).distinct()
     corp_pos = corp.select(
         "doc_id", "shingle", F.explode(F.array(*bit_cols)).alias("pos")
     )
@@ -456,10 +494,15 @@ def contamination_bloom(
 def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: same bench/corpus split as ``doc_contamination``
     but through the 65536-bit / 4-hash Bloom filter (~3k bench grams
-    -> fill ratio ~0.17, false-positive rate ~1e-3)."""
-    d = _docs(spark, sf_dir)
-    return contamination_bloom(
-        d.filter(F.col("doc_id") >= 50), d.filter(F.col("doc_id") < 50)
+    -> fill ratio ~0.17, false-positive rate ~1e-3).  Composes the
+    memoized corpus gram relation (r14; the bench/corpus sides are
+    filters of the same distinct (doc_id, shingle) set)."""
+    grams = _contam_grams(spark, sf_dir)
+    return _contamination_bloom_tail(
+        grams.filter(F.col("doc_id") < 50).select("shingle").distinct(),
+        grams.filter(F.col("doc_id") >= 50),
+        65536,
+        4,
     )
 
 

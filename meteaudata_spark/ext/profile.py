@@ -63,58 +63,44 @@ def profile_table(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
     run as independent concurrent stages on both the old and new
     shape; dropping the full-width pass also drops one corpus read at
     any scale."""
-    parts = None
+    # r14 (guide §1.2 driver-side per-task work): the former
+    # Column-API loop issued ~100 py4j ops and re-analyzed the
+    # growing union per branch (~0.9 s of DRIVER time per call at 11
+    # columns); one parsed SQL statement builds the identical plan —
+    # expression-for-expression the same aggregates, casts, and
+    # NTZ→LTZ epoch handling (epoch_seconds ≡
+    # CAST(CAST(x AS TIMESTAMP_LTZ) AS DOUBLE)).
+    parts = []
     for c, kind in cols:
-        g = (
-            df.select(F.col(c).alias("__v"))
-            .groupBy("__v")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-        )
         if kind == "num":
-            mn = F.min("__v").cast("double")
-            mx = F.max("__v").cast("double")
+            mn = "CAST(MIN(__v) AS DOUBLE)"
+            mx = "CAST(MAX(__v) AS DOUBLE)"
         elif kind == "ts":
             # NTZ-safe micros: cast through LTZ (session tz pinned to
             # UTC) then to micros-exact double via epoch seconds ×1e6
-            mn = epoch_seconds(F.min("__v")) * 1000000.0
-            mx = epoch_seconds(F.max("__v")) * 1000000.0
+            mn = "CAST(CAST(MIN(__v) AS TIMESTAMP_LTZ) AS DOUBLE) * 1000000.0"
+            mx = "CAST(CAST(MAX(__v) AS TIMESTAMP_LTZ) AS DOUBLE) * 1000000.0"
         else:
-            mn = F.lit(None).cast("double")
-            mx = F.lit(None).cast("double")
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
         if kind == "str":
-            mns = F.min("__v").cast("string")
-            mxs = F.max("__v").cast("string")
+            mns = "CAST(MIN(__v) AS STRING)"
+            mxs = "CAST(MAX(__v) AS STRING)"
         else:
-            mns = F.lit(None).cast("string")
-            mxs = F.lit(None).cast("string")
-        part = g.agg(
+            mns = "CAST(NULL AS STRING)"
+            mxs = "CAST(NULL AS STRING)"
+        parts.append(
             # coalesce: an empty input has no groups, and the old base
             # pass reported COUNT(*) = 0 there, not NULL
-            F.coalesce(F.sum("__cnt"), F.lit(0))
-            .cast("bigint")
-            .alias("n_rows"),
-            F.sum(F.when(F.col("__v").isNull(), F.col("__cnt")).otherwise(0))
-            .cast("bigint")
-            .alias("n_null"),
-            F.sum(F.when(F.col("__v").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_distinct"),
-            mn.alias("min_num"),
-            mx.alias("max_num"),
-            mns.alias("min_str"),
-            mxs.alias("max_str"),
-        ).select(
-            F.lit(c).alias("column_name"),
-            "n_rows",
-            "n_null",
-            "n_distinct",
-            "min_num",
-            "max_num",
-            "min_str",
-            "max_str",
+            f"""SELECT '{c}' AS column_name,
+       CAST(coalesce(SUM(__cnt), 0) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN __v IS NULL THEN __cnt ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN __v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {mns} AS min_str, {mxs} AS max_str
+FROM (SELECT `{c}` AS __v, COUNT(1) AS __cnt FROM {{df}} GROUP BY `{c}`)"""
         )
-        parts = part if parts is None else parts.unionAll(part)
-    return parts
+    return df.sparkSession.sql("\nUNION ALL\n".join(parts), df=df)
 
 
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

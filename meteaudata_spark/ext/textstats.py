@@ -4333,7 +4333,12 @@ def doc_heaps_fit(
         .alias(f"n_{f}")
         for f in range(1, k + 1)
     ]
-    ns = occ_m.groupBy("lang").agg(*n_cols)
+    from meteaudata_spark.plans.opcache import cache_intermediate
+
+    # r14 (guide §5): ns and vs each sit on TWO plan paths (the OLS
+    # point set and the n_full/v_full join) — without the persist the
+    # occurrence-table aggregations ran twice per action
+    ns = cache_intermediate(occ_m.groupBy("lang").agg(*n_cols))
     fo = occ.groupBy("lang", "token").agg(F.min("doc_id").alias("fd"))
     fo_m = fo.join(F.broadcast(maxid), "lang")
     v_cols = [
@@ -4342,7 +4347,7 @@ def doc_heaps_fit(
         )
         for f in range(1, k + 1)
     ]
-    vs = fo_m.groupBy("lang").agg(*v_cols)
+    vs = cache_intermediate(fo_m.groupBy("lang").agg(*v_cols))
     lnq = "cast(round(ln(cast({0} as double)) * 1000000.0) as bigint)"
     stack_expr = "stack({k}, {items}) as (nn, vv)".format(
         k=k,
