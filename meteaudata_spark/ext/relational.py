@@ -18,9 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from meteaudata_spark.sources.tables import load_table
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # r15: session-memoized LAZY loader (guide §5 — driver-side plan
+    # construction was ~40% of bench wall time; see tables.py)
+    from meteaudata_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def _kspread(df: DataFrame, *keys: str) -> DataFrame:
@@ -62,8 +68,60 @@ def _cents(col: str):
     0.01 stored as double, so ``x*100`` lands within float error of
     an integer and the ``+0.5`` floor (HALF_UP on this positive
     domain) recovers exactly the cent the decimal(18,2) cast
-    produces; all downstream sums are exact long arithmetic."""
+    produces.
+
+    PRECONDITION (ADVICE r14): the ``+0.5`` floor is HALF_UP only on
+    the NON-NEGATIVE money domain (price/quantity/discount/tax).  Do
+    not apply to columns that can be negative (``c_acctbal``,
+    ``s_acctbal``): floor(x+0.5) is HALF_UP-away-from-zero shifted for
+    negatives — q22 deliberately stays on the decimal path.
+
+    Accumulation: per-ROW products stay exact long arithmetic; any sum
+    whose group can be corpus-sized accumulates via ``_sumdec``
+    (decimal(38,0)) so it cannot silently wrap int64 (VERDICT r14 #1).
+    Bounded-group sums (per order ≤ 7 lineitems, per part ≤ ~30, per
+    supplier ≤ ~600, per customer ≤ ~1.2k lineitems — all O(1) in the
+    scale factor by TPC-H construction) stay long: their maxima sit
+    ≥ 6 orders of magnitude under 2⁶³ at any SF."""
     return (F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+_SUM2_SHIFT = 20
+_SUM2_K = 1 << _SUM2_SHIFT  # 1,048,576
+
+
+def _sumdec(col):
+    """Overflow-safe sum of a NON-NEGATIVE integer-unit money column
+    (VERDICT r14 #1, the "proven two-long scheme"): per row the value
+    stays cheap long arithmetic, and the accumulation splits into two
+    long sums — ``Σ (x >> 20)`` and ``Σ (x & (2²⁰−1))`` — recombined
+    EXACTLY as decimal(38,0) on the handful of post-aggregate rows
+    (``Σx = 2²⁰·Σhi + Σlo`` holds identically for non-negative x;
+    shift/mask are exact integer ops, unlike ``/`` which would round
+    through double).
+
+    Proof of the fence: per-row money products are bounded by the
+    TPC-H domain (extendedprice ≤ ~$110k → cents ≤ 1.1e7; the
+    scale-6 charge ≤ ~1.2e11), so hi ≤ 1.2e5 and lo < 2²⁰; the long
+    partial sums wrap only past ~8e13 (hi) / ~8.8e12 (lo) rows PER
+    GROUP — about 1.5 PB of lineitem for the tighter bound, four
+    orders of magnitude past where the old single long sum wrapped
+    (~sf150 for q1's charge) and far past the 100 TB target.  A
+    first r15 attempt accumulated in decimal(38,0) directly;
+    measured +60% on q1/revenue_rollup (non-compact Decimal adds per
+    row), while this scheme is two codegen long adds + shift/mask —
+    within noise of the single long sum.
+
+    NON-NEGATIVE domain only (every TPC-H money/quantity column this
+    touches is; see ``_cents``): arithmetic shift and mask decompose
+    differently for negative longs."""
+    c = F.col(col) if isinstance(col, str) else col
+    hi = F.shiftright(c, _SUM2_SHIFT)
+    lo = c.bitwiseAND(F.lit(_SUM2_K - 1))
+    return (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(_SUM2_K)
+        + F.sum(lo).cast("decimal(38,0)")
+    )
 
 
 def _rev4():
@@ -113,11 +171,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # r15 (VERDICT r14 #1): corpus-sized group sums of the
+            # PRODUCT columns (scale-4 __dp, scale-6 __ch) accumulate
+            # via the two-long scheme (see _sumdec) — their long sums
+            # wrapped silently at ~sf15k / ~sf150.  The plain-cents
+            # sums stay long with proven fences: __p ≤ 1.1e7/row →
+            # ≥ 8.4e11 rows/group (≈ sf560k, 5.6× past the 100 TB
+            # target's 1.5e11 rows/group); __q ≤ 5e3 and __d ≤ 10 per
+            # row are 3+ orders looser still.
             F.sum("__q").alias("__sq"),
             F.sum("__p").alias("__sp"),
             F.sum("__d").alias("__sd"),
-            F.sum("__dp").alias("__sdp"),
-            F.sum("__ch").alias("__sch"),
+            _sumdec("__dp").alias("__sdp"),
+            _sumdec("__ch").alias("__sch"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -233,7 +299,8 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(_q4dbl(F.sum(revenue)).alias("revenue"))
+        # r15: per-nation groups are corpus-sized — decimal(38,0) sum
+        .agg(_q4dbl(_sumdec(revenue)).alias("revenue"))
     )
 
 
@@ -309,7 +376,9 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pre.rollup("l_returnflag", "l_linestatus")
         .agg(
-            _q4dbl(F.sum("__rev")).alias("revenue"),
+            # r15: rollup groups are corpus-sized — decimal(38,0) sum
+            # (VERDICT r14 #1); the Expand still triples a LONG
+            _q4dbl(_sumdec("__rev")).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(
@@ -345,7 +414,8 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(_q4dbl(F.sum(revenue)).alias("revenue"))
+        # r15: global sum — decimal(38,0) accumulation (VERDICT r14 #1)
+        .agg(_q4dbl(_sumdec(revenue)).alias("revenue"))
     )
 
 
@@ -476,7 +546,9 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_brand = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
-        .agg(F.sum(_rev4()).alias("rev_q4"))
+        # r15: ~25 brand groups over the whole fact — decimal(38,0)
+        # sum (VERDICT r14 #1); the window total below inherits it
+        .agg(_sumdec(_rev4()).alias("rev_q4"))
     )
     total = Window.partitionBy()
     return (
@@ -614,11 +686,13 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
+            # r15: per-month groups are corpus-sized — decimal(38,0)
+            # sums (VERDICT r14 #1)
             F.round(
-                _q4dbl(F.sum(promo_rev)) / _q4dbl(F.sum(rev)) * 100,
+                _q4dbl(_sumdec(promo_rev)) / _q4dbl(_sumdec(rev)) * 100,
                 6,
             ).alias("promo_pct"),
-            _q4dbl(F.sum(rev)).alias("total_revenue"),
+            _q4dbl(_sumdec(rev)).alias("total_revenue"),
         )
     )
 
@@ -654,7 +728,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
-    rev = F.sum(_rev4())  # r14: exact int64 units (see _cents)
+    # r15: (nation, nation, year) groups are corpus-sized —
+    # decimal(38,0) accumulation over the long per-row units
+    rev = _sumdec(_rev4())
     return (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -700,7 +776,8 @@ def q9_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    rev = F.sum(_rev4())  # r14: exact int64 units (see _cents)
+    # r15: (nation, year) groups are corpus-sized — decimal(38,0) sum
+    rev = _sumdec(_rev4())
     return (
         li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
@@ -822,7 +899,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty")
     )
     return small.agg(
-        (_q2dbl(F.sum(_cents("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly")
+        # r15: global price-cents sum — decimal(38,0) (VERDICT r14 #1)
+        (_q2dbl(_sumdec(_cents("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly")
     )
 
 
@@ -911,7 +989,8 @@ def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity").between(20, 30))
         )
     )
-    rev = F.sum(_rev4())  # r14: exact int64 units (see _cents)
+    # r15: one global group — decimal(38,0) sum (VERDICT r14 #1)
+    rev = _sumdec(_rev4())
     return j.filter(cond).agg(_q4dbl(rev).alias("revenue"))
 
 
@@ -1025,7 +1104,9 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             _q4dbl(F.min("c_rev")).alias("min_revenue"),
             _q4dbl(F.max("c_rev")).alias("max_revenue"),
-            _q4dbl(F.sum("c_rev")).alias("total_revenue"),
+            # r15: quartile groups are corpus-sized — decimal(38,0)
+            # sum (per-customer c_rev stays long: O(1) orders/cust)
+            _q4dbl(_sumdec("c_rev")).alias("total_revenue"),
         )
         .select(
             F.col("quartile").cast("bigint").alias("quartile"),
@@ -1099,9 +1180,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust_asia), o["o_custkey"] == F.col("c_custkey"))
         .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
+        # r15: per-year groups are corpus-sized — decimal(38,0) sums
         .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))).alias("nation_vol"),
-            F.sum(vol).alias("total_vol"),
+            _sumdec(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))).alias("nation_vol"),
+            _sumdec(vol).alias("total_vol"),
         )
     )
     return per_year.select(
@@ -1566,7 +1648,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(val.alias("value"))
     )
     totals = per_part.agg(
-        F.sum("value").alias("total_value"),
+        # r15: the all-parts total is corpus-sized — decimal(38,0)
+        # sum (the per-part groups stay long: ≤ ~30 lineitems/part,
+        # O(1) in SF; VERDICT r14 #1 put this long sum's fence ~sf150)
+        _sumdec("value").alias("total_value"),
         F.count(F.lit(1)).alias("n_parts"),
     )
     return (
@@ -1782,7 +1867,7 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-added (added) — rolled up per (status, changed_cols).  The
     edits are pure column expressions, so the oracle reproduces the
     same 'new' relation and the classification must match exactly."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     new = (
         orders.filter(F.col("o_orderkey") % 17 != 0)
         .withColumn(
@@ -1879,7 +1964,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny-relation windows + keyed value joins), one keyed rollup; the
     date anchor is a 1-row scalar broadcast.
     Reference analog: none (pure [EXT])."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
@@ -2288,7 +2373,7 @@ def orders_pareto_share(
     Output: (threshold_bp, n_customers, customers_bp, rev_share_bp)
     — the achieved revenue share at the cut.  Reference analog: none
     (pure [EXT])."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
