@@ -182,16 +182,17 @@ def main() -> None:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"# WARN could not persist bench_results: {exc}", file=sys.stderr)
-    # FINAL stdout line = compact per-query seconds, ascending, summary
-    # last: the driver's BENCH artifact keeps only the last ~2000 chars
-    # of stdout, so this ordering puts the MOST EXPENSIVE queries and
-    # the totals inside the captured tail (VERDICT r10 #9).  The full
-    # payload above and bench_results/ keep the complete record.
-    asc = dict(sorted(((k, v) for k, v in timings.items()), key=lambda kv: kv[1]))
-    pqm_asc = dict(sorted(per_query_min.items(), key=lambda kv: kv[1]))
+    # FINAL stdout line = a COMPACT summary (~350 chars, no per-query
+    # dicts): the driver's BENCH artifact keeps only the last ~2000
+    # chars of stdout, and r14's final line embedded two full
+    # 231-entry dicts, so the driver could parse NEITHER round's
+    # output and PERF came back empty (VERDICT r14 #5 / next-round
+    # #2).  The full per-query record stays on the first stdout line
+    # (the driver-contract payload above) and in bench_results/.
     print(json.dumps({
-        "queries_sec_ascending": asc,
-        "per_query_min_ascending": pqm_asc,
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
         "marginal_query_sec_total": round(sum(ok), 3),
         "warm_build_sec_total": warm_total,
         "total_query_sec": total,
@@ -204,6 +205,9 @@ def main() -> None:
         "git_rev": git_rev,
         "n_queries": len(ok),
         "n_errors": len(timings) - len(ok),
+        "loadavg_1m_start": loadavg_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "queries_file": "bench_results/latest.json",
         "sf": sf,
     }))
 
