@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meteaudata_spark.ext.dedup import _docs, _h60, _shingles, _H60_DUCK
+from meteaudata_spark.sources.tables import load_table
 
 # regexes kept to the syntax subset Java regex (Spark) and RE2
 # (DuckDB) treat identically
@@ -1030,7 +1031,7 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
 def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: skew report for ``events.user_id`` — the key every
     sessionize/attribution/retention query in this engine shuffles on."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     return key_skew_report(ev, "user_id")
 
 
@@ -1116,7 +1117,7 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE paying for the actual sort-rewrite (the rewrite itself is
     a plain ``repartitionByRange(zkey)`` + write).
     Reference analog: none (pure [EXT])."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         (F.unix_timestamp("ts") / 60).cast("bigint").alias("minute"),
@@ -1481,7 +1482,7 @@ def events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfill path for the streaming deduper.  ONE keyed agg; the
     distinct rides a struct key, no self-join.
     Reference analog: none (pure [EXT])."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("window_start")
     ).agg(

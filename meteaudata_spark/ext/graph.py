@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from meteaudata_spark.sources.tables import load_table
 
 _Q = 1_000_000_000  # nano-unit quantizer for rank contributions
 
@@ -117,7 +118,7 @@ def doc_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _domain_pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_table(spark, sf_dir, "documents")
     edges = (
         d.select(
             F.concat(
@@ -240,7 +241,7 @@ def doc_crawl_priority(
         # doc_domain_pagerank is itself session-memoized (same key)
         rank = doc_domain_pagerank(spark, sf_dir)
     pr = rank.select(F.col("domain"), F.col("rank"))
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.lit("site"),

@@ -43,6 +43,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from meteaudata_spark.sources.tables import load_table
+
 ASSET_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -591,7 +593,7 @@ def mm_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow map end to end (digest in the JVM, codec work
     Arrow-batched, no shuffle at all until the driver-side sort the
     oracle comparison imposes)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("digest")
     )
 
@@ -686,7 +688,7 @@ def mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     or filter bug breaks the value match.
 
     Scale shape: narrow map end to end, no shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("digest")
     )
 
@@ -1010,7 +1012,7 @@ def _digest_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``mm_image_phash``): every ``doc_id % 10 == 7`` re-uses its
     predecessor's digest and the ``doc_id % 20 == 17`` half perturbs
     the first byte by +3, planting exact and near twins."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.md5("text").alias("m"))
     src = docs.select(
         "doc_id",
@@ -1506,7 +1508,7 @@ def _digest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread so the Python synthesis/decode chain parallelizes past the
     single-row-group test scan."""
     return _spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        load_table(spark, sf_dir, "documents").select(
             "doc_id", F.md5("text").alias("digest")
         )
     )

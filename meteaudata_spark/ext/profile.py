@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meteaudata_spark.functions.epoch import epoch_seconds
+from meteaudata_spark.sources.tables import load_table
 
 # (column, kind) for the lineitem gate table; kind ∈ num | str | ts
 _LINEITEM_COLS: list[tuple[str, str]] = [
@@ -105,7 +106,7 @@ FROM (SELECT `{c}` AS __v, COUNT(1) AS __cnt FROM {{df}} GROUP BY `{c}`)"""
 
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: the full lineitem column profile."""
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = load_table(spark, sf_dir, "lineitem")
     return profile_table(df, _LINEITEM_COLS)
 
 
@@ -166,11 +167,11 @@ def orders_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all zero on healthy TPC-H data — the oracle proves the CHECK
     itself, not just the happy count: both engines must agree on the
     anti-join semantics over every key)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
     checks = [
         ("lineitem.l_orderkey->orders", li, orders, "l_orderkey", "o_orderkey"),
         ("lineitem.l_partkey->part", li, part, "l_partkey", "p_partkey"),

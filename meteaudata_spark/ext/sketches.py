@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meteaudata_spark.ext.dedup import _docs, _h60, _shingles, _H60_DUCK
+from meteaudata_spark.sources.tables import load_table
 
 _M = 256  # registers (p = 8)
 _ALPHA_M = 0.7213 / (1.0 + 1.079 / _M)  # standard bias constant
@@ -692,7 +693,7 @@ def events_hll_sliding_uniques(
     production would emit only the estimates.  Windows are keyed by
     their END day and emitted only for days present in the data.
     Reference analog: none (pure [EXT])."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_table(spark, sf_dir, "events").select(
         F.to_date(F.col("ts")).alias("day"),
         _h60(F.col("user_id").cast("string")).alias("h"),
     )
