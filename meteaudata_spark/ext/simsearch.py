@@ -21,6 +21,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from meteaudata_spark.sources.tables import load_table
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -32,10 +34,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding queries' expensive work (norms, 2^20 quantization,
     # broadcast-join dot products) is all NARROW off this scan, and
     # the single-row-group test parquet pins it to one core.  No-op on
-    # any multi-split production store.
+    # any multi-split production store.  r15: the base loader is the
+    # session-memoized lazy plan (tables.py) — the partition probe and
+    # footer read amortize to once per session.
     from meteaudata_spark.ext.dedup import _spread
+    from meteaudata_spark.sources.tables import load_table
 
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _spread(load_table(spark, sf_dir, "embeddings"))
 
 
 def _norm_expr(col: str) -> str:
@@ -49,24 +54,31 @@ def emb_cosine_topk(
     (vec_id < n_queries). Broadcast the queries; rank with rounded
     similarity + vec_id tiebreak for cross-engine determinism.
 
-    r14: requests within the fixed eval fence (≤ 10 queries, k ≤ 20)
-    are served from one session-memoized exact ranking
-    (``_exact_topk_core``) shared by five gate rows (this one,
-    ``emb_ann_recall``, ``emb_recall_curve``, ``emb_matryoshka_recall``
-    and the hybrid-search semantic side) — per-query rank is
-    independent of which other queries are ranked, so filtering the
-    core on (query_id, rank) is value-identical to building at the
-    requested (n_queries, k).  The one-time build is accounted in the
-    bench's ``warm_build_sec`` (guide §5: cache the multiply-
-    referenced intermediate, account it honestly)."""
-    if 0 < n_queries <= _EXACT_CORE_QUERIES and 0 < k <= _EXACT_CORE_K:
-        return (
-            _exact_topk_core(spark, sf_dir)
-            .filter(
-                (F.col("query_id") < n_queries) & (F.col("rank") <= k)
-            )
-        )
+    r15 (VERDICT r14 #3, de-gaming): this gate row's OUTPUT is the
+    exact ranking itself, so it always executes the full search in
+    the timed region — no memo serving.  The session-memoized
+    ``_exact_topk_core`` remains the shared ground-truth upstream for
+    the COMPOSING eval rows (``emb_ann_recall``, ``emb_recall_curve``,
+    ``emb_matryoshka_recall``, the hybrid-search semantic side) via
+    ``_exact_topk_from_core`` — the r9-sanctioned shared-upstream
+    pattern; only rows whose own tail is the search compute it
+    per call."""
     return _cosine_topk_build(spark, sf_dir, n_queries, k)
+
+
+def _exact_topk_from_core(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+) -> DataFrame:
+    """Composer-side view of the memoized exact ranking: per-query
+    rank is independent across queries, so filtering the depth-20
+    core on (query_id, rank) is value-identical to building at the
+    requested (n_queries, k).  Requests outside the core fence
+    (> 10 queries or k > 20) fall back to a fresh build."""
+    if not (0 < n_queries <= _EXACT_CORE_QUERIES and 0 < k <= _EXACT_CORE_K):
+        return _cosine_topk_build(spark, sf_dir, n_queries, k)
+    return _exact_topk_core(spark, sf_dir).filter(
+        (F.col("query_id") < n_queries) & (F.col("rank") <= k)
+    )
 
 
 _EXACT_CORE_QUERIES = 10
@@ -632,24 +644,28 @@ def emb_ivf_topk(
     instead of everything.  Exact cosine within the probed lists —
     approximation only comes from unprobed lists.
 
-    r14: requests at the standard index geometry (16 centroids,
-    4 probes) within the eval fence (≤ 10 queries, k ≤ 10) filter one
-    session-memoized approximate ranking (``_ivf_topk_core``) shared
-    with ``emb_ann_recall`` / ``emb_recall_curve`` — per-query rank is
-    independent across queries, so the filtered core is
-    value-identical; build accounted in ``warm_build_sec``."""
-    if (
-        (n_centroids, n_probe) == (16, 4)
-        and 0 < n_queries <= _IVF_CORE_QUERIES
-        and 0 < k <= _IVF_CORE_K
-    ):
-        return (
-            _ivf_topk_core(spark, sf_dir)
-            .filter(
-                (F.col("query_id") < n_queries) & (F.col("rank") <= k)
-            )
-        )
+    r15 (VERDICT r14 #3, de-gaming): this gate row's OUTPUT is the
+    IVF ranking itself, so it always executes the full search in the
+    timed region — no memo serving.  The session-memoized
+    ``_ivf_topk_core`` remains the shared upstream for the COMPOSING
+    eval rows (``emb_ann_recall``, ``emb_recall_curve``) via
+    ``_ivf_topk_from_core`` — the r9-sanctioned shared-upstream
+    pattern."""
     return _ivf_topk_build(spark, sf_dir, n_queries, k, n_centroids, n_probe)
+
+
+def _ivf_topk_from_core(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+) -> DataFrame:
+    """Composer-side view of the memoized IVF ranking at the standard
+    (16 centroids, 4 probes) geometry; see ``_exact_topk_from_core``
+    for the value-identity argument.  Out-of-fence requests fall back
+    to a fresh build."""
+    if not (0 < n_queries <= _IVF_CORE_QUERIES and 0 < k <= _IVF_CORE_K):
+        return _ivf_topk_build(spark, sf_dir, n_queries, k, 16, 4)
+    return _ivf_topk_core(spark, sf_dir).filter(
+        (F.col("query_id") < n_queries) & (F.col("rank") <= k)
+    )
 
 
 _IVF_CORE_QUERIES = 10
@@ -904,21 +920,35 @@ def emb_kmeans_refine(
     r14 (guide §5): the UPDATE step's two collects (seeds + exact
     centroid sums) executed eagerly during DataFrame construction on
     every call; the refined centroid list (k×64 exact numbers) is now
-    session-memoized per (sf_dir, k) — the trainer-core pattern — and
-    the final re-assignment still recomputes from the parquet scan on
-    every action."""
-    key = (sf_dir, n_clusters)
+    session-memoized per (applicationId, sf_dir, k) — the
+    trainer-core pattern — and the final re-assignment (the row's
+    search tail) still recomputes from the parquet scan on every
+    action.  r15 (ADVICE r14): the key includes the Spark application
+    id, mirroring ``memo_relation``, so centroids can never leak
+    across sessions or survive a fixture rewrite at a reused path
+    within one process."""
+    return kmeans_refine(
+        _emb(spark, sf_dir),
+        n_clusters=n_clusters,
+        _cents2=_kmeans_refine_centroids(spark, sf_dir, n_clusters),
+    )
+
+
+def _kmeans_refine_centroids(
+    spark: SparkSession, sf_dir: str, n_clusters: int = 8
+) -> list:
+    """Session-memoized refined centroid list (k×64 exact integers) —
+    the MODEL artifact behind ``emb_kmeans_refine`` (its two eager
+    collects run during DataFrame construction); warmable directly so
+    the one-time cost lands in ``warm_build_sec``."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_clusters)
     if key not in _REFINE_CENTS_MEMO:
         _REFINE_CENTS_MEMO[key] = _refined_centroids(
             _refine_emb(_emb(spark, sf_dir)), n_clusters
         )
         while len(_REFINE_CENTS_MEMO) > 8:  # bounded, ULM-memo style
             _REFINE_CENTS_MEMO.pop(next(iter(_REFINE_CENTS_MEMO)))
-    return kmeans_refine(
-        _emb(spark, sf_dir),
-        n_clusters=n_clusters,
-        _cents2=_REFINE_CENTS_MEMO[key],
-    )
+    return _REFINE_CENTS_MEMO[key]
 
 
 def kmeans_refine(
@@ -1946,34 +1976,34 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str, variant: str = "full"):
 
 
 def _ivfpq_search_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized IVF-PQ search ranking at the standard
-    geometry (full index, the 3 fixed queries, 4 probed lists,
-    depth ``_REFINE_C``=30) — shared by ``emb_ivfpq_topk`` (filters
-    rank ≤ 10; the top-10 of a deeper ranking is the same top-10)
-    and ``emb_ivfpq_refine_topk`` (re-scores all 30 candidates).
-    The ``_exact_topk_core``/``_ivf_topk_core`` pattern; build
-    accounted in warm_build_sec."""
-    from meteaudata_spark.plans.opcache import memo_relation
+    """IVF-PQ search ranking at the standard geometry (full index,
+    the 3 fixed queries, 4 probed lists, depth ``_REFINE_C``=30) —
+    the shared BUILDER for ``emb_ivfpq_topk`` (filters rank ≤ 10;
+    the top-10 of a deeper ranking is the same top-10) and
+    ``emb_ivfpq_refine_topk`` (re-scores all 30 candidates).
 
-    def _build() -> DataFrame:
-        emb = _emb(spark, sf_dir)
-        coarse, rcb, codes = _ivfpq_index_for(spark, sf_dir)
-        qv = emb.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"),
-            _q64("embedding").alias("q_qe"),
-        )
-        return _ivfpq_search_relations(
-            coarse, rcb, codes, qv, _REFINE_C, _IVFPQ_NPROBE
-        )
-
-    return memo_relation(spark, ("ivfpq_search_full30", sf_dir), _build)
+    r15 (VERDICT r14 #3, de-gaming): NOT memoized — the search tail
+    is each gate row's own work and executes in the timed region on
+    every call.  Only the INDEX relations it reads (coarse / rcb /
+    codes, via ``_ivfpq_index_for``) are session-memoized artifacts."""
+    emb = _emb(spark, sf_dir)
+    coarse, rcb, codes = _ivfpq_index_for(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        _q64("embedding").alias("q_qe"),
+    )
+    return _ivfpq_search_relations(
+        coarse, rcb, codes, qv, _REFINE_C, _IVFPQ_NPROBE
+    )
 
 
 def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: IVF-PQ 10-NN for 3 queries, 4 probed lists.
-    Reads the session-memoized search core shared with the refine
-    row (per-query rank is independent, so filtering the depth-30
-    ranking to rank ≤ 10 is value-identical to a k=10 search)."""
+    Builds the search from the session-memoized index relations per
+    call (r15 de-gaming; the depth-30 builder is shared CODE with the
+    refine row — per-query rank is independent, so filtering the
+    depth-30 ranking to rank ≤ 10 is value-identical to a k=10
+    search)."""
     return _ivfpq_search_core(spark, sf_dir).filter(F.col("rank") <= 10)
 
 
@@ -2228,22 +2258,19 @@ def emb_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: delta-maintained IVF-PQ 10-NN — the Spark side
-    appends a 25% vector delta to a frozen-codebook base index; the
-    DuckDB oracle rebuilds the full index from scratch.  A value
-    match IS the incremental-equivalence certificate.  The base-index
-    relations are session-memoized (variant='base')."""
-    emb = _emb(spark, sf_dir)
-    is_delta = (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200)
-    coarse, rcb, base_codes = _ivfpq_index_for(spark, sf_dir, "base")
+def _ivfpq_delta_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized frozen-codebook delta encode (the 25% vector
+    delta's code rows — an index-maintenance ARTIFACT exactly like
+    the memoized base-index relations, guide §5 / VERDICT r14 #3
+    keep-list: "codes").  The 8-subspace residual explode ×
+    256-codeword argmin encodes once per session; warmable directly
+    so its one-time cost lands in ``warm_build_sec``."""
     from meteaudata_spark.plans.opcache import memo_relation
 
-    # r14 (guide §5): the frozen-codebook delta encode (8-subspace
-    # residual explode × 256-codeword argmin) is a deterministic
-    # index-maintenance artifact exactly like the memoized base index
-    # relations — encode it once per session, not once per call
     def _build_delta():
+        emb = _emb(spark, sf_dir)
+        is_delta = (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200)
+        coarse, rcb, _base = _ivfpq_index_for(spark, sf_dir, "base")
         cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
         return _ivfpq_encode(
             emb.filter(is_delta).select(
@@ -2253,10 +2280,19 @@ def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rcb_arr,
         )
 
-    delta_codes = memo_relation(
-        spark, ("ivfpq_codes_delta", sf_dir), _build_delta
-    )
-    codes = base_codes.unionByName(delta_codes)
+    return memo_relation(spark, ("ivfpq_codes_delta", sf_dir), _build_delta)
+
+
+def emb_ivfpq_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: delta-maintained IVF-PQ 10-NN — the Spark side
+    appends a 25% vector delta to a frozen-codebook base index; the
+    DuckDB oracle rebuilds the full index from scratch.  A value
+    match IS the incremental-equivalence certificate.  The base-index
+    relations and the delta encode are session-memoized artifacts;
+    the SEARCH over (base ∪ delta) executes per call (r15)."""
+    emb = _emb(spark, sf_dir)
+    coarse, rcb, base_codes = _ivfpq_index_for(spark, sf_dir, "base")
+    codes = base_codes.unionByName(_ivfpq_delta_codes(spark, sf_dir))
     qv = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
     )
@@ -2282,18 +2318,20 @@ def emb_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep point.  The exact baseline reads the store once (3 broadcast
     queries).  All integer arithmetic — exact cross-engine.
     Reference analog: none (pure [EXT])."""
-    from meteaudata_spark.plans.opcache import memo_relation
+    from meteaudata_spark.plans.opcache import cache_intermediate
 
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
     )
 
-    # r14 batch 8 (guide §5, the memoized-core pattern): both the
-    # probe-annotated scored relation (fixed index, fixed queries,
-    # max probe depth) and the exact quantized-L2 top-10 baseline are
-    # deterministic index-derived artifacts rebuilt per call before —
-    # session-memoized now, builds accounted in warm_build_sec.
+    # r15 (VERDICT r14 #3, de-gaming): the scored relation and the
+    # exact baseline are this row's SEARCH/EVAL work, so they execute
+    # per call in the timed region (r14 had them session-memoized).
+    # Each is referenced by two downstream joins within THIS query,
+    # so they persist per-call via the bounded per-query FIFO
+    # (guide §5 — recompute-per-reference avoided, nothing outlives
+    # the call's bench runs).
     def _build_scored() -> DataFrame:
         coarse, rcb, codes = _ivfpq_index_for(spark, sf_dir)
         max_p = max(_PROBE_SWEEP)
@@ -2374,12 +2412,8 @@ def emb_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
         )
 
-    scored = memo_relation(
-        spark, ("ivfpq_sweep_scored", sf_dir), _build_scored
-    )
-    exact = memo_relation(
-        spark, ("ivfpq_exact_l2_top10", sf_dir), _build_exact
-    )
+    scored = cache_intermediate(_build_scored())
+    exact = cache_intermediate(_build_exact())
     # r14 optimization (guide §2.4): the sweep used to union four
     # filter+window branches over the cached scored relation — four
     # exchanges and four sorts by query_id.  A vector's rank at probe
@@ -3268,11 +3302,14 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks), so the recall numbers are engine-exact and the oracle
     composes the two rankers' SQL verbatim.  Composition cost: two
     top-k relations of 50 rows each — the evaluation itself is free
-    at any corpus scale; the rankers do the work."""
-    exact = emb_cosine_topk(spark, sf_dir, n_queries=10, k=5).select(
+    at any corpus scale; the rankers do the work (read from the
+    memoized shared cores — this row COMPOSES the two ranker rows,
+    the r9-sanctioned upstream-reuse pattern; its own eval tail runs
+    in the timed region)."""
+    exact = _exact_topk_from_core(spark, sf_dir, n_queries=10, k=5).select(
         "query_id", "vec_id"
     )
-    approx = emb_ivf_topk(spark, sf_dir, n_queries=10, k=5).select(
+    approx = _ivf_topk_from_core(spark, sf_dir, n_queries=10, k=5).select(
         F.col("query_id").alias("q2"), F.col("vec_id").alias("v2")
     )
     hit = exact.join(
@@ -3370,8 +3407,10 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation that decides whether a Matryoshka prefix is good
     enough to serve.  Same evaluation-as-query shape as
     ``emb_ann_recall``: the join touches two 50-row relations, so the
-    evaluation is free at any corpus scale."""
-    exact = emb_cosine_topk(spark, sf_dir, n_queries=10, k=5).select(
+    evaluation is free at any corpus scale.  The exact side composes
+    the memoized ground-truth core (r15: via ``_exact_topk_from_core``
+    — this row evaluates the ranking, it does not serve it)."""
+    exact = _exact_topk_from_core(spark, sf_dir, n_queries=10, k=5).select(
         "query_id", "vec_id"
     )
     trunc = matryoshka_topk(_emb(spark, sf_dir), 10, 5, 32).select(
@@ -4078,7 +4117,7 @@ def emb_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage of the doc side in basis points (integer floor-div).
     Scale shape: one keyed shuffle join + a 1-row aggregate.
     Reference analog: none (pure [EXT])."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("d_id")
     )
     vecs = _emb(spark, sf_dir).select(F.col("vec_id").alias("v_id"))
@@ -4200,12 +4239,15 @@ def emb_recall_curve(
     exact integer micros (one correctly-rounded double division of
     BIGINTs).  Reference analog: none (pure [EXT])."""
     kmax = max(ks)
-    exact = emb_cosine_topk(spark, sf_dir, n_queries=n_queries, k=kmax).select(
-        "query_id", "vec_id", F.col("rank").alias("rank_e")
-    )
-    approx = emb_ivf_topk(spark, sf_dir, n_queries=n_queries, k=kmax).select(
-        "query_id", "vec_id", F.col("rank").alias("rank_a")
-    )
+    # r15: compose the memoized ranker cores (shared-upstream reuse;
+    # this row's own tail — the overlap join + curve agg — is what
+    # executes per call)
+    exact = _exact_topk_from_core(
+        spark, sf_dir, n_queries=n_queries, k=kmax
+    ).select("query_id", "vec_id", F.col("rank").alias("rank_e"))
+    approx = _ivf_topk_from_core(
+        spark, sf_dir, n_queries=n_queries, k=kmax
+    ).select("query_id", "vec_id", F.col("rank").alias("rank_a"))
     both = exact.join(F.broadcast(approx), ["query_id", "vec_id"])
     counts = (
         both.select(
@@ -4724,7 +4766,7 @@ def emb_ivf_topics(
     from meteaudata_spark.ext.dedup import _spread
 
     docs = _spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
     )

@@ -16,16 +16,18 @@ from meteaudata_spark.ext.dedup import _h60
 from meteaudata_spark.plans.opcache import cache_intermediate, memo_relation
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r14: scale-adaptive parallelism floor — every query in this
-    # module tokenizes the corpus in a narrow chain, and the small-SF
-    # parquet is a single split (one core does all the splitting /
-    # hashing; measured 1.6 s single-core for a 5-gram explode at
-    # sf0.1).  No-op whenever the scan already yields >= default
-    # parallelism partitions, i.e. on any real multi-split corpus.
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    # r15 (VERDICT r14 #4): the r14 parallelism floor is now OPT-IN
+    # per call site — it pays rent only where the downstream chain is
+    # compute-heavy (tokenize/hash explodes over the whole corpus);
+    # the unconditional version taxed every cheap row ~0.1-0.5 s at
+    # single-split test SFs.  No-op on any real multi-split corpus
+    # either way.
     from meteaudata_spark.ext.dedup import _spread
+    from meteaudata_spark.sources.tables import load_table
 
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    df = load_table(spark, sf_dir, "documents")
+    return _spread(df) if spread else df
 
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,16 +1085,18 @@ def _bm25_score_topk(
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: BM25 top-20 for a fixed 5-term query.
 
-    r14: the ranking is session-memoized (``_bm25_single_core``) — it
-    is the shared upstream of three gate rows (this one, the nDCG
-    evaluation and the hybrid-search lexical side), so the corpus
-    tokenize pass runs once per session instead of once per consumer;
-    build accounted in the bench's ``warm_build_sec``."""
-    return _bm25_single_core(spark, sf_dir)
+    r15 (VERDICT r14 #3, de-gaming): this gate row's OUTPUT is the
+    ranking itself, so the full search executes in the timed region
+    on every call.  The session-memoized ``_bm25_single_core`` stays
+    as the shared upstream for the COMPOSING rows only (the nDCG
+    evaluation and the hybrid-search lexical side)."""
+    return bm25_search(_docs(spark, sf_dir), _BM25_QUERY, k=20)
 
 
 def _bm25_single_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized BM25 top-20 of the fixed 5-term gate query."""
+    """Session-memoized BM25 top-20 of the fixed 5-term gate query —
+    composer-side upstream (nDCG / hybrid), never served as the
+    search row's own output."""
     return memo_relation(
         spark,
         ("bm25_single", sf_dir, 20),
@@ -1205,12 +1209,14 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: fuse BM25 top-20 (fixed 5-term query) with the
     exact-cosine top-20 neighbors of document 0's embedding — the
     end-to-end hybrid retrieval composition over BOTH modality
-    stacks."""
+    stacks.  r15: composes the two memoized ranker CORES (the
+    r9-sanctioned shared-upstream pattern) — its own fusion tail is
+    the work this row times."""
     from meteaudata_spark.ext import simsearch
 
-    lex = doc_bm25_search(spark, sf_dir)
+    lex = _bm25_single_core(spark, sf_dir)
     sem = (
-        simsearch.emb_cosine_topk(spark, sf_dir, n_queries=1, k=20)
+        simsearch._exact_topk_from_core(spark, sf_dir, n_queries=1, k=20)
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return hybrid_search_rrf(lex, sem, k=10)
@@ -1818,11 +1824,11 @@ def _multi_query_df(spark: SparkSession) -> DataFrame:
 
 def doc_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: three fixed queries through the multi-query
-    ranker.  r14: returns the session-memoized candidate relation
-    (``bm25_multi_candidates``) that ``doc_mmr_rerank`` already
-    composes — one corpus pass per session for both rows, build
-    accounted in ``warm_build_sec``."""
-    return bm25_multi_candidates(spark, sf_dir, k=10)
+    ranker.  r15 (VERDICT r14 #3, de-gaming): the row's output IS the
+    candidate ranking, so the search executes in the timed region on
+    every call; the session-memoized ``bm25_multi_candidates`` stays
+    as the shared upstream for ``doc_mmr_rerank`` only."""
+    return bm25_multi_search(_docs(spark, sf_dir), _multi_query_df(spark), k=10)
 
 
 def bm25_multi_candidates(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
@@ -4800,23 +4806,55 @@ def unigram_lm_encode_stats(
     return _ulm_encode_table(core, df, text_col, group_col, max_word_len)
 
 
+def _ulm_word_table(core: dict) -> DataFrame:
+    """Per-DISTINCT-WORD application of the trained unigram-LM
+    vocabulary: (word, n_chars_word, n_tokens_word, rt_word) — one
+    Viterbi DP + decode per vocabulary word.  This is the trained
+    tokenizer materialized over its own word list (the "trained
+    merges" artifact class), and it is what the encode / eval /
+    roundtrip / compare rows all rebuild identically."""
+    return (
+        core["maps"](core["pruned"])
+        .withColumn("best", F.expr(core["best_expr"]))
+        .withColumn("__bt", F.expr(core["bt_expr"]))
+        .select(
+            "word",
+            F.col("n").cast("bigint").alias("n_chars_word"),
+            F.size(F.col("__bt")).cast("bigint").alias("n_tokens_word"),
+            # bt pieces are appended walking pos n -> 0 (last piece
+            # first); reverse restores position order for the decode
+            (F.concat_ws("", F.reverse(F.col("__bt"))) == F.col("word"))
+            .cast("bigint")
+            .alias("rt_word"),
+        )
+    )
+
+
+def _ulm_word_tokens_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized ``_ulm_word_table`` of the gate corpus' trained
+    vocabulary (r15, VERDICT r14 #6): the per-word Viterbi relation was
+    rebuilt — spans join + map_from_entries + the DP fold per word —
+    by EACH of the four tokenizer gate rows on every call, while only
+    the corpus-side explode + join + agg (each row's actual encode
+    tail, which stays in the timed region) differs between them."""
+    core = _unigram_lm_core_for(spark, sf_dir)
+    return memo_relation(
+        spark, ("ulm_word_tokens", sf_dir), lambda: _ulm_word_table(core)
+    )
+
+
 def _ulm_encode_table(
     core: dict,
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "lang",
     max_word_len: int = 32,
+    word_tokens: DataFrame | None = None,
 ) -> DataFrame:
-    word_tokens = (
-        core["maps"](core["pruned"])
-        .withColumn("best", F.expr(core["best_expr"]))
-        .select(
-            "word",
-            F.col("n").cast("bigint").alias("n_chars_word"),
-            F.size(F.expr(core["bt_expr"]))
-            .cast("bigint")
-            .alias("n_tokens_word"),
-        )
+    if word_tokens is None:
+        word_tokens = _ulm_word_table(core)
+    word_tokens = word_tokens.select(
+        "word", "n_chars_word", "n_tokens_word"
     )
     exploded = df.select(
         group_col,
@@ -4851,7 +4889,9 @@ def doc_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unigram lifecycle train → encode, like ``doc_bpe_encode``).
     Shares the session-memoized trainer core with the train row."""
     return _ulm_encode_table(
-        _unigram_lm_core_for(spark, sf_dir), _docs(spark, sf_dir)
+        _unigram_lm_core_for(spark, sf_dir),
+        _docs(spark, sf_dir),
+        word_tokens=_ulm_word_tokens_for(spark, sf_dir),
     )
 
 
@@ -4867,6 +4907,7 @@ def _ulm_eval_table(
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "lang",
+    word_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer evaluation table (the row every tokenizer pipeline
     needs once train+encode exist, VERDICT r12 #6): per group —
@@ -4890,16 +4931,10 @@ def _ulm_eval_table(
     word-token relation is vocabulary-sized; the corpus-side explode
     is map-only before the join's shuffle-on-word.
     Reference analog: none (pure [EXT])."""
-    word_tokens = (
-        core["maps"](core["pruned"])
-        .withColumn("best", F.expr(core["best_expr"]))
-        .select(
-            "word",
-            F.col("n").cast("bigint").alias("n_chars_word"),
-            F.size(F.expr(core["bt_expr"]))
-            .cast("bigint")
-            .alias("n_tokens_word"),
-        )
+    if word_tokens is None:
+        word_tokens = _ulm_word_table(core)
+    word_tokens = word_tokens.select(
+        "word", "n_chars_word", "n_tokens_word"
     )
     exploded = df.select(
         group_col,
@@ -4967,7 +5002,9 @@ def doc_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session-memoized trainer core with the train and encode rows —
     zero re-training after either ran."""
     return _ulm_eval_table(
-        _unigram_lm_core_for(spark, sf_dir), _docs(spark, sf_dir)
+        _unigram_lm_core_for(spark, sf_dir),
+        _docs(spark, sf_dir),
+        word_tokens=_ulm_word_tokens_for(spark, sf_dir),
     )
 
 
@@ -4976,6 +5013,7 @@ def _ulm_roundtrip_table(
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "lang",
+    word_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer round-trip fidelity table (VERDICT r13 #6 — the
     missing lifecycle piece after train → encode → evaluate): per
@@ -5000,21 +5038,9 @@ def _ulm_roundtrip_table(
     backtrack length lists, so a value match certifies both engines'
     segmentations tile identically.  All integer arithmetic — exact
     cross-engine.  Reference analog: none (pure [EXT])."""
-    word_rt = (
-        core["maps"](core["pruned"])
-        .withColumn("best", F.expr(core["best_expr"]))
-        .select(
-            "word",
-            # bt pieces are appended walking pos n -> 0, i.e. LAST
-            # piece first; reverse restores position order
-            (
-                F.concat_ws("", F.reverse(F.expr(core["bt_expr"])))
-                == F.col("word")
-            )
-            .cast("bigint")
-            .alias("rt_word"),
-        )
-    )
+    if word_tokens is None:
+        word_tokens = _ulm_word_table(core)
+    word_rt = word_tokens.select("word", "rt_word")
     exploded = (
         df.select(
             group_col,
@@ -5082,7 +5108,9 @@ def doc_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-memoized trainer core with the train/encode/eval rows —
     zero re-training after any of them ran."""
     return _ulm_roundtrip_table(
-        _unigram_lm_core_for(spark, sf_dir), _docs(spark, sf_dir)
+        _unigram_lm_core_for(spark, sf_dir),
+        _docs(spark, sf_dir),
+        word_tokens=_ulm_word_tokens_for(spark, sf_dir),
     )
 
 
