@@ -324,7 +324,7 @@ def ts_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", F.col("ts")
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
     return asof_last_order_events(ev, orders)
@@ -887,7 +887,7 @@ def ts_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteaudata_spark.ext.asof import asof_join
 
     ev = _events(spark, sf_dir).select("event_id", "user_id", F.col("ts"))
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
     joined = asof_join(
@@ -2041,6 +2041,27 @@ ORDER BY event_type
 """
 
 
+def _holt_sm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Holt-smoothed relation over the 5-minute bucket means:
+    (event_type, b5, value = rounded bucket mean, __level, __trend).
+    r15 (guide §2.4): ``ts_forecast_eval`` used to re-aggregate the
+    bucket means from a second events scan and join them back onto
+    ``ts_holt``'s output — but the smoothing kernel already CARRIES
+    the bucket mean through as ``value``, so both rows read this one
+    relation and the eval row drops a scan + agg + sort-merge join."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+        .cast("bigint")
+        .alias("b5"),
+    ).agg(_r6(F.avg("value")).alias("value"))
+    return kernels.holt(
+        b, alpha=0.5, beta=0.25, ts_col="b5", val_col="value",
+        partition_cols=["event_type"],
+    )
+
+
 def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + trend) per event
     type over the 5-minute bucket means — the PREDICTION-family
@@ -2051,17 +2072,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     α=0.5 / β=0.25 exact binary fractions, and the DuckDB oracle is a
     recursive CTE evaluating the identical float expressions, so the
     (level, trend) trajectories match bit-for-bit."""
-    ev = _events(spark, sf_dir)
-    b = ev.groupBy(
-        "event_type",
-        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
-        .cast("bigint")
-        .alias("b5"),
-    ).agg(_r6(F.avg("value")).alias("value"))
-    sm = kernels.holt(
-        b, alpha=0.5, beta=0.25, ts_col="b5", val_col="value",
-        partition_cols=["event_type"],
-    )
+    sm = _holt_sm(spark, sf_dir)
     return sm.select(
         "event_type",
         "b5",
@@ -2407,17 +2418,21 @@ def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the exact `ts_holt` recurrence (same α/β, same rounded
     inputs, so the oracle extends the same recursive CTE with a LEAD
     comparison); absolute errors quantized to integer micros before
-    the sums, ratio at the end."""
-    h = ts_holt(spark, sf_dir)
+    the sums, ratio at the end.
+
+    r15 (guide §2.4 remove shuffles outright): the smoothing relation
+    already carries the rounded bucket mean as ``value``, so the old
+    second events scan + bucket re-aggregation + (event_type, b5)
+    sort-merge join are gone — one keyed Python pass feeds the LEAD
+    window directly (the window reuses the applyInPandas exchange)."""
+    sm = _holt_sm(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("b5")
-    ev = _events(spark, sf_dir)
-    b = ev.groupBy(
+    hb = sm.select(
         "event_type",
-        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
-        .cast("bigint")
-        .alias("b5"),
-    ).agg(_r6(F.avg("value")).alias("m"))
-    hb = h.join(b, ["event_type", "b5"])
+        "b5",
+        F.col("value").alias("m"),
+        _r6(F.col("__level") + F.col("__trend")).alias("forecast_next"),
+    )
     nxt = hb.withColumn("actual_next", F.lead("m").over(w)).filter(
         F.col("actual_next").isNotNull()
     )
@@ -2850,7 +2865,18 @@ def ts_forecast_eval_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Holt-Winters starts from a zero seasonal state, so scoring its
     learning phase would measure initialization, not forecasting.
     Scale: parallel across keys, sequential within one (the
-    documented applyInPandas recurrence exception)."""
+    documented applyInPandas recurrence exception).
+
+    r15 (guide §4.1 fuse the Python boundary / §2.4): both
+    recurrences used to run as SEPARATE applyInPandas passes over the
+    same bucket relation — the hourly means were aggregated twice and
+    the two smoothed relations re-joined on (event_type, b1h).  One
+    fused kernel now walks each key's series once computing BOTH
+    states with the exact same float expressions as the standalone
+    ``kernels.holt`` / ``kernels.holt_winters`` loops (bit-identical
+    trajectories), so the second agg, the second Python pass and the
+    sort-merge join are gone; the LEAD/row_number window reuses the
+    applyInPandas exchange."""
     ev = _events(spark, sf_dir)
     b = ev.groupBy(
         "event_type",
@@ -2858,23 +2884,64 @@ def ts_forecast_eval_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("b1h"),
     ).agg(_r6(F.avg("value")).alias("value"))
-    hw = kernels.holt_winters(
-        b, m=24, alpha=0.25, beta=0.125, gamma=0.25,
-        ts_col="b1h", val_col="value", partition_cols=["event_type"],
-    ).select(
-        "event_type", "b1h",
-        _r6(F.col("__forecast_next")).alias("hw_fc"),
-    )
-    ho = kernels.holt(
-        b, alpha=0.5, beta=0.25,
-        ts_col="b1h", val_col="value", partition_cols=["event_type"],
-    ).select(
-        "event_type", "b1h", F.col("value").alias("m"),
-        _r6(F.col("__level") + F.col("__trend")).alias("holt_fc"),
-    )
+
+    m, alpha_h, beta_h = 24, 0.5, 0.25
+    alpha_w, beta_w, gamma_w = 0.25, 0.125, 0.25
+
+    def _fused(pdf):
+        pdf = pdf.sort_values("b1h").reset_index(drop=True)
+        xs = pdf["value"].to_numpy(dtype=float)
+        n = len(xs)
+        h_l = [0.0] * n
+        h_b = [0.0] * n
+        fcst = [0.0] * n
+        state = [0.0] * m
+        if n:
+            # Holt (verbatim kernels.holt with α=0.5, β=0.25)
+            h_l[0], h_b[0] = float(xs[0]), 0.0
+            for i in range(1, n):
+                prev_l, prev_b = h_l[i - 1], h_b[i - 1]
+                l_new = alpha_h * float(xs[i]) + (1 - alpha_h) * (
+                    prev_l + prev_b
+                )
+                h_b[i] = beta_h * (l_new - prev_l) + (1 - beta_h) * prev_b
+                h_l[i] = l_new
+            # Holt-Winters (verbatim kernels.holt_winters, m=24)
+            w_l, w_b = float(xs[0]), 0.0
+            fcst[0] = w_l + w_b + state[1 % m]
+            for i in range(1, n):
+                prev_l, prev_b = w_l, w_b
+                s_old = state[i % m]
+                l_new = alpha_w * (float(xs[i]) - s_old) + (1 - alpha_w) * (
+                    prev_l + prev_b
+                )
+                b_new = beta_w * (l_new - prev_l) + (1 - beta_w) * prev_b
+                s_new = gamma_w * (float(xs[i]) - prev_l - prev_b) + (
+                    1 - gamma_w
+                ) * s_old
+                state[i % m] = s_new
+                w_l, w_b = l_new, b_new
+                fcst[i] = l_new + b_new + state[(i + 1) % m]
+        pdf["__holt_level"] = h_l
+        pdf["__holt_trend"] = h_b
+        pdf["__hw_forecast_next"] = fcst
+        return pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in b.schema.fields
+    ) + ", __holt_level double, __holt_trend double, __hw_forecast_next double"
+    fused = b.groupBy("event_type").applyInPandas(_fused, out_schema)
     w = Window.partitionBy("event_type").orderBy("b1h")
     j = (
-        ho.join(hw, ["event_type", "b1h"])
+        fused.select(
+            "event_type",
+            "b1h",
+            F.col("value").alias("m"),
+            _r6(F.col("__hw_forecast_next")).alias("hw_fc"),
+            _r6(F.col("__holt_level") + F.col("__holt_trend")).alias(
+                "holt_fc"
+            ),
+        )
         .withColumn("actual_next", F.lead("m").over(w))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("actual_next").isNotNull() & (F.col("rn") > 48))
@@ -3133,14 +3200,21 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan), their thresholds derive from exact/percentile
     statistics broadcast back (each recipe identical to its standalone
     gate query), and every comparison is 6-dp-rounded on both sides —
-    so the vote table is bit-stable.  Emits flagged buckets only."""
+    so the vote table is bit-stable.  Emits flagged buckets only.
+
+    r15 (guide §5 cache the multiply-referenced intermediate): the
+    bucket-mean relation feeds FOUR plan branches (mu0, the sigma
+    stats, the percentile quantiles, and the flag join) — without a
+    per-call persist each branch re-ran the events scan + agg."""
     ev = _events(spark, sf_dir)
-    b = ev.groupBy(
-        "event_type",
-        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
-        .cast("bigint")
-        .alias("b5"),
-    ).agg(F.avg("value").alias("m"))
+    b = cache_intermediate(
+        ev.groupBy(
+            "event_type",
+            (F.floor(epoch_seconds(F.col("ts")) / 300) * 300)
+            .cast("bigint")
+            .alias("b5"),
+        ).agg(F.avg("value").alias("m"))
+    )
     mu0 = b.groupBy("event_type").agg(_r6(F.avg("m")).alias("mu0"))
     stats = (
         b.join(F.broadcast(mu0), "event_type")
@@ -3293,7 +3367,7 @@ def ts_asof_tolerance(
     from meteaudata_spark.ext.asof import asof_join_backward
 
     ev = _events(spark, sf_dir).select("event_id", "user_id", F.col("ts"))
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
     joined = asof_join_backward(

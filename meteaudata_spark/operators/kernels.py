@@ -88,27 +88,58 @@ def resample_mean(
     step_sec = to_seconds(freq)
     interval = to_spark_interval(freq)
     pcols = list(partition_cols)
-
-    # origin per group: midnight of the first timestamp (tiny — one
-    # row per group — so the join back is a broadcast)
-    grp = df.groupBy(*pcols) if pcols else df.groupBy()
-    bounds = grp.agg(F.date_trunc("day", F.min(ts_col)).alias("__origin"))
-
-    if pcols:
-        joined = df.join(F.broadcast(bounds), on=pcols, how="inner")
-    else:
-        joined = df.crossJoin(F.broadcast(bounds))
-
-    # bucket left edge: origin + floor((ts-origin)/step)*step, computed in
-    # epoch seconds (microsecond-exact; NTZ-safe via epoch_seconds), and
-    # cast back to the input's timestamp flavor (NTZ in → NTZ out)
     ts_dtype = dict(df.dtypes)[ts_col]
-    off = epoch_seconds(F.col(ts_col)) - epoch_seconds(F.col("__origin"))
-    bucket_expr = seconds_to_ts(
-        epoch_seconds(F.col("__origin"))
-        + F.floor(off / F.lit(step_sec)) * F.lit(step_sec),
-        ts_dtype,
-    )
+
+    try:
+        _tz_utc = df.sparkSession.conf.get(
+            "spark.sql.session.timeZone", ""
+        ) in ("UTC", "Etc/UTC", "GMT", "+00:00")
+    except Exception:  # noqa: BLE001 - conservative: keep the old path
+        _tz_utc = False
+    if (
+        origin == "start_day"
+        and _tz_utc
+        and step_sec == int(step_sec)
+        and step_sec > 0
+        and 86400 % int(step_sec) == 0
+    ):
+        # r15 fast path (guide §2.4 — one fewer full scan): when the
+        # step divides a day, the bucket edge is ORIGIN-INDEPENDENT.
+        # origin = midnight of the first ts, so epoch(origin) = k·step
+        # for integer k, and
+        #   origin + floor((ts−origin)/step)·step
+        #     = (floor(ts/step − k) + k)·step = floor(ts/step)·step
+        # exactly (floor(x−k) = floor(x)−k for integer k).  The
+        # per-group bounds aggregation and its join back are dropped —
+        # the fact table is scanned ONCE; output buckets/labels are
+        # bit-identical (pandas parity preserved: same left edges).
+        joined = df
+        bucket_expr = seconds_to_ts(
+            F.floor(epoch_seconds(F.col(ts_col)) / F.lit(step_sec))
+            * F.lit(step_sec),
+            ts_dtype,
+        )
+    else:
+        # origin per group: midnight of the first timestamp (tiny — one
+        # row per group — so the join back is a broadcast)
+        grp = df.groupBy(*pcols) if pcols else df.groupBy()
+        bounds = grp.agg(F.date_trunc("day", F.min(ts_col)).alias("__origin"))
+
+        if pcols:
+            joined = df.join(F.broadcast(bounds), on=pcols, how="inner")
+        else:
+            joined = df.crossJoin(F.broadcast(bounds))
+
+        # bucket left edge: origin + floor((ts-origin)/step)*step,
+        # computed in epoch seconds (microsecond-exact; NTZ-safe via
+        # epoch_seconds), cast back to the input's timestamp flavor
+        # (NTZ in → NTZ out)
+        off = epoch_seconds(F.col(ts_col)) - epoch_seconds(F.col("__origin"))
+        bucket_expr = seconds_to_ts(
+            epoch_seconds(F.col("__origin"))
+            + F.floor(off / F.lit(step_sec)) * F.lit(step_sec),
+            ts_dtype,
+        )
     # avg must skip NaN like pandas: NaN→null before aggregating
     clean_val = F.when(F.isnan(F.col(val_col)), F.lit(None)).otherwise(
         F.col(val_col)
