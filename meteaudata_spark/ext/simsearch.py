@@ -1846,6 +1846,31 @@ def _ivfpq_search_relations(
     )
 
 
+_DISK_CB_MEMO: dict = {}
+
+
+def _disk_codebooks(spark: SparkSession, path: str):
+    """Session-memoized loaders of a persisted index's FROZEN
+    codebooks (coarse + residual PQ) and their in-row array forms
+    (r15, guide §5 driver cost): every ``append_ivfpq_delta`` /
+    ``ivfpq_search`` call — one per STREAMING micro-batch — re-read
+    the two tiny parquet footers and rebuilt the array plans (~0.2 s
+    of driver work per batch).  Codebooks are frozen by the index
+    contract (appends/deletes never touch them); ``build_ivfpq_index``
+    invalidates the entry when it overwrites a path."""
+    key = (spark.sparkContext.applicationId, path)
+    hit = _DISK_CB_MEMO.get(key)
+    if hit is None:
+        coarse = spark.read.parquet(f"{path}/coarse")
+        rcb = spark.read.parquet(f"{path}/codebook")
+        cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
+        hit = (coarse, rcb, cb_arr, rcb_arr)
+        _DISK_CB_MEMO[key] = hit
+        while len(_DISK_CB_MEMO) > 16:
+            _DISK_CB_MEMO.pop(next(iter(_DISK_CB_MEMO)))
+    return hit
+
+
 def ivfpq_topk(
     emb: DataFrame,
     n_queries: int = 3,
@@ -1907,6 +1932,11 @@ def build_ivfpq_index(emb: DataFrame, path: str) -> None:
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/codes"
     )
+    # a rebuild replaces the codebooks: drop the session memo for
+    # this path so later appends/searches read the new ones
+    _DISK_CB_MEMO.pop(
+        (emb.sparkSession.sparkContext.applicationId, path), None
+    )
 
 
 def ivfpq_search(
@@ -1925,8 +1955,9 @@ def ivfpq_search(
     index carries a ``_delete_pending`` marker (a crashed
     ``delete_ivfpq_ids`` — see its docstring)."""
     _marker_check(spark, path)
-    coarse = spark.read.parquet(f"{path}/coarse")
-    rcb = spark.read.parquet(f"{path}/codebook")
+    # codebooks are frozen — session-memoized loaders (r15); the
+    # CODES relation grows with appends, so it is re-read per call
+    coarse, rcb, _cb, _rcb = _disk_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     qv = query_emb.select(
         F.col("vec_id").alias("query_id"), _q64("embedding").alias("q_qe")
@@ -1959,19 +1990,34 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str, variant: str = "full"):
     delta gate rows (the compose-don't-recompute contract; each
     relation persists via ``memo_relation``'s FIFO-bounded,
     self-healing cache).  ``variant='base'`` is the delta row's
-    75% pre-delta subset."""
+    75% pre-delta subset.
+
+    r15 (guide §5 driver cost): index construction is LAZY — the old
+    version built all three expression trees (incl. the large
+    ``_ivfpq_encode`` subtree) on every call only for the memo
+    lookups to discard them on a hit; profiling charged ~0.3-0.5 s of
+    per-call Python plan construction to every IVF-PQ row."""
     from meteaudata_spark.plans.opcache import memo_relation
 
-    emb = _emb(spark, sf_dir)
-    if variant == "base":
-        emb = emb.filter(
-            ~((F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200))
-        )
-    coarse, rcb, codes = _ivfpq_index(emb)
+    built: dict = {}
+
+    def _part(i: int):
+        def _build() -> DataFrame:
+            if "t" not in built:
+                emb = _emb(spark, sf_dir)
+                if variant == "base":
+                    emb = emb.filter(
+                        ~((F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 200))
+                    )
+                built["t"] = _ivfpq_index(emb)
+            return built["t"][i]
+
+        return _build
+
     return (
-        memo_relation(spark, ("ivfpq_coarse", variant, sf_dir), lambda: coarse),
-        memo_relation(spark, ("ivfpq_rcb", variant, sf_dir), lambda: rcb),
-        memo_relation(spark, ("ivfpq_codes", variant, sf_dir), lambda: codes),
+        memo_relation(spark, ("ivfpq_coarse", variant, sf_dir), _part(0)),
+        memo_relation(spark, ("ivfpq_rcb", variant, sf_dir), _part(1)),
+        memo_relation(spark, ("ivfpq_codes", variant, sf_dir), _part(2)),
     )
 
 
@@ -2045,9 +2091,7 @@ def append_ivfpq_delta(spark: SparkSession, path: str, delta_emb: DataFrame) -> 
     maintenance pass — the small-files failure mode.  Periodic
     ``compact_ivfpq_lists`` keeps the per-list file count bounded."""
     _marker_check(spark, path)
-    coarse = spark.read.parquet(f"{path}/coarse")
-    rcb = spark.read.parquet(f"{path}/codebook")
-    cb_arr, rcb_arr = _ivfpq_cb_arrays(coarse, rcb)
+    coarse, rcb, cb_arr, rcb_arr = _disk_codebooks(spark, path)
     delta_ids = delta_emb.select("vec_id")
     existing = (
         spark.read.parquet(f"{path}/codes")

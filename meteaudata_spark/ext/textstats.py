@@ -349,7 +349,9 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFr
     One explode + two aggregations, all built-ins; the per-doc bigram
     count is bounded by document length so the shuffle is O(corpus
     tokens), never quadratic."""
-    d = _docs(spark, sf_dir)
+    # spread=True: interleaved A/B at sf0.1 0.99 -> 0.76 s (the
+    # bigram explode + double agg is compute-heavy per input row)
+    d = _docs(spark, sf_dir, spread=True)
     # split once per row — inside the lambda it would re-evaluate per
     # gram index (the O(words²) trap _shingles documents)
     grams = d.select(
@@ -726,7 +728,10 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in array/lambda expressions (JVM-side, no UDF): one narrow
     projection, no shuffle — embarrassingly parallel at 100 TB.
     """
-    d = _docs(spark, sf_dir)
+    # spread=True: the 7-rule flag battery tokenizes/splits every doc
+    # several times; interleaved A/B at sf0.1 — rules 0.68→0.48 s,
+    # ablation (29 conditional sums over this table) 1.34→1.10 s
+    d = _docs(spark, sf_dir, spread=True)
     decorated = d.withColumn(
         "text",
         F.when(
@@ -1541,6 +1546,8 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: DSIR importance weights with English documents as
     the target domain (the lang-ID column stands in for the curated
     target corpus)."""
+    # measured (interleaved A/B, r15): spread is a wash here — the
+    # md5 bucket agg's exchange costs what the parallelism wins
     d = _docs(spark, sf_dir)
     return dsir_weights(d, F.col("lang") == "en")
 
